@@ -1,0 +1,29 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Access to the driver-generated testdata tables (TESTDATA.md).
+  *
+  * Mirrors the reference's catalog model — a table is a path prefix of
+  * columnar files registered under a name (reference:
+  * stacks/demo_stack.py:94-100 two Glue DBs; crawler registration at
+  * :143-144). Here the "catalog" is the SparkSession's own; `register`
+  * is the Spark analogue of a crawler run over a folder-per-table layout.
+  */
+object Tables {
+  val names: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  def load(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(path(dir, name))
+
+  /** Register every testdata table as a temp view, optionally name-prefixed
+    * (the reference prefixes crawler output, demo_stack.py:144/:186). */
+  def register(spark: SparkSession, dir: String, prefix: String = ""): Unit =
+    names.foreach { n =>
+      load(spark, dir, n).createOrReplaceTempView(prefix + n)
+    }
+}

@@ -1,0 +1,193 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Scalar function surface — SURVEY.md §2.9 (F1-F8).
+  *
+  * The IMDB schemas the reference deploys force this minimum set:
+  * comma-separated list columns that queries must split/explode
+  * (glue_scripts/scripts/csv_to_parquet.py:45-46), int-or-`\N` choice
+  * columns (:43-44), and the full scalar surface of the provisioned
+  * Athena workgroup (stacks/demo_stack.py:255-265).
+  *
+  * All functions here are `org.apache.spark.sql.functions._` built-ins —
+  * codegen'd, inside WholeStageCodegen, no UDFs in any hot path.
+  */
+object Scalars {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** F1: string functions over part names. */
+  private val f1String: Q = (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      lower(col("p_name")).as("lname"),
+      upper(col("p_brand")).as("ubrand"),
+      length(col("p_name")).as("name_len"),
+      substring(col("p_name"), 1, 5).as("name5"),
+      concat(col("p_brand"), lit("#"), col("p_type")).as("brand_type"),
+      regexp_replace(col("p_type"), " ", "_").as("type_us"),
+      trim(col("p_name")).as("tname"),
+      col("p_name").like("%a%").as("has_a"),
+      regexp_extract(col("p_name"), "([a-z]+)", 1).as("first_word"))
+      .orderBy(col("p_partkey"))
+
+  /** F2: split + explode — the reference's comma-separated list columns
+    * (genres/knownForTitles) as rows; here: word frequencies over
+    * documents. Explode is a Generator: per-row fanout stays distributed
+    * and the downstream agg map-side combines. */
+  private val f2SplitExplode: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+      .groupBy(col("word"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word"))
+      .limit(20)
+
+  /** F3: conditional / null handling — CASE WHEN, coalesce, nullif. */
+  private val f3Conditional: Q = (s, dir) =>
+    t(s, dir, "orders").select(
+      col("o_orderkey"),
+      when(col("o_totalprice") > 300000, "big")
+        .when(col("o_totalprice") > 100000, "mid")
+        .otherwise("small").as("bucket"),
+      coalesce(nullif(col("o_orderstatus"), lit("O")), lit("open")).as("status"),
+      when(col("o_orderpriority").isNull, lit("none"))
+        .otherwise(col("o_orderpriority")).as("prio"))
+      .orderBy(col("o_orderkey"))
+
+  /** F4/P2: cast + try_cast — the `choice`-type resolution semantics
+    * (csv_to_parquet.py:43-44): a string that may or may not parse as a
+    * number becomes the number or NULL, never an error. */
+  private val f4TryCast: Q = (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k_int"),
+      expr("try_cast(event_type AS INT)").as("not_a_number"),
+      col("ts").cast("date").as("day"))
+      .orderBy(col("event_id"))
+
+  /** F5: math functions. */
+  private val f5Math: Q = (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      abs(col("p_size") - 25).as("size_dist"),
+      round(col("p_retailprice"), 1).as("price_r1"),
+      floor(col("p_retailprice")).as("price_floor"),
+      ceil(col("p_retailprice")).as("price_ceil"),
+      round(pow(col("p_size"), 2), 1).as("size_sq"),
+      round(log(col("p_retailprice")), 6).as("price_ln"),
+      round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),
+      pmod(col("p_partkey"), lit(7)).as("key_mod"))
+      .orderBy(col("p_partkey"))
+
+  /** F6: date/time functions over the events table. */
+  private val f6DateTime: Q = (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      year(col("ts")).as("y"),
+      month(col("ts")).as("m"),
+      dayofmonth(col("ts")).as("d"),
+      hour(col("ts")).as("h"),
+      date_trunc("day", col("ts")).cast("date").as("day"),
+      datediff(col("ts").cast("date"), to_date(lit("2024-01-01"))).as("days_in"),
+      unix_millis(col("ts")).as("epoch_ms"))
+      .orderBy(col("event_id"))
+
+  /** F7: array functions over word lists (string-encoded lists are the
+    * reference's own nested-type idiom, SURVEY §1.3). */
+  private val f7Array: Q = (s, dir) => {
+    val words = split(col("text"), " ")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      size(words).as("n_words"),
+      element_at(words, 1).as("first_word"),
+      array_contains(words, "data").as("has_data"),
+      array_join(sort_array(slice(words, 1, 5)), "|").as("first5_sorted"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** F8: JSON extraction + aggregation over the events props column. */
+  private val f8Json: Q = (s, dir) =>
+    t(s, dir, "events")
+      .select(col("event_type"),
+        expr("try_cast(get_json_object(props, '$.k') AS INT)").as("k"))
+      .groupBy(col("event_type"))
+      .agg(round(avg(col("k")), 4).as("avg_k"),
+        count(col("k")).as("n_k"))
+      .orderBy(col("event_type"))
+
+  val queries: Map[String, Q] = Map(
+    "f1_string" -> f1String,
+    "f2_split_explode" -> f2SplitExplode,
+    "f3_conditional" -> f3Conditional,
+    "f4_try_cast" -> f4TryCast,
+    "f5_math" -> f5Math,
+    "f6_datetime" -> f6DateTime,
+    "f7_array" -> f7Array,
+    "f8_json" -> f8Json,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "f1_string" ->
+      """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
+        | length(p_name) AS name_len, substr(p_name,1,5) AS name5,
+        | p_brand || '#' || p_type AS brand_type,
+        | replace(p_type,' ','_') AS type_us, trim(p_name) AS tname,
+        | p_name LIKE '%a%' AS has_a,
+        | regexp_extract(p_name, '([a-z]+)', 1) AS first_word
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f2_split_explode" ->
+      """SELECT word, count(*) AS n FROM (
+        | SELECT unnest(string_split(text,' ')) AS word FROM documents
+        |) WHERE word <> '' GROUP BY word ORDER BY n DESC, word LIMIT 20""".stripMargin,
+    "f3_conditional" ->
+      """SELECT o_orderkey,
+        | CASE WHEN o_totalprice > 300000 THEN 'big'
+        |      WHEN o_totalprice > 100000 THEN 'mid'
+        |      ELSE 'small' END AS bucket,
+        | coalesce(nullif(o_orderstatus,'O'),'open') AS status,
+        | CASE WHEN o_orderpriority IS NULL THEN 'none'
+        |      ELSE o_orderpriority END AS prio
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "f4_try_cast" ->
+      """SELECT event_id,
+        | try_cast(json_extract_string(props,'$.k') AS INTEGER) AS k_int,
+        | try_cast(event_type AS INTEGER) AS not_a_number,
+        | CAST(ts AS DATE) AS day
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f5_math" ->
+      """SELECT p_partkey, abs(p_size - 25) AS size_dist,
+        | round(p_retailprice,1) AS price_r1,
+        | floor(p_retailprice) AS price_floor,
+        | ceil(p_retailprice) AS price_ceil,
+        | round(pow(p_size,2),1) AS size_sq,
+        | round(ln(p_retailprice),6) AS price_ln,
+        | round(sqrt(p_retailprice),6) AS price_sqrt,
+        | p_partkey % 7 AS key_mod
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f6_datetime" ->
+      """SELECT event_id, year(ts) AS y, month(ts) AS m, day(ts) AS d,
+        | hour(ts) AS h, CAST(date_trunc('day', ts) AS DATE) AS day,
+        | datediff('day', DATE '2024-01-01', CAST(ts AS DATE)) AS days_in,
+        | epoch_ms(ts) AS epoch_ms
+        |FROM events ORDER BY event_id""".stripMargin,
+    "f7_array" ->
+      """SELECT doc_id, len(string_split(text,' ')) AS n_words,
+        | string_split(text,' ')[1] AS first_word,
+        | list_contains(string_split(text,' '), 'data') AS has_data,
+        | array_to_string(list_sort(string_split(text,' ')[1:5]), '|') AS first5_sorted
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "f8_json" ->
+      """SELECT event_type,
+        | round(avg(try_cast(json_extract_string(props,'$.k') AS INTEGER)),4) AS avg_k,
+        | count(try_cast(json_extract_string(props,'$.k') AS INTEGER)) AS n_k
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+  )
+}

@@ -1,0 +1,554 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational operator suite — SURVEY.md §2.3-2.8 (projection/filter,
+  * joins, aggregations, windows, sorts/limits, set ops).
+  *
+  * Every query is deterministic (total ORDER BY) and every double is
+  * rounded identically to its DuckDB oracle so the driver's hash compare
+  * is stable. The reference delegates this whole surface to Athena
+  * (stacks/demo_stack.py:255-293); here it is plain DataFrame code and
+  * Catalyst does the optimization (SURVEY §4).
+  *
+  * Scale notes are per-query in Scaladoc: every aggregation is a
+  * partial+final hash aggregate, every small-dimension join is broadcast,
+  * nothing collects to the driver.
+  */
+object Relational {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ---------------------------------------------------------------- P: projection / filter
+
+  /** P3: SELECT * preview (reference preview query demo_stack.py:272),
+    * made deterministic with a total order. */
+  private val p3SelectStar: Q = (s, dir) =>
+    t(s, dir, "region").select(col("*")).orderBy(col("r_regionkey"))
+
+  /** P5: WHERE with =, >, IN, BETWEEN, LIKE, AND/OR/NOT — the predicate
+    * surface the provisioned workgroup exposes (demo_stack.py:255-265).
+    * All predicates push down to the parquet scan (PushedFilters). */
+  private val p5Filter: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(
+        col("l_quantity").between(10, 20) &&
+        col("l_returnflag").isin("A", "R") &&
+        col("l_shipdate") >= to_timestamp(lit("1997-01-01")) &&
+        !(col("l_discount") > 0.05) &&
+        (col("l_linestatus") === "F" || col("l_tax") < 0.04))
+      .select(
+        col("l_orderkey"), col("l_linenumber"),
+        round(col("l_quantity"), 2).as("qty"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"))
+
+  // ---------------------------------------------------------------- L: sort / limit / top-k
+
+  /** L1: LIMIT-n preview (demo_stack.py:267-280), ordered for determinism. */
+  private val l1Limit: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+      .limit(10)
+
+  /** L2: global ORDER BY — range-partitioned sort at scale; ties broken
+    * by key so the output is total-ordered. */
+  private val l2OrderBy: Q = (s, dir) =>
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"),
+        round(col("s_acctbal"), 2).as("bal"))
+      .orderBy(col("bal").desc, col("s_suppkey"))
+
+  /** L3: top-k — Catalyst plans TakeOrderedAndProject (no full sort:
+    * per-partition heap + single reduce, the right plan at 100 TB). */
+  private val l3TopK: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(col("l_extendedprice"), 2).as("price"))
+      .orderBy(col("price").desc, col("l_orderkey"), col("l_linenumber"))
+      .limit(15)
+
+  // ---------------------------------------------------------------- J: joins
+
+  /** J1/P4: inner equi-join + named projection — the reference's flagship
+    * Athena query shape (ratings ⋈ basics, demo_stack.py:284-293).
+    * customer is the small side: Catalyst broadcasts it under AQE. */
+  private val j1Inner: Q = (s, dir) => {
+    val orders = t(s, dir, "orders")
+    val cust = t(s, dir, "customer")
+    orders.join(cust, orders("o_custkey") === cust("c_custkey"), "inner")
+      .select(col("o_orderkey"), col("c_name"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** J3: left outer join — customers keep their row with no orders;
+    * aggregated to order counts (null-group safe). */
+  private val j3LeftOuter: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left")
+      .groupBy(col("c_custkey"))
+      .agg(count(col("o_orderkey")).as("n_orders"),
+        round(coalesce(sum(col("o_totalprice")), lit(0.0)), 2).as("total"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J3b: full outer join — both unmatched sides survive with nulls. */
+  private val j3FullOuter: Q = (s, dir) => {
+    val nation = t(s, dir, "nation")
+    val supp = t(s, dir, "supplier")
+    nation.join(supp, nation("n_nationkey") === supp("s_nationkey"), "full")
+      .select(
+        coalesce(col("n_nationkey"), lit(-1)).as("nkey"),
+        coalesce(col("n_name"), lit("?")).as("nname"),
+        coalesce(col("s_suppkey"), lit(-1)).as("skey"))
+      .orderBy(col("nkey"), col("skey"))
+  }
+
+  /** J4: left semi (EXISTS) — customers having at least one big order. */
+  private val j4Semi: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val big = t(s, dir, "orders").filter(col("o_totalprice") > 150000)
+    cust.join(big, cust("c_custkey") === big("o_custkey"), "left_semi")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J4b: left anti (NOT EXISTS) — customers with no orders at all. */
+  private val j4Anti: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val orders = t(s, dir, "orders")
+    cust.join(orders, cust("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** J5: cross join (tiny × tiny only — a cross join of two big tables is
+    * never the right plan; at scale this stays a broadcast nested loop). */
+  private val j5Cross: Q = (s, dir) =>
+    t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+      .select(col("r_name"), col("n_name"))
+      .orderBy(col("r_name"), col("n_name"))
+
+  /** J5b: theta (non-equi) join — broadcast-nested-loop; the small side
+    * must be the broadcast one. */
+  private val j5Theta: Q = (s, dir) => {
+    val supp = t(s, dir, "supplier")
+    val nation = t(s, dir, "nation")
+    supp.join(nation, nation("n_nationkey") > supp("s_nationkey"))
+      .groupBy(col("s_suppkey"), col("s_name"))
+      .agg(count(lit(1)).as("n_bigger"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** J6: explicit broadcast-hint join — part is a dimension table; at
+    * 100 TB lineitem never shuffles for this join (map-side hash). */
+  private val j6Broadcast: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val part = t(s, dir, "part")
+    li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
+      .groupBy(col("p_brand"))
+      .agg(
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy(col("p_brand"))
+  }
+
+  // ---------------------------------------------------------------- A: aggregations
+
+  /** A1/A6: TPC-H Q1-shaped grouped aggregate (the flagship):
+    * partial+final HashAggregate, map-side combine — the canonical
+    * shape that scales linearly with input. */
+  val q1Agg: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= to_timestamp(lit("2001-09-02")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+          .as("sum_disc_price"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+        round(avg(col("l_quantity")), 4).as("avg_qty"),
+        round(avg(col("l_extendedprice")), 4).as("avg_price"),
+        round(avg(col("l_discount")), 4).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  /** A2: global (no-key) aggregate — single row out, all-partial tree. */
+  private val a2Global: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      count(lit(1)).as("n_rows"),
+      round(sum(col("l_extendedprice")), 2).as("sum_price"),
+      round(min(col("l_quantity")), 2).as("min_qty"),
+      round(max(col("l_quantity")), 2).as("max_qty"),
+      round(avg(col("l_discount")), 6).as("avg_disc"))
+
+  /** A3: COUNT(DISTINCT) / multi-distinct — Catalyst expands to the
+    * two-phase Expand+Aggregate plan automatically. */
+  private val a3CountDistinct: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      countDistinct(col("l_partkey")).as("n_parts"),
+      countDistinct(col("l_suppkey")).as("n_supps"),
+      countDistinct(col("l_orderkey")).as("n_orders"))
+
+  /** A4/A7b: approximate aggregates (HLL distinct + quantile sketch) —
+    * sketch values are engine-specific so there is no DuckDB oracle;
+    * the driver records a rows-only check and AggSpec pins bounds.
+    * These are the 100 TB workhorses: fixed-size state, no shuffle of
+    * distinct values. */
+  private val a4Approx: Q = (s, dir) =>
+    t(s, dir, "lineitem").agg(
+      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
+      round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2)
+        .as("approx_median_price"))
+
+  /** A5: ROLLUP with sentinel-coalesced keys (grand-total rows sort last
+    * deterministically in both engines). */
+  private val a5Rollup: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("rf"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("ls"),
+        col("sum_qty"), col("n"))
+      .orderBy(col("rf"), col("ls"))
+
+  /** A5b: CUBE over two dimensions of orders. */
+  private val a5Cube: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("o_totalprice")), 2).as("total"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("n"), col("total"))
+      .orderBy(col("status"), col("priority"))
+
+  /** A6: HAVING = filter over the aggregate's output. */
+  private val a6Having: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_suppkey"))
+      .agg(round(sum(col("l_quantity")), 2).as("sum_qty"),
+        count(lit(1)).as("n"))
+      .filter(col("sum_qty") > 100)
+      .orderBy(col("l_suppkey"))
+
+  /** A7: exact percentiles (linear interpolation — matches DuckDB
+    * quantile_cont). Exact percentile needs the values; at 100 TB prefer
+    * the a4 sketch unless exactness is required. */
+  private val a7Percentile: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy(col("l_returnflag"))
+
+  /** A8: collect-set (array_agg) — rendered as a sorted joined string so
+    * the oracle compare is representation-stable. */
+  private val a8Collect: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderstatus"))
+      .agg(array_join(sort_array(collect_set(col("o_orderpriority"))), ",")
+        .as("priorities"))
+      .orderBy(col("o_orderstatus"))
+
+  // ---------------------------------------------------------------- W: windows
+
+  /** W1: ranking functions — top-3 orders per priority class. */
+  private val w1Rank: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .withColumn("rnk", rank().over(w))
+      .withColumn("drnk", dense_rank().over(w))
+      .withColumn("quartile", ntile(4).over(w))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("rnk"), col("drnk"),
+        col("quartile"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderpriority"), col("rn"))
+  }
+
+  /** W2: analytic functions — lag/lead/first_value across a customer's
+    * order history. */
+  private val w2Lag: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_custkey"))
+      .orderBy(col("o_orderdate"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .withColumn("prev_price", round(lag(col("o_totalprice"), 1).over(w), 2))
+      .withColumn("next_price", round(lead(col("o_totalprice"), 1).over(w), 2))
+      .withColumn("first_price", round(first(col("o_totalprice")).over(w), 2))
+      .filter(col("o_custkey") <= 50)
+      .select(col("o_custkey"), col("o_orderkey"), col("prev_price"),
+        col("next_price"), col("first_price"))
+      .orderBy(col("o_custkey"), col("o_orderkey"))
+  }
+
+  /** W3: frame-bounded windowed aggregate — running revenue per supplier.
+    * Accumulation order is pinned by the total ORDER BY so the doubles
+    * match the oracle bit-for-bit after rounding. */
+  private val w3Frame: Q = (s, dir) => {
+    val w = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    t(s, dir, "lineitem")
+      .filter(col("l_suppkey") <= 3)
+      .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
+      .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+  }
+
+  // ---------------------------------------------------------------- U: set ops
+
+  /** U1: UNION ALL of two branded key sets. */
+  private val u1UnionAll: Q = (s, dir) => {
+    val c = t(s, dir, "customer")
+      .select(col("c_custkey").cast("long").as("id"), lit("customer").as("kind"))
+    val su = t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("id"), lit("supplier").as("kind"))
+    c.union(su).orderBy(col("kind"), col("id"))
+  }
+
+  /** U1b: UNION (distinct) of nation keys present on either side. */
+  private val u1Union: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.union(su).distinct().orderBy(col("nk"))
+  }
+
+  /** U2: INTERSECT / EXCEPT (both distinct, per ANSI). */
+  private val u2Intersect: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.intersect(su).orderBy(col("nk"))
+  }
+
+  private val u2Except: Q = (s, dir) => {
+    val c = t(s, dir, "customer").select(col("c_nationkey").as("nk"))
+    val su = t(s, dir, "supplier").select(col("s_nationkey").as("nk"))
+    c.except(su).orderBy(col("nk"))
+  }
+
+  /** U3: DISTINCT over a projection. */
+  private val u3Distinct: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_linestatus"))
+      .distinct()
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+
+  // ---------------------------------------------------------------- registry
+
+  val queries: Map[String, Q] = Map(
+    "p3_select_star" -> p3SelectStar,
+    "p5_filter" -> p5Filter,
+    "l1_limit" -> l1Limit,
+    "l2_orderby" -> l2OrderBy,
+    "l3_topk" -> l3TopK,
+    "j1_inner" -> j1Inner,
+    "j3_left_outer" -> j3LeftOuter,
+    "j3_full_outer" -> j3FullOuter,
+    "j4_semi" -> j4Semi,
+    "j4_anti" -> j4Anti,
+    "j5_cross" -> j5Cross,
+    "j5_theta" -> j5Theta,
+    "j6_broadcast" -> j6Broadcast,
+    "q1_agg" -> q1Agg,
+    "a2_global" -> a2Global,
+    "a3_count_distinct" -> a3CountDistinct,
+    "a4_approx" -> a4Approx,
+    "a5_rollup" -> a5Rollup,
+    "a5_cube" -> a5Cube,
+    "a6_having" -> a6Having,
+    "a7_percentile" -> a7Percentile,
+    "a8_collect" -> a8Collect,
+    "w1_rank" -> w1Rank,
+    "w2_lag" -> w2Lag,
+    "w3_frame" -> w3Frame,
+    "u1_union_all" -> u1UnionAll,
+    "u1_union" -> u1Union,
+    "u2_intersect" -> u2Intersect,
+    "u2_except" -> u2Except,
+    "u3_distinct" -> u3Distinct,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p3_select_star" ->
+      "SELECT * FROM region ORDER BY r_regionkey",
+    "p5_filter" ->
+      """SELECT l_orderkey, l_linenumber, round(l_quantity,2) AS qty,
+        | round(l_extendedprice,2) AS price
+        |FROM lineitem
+        |WHERE l_quantity BETWEEN 10 AND 20
+        |  AND l_returnflag IN ('A','R')
+        |  AND l_shipdate >= TIMESTAMP '1997-01-01'
+        |  AND NOT (l_discount > 0.05)
+        |  AND (l_linestatus = 'F' OR l_tax < 0.04)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+    "l1_limit" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price
+        |FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
+    "l2_orderby" ->
+      """SELECT s_suppkey, s_name, round(s_acctbal,2) AS bal
+        |FROM supplier ORDER BY bal DESC, s_suppkey""".stripMargin,
+    "l3_topk" ->
+      """SELECT l_orderkey, l_linenumber, round(l_extendedprice,2) AS price
+        |FROM lineitem
+        |ORDER BY price DESC, l_orderkey, l_linenumber LIMIT 15""".stripMargin,
+    "j1_inner" ->
+      """SELECT o_orderkey, c_name, round(o_totalprice,2) AS price
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
+    "j3_left_outer" ->
+      """SELECT c_custkey, count(o_orderkey) AS n_orders,
+        | round(coalesce(sum(o_totalprice),0.0),2) AS total
+        |FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+        |GROUP BY c_custkey ORDER BY c_custkey""".stripMargin,
+    "j3_full_outer" ->
+      """SELECT coalesce(n_nationkey,-1) AS nkey, coalesce(n_name,'?') AS nname,
+        | coalesce(s_suppkey,-1) AS skey
+        |FROM nation FULL OUTER JOIN supplier ON n_nationkey = s_nationkey
+        |ORDER BY nkey, skey""".stripMargin,
+    "j4_semi" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE EXISTS (SELECT 1 FROM orders
+        |  WHERE o_custkey = c_custkey AND o_totalprice > 150000)
+        |ORDER BY c_custkey""".stripMargin,
+    "j4_anti" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin,
+    "j5_cross" ->
+      """SELECT r_name, n_name FROM region CROSS JOIN nation
+        |ORDER BY r_name, n_name""".stripMargin,
+    "j5_theta" ->
+      """SELECT s_suppkey, s_name, count(*) AS n_bigger
+        |FROM supplier JOIN nation ON n_nationkey > s_nationkey
+        |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
+    "j6_broadcast" ->
+      """SELECT p_brand,
+        | round(sum(l_extendedprice * (1.0 - l_discount)),2) AS revenue,
+        | count(*) AS n_items
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "q1_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        | round(sum(l_quantity),2) AS sum_qty,
+        | round(sum(l_extendedprice),2) AS sum_base_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount)),2) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)),2) AS sum_charge,
+        | round(avg(l_quantity),4) AS avg_qty,
+        | round(avg(l_extendedprice),4) AS avg_price,
+        | round(avg(l_discount),4) AS avg_disc,
+        | count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '2001-09-02'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "a2_global" ->
+      """SELECT count(*) AS n_rows, round(sum(l_extendedprice),2) AS sum_price,
+        | round(min(l_quantity),2) AS min_qty, round(max(l_quantity),2) AS max_qty,
+        | round(avg(l_discount),6) AS avg_disc
+        |FROM lineitem""".stripMargin,
+    "a3_count_distinct" ->
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        | count(DISTINCT l_suppkey) AS n_supps,
+        | count(DISTINCT l_orderkey) AS n_orders
+        |FROM lineitem""".stripMargin,
+    "a5_rollup" ->
+      """SELECT coalesce(l_returnflag,'ALL') AS rf,
+        | coalesce(l_linestatus,'ALL') AS ls,
+        | round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY rf, ls""".stripMargin,
+    "a5_cube" ->
+      """SELECT coalesce(o_orderstatus,'ALL') AS status,
+        | coalesce(o_orderpriority,'ALL') AS priority,
+        | count(*) AS n, round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY CUBE(o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin,
+    "a6_having" ->
+      """SELECT l_suppkey, round(sum(l_quantity),2) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_suppkey
+        |HAVING round(sum(l_quantity),2) > 100
+        |ORDER BY l_suppkey""".stripMargin,
+    "a7_percentile" ->
+      """SELECT l_returnflag,
+        | round(quantile_cont(l_extendedprice, 0.25),4) AS p25,
+        | round(quantile_cont(l_extendedprice, 0.5),4) AS p50,
+        | round(quantile_cont(l_extendedprice, 0.75),4) AS p75
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+    "a8_collect" ->
+      """SELECT o_orderstatus,
+        | string_agg(DISTINCT o_orderpriority, ',' ORDER BY o_orderpriority) AS priorities
+        |FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "w1_rank" ->
+      """SELECT o_orderpriority, rn, rnk, drnk, quartile, o_orderkey, price FROM (
+        | SELECT o_orderpriority,
+        |  row_number() OVER w AS rn, rank() OVER w AS rnk,
+        |  dense_rank() OVER w AS drnk, ntile(4) OVER w AS quartile,
+        |  o_orderkey, round(o_totalprice,2) AS price
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_orderpriority
+        |              ORDER BY o_totalprice DESC, o_orderkey)
+        |) WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin,
+    "w2_lag" ->
+      """SELECT * FROM (
+        | SELECT o_custkey, o_orderkey,
+        |  round(lag(o_totalprice,1) OVER w, 2) AS prev_price,
+        |  round(lead(o_totalprice,1) OVER w, 2) AS next_price,
+        |  round(first_value(o_totalprice) OVER w, 2) AS first_price
+        | FROM orders
+        | WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+        |) WHERE o_custkey <= 50
+        |ORDER BY o_custkey, o_orderkey""".stripMargin,
+    "w3_frame" ->
+      """SELECT l_suppkey, l_orderkey, l_linenumber,
+        | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
+        |FROM lineitem WHERE l_suppkey <= 3
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+    "u1_union_all" ->
+      """SELECT CAST(c_custkey AS BIGINT) AS id, 'customer' AS kind FROM customer
+        |UNION ALL
+        |SELECT CAST(s_suppkey AS BIGINT) AS id, 'supplier' AS kind FROM supplier
+        |ORDER BY kind, id""".stripMargin,
+    "u1_union" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |UNION
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "u2_intersect" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |INTERSECT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "u2_except" ->
+      """SELECT c_nationkey AS nk FROM customer
+        |EXCEPT
+        |SELECT s_nationkey AS nk FROM supplier
+        |ORDER BY nk""".stripMargin,
+    "u3_distinct" ->
+      """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+  )
+}
