@@ -1,24 +1,63 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Paths}
+
+/** Benchmark main — one warm-up pass then one timed pass per query,
+  * materialized through a noop-format write (forces full execution of
+  * every operator, including sorts and projections that `.count()`
+  * would let Catalyst prune away).
+  *
+  * Failures are loud: a failed query is recorded with ok=false, listed
+  * in "failed", and flips the exit code — a broken query can never
+  * masquerade as a fast one. The single JSON result line goes to stdout
+  * (raw — build.sbt sets outputStrategy so sbt does not decorate it)
+  * and to bench_out.json next to the repo (or $SPARK_GRAFT_BENCH_OUT).
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def materialize(name: String): Either[String, Unit] =
+      try {
+        SparkEntry.queries(name)(spark, sfDir)
+          .write.format("noop").mode("overwrite").save()
+        Right(())
+      } catch {
+        case e: Throwable =>
+          Left(Option(e.getMessage).getOrElse(e.getClass.getName).take(200))
+      }
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    names.foreach(materialize) // warm-up: JVM/codegen/IO caches
+    val timed = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val r = materialize(name)
+      (name, (System.nanoTime() - t0) / 1e9, r)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val failed = timed.collect { case (n, _, Left(_)) => n }
+    val qs = timed.map { case (n, sec, r) =>
+      s""""$n":${if (r.isRight) f"$sec%.3f" else "-1"}"""
+    }.mkString("{", ",", "}")
+    val total = timed.collect { case (_, sec, Right(_)) => sec }.sum
+    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${names.size},"failed":$failedJson}"""
+    val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
+    Files.writeString(Paths.get(outPath), line + "\n")
+    println(line)
+    timed.foreach { case (n, _, Left(msg)) =>
+      System.err.println(s"[bench] FAILED $n: $msg")
+    case _ => ()
+    }
     spark.stop()
+    if (failed.nonEmpty) sys.exit(1)
   }
 }

@@ -17,8 +17,18 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  def load(spark: SparkSession, dir: String, name: String): DataFrame =
-    spark.read.parquet(path(dir, name))
+  def load(spark: SparkSession, dir: String, name: String): DataFrame = {
+    // The testdata writes `events.ts` as parquet INT64 TIMESTAMP(NANOS),
+    // which Spark 4 refuses by default. Read nanos as a long and rebuild
+    // a (lossless — the generator emits whole microseconds) timestamp.
+    if (name == "events") {
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      spark.read.parquet(path(dir, name))
+        .withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+    } else spark.read.parquet(path(dir, name))
+  }
 
   /** Register every testdata table as a temp view, optionally name-prefixed
     * (the reference prefixes crawler output, demo_stack.py:144/:186). */

@@ -79,8 +79,10 @@ object Scalars {
       col("p_partkey"),
       abs(col("p_size") - 25).as("size_dist"),
       round(col("p_retailprice"), 1).as("price_r1"),
-      floor(col("p_retailprice")).as("price_floor"),
-      ceil(col("p_retailprice")).as("price_ceil"),
+      // Spark floor/ceil return LONG; DuckDB's return DOUBLE — pin to
+      // double so the driver's typed hash matches.
+      floor(col("p_retailprice")).cast("double").as("price_floor"),
+      ceil(col("p_retailprice")).cast("double").as("price_ceil"),
       round(pow(col("p_size"), 2), 1).as("size_sq"),
       round(log(col("p_retailprice")), 6).as("price_ln"),
       round(sqrt(col("p_retailprice")), 6).as("price_sqrt"),

@@ -47,7 +47,9 @@ object Relational {
         col("l_orderkey"), col("l_linenumber"),
         round(col("l_quantity"), 2).as("qty"),
         round(col("l_extendedprice"), 2).as("price"))
-      .orderBy(col("l_orderkey"), col("l_linenumber"))
+      // ~24% of synthetic lineitem rows share (l_orderkey, l_linenumber);
+      // order by every projected column so the output is total-ordered.
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("qty"), col("price"))
 
   // ---------------------------------------------------------------- L: sort / limit / top-k
 
@@ -204,15 +206,20 @@ object Relational {
       countDistinct(col("l_orderkey")).as("n_orders"))
 
   /** A4/A7b: approximate aggregates (HLL distinct + quantile sketch) —
-    * sketch values are engine-specific so there is no DuckDB oracle;
-    * the driver records a rows-only check and AggSpec pins bounds.
-    * These are the 100 TB workhorses: fixed-size state, no shuffle of
-    * distinct values. */
+    * sketch values are engine-specific, so the query asserts its own
+    * error bounds (HLL within 3× the 2% rsd; quantile sketch within 1%
+    * of the exact median) and emits booleans the trivially-true oracle
+    * hash-checks. These are the 100 TB workhorses: fixed-size state, no
+    * shuffle of distinct values. */
   private val a4Approx: Q = (s, dir) =>
     t(s, dir, "lineitem").agg(
-      approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"),
-      round(percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)), 2)
-        .as("approx_median_price"))
+      approx_count_distinct(col("l_partkey"), 0.02).as("ad"),
+      countDistinct(col("l_partkey")).as("ed"),
+      percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000)).as("am"),
+      expr("percentile(l_extendedprice, 0.5)").as("em"))
+      .select(
+        (abs(col("ad") - col("ed")) / col("ed") <= 0.06).as("distinct_ok"),
+        (abs(col("am") - col("em")) / col("em") <= 0.01).as("median_ok"))
 
   /** A5: ROLLUP with sentinel-coalesced keys (grand-total rows sort last
     * deterministically in both engines). */
@@ -303,18 +310,23 @@ object Relational {
   }
 
   /** W3: frame-bounded windowed aggregate — running revenue per supplier.
-    * Accumulation order is pinned by the total ORDER BY so the doubles
-    * match the oracle bit-for-bit after rounding. */
+    * (l_orderkey, l_linenumber) is NOT unique in the synthetic lineitem, so
+    * the window ORDER BY adds l_quantity: rows that then still tie are
+    * identical in the summed column, making the running sums multiset
+    * well-defined in both engines. The final ORDER BY includes running_qty
+    * for the same reason. */
   private val w3Frame: Q = (s, dir) => {
     val w = Window.partitionBy(col("l_suppkey"))
-      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"),
+        col("l_quantity"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     t(s, dir, "lineitem")
       .filter(col("l_suppkey") <= 3)
       .withColumn("running_qty", round(sum(col("l_quantity")).over(w), 2))
       .select(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
         col("running_qty"))
-      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"))
+      .orderBy(col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        col("running_qty"))
   }
 
   // ---------------------------------------------------------------- U: set ops
@@ -402,7 +414,7 @@ object Relational {
         |  AND l_shipdate >= TIMESTAMP '1997-01-01'
         |  AND NOT (l_discount > 0.05)
         |  AND (l_linestatus = 'F' OR l_tax < 0.04)
-        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_orderkey, l_linenumber, qty, price""".stripMargin,
     "l1_limit" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price
         |FROM orders ORDER BY o_orderkey LIMIT 10""".stripMargin,
@@ -523,10 +535,12 @@ object Relational {
     "w3_frame" ->
       """SELECT l_suppkey, l_orderkey, l_linenumber,
         | round(sum(l_quantity) OVER (PARTITION BY l_suppkey
-        |   ORDER BY l_shipdate, l_orderkey, l_linenumber
+        |   ORDER BY l_shipdate, l_orderkey, l_linenumber, l_quantity
         |   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),2) AS running_qty
         |FROM lineitem WHERE l_suppkey <= 3
-        |ORDER BY l_suppkey, l_orderkey, l_linenumber""".stripMargin,
+        |ORDER BY l_suppkey, l_orderkey, l_linenumber, running_qty""".stripMargin,
+    "a4_approx" ->
+      "SELECT true AS distinct_ok, true AS median_ok",
     "u1_union_all" ->
       """SELECT CAST(c_custkey AS BIGINT) AS id, 'customer' AS kind FROM customer
         |UNION ALL
