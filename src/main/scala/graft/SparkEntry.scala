@@ -18,11 +18,13 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
-      functions.Scalars.queries
+      functions.Scalars.queries ++
+      lake.LakeQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
-      functions.Scalars.oracles
+      functions.Scalars.oracles ++
+      lake.LakeQueries.oracles
 }

@@ -1,0 +1,136 @@
+package graft.lake
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Ingest / sink / catalog layer — the reference's actual core.
+  *
+  * The reference is a lake: TSV lands in a raw zone, a crawler infers
+  * schemas into a catalog, one ETL job projects/renames/casts and writes
+  * partitioned parquet, and a SQL engine queries the result
+  * (reference: glue_scripts/scripts/csv_to_parquet.py:20-70 for the ETL;
+  * stacks/demo_stack.py:130-187 for the crawler/classifier; :260-264 for
+  * the query-results CSV sink). This object is that lifecycle as plain
+  * Spark readers/writers — Catalyst keeps pushdown/pruning free.
+  *
+  * Scale notes: every reader emits a distributed scan (CSV/Parquet file
+  * splits); writers shard by partition column (K1) so downstream scans
+  * prune; nothing funnels through the driver.
+  */
+object Lake {
+
+  /** One ApplyMapping entry: source column → destination name + type
+    * (reference: ApplyMapping tuples, csv_to_parquet.py:40-47). */
+  final case class Mapping(src: String, dst: String, dstType: String)
+
+  // ------------------------------------------------------------ sources
+
+  /** S1/S2/S4: delimited-text scan with the classifier's knobs — header
+    * detection, quote char, value trimming, `\N` null sentinel, schema
+    * inference (reference: read options csv_to_parquet.py:20-35;
+    * classifier stacks/demo_stack.py:158-169). Gzip input (S2) is
+    * transparent: Spark picks the codec from the file extension. */
+  def readTsv(
+      spark: SparkSession,
+      path: String,
+      header: Boolean = true,
+      inferSchema: Boolean = true,
+      sep: String = "\t",
+      quote: String = "\"",
+      trim: Boolean = true,
+      nullValue: String = "\\N"): DataFrame =
+    spark.read
+      .option("sep", sep)
+      .option("header", header.toString)
+      .option("inferSchema", inferSchema.toString)
+      .option("quote", quote)
+      .option("nullValue", nullValue)
+      .option("ignoreLeadingWhiteSpace", trim.toString)
+      .option("ignoreTrailingWhiteSpace", trim.toString)
+      .csv(path)
+
+  /** S3: crawler fallback without a classifier — no header row consumed,
+    * every column lands as string `_c0.._cN` (reference: README.md:87-90,
+    * "columns are not named and all types are string"). */
+  def readAllString(spark: SparkSession, path: String, sep: String = "\t"): DataFrame =
+    readTsv(spark, path, header = false, inferSchema = false, sep = sep,
+      trim = false)
+
+  /** S7: scan of a Hive-partitioned layout; a filter on the partition
+    * column prunes directories before any IO (PartitionFilters in the
+    * scan node — free from Catalyst on this layout). */
+  def readPartitioned(spark: SparkSession, root: String): DataFrame =
+    spark.read.parquet(root)
+
+  // ------------------------------------------------------------ transforms
+
+  /** P1: ApplyMapping — ordered projection + rename + cast in one shot
+    * (reference: csv_to_parquet.py:38-49). Casts use try_cast semantics
+    * so a non-conforming value becomes null, never an error. */
+  def applyMapping(df: DataFrame, mappings: Seq[Mapping]): DataFrame =
+    df.select(mappings.map { m =>
+      expr(s"try_cast(`${m.src}` AS ${m.dstType})").as(m.dst)
+    }: _*)
+
+  /** P2: choice-type resolution — a column whose values parse as more
+    * than one primitive (int-or-`\N`-string, csv_to_parquet.py:43-44)
+    * resolved to one type; non-parsing values → null. */
+  def resolveChoice(df: DataFrame, colName: String, toType: String): DataFrame =
+    df.withColumn(colName, expr(s"try_cast(`$colName` AS $toType)"))
+
+  // ------------------------------------------------------------ sinks
+
+  /** K1 (partitionCols non-empty) / K2: parquet write, Hive-style
+    * partitioned when asked (reference: partitionKeys=["birthYear"],
+    * csv_to_parquet.py:58; plain write :62-70). */
+  def writeParquet(df: DataFrame, path: String, partitionCols: Seq[String] = Nil): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+    (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+      .parquet(path)
+  }
+
+  /** K3: query-results CSV sink — every Athena query result lands as
+    * CSV-with-header at the workgroup output location
+    * (stacks/demo_stack.py:260-264). Compared by re-read, not bytes. */
+  def writeResultsCsv(df: DataFrame, dir: String): Unit =
+    df.write.mode(SaveMode.Overwrite).option("header", "true").csv(dir)
+
+  /** TSV writer (fixture/egress helper; the raw zone's own format).
+    * Nulls are written as the `\N` sentinel, gzip optional. */
+  def writeTsv(df: DataFrame, path: String, header: Boolean = true,
+      gzip: Boolean = false): Unit = {
+    val w = df.write.mode(SaveMode.Overwrite)
+      .option("sep", "\t").option("header", header.toString)
+      .option("nullValue", "\\N").option("emptyValue", "")
+    (if (gzip) w.option("compression", "gzip") else w).csv(path)
+  }
+
+  /** K4: raw-zone bulk load — deploy local files under a zone prefix
+    * (reference: BucketDeployment, stacks/demo_stack.py:76-84). */
+  def bulkLoad(srcDir: String, dstDir: String): Unit = {
+    import java.nio.file.{Files, Paths, StandardCopyOption}
+    val dst = Paths.get(dstDir)
+    Files.createDirectories(dst)
+    Files.list(Paths.get(srcDir)).forEach { p =>
+      if (Files.isRegularFile(p))
+        Files.copy(p, dst.resolve(p.getFileName.toString),
+          StandardCopyOption.REPLACE_EXISTING)
+    }
+  }
+
+  // ------------------------------------------------------------ catalog
+
+  /** K5/S5: register DataFrames in the session catalog under an optional
+    * name prefix — the crawler's registration semantics
+    * (stacks/demo_stack.py:144 `with_classifier_` prefix; consumed by
+    * SQL at :272). */
+  def register(spark: SparkSession, tables: Map[String, DataFrame],
+      prefix: String = ""): Unit =
+    tables.foreach { case (name, df) =>
+      df.createOrReplaceTempView(prefix + name.replace(".", "_"))
+    }
+
+  /** Fresh scratch dir for round-trip pipelines. */
+  def scratchDir(tag: String): String =
+    java.nio.file.Files.createTempDirectory(s"graft_${tag}_").toString
+}

@@ -1,0 +1,234 @@
+package graft.lake
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import Lake.Mapping
+
+/** Oracle-checkable round-trip pipelines over the lake layer.
+  *
+  * Each query materializes a fixture from the testdata parquet (the one
+  * ground truth both engines share), pushes it through the ingest/sink
+  * operator under test, and returns the read-back — so the DuckDB oracle
+  * on the *original* table checks the whole round trip: write fidelity,
+  * null sentinels, header/trim/inference semantics, partition layout.
+  */
+object LakeQueries {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S1: TSV scan (sep/header/quote/`\N` nulls) — customer TSV with a
+    * nullable column round-trips; inference types then ApplyMapping
+    * restores the canonical schema. */
+  private val s1TsvScan: Q = (s, dir) => {
+    val out = Lake.scratchDir("s1")
+    Lake.writeTsv(
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        expr("nullif(c_mktsegment, 'BUILDING')").as("seg"),
+        round(col("c_acctbal"), 2).as("bal")),
+      out)
+    Lake.applyMapping(
+      Lake.readTsv(s, out),
+      Seq(Mapping("c_custkey", "c_custkey", "bigint"),
+        Mapping("c_name", "c_name", "string"),
+        Mapping("seg", "seg", "string"),
+        Mapping("bal", "bal", "double")))
+      .orderBy(col("c_custkey"))
+  }
+
+  /** S2: gzip'd TSV ingest (the reference's `.tsv.gz` IMDB downloads,
+    * get_imdb_datasets:12-13) — codec is transparent to the scan. */
+  private val s2GzipScan: Q = (s, dir) => {
+    val out = Lake.scratchDir("s2")
+    Lake.writeTsv(
+      t(s, dir, "supplier").select(
+        col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("bal")),
+      out, gzip = true)
+    Lake.applyMapping(
+      Lake.readTsv(s, out),
+      Seq(Mapping("s_suppkey", "s_suppkey", "bigint"),
+        Mapping("s_name", "s_name", "string"),
+        Mapping("s_nationkey", "s_nationkey", "int"),
+        Mapping("bal", "bal", "double")))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** S3: crawler without classifier — headerless all-string read
+    * (`_c0.._cN`), the README.md:87-90 fallback semantics. */
+  private val s3CrawlerAllstring: Q = (s, dir) => {
+    val out = Lake.scratchDir("s3")
+    Lake.writeTsv(t(s, dir, "region"), out, header = false)
+    Lake.readAllString(s, out)
+      .select(col("_c0").as("rkey"), col("_c1").as("rname"))
+      .orderBy(col("rkey"))
+  }
+
+  /** S4: classifier read — header row + value trimming + inference
+    * (stacks/demo_stack.py:158-169): padded names come back clean. */
+  private val s4ClassifierInfer: Q = (s, dir) => {
+    val out = Lake.scratchDir("s4")
+    Lake.writeTsv(
+      t(s, dir, "nation").select(
+        col("n_nationkey"),
+        concat(lit("  "), col("n_name"), lit("  ")).as("n_name"),
+        col("n_regionkey")),
+      out)
+    Lake.applyMapping(
+      Lake.readTsv(s, out, trim = true),
+      Seq(Mapping("n_nationkey", "n_nationkey", "int"),
+        Mapping("n_name", "n_name", "string"),
+        Mapping("n_regionkey", "n_regionkey", "int")))
+      .orderBy(col("n_nationkey"))
+  }
+
+  /** P1/P2: ApplyMapping with rename + choice resolution — an
+    * int-or-'N/A' column (the birthYear shape, csv_to_parquet.py:43-44)
+    * read all-string then projected/renamed/cast in one mapping. */
+  private val p1ApplyMapping: Q = (s, dir) => {
+    val out = Lake.scratchDir("p1")
+    Lake.writeTsv(
+      t(s, dir, "part").select(
+        col("p_partkey"), col("p_name"),
+        when(col("p_size") < 10, lit("N/A"))
+          .otherwise(col("p_size").cast("string")).as("size_raw")),
+      out)
+    Lake.applyMapping(
+      Lake.readTsv(s, out, inferSchema = false),
+      Seq(Mapping("p_partkey", "part_id", "bigint"),
+        Mapping("p_name", "name", "string"),
+        Mapping("size_raw", "size_int", "int")))
+      .orderBy(col("part_id"))
+  }
+
+  /** K1+S7: partitioned parquet write then partition-pruned read-back —
+    * the filter on the partition column prunes directories (the layout
+    * decision at csv_to_parquet.py:58). */
+  private val k1PartitionPrune: Q = (s, dir) => {
+    val out = Lake.scratchDir("k1")
+    Lake.writeParquet(t(s, dir, "customer"), out, Seq("c_nationkey"))
+    prunedRead(s, out)
+  }
+
+  /** The pruned read-back half of K1+S7 (also asserted on in tests). */
+  def prunedRead(s: SparkSession, root: String): DataFrame =
+    Lake.readPartitioned(s, root)
+      .filter(col("c_nationkey") === 7)
+      .select(col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"),
+        col("c_nationkey").cast("int").as("c_nationkey"))
+      .orderBy(col("c_custkey"))
+
+  /** K2: plain parquet round trip — types (incl. ms timestamps) survive
+    * exactly. */
+  private val k2ParquetRt: Q = (s, dir) => {
+    val out = Lake.scratchDir("k2")
+    Lake.writeParquet(t(s, dir, "orders"), out)
+    Lake.readPartitioned(s, out)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"), col("o_orderdate"))
+      .orderBy(col("o_orderkey"))
+  }
+
+  /** K3: query-results CSV sink — an aggregate lands as CSV-with-header
+    * (Athena workgroup results, demo_stack.py:260-264), compared by
+    * re-read with an explicit schema. */
+  private val k3ResultsCsv: Q = (s, dir) => {
+    val out = Lake.scratchDir("k3")
+    Lake.writeResultsCsv(
+      t(s, dir, "orders").groupBy(col("o_orderstatus").as("status"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total")),
+      out)
+    s.read.option("header", "true")
+      .schema("status string, n bigint, total double")
+      .csv(out)
+      .orderBy(col("status"))
+  }
+
+  /** K4: raw-zone bulk load — files copied under a zone prefix, then
+    * scanned in place (BucketDeployment, demo_stack.py:76-84). */
+  private val k4BulkLoad: Q = (s, dir) => {
+    val zone = Lake.scratchDir("k4")
+    Lake.bulkLoad(dir, zone)
+    s.read.parquet(s"$zone/nation.parquet").orderBy(col("n_nationkey"))
+  }
+
+  /** S5: catalog-backed SQL — tables registered in the session catalog,
+    * query addresses them by name (`FROM "<db>"."<table>"` shape,
+    * demo_stack.py:288). */
+  private val s5CatalogSql: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT n_name, r_name FROM nation JOIN region
+        |ON n_regionkey = r_regionkey
+        |ORDER BY n_name, r_name""".stripMargin)
+  }
+
+  /** K5: crawler-style registration under a name prefix
+    * (`with_classifier_`, demo_stack.py:144/:186). */
+  private val k5RegisterPrefix: Q = (s, dir) => {
+    Lake.register(s, Map("nation" -> t(s, dir, "nation")), prefix = "raw_")
+    s.sql(
+      """SELECT n_regionkey, count(*) AS n FROM raw_nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s1_tsv_scan" -> s1TsvScan,
+    "s2_gzip_scan" -> s2GzipScan,
+    "s3_crawler_allstring" -> s3CrawlerAllstring,
+    "s4_classifier_infer" -> s4ClassifierInfer,
+    "p1_apply_mapping" -> p1ApplyMapping,
+    "k1_partition_prune" -> k1PartitionPrune,
+    "k2_parquet_rt" -> k2ParquetRt,
+    "k3_results_csv" -> k3ResultsCsv,
+    "k4_bulk_load" -> k4BulkLoad,
+    "s5_catalog_sql" -> s5CatalogSql,
+    "k5_register_prefix" -> k5RegisterPrefix,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s1_tsv_scan" ->
+      """SELECT c_custkey, c_name, nullif(c_mktsegment,'BUILDING') AS seg,
+        | round(c_acctbal,2) AS bal
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+    "s2_gzip_scan" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "s3_crawler_allstring" ->
+      """SELECT CAST(r_regionkey AS VARCHAR) AS rkey, r_name AS rname
+        |FROM region ORDER BY rkey""".stripMargin,
+    "s4_classifier_infer" ->
+      """SELECT n_nationkey, n_name, n_regionkey
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
+    "p1_apply_mapping" ->
+      """SELECT p_partkey AS part_id, p_name AS name,
+        | CASE WHEN p_size < 10 THEN NULL ELSE p_size END AS size_int
+        |FROM part ORDER BY part_id""".stripMargin,
+    "k1_partition_prune" ->
+      """SELECT c_custkey, c_name, round(c_acctbal,2) AS bal, c_nationkey
+        |FROM customer WHERE c_nationkey = 7 ORDER BY c_custkey""".stripMargin,
+    "k2_parquet_rt" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price,
+        | o_orderdate
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "k3_results_csv" ->
+      """SELECT o_orderstatus AS status, count(*) AS n,
+        | round(sum(o_totalprice),2) AS total
+        |FROM orders GROUP BY status ORDER BY status""".stripMargin,
+    "k4_bulk_load" ->
+      "SELECT * FROM nation ORDER BY n_nationkey",
+    "s5_catalog_sql" ->
+      """SELECT n_name, r_name FROM nation JOIN region
+        |ON n_regionkey = r_regionkey
+        |ORDER BY n_name, r_name""".stripMargin,
+    "k5_register_prefix" ->
+      """SELECT n_regionkey, count(*) AS n FROM nation
+        |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+  )
+}
