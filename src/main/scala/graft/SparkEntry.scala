@@ -19,12 +19,22 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       functions.Scalars.queries ++
-      lake.LakeQueries.queries
+      lake.LakeQueries.queries ++
+      ext.Dedup.queries ++
+      ext.Similarity.queries ++
+      ext.TextStats.queries ++
+      ext.Multimodal.queries ++
+      streaming.EventWindows.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       functions.Scalars.oracles ++
-      lake.LakeQueries.oracles
+      lake.LakeQueries.oracles ++
+      ext.Dedup.oracles ++
+      ext.Similarity.oracles ++
+      ext.TextStats.oracles ++
+      ext.Multimodal.oracles ++
+      streaming.EventWindows.oracles
 }

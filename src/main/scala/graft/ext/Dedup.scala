@@ -1,0 +1,227 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.SimHash64.simhash64
+
+/** Deduplication for training-data pipelines — exact, MinHash-LSH, and
+  * SimHash near-dup. Not in the reference (EXT, SURVEY §2.12); designed
+  * scale-first:
+  *
+  *  - exact dedup shuffles a 32-byte digest, never the document text;
+  *  - near-dup candidate generation is banded LSH — a groupBy/equi-join
+  *    on band keys. Nothing ever compares all pairs; the quadratic step
+  *    is confined to within-bucket candidates, which banding keeps tiny;
+  *  - fingerprints (minhash/simhash) are map-only single passes.
+  */
+object Dedup {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------------ operators
+
+  /** E1: exact dedup — keep one row per identical `dedupCol` value (the
+    * lowest `tieBreak`). Partitions by a sha2-256 digest so the shuffle
+    * key is fixed-width regardless of document size. */
+  def exactDedup(df: DataFrame, dedupCol: String, tieBreak: String): DataFrame = {
+    val w = Window.partitionBy(sha2(col(dedupCol), 256))
+      .orderBy(col(tieBreak))
+    df.withColumn("_rn", row_number().over(w))
+      .filter(col("_rn") === 1)
+      .drop("_rn")
+  }
+
+  /** Word n-gram shingles of a text column (distinct set). */
+  def shingles(textCol: Column, n: Int): Column = {
+    val words = split(textCol, " ")
+    array_distinct(
+      transform(
+        sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
+        i => concat_ws(" ", slice(words, i, lit(n)))))
+  }
+
+  /** MinHash signature: k independent permutations approximated by
+    * seeded xxhash64; each signature slot is the min hash over the
+    * shingle set. */
+  def minhashSignature(shingleSet: Column, k: Int): Column =
+    array((0 until k).map { seed =>
+      array_min(transform(shingleSet, x => xxhash64(x, lit(seed))))
+    }: _*)
+
+  /** LSH band keys over a minhash signature: `bands` buckets of
+    * `rowsPerBand` slots, each hashed to one join key. Two documents
+    * collide on a band with probability jaccard^rowsPerBand. */
+  def bandKeys(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
+    }: _*)
+
+  /** E2: MinHash-LSH near-duplicate pairs with exact-Jaccard refinement.
+    * Candidates come from an equi-join on band keys (shuffle by band
+    * hash — never all-pairs); only candidates pay the exact set
+    * comparison. Returns (a, b, jaccard) with a < b. */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val rowsPerBand = k / bands
+    val sigs = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+    // Narrow band table: (id, bandKey) only — the shingle sets are
+    // re-joined after candidate dedup so the explode carries no payload.
+    val bandsDf = sigs.select(col("id"),
+      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val candidates = bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+    val sets = sigs.select(col("id"), col("sh"))
+    candidates
+      .join(sets.as("sa"), col("a") === col("sa.id"))
+      .join(sets.as("sb"), col("b") === col("sb.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** E2b: SimHash near-duplicate pairs. 64-bit fingerprints (custom
+    * codegen'd expression), banded into `bands` bit-slices for LSH;
+    * pairs agreeing on any band are refined by exact Hamming distance
+    * (pigeonhole: distance < bands ⇒ some band matches, so recall is
+    * exact for maxHamming < bands). */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 16, maxHamming: Int = 12): DataFrame = {
+    val bits = 64 / bands
+    val fps = df.select(col(idCol).as("id"),
+      simhash64(shingles(col(textCol), shingleN)).as("fp"))
+    val bandsDf = fps.select(col("id"), col("fp"),
+      explode(array((0 until bands).map { b =>
+        struct(lit(b).as("band"),
+          shiftrightunsigned(col("fp"), b * bits)
+            .bitwiseAND(lit((1L << bits) - 1)).as("bh"))
+      }: _*)).as("bk"))
+    bandsDf.as("a")
+      .join(bandsDf.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"),
+        bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
+      .distinct()
+      .filter(col("hamming") <= maxHamming)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** Documents plus planted duplicates: an exact copy of every 10th doc
+    * and a one-word-appended mutation of every 20th (ids offset so the
+    * oracle can name them). */
+  private[ext] def withPlanted(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 100000).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzduplicate")).as("text")))
+
+  /** E1: exact dedup over documents + planted exact copies — survivors
+    * are the original ids with their copy counts. */
+  private val e1DedupExact: Q = (s, dir) => {
+    val all = withPlanted(t(s, dir, "documents"))
+    // Copy counts join on the 32-byte digest, not the document text —
+    // at scale the join key must be fixed-width.
+    val counts = all.groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(count(lit(1)).as("n_copies"))
+    exactDedup(all, "text", "doc_id")
+      .join(counts, sha2(col("text"), 256) === col("digest"))
+      .select(col("doc_id"), col("n_copies"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E2: MinHash-LSH near-dedup over the natural corpus — the synthetic
+    * documents contain real near-duplicate pairs, and the DuckDB oracle
+    * recomputes the exact all-pairs shingle Jaccard, so this checks LSH
+    * recall AND the refinement values. 16 bands × 4 rows ⇒ P(miss) at
+    * J=0.8 is (1-0.8⁴)¹⁶ ≈ 2·10⁻⁴. */
+  private val e2MinhashNearDup: Q = (s, dir) =>
+    minhashNearDupPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      .orderBy(col("a"), col("b"))
+
+  /** E2b: SimHash near-dup self-check — the banded-fingerprint pairs
+    * must (a) contain every high-similarity pair (J ≥ 0.9, via the
+    * minhash path whose recall is oracle-checked above) and (b) contain
+    * no pair below J 0.4 (precision floor). Emits booleans for the
+    * constant oracle. */
+  private val e2SimhashNearDup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val sim = simhashNearDupPairs(docs, "doc_id", "text")
+    val sets = docs.select(col("doc_id").as("id"),
+      shingles(col("text"), 3).as("sh"))
+    val simJ = sim
+      .join(sets.as("sa"), col("a") === col("sa.id"))
+      .join(sets.as("sb"), col("b") === col("sb.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))))
+    val highJ = minhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.9)
+      .select(col("a"), col("b"))
+    val missed = highJ.join(sim.select(col("a"), col("b")),
+      Seq("a", "b"), "left_anti").count()
+    val minJ = simJ.agg(min(col("jaccard"))).head().getDouble(0)
+    s.range(1).select(
+      lit(missed == 0).as("recall_ok"),
+      lit(minJ >= 0.4).as("precision_ok"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "e1_dedup_exact" -> e1DedupExact,
+    "e2_minhash_neardup" -> e2MinhashNearDup,
+    "e2_simhash_neardup" -> e2SimhashNearDup,
+  )
+
+  /** The planted-pair ground truth, written directly in SQL. */
+  val oracles: Map[String, String] = Map(
+    "e1_dedup_exact" ->
+      """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' zzduplicate' FROM documents
+        |  WHERE doc_id % 20 = 0
+        |) GROUP BY text ORDER BY doc_id""".stripMargin,
+    // Exact all-pairs 3-word-shingle Jaccard, mirroring Dedup.shingles
+    // exactly (i in 1..len-2, space-joined, distinct set).
+    "e2_minhash_neardup" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    "e2_simhash_neardup" ->
+      "SELECT true AS recall_ok, true AS precision_ok",
+  )
+}

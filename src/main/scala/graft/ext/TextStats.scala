@@ -1,0 +1,107 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.functions.SimHash64.simhash64
+
+/** Text analysis for training-data pipelines (EXT, SURVEY §2.12 E4):
+  * per-document quality signals and corpus-level distributions. All
+  * map-only column expressions feeding one aggregation — the canonical
+  * linear-scaling shape.
+  */
+object TextStats {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  private val StopWords = Seq("the", "a", "of", "and", "to")
+
+  /** Whitespace token count. */
+  def tokenCount(text: Column): Column = size(split(text, " "))
+
+  /** BPE-ish token count: letter runs, digit runs, and single other
+    * non-space chars each count as one token. */
+  def bpeishTokenCount(text: Column): Column =
+    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+
+  /** Stopword ratio — fraction of tokens in the stopword list. */
+  def stopwordRatio(text: Column): Column = {
+    val words = split(text, " ")
+    size(filter(words, w => w.isin(StopWords: _*))).cast("double") /
+      greatest(size(words), lit(1))
+  }
+
+  /** Rolling-hash document fingerprint: SimHash over 3-word shingles
+    * (shared with near-dedup so fingerprints are comparable). */
+  def fingerprint(text: Column): Column =
+    simhash64(Dedup.shingles(text, 3))
+
+  /** Cheap n-gram language-ID heuristic: score against per-language
+    * marker sets, pick the argmax (ties → "und"). The marker lists here
+    * are tiny placeholders — the operator shape (map-only scoring, no
+    * shuffle) is the point. */
+  def languageIdHeuristic(text: Column): Column = {
+    val markers: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "is"),
+      "de" -> Seq("der", "und", "die", "ist"),
+      "es" -> Seq("el", "la", "de", "es"),
+      "fr" -> Seq("le", "la", "et", "est"))
+    val words = split(lower(text), " ")
+    val scored = markers.map { case (lang, ms) =>
+      struct(size(filter(words, w => w.isin(ms: _*))).as("score"),
+        lit(lang).as("lang"))
+    }
+    val best = greatest(scored: _*)
+    when(best.getField("score") > 0, best.getField("lang")).otherwise(lit("und"))
+  }
+
+  /** Composite quality score in [0,1]: length, token-length sanity, and
+    * stopword presence (a real pipeline would calibrate the weights). */
+  def qualityScore(text: Column): Column = {
+    val words = tokenCount(text)
+    val avgWordLen = length(text).cast("double") / greatest(words, lit(1))
+    val lenOk = when(length(text).between(50, 10000), 1.0).otherwise(0.0)
+    val wordLenOk = when(avgWordLen.between(2.0, 12.0), 1.0).otherwise(0.0)
+    val stopOk = when(stopwordRatio(text) <= 0.6, 1.0).otherwise(0.0)
+    round((lenOk + wordLenOk + stopOk) / 3.0, 4)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** E4: corpus distributions per language — counts, length/word stats,
+    * source fanout, short-doc and stopword ratios, BPE-ish tokens. */
+  private val e4TextStats: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 4).as("avg_chars"),
+        round(avg(tokenCount(col("text"))), 4).as("avg_words"),
+        round(avg(bpeishTokenCount(col("text"))), 4).as("avg_tokens"),
+        countDistinct(col("source")).as("n_sources"),
+        round(avg(when(col("n_chars") < 100, 1.0).otherwise(0.0)), 4)
+          .as("short_ratio"),
+        round(avg(stopwordRatio(col("text"))), 4).as("avg_stop_ratio"))
+      .orderBy(col("lang"))
+
+  val queries: Map[String, Q] = Map(
+    "e4_text_stats" -> e4TextStats,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e4_text_stats" ->
+      """SELECT lang, count(*) AS n_docs,
+        | round(avg(n_chars), 4) AS avg_chars,
+        | round(avg(len(string_split(text, ' '))), 4) AS avg_words,
+        | round(avg(len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))), 4) AS avg_tokens,
+        | count(DISTINCT source) AS n_sources,
+        | round(avg(CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 4) AS short_ratio,
+        | round(avg(len(list_filter(string_split(text, ' '),
+        |   w -> w IN ('the','a','of','and','to')))::DOUBLE
+        |   / greatest(len(string_split(text, ' ')), 1)), 4) AS avg_stop_ratio
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+  )
+}
