@@ -24,7 +24,9 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.TextStats.queries ++
       ext.Multimodal.queries ++
-      streaming.EventWindows.queries
+      streaming.EventWindows.queries ++
+      sources.Federated.queries ++
+      functions.Udfs.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omitted keys get a rows-only check. */
@@ -36,5 +38,7 @@ object SparkEntry {
       ext.Similarity.oracles ++
       ext.TextStats.oracles ++
       ext.Multimodal.oracles ++
-      streaming.EventWindows.oracles
+      streaming.EventWindows.oracles ++
+      sources.Federated.oracles ++
+      functions.Udfs.oracles
 }

@@ -1,0 +1,117 @@
+package graft.functions
+
+import org.apache.spark.sql.{DataFrame, Encoder, Encoders, SparkSession}
+import org.apache.spark.sql.expressions.Aggregator
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** UDF / UDAF / UDTF surface (SURVEY §2.11 X2-X4) — the reference's
+  * extensibility point (custom packages into jobs, README.md:92-109;
+  * Athena Lambda UDFs as the SQL surface).
+  *
+  * Each custom function is paired with a built-in-only formulation in
+  * the oracle, so registration + execution are hash-checked, not just
+  * smoke-tested. UDFs are the LAST resort in this codebase (they break
+  * codegen); these exist to cover the extensibility contract.
+  */
+object Udfs {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** X3: geometric mean as a typed Aggregator (exp of mean of logs —
+    * partial aggregation: (sum logs, count) buffers merge associatively,
+    * so it scales exactly like a built-in agg). */
+  val geoMean: Aggregator[Double, (Double, Long), Double] =
+    new Aggregator[Double, (Double, Long), Double] {
+      override def zero: (Double, Long) = (0.0, 0L)
+      override def reduce(b: (Double, Long), x: Double): (Double, Long) =
+        (b._1 + math.log(x), b._2 + 1)
+      override def merge(a: (Double, Long), b: (Double, Long)): (Double, Long) =
+        (a._1 + b._1, a._2 + b._2)
+      override def finish(b: (Double, Long)): Double =
+        if (b._2 == 0) Double.NaN else math.exp(b._1 / b._2)
+      override def bufferEncoder: Encoder[(Double, Long)] =
+        Encoders.tuple(Encoders.scalaDouble, Encoders.scalaLong)
+      override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
+    }
+
+  /** Register the scalar UDF, the UDAF, and the generator UDF on a
+    * session (idempotent). */
+  def registerAll(spark: SparkSession): Unit = {
+    // X2: scalar UDF — discounted price.
+    spark.udf.register("discounted_price",
+      (price: Double, discount: Double) => price * (1.0 - discount))
+    // X3: UDAF.
+    spark.udf.register("geo_mean", udaf(geoMean))
+    // X4: UDTF-style generator — word bigrams; explode() supplies the
+    // lateral semantics.
+    spark.udf.register("bigrams", (text: String) =>
+      if (text == null) Seq.empty[String]
+      else text.split(" ").toSeq.sliding(2).filter(_.size == 2)
+        .map(_.mkString(" ")).toSeq)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** X2: scalar UDF over lineitem — oracle recomputes the arithmetic
+    * with built-ins. */
+  private val x2UdfScalar: Q = (s, dir) => {
+    registerAll(s)
+    t(s, dir, "lineitem")
+      .filter(col("l_orderkey") <= 100)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        round(expr("discounted_price(l_extendedprice, l_discount)"), 4)
+          .as("net_price"))
+      .orderBy(col("l_orderkey"), col("l_linenumber"), col("net_price"))
+  }
+
+  /** X3: UDAF — geometric-mean retail price per brand. */
+  private val x3UdafGeomean: Q = (s, dir) => {
+    registerAll(s)
+    t(s, dir, "part")
+      .groupBy(col("p_brand"))
+      .agg(round(expr("geo_mean(p_retailprice)"), 4).as("geo_price"),
+        count(lit(1)).as("n"))
+      .orderBy(col("p_brand"))
+  }
+
+  /** X4: generator UDF + explode — top word bigrams over documents. */
+  private val x4UdtfBigrams: Q = (s, dir) => {
+    registerAll(s)
+    t(s, dir, "documents")
+      .select(explode(expr("bigrams(text)")).as("bigram"))
+      .groupBy(col("bigram"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(20)
+  }
+
+  val queries: Map[String, Q] = Map(
+    "x2_udf_scalar" -> x2UdfScalar,
+    "x3_udaf_geomean" -> x3UdafGeomean,
+    "x4_udtf_bigrams" -> x4UdtfBigrams,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "x2_udf_scalar" ->
+      """SELECT l_orderkey, l_linenumber,
+        | round(l_extendedprice * (1.0 - l_discount), 4) AS net_price
+        |FROM lineitem WHERE l_orderkey <= 100
+        |ORDER BY l_orderkey, l_linenumber, net_price""".stripMargin,
+    "x3_udaf_geomean" ->
+      """SELECT p_brand, round(exp(avg(ln(p_retailprice))), 4) AS geo_price,
+        | count(*) AS n
+        |FROM part GROUP BY p_brand ORDER BY p_brand""".stripMargin,
+    "x4_udtf_bigrams" ->
+      """SELECT bigram, count(*) AS n FROM (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')), 1)),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1])) AS bigram
+        |  FROM documents)
+        |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+  )
+}

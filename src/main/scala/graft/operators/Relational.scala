@@ -160,7 +160,7 @@ object Relational {
     li.join(broadcast(part), li("l_partkey") === part("p_partkey"))
       .groupBy(col("p_brand"))
       .agg(
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy(col("p_brand"))
@@ -178,10 +178,14 @@ object Relational {
       .agg(
         round(sum(col("l_quantity")), 2).as("sum_qty"),
         round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
-        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 2)
+        // Product sums are mathematically exact at 4-6 decimals; rounding
+        // them to 2 lands on half-cent boundaries where Spark (BigDecimal
+        // HALF_UP on the shortest repr) and DuckDB (scaled floor) can
+        // disagree — round to 4 (on-grid, stable in both engines).
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
           .as("sum_disc_price"),
         round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
-          * (lit(1.0) + col("l_tax"))), 2).as("sum_charge"),
+          * (lit(1.0) + col("l_tax"))), 4).as("sum_charge"),
         round(avg(col("l_quantity")), 4).as("avg_qty"),
         round(avg(col("l_extendedprice")), 4).as("avg_price"),
         round(avg(col("l_discount")), 4).as("avg_disc"),
@@ -457,7 +461,7 @@ object Relational {
         |GROUP BY s_suppkey, s_name ORDER BY s_suppkey""".stripMargin,
     "j6_broadcast" ->
       """SELECT p_brand,
-        | round(sum(l_extendedprice * (1.0 - l_discount)),2) AS revenue,
+        | round(sum(l_extendedprice * (1.0 - l_discount)),4) AS revenue,
         | count(*) AS n_items
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |GROUP BY p_brand ORDER BY p_brand""".stripMargin,
@@ -465,8 +469,8 @@ object Relational {
       """SELECT l_returnflag, l_linestatus,
         | round(sum(l_quantity),2) AS sum_qty,
         | round(sum(l_extendedprice),2) AS sum_base_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount)),2) AS sum_disc_price,
-        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)),2) AS sum_charge,
+        | round(sum(l_extendedprice * (1.0 - l_discount)),4) AS sum_disc_price,
+        | round(sum(l_extendedprice * (1.0 - l_discount) * (1.0 + l_tax)),4) AS sum_charge,
         | round(avg(l_quantity),4) AS avg_qty,
         | round(avg(l_extendedprice),4) AS avg_price,
         | round(avg(l_discount),4) AS avg_disc,

@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Federated sources (SURVEY §2.1 S8/S9, §2.4 J2) — the reference's
+  * second half: one SQL engine reading a key-value store (DynamoDB via a
+  * Lambda connector, stacks/demo_stack.py:295-336) and a relational
+  * database (Aurora MySQL, :372-394) next to the lake.
+  *
+  * The Spark model is the same as Athena's: every connector surfaces a
+  * DataFrame, after which joins/aggregations are source-agnostic. Here
+  * the key-value store is an in-memory adapter and the relational source
+  * is embedded Derby over real JDBC — same code paths
+  * (`spark.read.format("jdbc")`) a production MySQL/Postgres would use.
+  */
+object Federated {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** S8: key-value source — items addressed by key, scanned as a
+    * DataFrame (the connector contract: scan + key lookup). Backing
+    * store is an in-memory map standing in for the remote KV service. */
+  final class KeyValueSource(spark: SparkSession,
+      items: Seq[(Long, Map[String, String])]) {
+    private val df: DataFrame = {
+      import spark.implicits._
+      items.toDF("kv_key", "attrs")
+    }
+    /** Full scan (what a federated SELECT compiles to). */
+    def scan(): DataFrame = df
+    /** Point lookups (what a key-equality predicate pushes down to). */
+    def lookup(keys: Seq[Long]): DataFrame =
+      df.filter(col("kv_key").isin(keys: _*))
+  }
+
+  /** Registry unifying heterogeneous sources under names — the catalog
+    * role the Athena federation connectors play. */
+  final class SourceRegistry {
+    private var sources = Map.empty[String, () => DataFrame]
+    def register(name: String, make: () => DataFrame): Unit =
+      sources += (name -> make)
+    def table(name: String): DataFrame = sources(name)()
+    def names: Seq[String] = sources.keys.toSeq.sorted
+  }
+
+  private val DerbyUrl = "jdbc:derby:memory:graftdb;create=true"
+
+  /** S9: load a DataFrame into the embedded relational store via JDBC
+    * (stand-in for Aurora; identical Spark code path). */
+  def jdbcWrite(df: DataFrame, table: String): Unit =
+    df.write.format("jdbc")
+      .option("url", DerbyUrl)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .mode("overwrite")
+      .save()
+
+  /** S9: relational scan over JDBC. */
+  def jdbcRead(spark: SparkSession, table: String): DataFrame =
+    spark.read.format("jdbc")
+      .option("url", DerbyUrl)
+      .option("dbtable", table)
+      .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+      .load()
+
+  /** Build the demo KV store: nation rows as key→attribute items. */
+  private def nationKv(s: SparkSession, dir: String): KeyValueSource = {
+    val rows = t(s, dir, "nation")
+      .select(col("n_nationkey").cast("long"), col("n_name"),
+        col("n_regionkey").cast("string"))
+      .collect() // 25 rows — the KV store is a small dimension by design
+      .map(r => (r.getLong(0),
+        Map("name" -> r.getString(1), "regionkey" -> r.getString(2))))
+    new KeyValueSource(s, rows.toSeq)
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** S8: lake table × key-value source join — suppliers enriched from
+    * the KV store's attribute map. The KV side is tiny → broadcast. */
+  private val s8KvJoin: Q = (s, dir) => {
+    val kv = nationKv(s, dir).scan()
+      .select(col("kv_key"), col("attrs")("name").as("nation_name"))
+    t(s, dir, "supplier")
+      .join(broadcast(kv), col("s_nationkey").cast("long") === col("kv_key"))
+      .select(col("s_suppkey"), col("s_name"), col("nation_name"))
+      .orderBy(col("s_suppkey"))
+  }
+
+  /** S9: relational source round trip — region through embedded Derby
+    * over real JDBC, read back and ordered. */
+  private val s9Jdbc: Q = (s, dir) => {
+    jdbcWrite(t(s, dir, "region"), "region_rel")
+    jdbcRead(s, "region_rel")
+      .select(col("r_regionkey").cast("int"), col("r_name"))
+      .orderBy(col("r_regionkey"))
+  }
+
+  /** J2: cross-source federated join — JDBC relational × lake parquet ×
+    * in-memory KV in ONE query, the whole point of the reference's
+    * federation infra. */
+  private val j2Federated: Q = (s, dir) => {
+    jdbcWrite(t(s, dir, "region"), "region_rel")
+    val reg = new SourceRegistry
+    reg.register("region_rel", () => jdbcRead(s, "region_rel"))
+    reg.register("nation_lake", () => t(s, dir, "nation"))
+    reg.register("customer_kv", () => nationKv(s, dir).scan())
+    reg.table("nation_lake")
+      .join(broadcast(reg.table("region_rel")),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(reg.table("customer_kv")),
+        col("n_nationkey").cast("long") === col("kv_key"))
+      .select(col("r_name"), col("n_name"),
+        col("attrs")("regionkey").cast("int").as("kv_regionkey"))
+      .orderBy(col("r_name"), col("n_name"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "s8_kv_join" -> s8KvJoin,
+    "s9_jdbc" -> s9Jdbc,
+    "j2_federated" -> j2Federated,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "s8_kv_join" ->
+      """SELECT s_suppkey, s_name, n_name AS nation_name
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY s_suppkey""".stripMargin,
+    "s9_jdbc" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "j2_federated" ->
+      """SELECT r_name, n_name, n_regionkey AS kv_regionkey
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |ORDER BY r_name, n_name""".stripMargin,
+  )
+}
