@@ -1,0 +1,77 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+import graft.functions.SimHash64.simhash64
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val fixture = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+    (2L, "the quick brown fox jumps over the lazy dog tonight again"), // exact dup of 1
+    (3L, "the quick brown fox jumps over the lazy dog tonight again okay"), // near dup
+    (4L, "completely different words about spark catalyst optimizer plans here"),
+  ).toDF("doc_id", "text")
+
+  test("exactDedup keeps the lowest id per duplicate group") {
+    val kept = Dedup.exactDedup(fixture, "text", "doc_id")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash LSH finds the near-dup pair and nothing else") {
+    val pairs = Dedup.minhashNearDupPairs(
+      fixture.filter($"doc_id" =!= 2), "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 3L)))
+  }
+
+  test("minhash LSH recall: every exact J>=0.8 pair in documents is found") {
+    val docs = Tables.load(spark, sf, "documents")
+    val sets = docs.select($"doc_id".as("id"),
+      Dedup.shingles($"text", 3).as("sh"))
+    val exact = sets.as("x").join(sets.as("y"), $"x.id" < $"y.id")
+      .withColumn("j",
+        size(array_intersect($"x.sh", $"y.sh")).cast("double") /
+          size(array_union($"x.sh", $"y.sh")))
+      .filter($"j" >= 0.8)
+      .select($"x.id".as("a"), $"y.id".as("b"))
+      .as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashNearDupPairs(docs, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain natural near-dups")
+    assert(exact == lsh, s"missed=${exact -- lsh} extra=${lsh -- exact}")
+  }
+
+  test("simhash: identical texts distance 0, near texts close, unrelated far") {
+    val fps = fixture.select($"doc_id",
+      simhash64(Dedup.shingles($"text", 3)).as("fp"))
+      .as[(Long, Long)].collect().toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(fps(a) ^ fps(b))
+    assert(ham(1, 2) == 0)
+    assert(ham(1, 3) <= 16, s"near pair too far: ${ham(1, 3)}")
+    assert(ham(1, 4) > 16, s"unrelated pair too close: ${ham(1, 4)}")
+  }
+
+  test("simhash64 is registered for SQL via GraftExtensions") {
+    val v = spark.sql("SELECT simhash64(array('a','b','c')) AS h")
+      .head().getLong(0)
+    val v2 = Seq(Tuple1(Seq("a", "b", "c"))).toDF("t")
+      .select(simhash64($"t")).head().getLong(0)
+    assert(v == v2, "SQL registration and Column API agree")
+  }
+
+  test("simhash64 codegen and interpreted paths agree") {
+    val df = Tables.load(spark, sf, "documents").limit(50)
+      .select(simhash64(split($"text", " ")).as("fp"))
+    val withCodegen = df.as[Long].collect().toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try {
+      val interpreted = df.as[Long].collect().toSeq
+      assert(withCodegen == interpreted)
+    } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+  }
+}

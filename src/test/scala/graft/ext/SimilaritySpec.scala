@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.{SparkSpec, Tables}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bruteForceTopK ranks by cosine with deterministic tie-break") {
+    // q=(1,0): parallel (2,0) cos=1 > diagonal (1,1) cos=.707 > orthogonal (0,1) cos=0
+    val vecs = Seq(
+      (0L, Seq(1f, 0f)), (1L, Seq(2f, 0f)), (2L, Seq(1f, 1f)), (3L, Seq(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val top = Similarity.bruteForceTopK(vecs.filter($"vec_id" === 0), vecs, 3)
+      .orderBy("rnk")
+      .select("c_id", "sim").as[(Long, Double)].collect().toSeq
+    assert(top.map(_._1) == Seq(1L, 2L, 3L))
+    assert(math.abs(top(0)._2 - 1.0) < 1e-9)
+    assert(math.abs(top(1)._2 - math.sqrt(0.5)) < 1e-6)
+    assert(math.abs(top(2)._2) < 1e-9)
+  }
+
+  test("annCandidates recall over embeddings clears the query's bound with margin") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 50), emb, 5)
+      .select("q_id", "c_id")
+    val cand = Similarity.annCandidates(emb, nTables = 20, bitsPerTable = 6, dim = 64)
+    val total = exact.count().toDouble
+    val hits = exact.join(cand, Seq("q_id", "c_id"), "left_semi").count()
+    val n = emb.count().toDouble
+    val candFrac = cand.count() / (n * (n - 1))
+    info(f"ANN recall@5 = ${hits / total}%.3f, candidate fraction = $candFrac%.3f")
+    assert(hits / total >= 0.55, s"recall ${hits / total} too low")
+    assert(candFrac <= 0.35, s"candidate volume $candFrac defeats LSH's purpose")
+  }
+
+  test("hyperplane signatures are deterministic across evaluations") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(20)
+    val a = Similarity.annCandidates(emb, 4, 8, 64).count()
+    val b = Similarity.annCandidates(emb, 4, 8, 64).count()
+    assert(a == b)
+  }
+}

@@ -1,0 +1,43 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class TextStatsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def one(c: org.apache.spark.sql.Column, text: String): Any =
+    Seq(text).toDF("text").select(c).head().get(0)
+
+  test("language-ID heuristic picks the marker-heavy language") {
+    assert(one(TextStats.languageIdHeuristic($"text"),
+      "the cat and the dog is here") == "en")
+    assert(one(TextStats.languageIdHeuristic($"text"),
+      "der hund und die katze ist da") == "de")
+    assert(one(TextStats.languageIdHeuristic($"text"),
+      "xyzzy plugh quux") == "und")
+  }
+
+  test("BPE-ish token count splits letter runs, digit runs, and symbols") {
+    assert(one(TextStats.bpeishTokenCount($"text"), "abc 123 x!y") == 5)
+    assert(one(TextStats.bpeishTokenCount($"text"), "hello") == 1)
+  }
+
+  test("stopword ratio and quality score are bounded and sane") {
+    val r = one(TextStats.stopwordRatio($"text"),
+      "the a of and to junk").asInstanceOf[Double]
+    assert(math.abs(r - 5.0 / 6.0) < 1e-9)
+    val q = one(TextStats.qualityScore($"text"),
+      "a perfectly reasonable document with the usual words in it and more")
+      .asInstanceOf[Double]
+    assert(q >= 0.0 && q <= 1.0)
+  }
+
+  test("fingerprint is stable and text-sensitive") {
+    val fp1 = one(TextStats.fingerprint($"text"), "alpha beta gamma delta")
+    val fp2 = one(TextStats.fingerprint($"text"), "alpha beta gamma delta")
+    val fp3 = one(TextStats.fingerprint($"text"), "totally other words here")
+    assert(fp1 == fp2)
+    assert(fp1 != fp3)
+  }
+}

@@ -1,0 +1,49 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import graft.SparkSpec
+
+/** Property-style checks for choice resolution (P2) and split/explode
+  * (F2) — each property evaluated over one generated batch in a single
+  * DataFrame pass (per-sample Spark jobs would be pathologically slow).
+  */
+class ChoiceProperties extends SparkSpec {
+  import spark.implicits._
+
+  test("property: try_cast int — numeric strings parse, junk nulls, round-trip") {
+    val numeric = Gen.chooseNum(Int.MinValue, Int.MaxValue).map(_.toString)
+    val junk = Gen.oneOf(Gen.alphaStr.suchThat(_.nonEmpty),
+      Gen.const("12.5x"), Gen.const(""), Gen.const("N/A"), Gen.const("\\N"))
+    val samples = Gen.listOfN(150, Gen.oneOf(numeric, junk))
+      .sample.getOrElse(Nil)
+    val df = samples.toDF("s")
+    val got = Lake.resolveChoice(df.withColumn("c", col("s")), "c", "int")
+      .collect()
+      .map(r => (r.getString(0), if (r.isNullAt(1)) None else Some(r.getInt(1))))
+    got.foreach { case (s, parsed) =>
+      val expected = s.toIntOption
+      assert(parsed == expected, s"try_cast('$s') = $parsed, want $expected")
+    }
+  }
+
+  test("property: split is inverted by concat_ws for delimiter-free words") {
+    val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    val sentences = Gen.listOfN(80, Gen.nonEmptyListOf(word).map(_.mkString(" ")))
+      .sample.getOrElse(Nil)
+    val df = sentences.toDF("text")
+      .withColumn("rt", concat_ws(" ", split(col("text"), " ")))
+    assert(df.filter(col("rt") =!= col("text")).count() == 0)
+  }
+
+  test("property: explode fanout count equals total word count") {
+    val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
+    val docs = Gen.listOfN(40, Gen.nonEmptyListOf(word).map(_.mkString(" ")))
+      .sample.getOrElse(Nil)
+    val expected = docs.map(_.split(" ").length.toLong).sum
+    val n = docs.toDF("text")
+      .select(explode(split(col("text"), " ")))
+      .count()
+    assert(n == expected)
+  }
+}

@@ -1,0 +1,95 @@
+package graft.lake
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+import graft.{SparkSpec, Tables}
+import Lake.Mapping
+
+class LakeSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("TSV round trip preserves values and \\N nulls") {
+    val out = Lake.scratchDir("t_rt")
+    val src = Seq((1L, "alice", Option("x")), (2L, "bob", None),
+      (3L, "eve\ttab", Option("y")))
+      .toDF("id", "name", "opt")
+    Lake.writeTsv(src, out)
+    val back = Lake.applyMapping(Lake.readTsv(spark, out), Seq(
+      Mapping("id", "id", "bigint"), Mapping("name", "name", "string"),
+      Mapping("opt", "opt", "string")))
+    val rows = back.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(1).isNullAt(2), "\\N must read back as null")
+    assert(rows(2).getString(1) == "eve\ttab", "quoted tab survives")
+  }
+
+  test("all-string crawler fallback: headerless, every column string") {
+    val out = Lake.scratchDir("t_allstr")
+    Lake.writeTsv(Seq((1, "a"), (2, "b")).toDF("k", "v"), out, header = false)
+    val df = Lake.readAllString(spark, out)
+    assert(df.columns.toSeq == Seq("_c0", "_c1"))
+    assert(df.schema.fields.forall(_.dataType == StringType))
+    assert(df.count() == 2)
+  }
+
+  test("applyMapping: ordered projection + rename + try_cast choice") {
+    val df = Seq(("1", "10"), ("2", "N/A")).toDF("a", "b")
+    val out = Lake.applyMapping(df, Seq(
+      Mapping("b", "b_int", "int"), Mapping("a", "a_long", "bigint")))
+    assert(out.columns.toSeq == Seq("b_int", "a_long"), "mapping order wins")
+    val rows = out.orderBy("a_long").collect()
+    assert(rows(0).getInt(0) == 10)
+    assert(rows(1).isNullAt(0), "non-parsing choice value becomes null")
+  }
+
+  test("partitioned write: Hive layout + partition pruning in the plan") {
+    val out = Lake.scratchDir("t_part")
+    Lake.writeParquet(Tables.load(spark, sf, "customer"), out,
+      Seq("c_nationkey"))
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.startsWith("c_nationkey=")), "Hive-style dirs")
+    val pruned = LakeQueries.prunedRead(spark, out)
+    val plan = physicalPlan(pruned)
+    assert(plan.contains("PartitionFilters") &&
+      plan.contains("c_nationkey"), s"pruning missing in:\n$plan")
+    val expected = Tables.load(spark, sf, "customer")
+      .filter($"c_nationkey" === 7).count()
+    assert(pruned.count() == expected)
+  }
+
+  test("gzip TSV: codec applied on disk, values survive") {
+    val out = Lake.scratchDir("t_gz")
+    Lake.writeTsv(Seq((1, "x"), (2, "y")).toDF("k", "v"), out, gzip = true)
+    assert(new java.io.File(out).listFiles()
+      .exists(_.getName.endsWith(".csv.gz")), "gzip extension")
+    assert(Lake.readTsv(spark, out).count() == 2)
+  }
+
+  test("results CSV sink: header present, re-read equals source") {
+    val out = Lake.scratchDir("t_csv")
+    val src = Seq(("A", 1L, 1.5), ("B", 2L, 2.5)).toDF("s", "n", "d")
+    Lake.writeResultsCsv(src, out)
+    val firstLine = scala.io.Source.fromFile(
+      new java.io.File(out).listFiles()
+        .filter(_.getName.endsWith(".csv")).head).getLines().next()
+    assert(firstLine == "s,n,d", "header row")
+    val back = spark.read.option("header", "true")
+      .schema("s string, n bigint, d double").csv(out)
+    assert(back.orderBy("s").collect().toSeq ==
+      src.orderBy("s").collect().toSeq)
+  }
+
+  test("bulk load copies files readable in place") {
+    val zone = Lake.scratchDir("t_bulk")
+    Lake.bulkLoad(sf, zone)
+    assert(spark.read.parquet(s"$zone/region.parquet").count() ==
+      Tables.load(spark, sf, "region").count())
+  }
+
+  test("register with prefix: views resolvable via SQL") {
+    Lake.register(spark, Map("name.basics" ->
+      Seq((1, "n")).toDF("id", "v")), prefix = "with_classifier_")
+    assert(spark.sql("SELECT count(*) FROM with_classifier_name_basics")
+      .head().getLong(0) == 1, "dots mangled, prefix applied")
+  }
+}
