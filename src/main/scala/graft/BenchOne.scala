@@ -1,0 +1,24 @@
+package graft
+import org.apache.spark.sql.SparkSession
+/** Scratch diagnostic: time one query N times with phase breakdown. */
+object BenchOne {
+  def main(args: Array[String]): Unit = {
+    val name = args(0)
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val spark = SparkSession.builder().master("local[32]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    (1 to 3).foreach { i =>
+      val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      val t1 = System.nanoTime()
+      df.queryExecution.executedPlan // force analysis+optimization+planning
+      val t2 = System.nanoTime()
+      df.write.format("noop").mode("overwrite").save()
+      val t3 = System.nanoTime()
+      println(f"run $i: build=${(t1-t0)/1e9}%.2f plan=${(t2-t1)/1e9}%.2f exec=${(t3-t2)/1e9}%.2f")
+    }
+    spark.stop()
+  }
+}

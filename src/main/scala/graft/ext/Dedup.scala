@@ -45,13 +45,12 @@ object Dedup {
         i => concat_ws(" ", slice(words, i, lit(n)))))
   }
 
-  /** MinHash signature: k independent permutations approximated by
-    * seeded xxhash64; each signature slot is the min hash over the
-    * shingle set. */
+  /** MinHash signature: k permutations approximated by Carter-Wegman
+    * combinations of two base hashes — a single codegen'd pass over the
+    * shingle set (native expression; the higher-order-function version
+    * costs k interpreted passes and a k-branch plan tree). */
   def minhashSignature(shingleSet: Column, k: Int): Column =
-    array((0 until k).map { seed =>
-      array_min(transform(shingleSet, x => xxhash64(x, lit(seed))))
-    }: _*)
+    graft.functions.MinHashSig.minhashSig(shingleSet, k)
 
   /** LSH band keys over a minhash signature: `bands` buckets of
     * `rowsPerBand` slots, each hashed to one join key. Two documents
@@ -165,7 +164,9 @@ object Dedup {
     * constant oracle. */
   private val e2SimhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val sim = simhashNearDupPairs(docs, "doc_id", "text")
+    // The pair set is tiny after the Hamming filter; checkpointing it
+    // runs the banding subtree once instead of once per consumer below.
+    val sim = simhashNearDupPairs(docs, "doc_id", "text").localCheckpoint()
     val sets = docs.select(col("doc_id").as("id"),
       shingles(col("text"), 3).as("sh"))
     val simJ = sim
@@ -177,12 +178,15 @@ object Dedup {
     val highJ = minhashNearDupPairs(docs, "doc_id", "text",
       shingleN = 3, k = 64, bands = 16, threshold = 0.9)
       .select(col("a"), col("b"))
-    val missed = highJ.join(sim.select(col("a"), col("b")),
-      Seq("a", "b"), "left_anti").count()
-    val minJ = simJ.agg(min(col("jaccard"))).head().getDouble(0)
-    s.range(1).select(
-      lit(missed == 0).as("recall_ok"),
-      lit(minJ >= 0.4).as("precision_ok"))
+    // Both bound checks inside ONE returned plan — no driver-side
+    // actions, so the whole check executes exactly once.
+    val missedAgg = highJ.join(sim.select(col("a"), col("b")),
+        Seq("a", "b"), "left_anti")
+      .agg(count(lit(1)).as("n_missed"))
+    val minAgg = simJ.agg(min(col("jaccard")).as("min_j"))
+    missedAgg.crossJoin(minAgg).select(
+      (col("n_missed") === 0).as("recall_ok"),
+      (col("min_j") >= 0.4).as("precision_ok"))
   }
 
   val queries: Map[String, Q] = Map(

@@ -45,30 +45,21 @@ object Similarity {
       .select(col("q_id"), col("rnk"), col("c_id"), round(col("cos"), 6).as("sim"))
   }
 
-  /** Deterministic ±1 hyperplane coefficients (seeded, data-independent —
-    * every executor derives the same planes). */
-  private def planes(nPlanes: Int, dim: Int, seed: Long): Seq[Seq[Double]] = {
-    val rnd = new scala.util.Random(seed)
-    Seq.fill(nPlanes)(Seq.fill(dim)(if (rnd.nextBoolean()) 1.0 else -1.0))
-  }
-
   /** Random-hyperplane signature: one sign bit per plane, packed into a
-    * long. P(bit differs) = angle/π, so near vectors share buckets. */
-  def hyperplaneSignature(vec: Column, nPlanes: Int, dim: Int, seed: Long): Column =
-    (0 until nPlanes).map { j =>
-      val coef = typedLit(planes(nPlanes, dim, seed)(j))
-      when(dot(vec, coef) > 0, lit(1L << j)).otherwise(lit(0L))
-    }.reduce(_ + _)
+    * long (P(bit differs) = angle/π, so near vectors share buckets).
+    * Native codegen'd expression — coefficients are hash-derived ±1,
+    * identical on every executor, never materialized as plan literals. */
+  def hyperplaneSignature(vec: Column, nPlanes: Int, seed: Long): Column =
+    graft.functions.HyperplaneSig.hyperplaneSig(vec, nPlanes, seed)
 
   /** E3b: ANN candidates via multi-table hyperplane LSH — vectors
     * sharing any table's full signature are candidates. Returns
     * (q_id, c_id) candidate pairs. */
-  def annCandidates(vecs: DataFrame, nTables: Int, bitsPerTable: Int,
-      dim: Int): DataFrame = {
+  def annCandidates(vecs: DataFrame, nTables: Int, bitsPerTable: Int): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
     val sigs = (0 until nTables).foldLeft(v) { (df, t) =>
       df.withColumn(s"sig_$t",
-        hyperplaneSignature(col("v"), bitsPerTable, dim, seed = 1000 + t))
+        hyperplaneSignature(col("v"), bitsPerTable, seed = 1000 + t))
     }
     val buckets = sigs.select(col("vec_id"),
       explode(array((0 until nTables).map { t =>
@@ -100,16 +91,18 @@ object Similarity {
     // The synthetic embeddings are weakly clustered (top-5 cosine ≈ 0.33
     // vs 0.0 random): 20 tables × 6 bits give ~0.63 expected recall at
     // ~27% candidate volume. Denser data needs fewer/wider tables.
-    val cand = annCandidates(emb, nTables = 20, bitsPerTable = 6, dim = 64)
-    val n = emb.count()
-    val hits = exact.join(cand, Seq("q_id", "c_id"), "left_semi").count()
-    val total = exact.count()
-    val candCount = cand.count()
-    val recall = hits.toDouble / total
-    val candFrac = candCount.toDouble / (n.toDouble * (n - 1))
-    s.range(1).select(
-      lit(recall >= 0.5).as("recall_ok"),
-      lit(candFrac <= 0.4).as("cand_frac_ok"))
+    val cand = annCandidates(emb, nTables = 20, bitsPerTable = 6)
+    // All four scalars in ONE returned plan (no driver-side actions);
+    // the exact top-k subtree is shared between total and hits.
+    val hitsAgg = exact.join(cand, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val candAgg = cand.agg(count(lit(1)).as("n_cand"))
+    val nAgg = emb.agg(count(lit(1)).as("n"))
+    hitsAgg.crossJoin(totalAgg).crossJoin(candAgg).crossJoin(nAgg).select(
+      (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
+      (col("n_cand").cast("double") / (col("n") * (col("n") - 1)) <= 0.4)
+        .as("cand_frac_ok"))
   }
 
   val queries: Map[String, Q] = Map(

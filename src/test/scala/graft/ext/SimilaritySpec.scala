@@ -24,7 +24,7 @@ class SimilaritySpec extends SparkSpec {
     val emb = Tables.load(spark, sf, "embeddings")
     val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 50), emb, 5)
       .select("q_id", "c_id")
-    val cand = Similarity.annCandidates(emb, nTables = 20, bitsPerTable = 6, dim = 64)
+    val cand = Similarity.annCandidates(emb, nTables = 20, bitsPerTable = 6)
     val total = exact.count().toDouble
     val hits = exact.join(cand, Seq("q_id", "c_id"), "left_semi").count()
     val n = emb.count().toDouble
@@ -36,8 +36,8 @@ class SimilaritySpec extends SparkSpec {
 
   test("hyperplane signatures are deterministic across evaluations") {
     val emb = Tables.load(spark, sf, "embeddings").limit(20)
-    val a = Similarity.annCandidates(emb, 4, 8, 64).count()
-    val b = Similarity.annCandidates(emb, 4, 8, 64).count()
+    val a = Similarity.annCandidates(emb, 4, 8).count()
+    val b = Similarity.annCandidates(emb, 4, 8).count()
     assert(a == b)
   }
 }

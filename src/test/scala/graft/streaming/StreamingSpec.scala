@@ -1,0 +1,59 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.OutputMode
+import graft.SparkSpec
+
+class StreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(day: Int, hour: Int) =
+    Timestamp.valueOf(f"2024-01-$day%02d $hour%02d:00:00")
+
+  private val sample = Seq(
+    StreamDemo.Event(ts(1, 1), "click", 1.0),
+    StreamDemo.Event(ts(1, 2), "click", 2.0),
+    StreamDemo.Event(ts(1, 3), "view", 3.0),
+    StreamDemo.Event(ts(2, 1), "click", 4.0),
+    StreamDemo.Event(ts(2, 5), "view", 5.0))
+
+  test("streaming windowed aggregation equals its batch evaluation") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[StreamDemo.Event]
+    val q = StreamDemo.windowedCounts(stream.toDF())
+      .writeStream.format("memory").queryName("win_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      stream.addData(sample: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("win_out")
+        .orderBy("ws", "eventType")
+        .collect().map(_.toSeq).toSeq
+      val batch = StreamDemo.windowedCounts(sample.toDF())
+        .orderBy("ws", "eventType")
+        .collect().map(_.toSeq).toSeq
+      assert(streaming == batch)
+      assert(batch.size == 4, "two days × two types")
+    } finally q.stop()
+  }
+
+  test("mapGroupsWithState keeps running counts across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Double)]
+    val q = StreamDemo.runningCounts(stream.toDS())
+      .writeStream.format("memory").queryName("state_out")
+      .outputMode(OutputMode.Update()).start()
+    try {
+      stream.addData((1L, 1.0), (1L, 2.0), (2L, 1.0))
+      q.processAllAvailable()
+      stream.addData((1L, 3.0)) // second micro-batch must see prior state
+      q.processAllAvailable()
+      val last = spark.table("state_out")
+        .groupBy("userId").max("n")
+        .as[(Long, Long)].collect().toMap
+      assert(last == Map(1L -> 3L, 2L -> 1L),
+        "state accumulated across batches")
+    } finally q.stop()
+  }
+}
