@@ -7,7 +7,10 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
-      .config("spark.ui.enabled", "false").getOrCreate()
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to 3).foreach { i =>
       val t0 = System.nanoTime()

@@ -18,6 +18,7 @@ object SparkEntry {
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
+      operators.Advanced.queries ++
       functions.Scalars.queries ++
       lake.LakeQueries.queries ++
       ext.Dedup.queries ++
@@ -32,6 +33,7 @@ object SparkEntry {
     * the same parquet tables. Omitted keys get a rows-only check. */
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
+      operators.Advanced.oracles ++
       functions.Scalars.oracles ++
       lake.LakeQueries.oracles ++
       ext.Dedup.oracles ++

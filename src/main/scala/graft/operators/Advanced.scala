@@ -1,0 +1,248 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Deeper SQL surface + scale-layout operators.
+  *
+  * The first group widens §2.3-2.9 coverage (subqueries, CTEs, grouping
+  * sets, null-safe equality, offset, distribution windows, nested
+  * types). The second group is physical-layout machinery that only
+  * matters at scale: bucketed co-located joins (no exchange on either
+  * side) and salted joins for skewed keys.
+  */
+object Advanced {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------- SQL surface
+
+  /** P6: uncorrelated scalar subquery — deviation from the global mean.
+    * Catalyst plans the subquery once and broadcasts the scalar. */
+  private val p6ScalarSubquery: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT o_orderkey,
+        |  round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4)
+        |    AS dev
+        |FROM orders WHERE o_orderkey <= 200
+        |ORDER BY o_orderkey""".stripMargin)
+  }
+
+  /** P7: correlated IN subquery (planned as a semi-join). */
+  private val p7InSubquery: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin)
+  }
+
+  /** P8: CTE + null-safe equality. The nullable branch exercises
+    * `IS NOT DISTINCT FROM` (Spark `<=>`) on both engines. */
+  private val p8CteNullsafe: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """WITH flagged AS (
+        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        |  FROM customer)
+        |SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+        |FROM flagged a JOIN flagged b
+        |  ON a.seg IS NOT DISTINCT FROM b.seg
+        | AND a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 20 AND b.c_custkey <= 20
+        |ORDER BY a_key, b_key""".stripMargin)
+  }
+
+  /** A9: explicit GROUPING SETS with grouping() markers (rollup/cube are
+    * the pre-canned shapes; this is the general one). */
+  private val a9GroupingSets: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT coalesce(l_returnflag, '-') AS rf,
+        |  coalesce(l_linestatus, '-') AS ls,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin)
+  }
+
+  /** L4: LIMIT + OFFSET pagination (deterministic under total order). */
+  private val l4Offset: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .select(col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+      .offset(50)
+      .limit(10)
+
+  /** W4: distribution windows — percent_rank / cume_dist over account
+    * balances within a nation. */
+  private val w4Distribution: Q = (s, dir) => {
+    val w = Window.partitionBy(col("s_nationkey"))
+      .orderBy(col("s_acctbal"), col("s_suppkey"))
+    t(s, dir, "supplier")
+      .select(col("s_nationkey"), col("s_suppkey"),
+        round(percent_rank().over(w), 6).as("pr"),
+        round(cume_dist().over(w), 6).as("cd"))
+      .orderBy(col("s_nationkey"), col("s_suppkey"))
+  }
+
+  /** F9: nested types in-plan — rows → array<struct> via collect_list →
+    * exploded back; the oracle is the identity (group/ungroup inverse). */
+  private val f9NestedRt: Q = (s, dir) =>
+    t(s, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(sort_array(collect_list(struct(col("n_nationkey"), col("n_name"))))
+        .as("members"))
+      .select(col("n_regionkey"), explode(col("members")).as("m"))
+      .select(col("m.n_nationkey").as("n_nationkey"),
+        col("m.n_name").as("n_name"), col("n_regionkey"))
+      .orderBy(col("n_nationkey"))
+
+  /** F10: map type in-plan — entries → map_from_entries → map_entries
+    * round trip (oracle is again the identity). */
+  private val f10MapRt: Q = (s, dir) =>
+    t(s, dir, "region")
+      .agg(map_from_entries(sort_array(collect_list(
+        struct(col("r_regionkey"), col("r_name"))))).as("m"))
+      .select(explode(map_entries(col("m"))).as("e"))
+      .select(col("e.key").as("r_regionkey"), col("e.value").as("r_name"))
+      .orderBy(col("r_regionkey"))
+
+  // ------------------------------------------------- scale-layout ops
+
+  /** K6: bucketed co-located join — both fact tables bucketed on the
+    * join key at write time, so the join needs NO exchange on either
+    * side (the bucketing replaces the shuffle; at 100 TB this is the
+    * difference between a join and a cluster-wide reshuffle). */
+  private val k6BucketedJoin: Q = (s, dir) => {
+    // A fresh in-memory catalog doesn't know tables whose warehouse
+    // location survived a previous session — drop both name and files.
+    Seq("graft_b_orders", "graft_b_lineitem").foreach { tbl =>
+      s.sql(s"DROP TABLE IF EXISTS $tbl")
+      val loc = new java.io.File(
+        s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
+      def rm(f: java.io.File): Unit = {
+        if (f.isDirectory) f.listFiles().foreach(rm)
+        f.delete(); ()
+      }
+      if (loc.exists()) rm(loc)
+    }
+    t(s, dir, "orders").write.mode("overwrite")
+      .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable("graft_b_orders")
+    t(s, dir, "lineitem").write.mode("overwrite")
+      .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable("graft_b_lineitem")
+    s.table("graft_b_lineitem")
+      .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+      .orderBy(col("o_orderstatus"))
+  }
+
+  /** The bucketed-join plan (for the no-exchange assertion in tests). */
+  def bucketedJoinPlan(s: SparkSession, dir: String): DataFrame =
+    k6BucketedJoin(s, dir)
+
+  /** J8: salted equi-join for skewed keys — the big side salts each row
+    * by a content hash, the small side explodes across all salt buckets,
+    * so one hot key spreads over `buckets` reducers instead of one.
+    * Result is identical to the plain join (the oracle checks that). */
+  def saltedEquiJoin(big: DataFrame, bigKey: String, small: DataFrame,
+      smallKey: String, buckets: Int): DataFrame = {
+    val salted = big.withColumn("_salt",
+      pmod(xxhash64(struct(big.columns.map(col): _*)), lit(buckets)))
+    val expanded = small.withColumn("_salt",
+      explode(sequence(lit(0L), lit((buckets - 1).toLong))))
+    salted.join(expanded,
+      salted(bigKey) === expanded(smallKey) &&
+        salted("_salt") === expanded("_salt"))
+      .drop("_salt")
+  }
+
+  private val j8SaltedSkew: Q = (s, dir) =>
+    saltedEquiJoin(t(s, dir, "lineitem"), "l_suppkey",
+      t(s, dir, "supplier"), "s_suppkey", buckets = 8)
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy(col("s_nationkey"))
+
+  val queries: Map[String, Q] = Map(
+    "p6_scalar_subquery" -> p6ScalarSubquery,
+    "p7_in_subquery" -> p7InSubquery,
+    "p8_cte_nullsafe" -> p8CteNullsafe,
+    "a9_grouping_sets" -> a9GroupingSets,
+    "l4_offset" -> l4Offset,
+    "w4_distribution" -> w4Distribution,
+    "f9_nested_rt" -> f9NestedRt,
+    "f10_map_rt" -> f10MapRt,
+    "k6_bucketed_join" -> k6BucketedJoin,
+    "j8_salted_skew" -> j8SaltedSkew,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "p6_scalar_subquery" ->
+      """SELECT o_orderkey,
+        | round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS dev
+        |FROM orders WHERE o_orderkey <= 200 ORDER BY o_orderkey""".stripMargin,
+    "p7_in_subquery" ->
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE c_custkey IN
+        |  (SELECT o_custkey FROM orders WHERE o_totalprice > 250000)
+        |ORDER BY c_custkey""".stripMargin,
+    "p8_cte_nullsafe" ->
+      """WITH flagged AS (
+        |  SELECT c_custkey, nullif(c_mktsegment, 'BUILDING') AS seg
+        |  FROM customer)
+        |SELECT a.c_custkey AS a_key, b.c_custkey AS b_key
+        |FROM flagged a JOIN flagged b
+        |  ON a.seg IS NOT DISTINCT FROM b.seg
+        | AND a.c_custkey < b.c_custkey
+        |WHERE a.c_custkey <= 20 AND b.c_custkey <= 20
+        |ORDER BY a_key, b_key""".stripMargin,
+    "a9_grouping_sets" ->
+      """SELECT coalesce(l_returnflag, '-') AS rf,
+        |  coalesce(l_linestatus, '-') AS ls,
+        |  grouping(l_returnflag) AS g_rf, grouping(l_linestatus) AS g_ls,
+        |  count(*) AS n, round(sum(l_quantity), 2) AS qty
+        |FROM lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
+        |ORDER BY rf, ls""".stripMargin,
+    "l4_offset" ->
+      """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
+        |ORDER BY o_orderkey LIMIT 10 OFFSET 50""".stripMargin,
+    "w4_distribution" ->
+      """SELECT s_nationkey, s_suppkey,
+        | round(percent_rank() OVER w, 6) AS pr,
+        | round(cume_dist() OVER w, 6) AS cd
+        |FROM supplier
+        |WINDOW w AS (PARTITION BY s_nationkey ORDER BY s_acctbal, s_suppkey)
+        |ORDER BY s_nationkey, s_suppkey""".stripMargin,
+    "f9_nested_rt" ->
+      """SELECT n_nationkey, n_name, n_regionkey FROM nation
+        |ORDER BY n_nationkey""".stripMargin,
+    "f10_map_rt" ->
+      "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "k6_bucketed_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
+    "j8_salted_skew" ->
+      """SELECT s_nationkey, count(*) AS n,
+        | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+  )
+}

@@ -13,6 +13,7 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.sql.session.timeZone", "UTC")
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+    .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
     .getOrCreate()
 
   /** sf0.001 testdata root (TESTDATA.md). */

@@ -44,6 +44,44 @@ class RelationalPlanSpec extends SparkSpec {
     assert(plan("j4_semi").contains("LeftSemi"))
   }
 
+  test("k6 bucketed join needs no shuffle exchange before the join") {
+    // Disable broadcast so the plan shows the big-big path bucketing is
+    // for (at test scale Catalyst would rightly broadcast orders).
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val p = physicalPlan(Advanced.bucketedJoinPlan(spark, sf))
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"),
+        s"expected a co-located join in:\n$p")
+      assert(p.contains("Bucketed: true"), s"scans not bucketed in:\n$p")
+      // The join inputs must come straight from the bucketed scans — the
+      // only exchanges allowed are the post-join aggregation/sort ones.
+      val joinPart = p.substring(p.indexOf("Join"))
+      assert(!joinPart.contains("Exchange hashpartitioning"),
+        s"bucketed join still shuffles its inputs:\n$p")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
+  test("j8 salted join result equals the plain join") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val salted = SparkEntry.queries("j8_salted_skew")(spark, sf)
+      .as[(Int, Long, Double)].collect().toSeq
+    val plain = graft.Tables.load(spark, sf, "lineitem")
+      .join(graft.Tables.load(spark, sf, "supplier"),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("s_nationkey"))
+      .agg(count(lit(1)).as("n"),
+        round(sum(col("l_extendedprice") * (lit(1.0) - col("l_discount"))), 4)
+          .as("revenue"))
+      .orderBy("s_nationkey")
+      .as[(Int, Long, Double)].collect().toSeq
+    assert(salted == plain)
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_agg")
     assert(!p.contains("l_partkey"),
