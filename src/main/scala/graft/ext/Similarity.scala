@@ -105,9 +105,27 @@ object Similarity {
         .as("cand_frac_ok"))
   }
 
+  /** E3c: embedding-cosine near-duplicate pairs — exact all-pairs here
+    * (the corpus is the query set); at scale the identical refinement
+    * runs over annCandidates buckets instead of the full cross product.
+    * Threshold 0.45 sits just under the corpus max (0.513). */
+  private val e3CosineNearDup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("a"), col("b"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e3_cosine_topk" -> e3CosineTopk,
     "e3_ann_recall" -> e3AnnRecall,
+    "e3_cosine_neardup" -> e3CosineNearDup,
   )
 
   val oracles: Map[String, String] = Map(
@@ -128,5 +146,16 @@ object Similarity {
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "e3_ann_recall" ->
       "SELECT true AS recall_ok, true AS cand_frac_ok",
+    "e3_cosine_neardup" ->
+      """WITH n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |         sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings)
+        |SELECT a.vec_id AS a, b.vec_id AS b,
+        |  round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS sim
+        |FROM n a, n b
+        |WHERE a.vec_id < b.vec_id
+        |  AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.45
+        |ORDER BY a, b""".stripMargin,
   )
 }

@@ -178,7 +178,47 @@ object Advanced {
           .as("revenue"))
       .orderBy(col("s_nationkey"))
 
+  /** Q3-shaped analytics: 3-way join + filter + agg + top-k — the full
+    * interactive-SQL workload shape, identical SQL text on both engines.
+    * Catalyst broadcasts the filtered customer dimension and plans
+    * TakeOrderedAndProject for the top-10. */
+  private val q3Shipping: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin)
+  }
+
+  /** Q5-shaped analytics: 6-way star join with a same-nation predicate. */
+  private val q5LocalSupplier: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "q3_shipping" -> q3Shipping,
+    "q5_local_supplier" -> q5LocalSupplier,
     "p6_scalar_subquery" -> p6ScalarSubquery,
     "p7_in_subquery" -> p7InSubquery,
     "p8_cte_nullsafe" -> p8CteNullsafe,
@@ -192,6 +232,31 @@ object Advanced {
   )
 
   val oracles: Map[String, String] = Map(
+    "q3_shipping" ->
+      """SELECT l_orderkey,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,
+        |  o_orderdate, o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-03-15'
+        |  AND l_shipdate > TIMESTAMP '1995-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+    "q5_local_supplier" ->
+      """SELECT n_name,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA' AND c_nationkey = s_nationkey
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
     "p6_scalar_subquery" ->
       """SELECT o_orderkey,
         | round(o_totalprice - (SELECT avg(o_totalprice) FROM orders), 4) AS dev

@@ -39,9 +39,19 @@ object EventWindows {
         col("n_events"), col("sum_value"))
       .orderBy(col("user_id"), col("session_start"))
 
+  /** Sliding 2-day windows advancing daily — every event lands in
+    * exactly two windows. */
+  private val ev3Sliding: Q = (s, dir) =>
+    t(s, dir, "events")
+      .groupBy(window(col("ts"), "2 days", "1 day").as("w"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sum_value"))
+      .select(col("w.start").as("ws"), col("n"), col("sum_value"))
+      .orderBy(col("ws"))
+
   val queries: Map[String, Q] = Map(
     "ev1_tumbling" -> ev1Tumbling,
     "ev2_session" -> ev2Session,
+    "ev3_sliding" -> ev3Sliding,
   )
 
   val oracles: Map[String, String] = Map(
@@ -67,5 +77,15 @@ object EventWindows {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM sess GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    // Each event belongs to the window starting at its own day and the
+    // one starting the day before (2-day width, 1-day slide).
+    "ev3_sliding" ->
+      """SELECT ws, count(*) AS n, round(sum(value), 2) AS sum_value
+        |FROM (
+        |  SELECT unnest([date_trunc('day', ts),
+        |                 date_trunc('day', ts) - INTERVAL 1 DAY]) AS ws,
+        |         value
+        |  FROM events)
+        |GROUP BY ws ORDER BY ws""".stripMargin,
   )
 }
