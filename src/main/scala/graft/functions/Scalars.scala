@@ -125,7 +125,35 @@ object Scalars {
         count(col("k")).as("n_k"))
       .orderBy(col("event_type"))
 
+  /** F11: wider string surface — padding, translate, repeat, reverse,
+    * edit distance, substring position. */
+  private val f11StringExtra: Q = (s, dir) =>
+    t(s, dir, "part").select(
+      col("p_partkey"),
+      lpad(col("p_brand"), 12, "*").as("brand_lpad"),
+      rpad(col("p_brand"), 12, "-").as("brand_rpad"),
+      translate(col("p_type"), "aeiou", "AEIOU").as("type_tr"),
+      repeat(lit("ab"), 3).as("rep"),
+      reverse(col("p_name")).as("name_rev"),
+      levenshtein(col("p_brand"), lit("Brand#13")).as("brand_dist"),
+      instr(col("p_name"), "a").as("a_pos"))
+      .orderBy(col("p_partkey"))
+
+  /** F12: wider date/time surface — quarter, ISO week, day-of-year,
+    * month-end, month arithmetic (both engines clamp to month end). */
+  private val f12DatetimeExtra: Q = (s, dir) =>
+    t(s, dir, "events").select(
+      col("event_id"),
+      quarter(col("ts")).as("q"),
+      weekofyear(col("ts")).as("woy"),
+      dayofyear(col("ts")).as("doy"),
+      last_day(col("ts").cast("date")).as("month_end"),
+      add_months(col("ts").cast("date"), 3).as("plus3m"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
+    "f11_string_extra" -> f11StringExtra,
+    "f12_datetime_extra" -> f12DatetimeExtra,
     "f1_string" -> f1String,
     "f2_split_explode" -> f2SplitExplode,
     "f3_conditional" -> f3Conditional,
@@ -137,6 +165,24 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "f11_string_extra" ->
+      """SELECT p_partkey,
+        | lpad(p_brand, 12, '*') AS brand_lpad,
+        | rpad(p_brand, 12, '-') AS brand_rpad,
+        | translate(p_type, 'aeiou', 'AEIOU') AS type_tr,
+        | repeat('ab', 3) AS rep,
+        | reverse(p_name) AS name_rev,
+        | levenshtein(p_brand, 'Brand#13') AS brand_dist,
+        | strpos(p_name, 'a') AS a_pos
+        |FROM part ORDER BY p_partkey""".stripMargin,
+    "f12_datetime_extra" ->
+      """SELECT event_id,
+        | quarter(ts) AS q,
+        | weekofyear(ts) AS woy,
+        | dayofyear(ts) AS doy,
+        | last_day(CAST(ts AS DATE)) AS month_end,
+        | CAST(CAST(ts AS DATE) + INTERVAL 3 MONTH AS DATE) AS plus3m
+        |FROM events ORDER BY event_id""".stripMargin,
     "f1_string" ->
       """SELECT p_partkey, lower(p_name) AS lname, upper(p_brand) AS ubrand,
         | length(p_name) AS name_len, substr(p_name,1,5) AS name5,

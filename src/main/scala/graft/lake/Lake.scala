@@ -38,8 +38,10 @@ object Lake {
       sep: String = "\t",
       quote: String = "\"",
       trim: Boolean = true,
-      nullValue: String = "\\N"): DataFrame =
-    spark.read
+      nullValue: String = "\\N",
+      mode: String = "PERMISSIVE",
+      schema: Option[String] = None): DataFrame = {
+    val r = spark.read
       .option("sep", sep)
       .option("header", header.toString)
       .option("inferSchema", inferSchema.toString)
@@ -47,7 +49,9 @@ object Lake {
       .option("nullValue", nullValue)
       .option("ignoreLeadingWhiteSpace", trim.toString)
       .option("ignoreTrailingWhiteSpace", trim.toString)
-      .csv(path)
+      .option("mode", mode) // PERMISSIVE null-fills, DROPMALFORMED drops
+    schema.fold(r)(r.schema).csv(path)
+  }
 
   /** S3: crawler fallback without a classifier — no header row consumed,
     * every column lands as string `_c0.._cN` (reference: README.md:87-90,

@@ -79,6 +79,25 @@ class LakeSpec extends SparkSpec {
       src.orderBy("s").collect().toSeq)
   }
 
+  test("malformed rows: PERMISSIVE null-fills, DROPMALFORMED drops") {
+    val out = new java.io.File(Lake.scratchDir("t_bad"), "rows.tsv")
+    // A type-violating row (val is not an int): Spark null-pads short
+    // rows silently, but a conversion failure is "malformed".
+    java.nio.file.Files.writeString(out.toPath,
+      "id\tname\tval\n1\ta\t10\n2\tb\toops\n3\tc\t30\n")
+    val schema = Some("id int, name string, val int")
+    val permissive = Lake.readTsv(spark, out.toString,
+      inferSchema = false, schema = schema)
+    assert(permissive.count() == 3)
+    assert(permissive.filter($"id" === 2).head().isNullAt(2),
+      "unparseable value null-fills under PERMISSIVE")
+    val dropped = Lake.readTsv(spark, out.toString,
+      inferSchema = false, mode = "DROPMALFORMED", schema = schema)
+    // collect(), not count(): CSV column pruning parses zero columns for
+    // a bare count, so malformed rows would never be detected.
+    assert(dropped.collect().length == 2, "malformed row dropped")
+  }
+
   test("bulk load copies files readable in place") {
     val zone = Lake.scratchDir("t_bulk")
     Lake.bulkLoad(sf, zone)
