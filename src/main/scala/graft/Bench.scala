@@ -24,6 +24,11 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // Explicit 100 TB-posture: AQE re-plans joins at runtime and
+      // splits skewed partitions (defaults in Spark 4; pinned here so a
+      // config drift can't silently change the bench).
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
 

