@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** As-of (temporal) join — J7, the canonical "operator Spark lacks".
+  *
+  * Each left row is matched with the latest right row at or before its
+  * timestamp within the same key. Rather than a custom physical
+  * operator, this composes built-ins (preference (a) in the design
+  * brief): union both sides, one window pass per key ordered by
+  * (ts, side) carrying the right payload forward, keep left rows.
+  *
+  * Scale shape: ONE shuffle by key (the window partition), one sorted
+  * pass — same cost as a single window aggregate, no range-join
+  * explosion. Right keys must be unique per (key, ts) for
+  * deterministic results (pre-aggregate if not).
+  */
+object AsOfJoin {
+
+  /** left ⟕asof right: adds `payload` from the latest right row with
+    * rightTs <= leftTs per key (null when none precedes). */
+  def asofJoin(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      payload: String): DataFrame = {
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(0))
+      .withColumn(payload, lit(null).cast(
+        right.schema(payload).dataType))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(1).as("_side"),
+      col(payload))
+    // Right rows sort before left rows at equal _ts (side desc), so an
+    // exactly-simultaneous right row IS matched (ts >= semantics).
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .drop("_ts", "_side")
+  }
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** J7: each view event matched to the user's latest click at or
+    * before it — DuckDB recomputes with its native ASOF LEFT JOIN. */
+  private val j7Asof: Q = (s, dir) => {
+    val events = Tables.load(s, dir, "events")
+    // Unique (user_id, ts) on the right for deterministic matching.
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("click_value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"), col("ts"))
+    asofJoin(views, clicks, "user_id", "ts", "ts", "click_value")
+      .select(col("event_id"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
+  val queries: Map[String, Q] = Map("j7_asof" -> j7Asof)
+
+  val oracles: Map[String, String] = Map(
+    "j7_asof" ->
+      """WITH clicks AS (
+        |  SELECT user_id, ts, round(max(value), 2) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |views AS (
+        |  SELECT event_id, user_id, ts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT v.event_id, c.click_value
+        |FROM views v ASOF LEFT JOIN clicks c
+        |  ON v.user_id = c.user_id AND v.ts >= c.ts
+        |ORDER BY v.event_id""".stripMargin,
+  )
+}
