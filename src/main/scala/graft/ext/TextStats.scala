@@ -87,8 +87,34 @@ object TextStats {
         round(avg(stopwordRatio(col("text"))), 4).as("avg_stop_ratio"))
       .orderBy(col("lang"))
 
+  /** E6: heavy hitters via Count-Min Sketch — the fixed-size-state way
+    * to track frequent tokens at 100 TB (exact groupBy counts here are
+    * only the verification side). Asserts the CMS guarantees in-plan:
+    * estimates never undercount, and overcount is bounded by ε·N. */
+  private val e6CmsHeavyHitters: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val top = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("word")).limit(10)
+    val sketch = words.agg(
+      count_min_sketch(col("word"), lit(0.001), lit(0.99), lit(42)).as("cms"),
+      count(lit(1)).as("total"))
+    val estimate = udf { (cms: Array[Byte], w: String) =>
+      org.apache.spark.util.sketch.CountMinSketch
+        .readFrom(new java.io.ByteArrayInputStream(cms)).estimateCount(w)
+    }
+    top.crossJoin(sketch)
+      .withColumn("est", estimate(col("cms"), col("word")))
+      .agg(
+        expr("bool_and(est >= n)").as("no_undercount"),
+        expr("bool_and(est <= n + cast(0.002 * total AS BIGINT))")
+          .as("overcount_bounded"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e4_text_stats" -> e4TextStats,
+    "e6_cms_heavyhitters" -> e6CmsHeavyHitters,
   )
 
   val oracles: Map[String, String] = Map(
@@ -103,5 +129,7 @@ object TextStats {
         |   w -> w IN ('the','a','of','and','to')))::DOUBLE
         |   / greatest(len(string_split(text, ' ')), 1)), 4) AS avg_stop_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e6_cms_heavyhitters" ->
+      "SELECT true AS no_undercount, true AS overcount_bounded",
   )
 }
