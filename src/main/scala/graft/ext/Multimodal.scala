@@ -1,6 +1,6 @@
 package graft.ext
 
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -38,6 +38,65 @@ object Multimodal {
       i => (pmod(xxhash64(bin, i), lit(1000000)).cast("double") / 1000000.0)
         .cast("float"))
 
+  /** Typed record for the batched decode path. */
+  final case class MediaFeatures(doc_id: Long, n_bytes: Int,
+      features: Array[Float])
+
+  /** Partition-batched media decode — the Scala analogue of a vectorized
+    * (mapInPandas-style) decode UDF: rows stream through mapPartitions
+    * so a real codec would amortize its init (model load, decoder
+    * context) once per partition and process in batches. The codec
+    * itself is STUBBED (no media libs in this container) with the same
+    * deterministic fake as [[fakeDecodeFeatures]]; the schema, batch
+    * iteration, and partition-parallel shape are the real thing. */
+  def decodePartitioned(df: DataFrame, idCol: String, binCol: String,
+      dim: Int): Dataset[MediaFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // per-partition init happens HERE in a real decoder (once, not per row)
+        val decoderCtx = new StubDecoder(dim)
+        rows.map { case (id, bytes) =>
+          MediaFeatures(id, bytes.length, decoderCtx.decode(bytes))
+        }
+      }
+  }
+
+  /** STUB decoder: a real one wraps libjpeg/ffmpeg/an ONNX encoder.
+    * Deterministic fake — features derived from byte content. */
+  private final class StubDecoder(dim: Int) extends Serializable {
+    def decode(bytes: Array[Byte]): Array[Float] = {
+      val out = new Array[Float](dim)
+      var h = 1125899906842597L
+      var i = 0
+      while (i < bytes.length) { h = 31 * h + bytes(i); i += 1 }
+      var j = 0
+      while (j < dim) {
+        // splitmix64 avalanche so trailing-byte differences reach all bits
+        var v = h + (j + 1) * 0x9e3779b97f4a7c15L
+        v = (v ^ (v >>> 30)) * 0xbf58476d1ce4e5b9L
+        v = (v ^ (v >>> 27)) * 0x94d049bb133111ebL
+        v ^= v >>> 31
+        out(j) = ((v >>> 40) % 1000000L).toFloat / 1000000f
+        j += 1
+      }
+      out
+    }
+  }
+
+  /** STUB media resize: binary → binary (a real one re-encodes pixels;
+    * the fake truncates deterministically, preserving the shape of the
+    * transform: binary in, smaller binary out, map-only). */
+  def resizeStub(bin: Column, maxBytes: Int): Column =
+    substring(bin, 1, maxBytes)
+
+  /** STUB frame sampling: binary "video" → array<binary> of frames
+    * (fixed-stride chunks; a real one keyframe-samples). */
+  def frameSampleStub(bin: Column, frameBytes: Int, nFrames: Int): Column =
+    transform(sequence(lit(0), lit(nFrames - 1)),
+      i => bin.substr(i * frameBytes + 1, lit(frameBytes)))
+
   // ------------------------------------------------------------ queries
 
   /** E5: binary passthrough — text bytes as an opaque binary column with
@@ -64,9 +123,21 @@ object Multimodal {
       .orderBy(col("label"), col("lang"))
   }
 
+  /** E5c: the batched decode path through the oracle gate — features
+    * are stub-generated (not oracle-checkable) but id preservation and
+    * byte accounting through mapPartitions are. */
+  private val e5DecodeBatch: Q = (s, dir) =>
+    decodePartitioned(
+      t(s, dir, "documents").withColumn("bin", col("text").cast("binary")),
+      "doc_id", "bin", dim = 8)
+      .toDF()
+      .select(col("doc_id"), col("n_bytes"))
+      .orderBy(col("doc_id"))
+
   val queries: Map[String, Q] = Map(
     "e5_binary_meta" -> e5BinaryMeta,
     "e5_vector_join" -> e5VectorJoin,
+    "e5_decode_batch" -> e5DecodeBatch,
   )
 
   val oracles: Map[String, String] = Map(
@@ -80,5 +151,8 @@ object Multimodal {
         |   AS avg_norm_sq
         |FROM embeddings JOIN documents ON vec_id = doc_id
         |GROUP BY label, lang ORDER BY label, lang""".stripMargin,
+    "e5_decode_batch" ->
+      """SELECT doc_id, strlen(text) AS n_bytes
+        |FROM documents ORDER BY doc_id""".stripMargin,
   )
 }

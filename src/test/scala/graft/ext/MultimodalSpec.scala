@@ -29,6 +29,35 @@ class MultimodalSpec extends SparkSpec {
     assert(rows.toSeq == again.toSeq, "deterministic")
   }
 
+  test("decodePartitioned: batched decode keeps schema, ids, and determinism") {
+    val df = Seq((1L, "payload-one"), (2L, "payload-two"), (3L, "p3"))
+      .toDF("doc_id", "t")
+      .withColumn("bin", col("t").cast("binary"))
+      .repartition(2) // decode must be partition-parallel
+    val out = Multimodal.decodePartitioned(df, "doc_id", "bin", dim = 16)
+    val rows = out.collect().sortBy(_.doc_id)
+    assert(rows.map(_.doc_id).toSeq == Seq(1L, 2L, 3L))
+    assert(rows(0).n_bytes == 11 && rows(2).n_bytes == 2)
+    assert(rows.forall(_.features.length == 16))
+    assert(rows.forall(_.features.forall(v => v >= 0f && v < 1f)))
+    assert(!rows(0).features.sameElements(rows(1).features))
+    val again = Multimodal.decodePartitioned(df, "doc_id", "bin", 16)
+      .collect().sortBy(_.doc_id)
+    assert(rows.map(_.features.toSeq).toSeq == again.map(_.features.toSeq).toSeq)
+  }
+
+  test("resize and frame-sample stubs preserve the media transform shapes") {
+    val df = Seq("0123456789abcdef").toDF("t")
+      .withColumn("bin", col("t").cast("binary"))
+    val resized = df.select(Multimodal.resizeStub(col("bin"), 4).as("r"))
+      .head().getAs[Array[Byte]]("r")
+    assert(new String(resized) == "0123")
+    val frames = df.select(
+      Multimodal.frameSampleStub(col("bin"), frameBytes = 4, nFrames = 3).as("f"))
+      .head().getSeq[Array[Byte]](0)
+    assert(frames.map(b => new String(b)) == Seq("0123", "4567", "89ab"))
+  }
+
   test("array<float> features survive join and aggregation") {
     val feats = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f))).toDF("id", "f")
     val meta = Seq((1L, "x"), (2L, "y")).toDF("id", "tag")
