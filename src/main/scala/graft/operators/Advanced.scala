@@ -116,6 +116,27 @@ object Advanced {
       .select(col("e.key").as("r_regionkey"), col("e.value").as("r_name"))
       .orderBy(col("r_regionkey"))
 
+  /** A10: PIVOT — status values become columns per priority row. */
+  private val a10Pivot: Q = (s, dir) =>
+    t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+      .orderBy(col("o_orderpriority"))
+
+  /** A10b: UNPIVOT (melt) — wide back to long; the inverse shape. */
+  private val a10Unpivot: Q = (s, dir) => {
+    val wide = t(s, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .count()
+    wide.unpivot(
+      Array(col("o_orderpriority")),
+      Array(col("F"), col("O"), col("P")),
+      "status", "n")
+      .orderBy(col("o_orderpriority"), col("status"))
+  }
+
   // ------------------------------------------------- scale-layout ops
 
   /** K6: bucketed co-located join — both fact tables bucketed on the
@@ -223,6 +244,8 @@ object Advanced {
     "p7_in_subquery" -> p7InSubquery,
     "p8_cte_nullsafe" -> p8CteNullsafe,
     "a9_grouping_sets" -> a9GroupingSets,
+    "a10_pivot" -> a10Pivot,
+    "a10_unpivot" -> a10Unpivot,
     "l4_offset" -> l4Offset,
     "w4_distribution" -> w4Distribution,
     "f9_nested_rt" -> f9NestedRt,
@@ -284,6 +307,14 @@ object Advanced {
         |FROM lineitem
         |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus), ())
         |ORDER BY rf, ls""".stripMargin,
+    "a10_pivot" ->
+      """PIVOT (SELECT o_orderpriority, o_orderstatus FROM orders)
+        |ON o_orderstatus IN ('F','O','P') USING count(*)
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin,
+    "a10_unpivot" ->
+      """SELECT o_orderpriority, o_orderstatus AS status, count(*) AS n
+        |FROM orders GROUP BY o_orderpriority, o_orderstatus
+        |ORDER BY o_orderpriority, status""".stripMargin,
     "l4_offset" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY o_orderkey LIMIT 10 OFFSET 50""".stripMargin,
