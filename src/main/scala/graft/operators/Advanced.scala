@@ -144,9 +144,14 @@ object Advanced {
     * side (the bucketing replaces the shuffle; at 100 TB this is the
     * difference between a join and a cluster-wide reshuffle). */
   private val k6BucketedJoin: Q = (s, dir) => {
+    // Session-unique table names: concurrent sessions share the
+    // warehouse dir, and a fixed name lets one session overwrite the
+    // other's bucketed tables mid-query (observed live).
+    val sfx = math.abs(s.sparkContext.applicationId.hashCode).toString
+    val (ordersTbl, lineitemTbl) = (s"graft_b_orders_$sfx", s"graft_b_lineitem_$sfx")
     // A fresh in-memory catalog doesn't know tables whose warehouse
     // location survived a previous session — drop both name and files.
-    Seq("graft_b_orders", "graft_b_lineitem").foreach { tbl =>
+    Seq(ordersTbl, lineitemTbl).foreach { tbl =>
       s.sql(s"DROP TABLE IF EXISTS $tbl")
       val loc = new java.io.File(
         s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
@@ -158,12 +163,12 @@ object Advanced {
     }
     t(s, dir, "orders").write.mode("overwrite")
       .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
-      .saveAsTable("graft_b_orders")
+      .saveAsTable(ordersTbl)
     t(s, dir, "lineitem").write.mode("overwrite")
       .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
-      .saveAsTable("graft_b_lineitem")
-    s.table("graft_b_lineitem")
-      .join(s.table("graft_b_orders"), col("l_orderkey") === col("o_orderkey"))
+      .saveAsTable(lineitemTbl)
+    s.table(lineitemTbl)
+      .join(s.table(ordersTbl), col("l_orderkey") === col("o_orderkey"))
       .groupBy(col("o_orderstatus"))
       .agg(count(lit(1)).as("n_items"),
         round(sum(col("l_quantity")), 2).as("qty"))
