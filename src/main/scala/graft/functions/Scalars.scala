@@ -151,7 +151,21 @@ object Scalars {
       add_months(col("ts").cast("date"), 3).as("plus3m"))
       .orderBy(col("event_id"))
 
+  /** F13: structured JSON parsing — from_json with an explicit schema
+    * into a struct, fields projected out (the typed counterpart of
+    * f8's path extraction), plus to_json round trip. */
+  private val f13FromJson: Q = (s, dir) =>
+    t(s, dir, "events")
+      .withColumn("j", from_json(col("props"), lit("k INT"),
+        new java.util.HashMap[String, String]()))
+      .select(
+        col("event_id"),
+        col("j.k").as("k"),
+        to_json(struct(col("j.k").as("k"))).as("rt"))
+      .orderBy(col("event_id"))
+
   val queries: Map[String, Q] = Map(
+    "f13_from_json" -> f13FromJson,
     "f11_string_extra" -> f11StringExtra,
     "f12_datetime_extra" -> f12DatetimeExtra,
     "f1_string" -> f1String,
@@ -165,6 +179,11 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "f13_from_json" ->
+      """SELECT event_id,
+        | try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k,
+        | '{"k":' || json_extract_string(props, '$.k') || '}' AS rt
+        |FROM events ORDER BY event_id""".stripMargin,
     "f11_string_extra" ->
       """SELECT p_partkey,
         | lpad(p_brand, 12, '*') AS brand_lpad,
