@@ -10,6 +10,7 @@ object BenchOne {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
       .config("spark.sql.extensions", "graft.plans.GraftExtensions")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     (1 to 3).foreach { i =>

@@ -21,6 +21,7 @@ object PlanAudit {
       // AQE wraps plans in AdaptiveSparkPlan(isFinalPlan=false), hiding
       // codegen spans until execution — audit the static plan instead.
       .config("spark.sql.adaptive.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>

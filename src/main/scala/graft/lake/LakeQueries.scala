@@ -169,6 +169,72 @@ object LakeQueries {
         |ORDER BY n_name, r_name""".stripMargin)
   }
 
+  /** S5b: two-database catalog — raw and processed zones as real
+    * catalog databases (demo_stack.py:94-100), tables published with
+    * saveAsTable and addressed as `db.table` in SQL (:272). Database
+    * names carry a session+sf suffix because concurrent sessions share
+    * the warehouse dir (see k6's race note); CatalogSpec proves the
+    * same layout survives a session restart under a Hive metastore. */
+  private val s5bCatalogDb: Q = (s, dir) => {
+    val sfx = math.abs((s.sparkContext.applicationId + dir).hashCode).toString
+    val (rawDb, procDb) = (s"raw_$sfx", s"processed_$sfx")
+    Catalog.publish(s, rawDb, "nation", t(s, dir, "nation"))
+    Catalog.publish(s, procDb, "supplier_stats",
+      t(s, dir, "supplier").groupBy(col("s_nationkey"))
+        .agg(count(lit(1)).as("n_suppliers"),
+          round(sum(col("s_acctbal")), 2).as("total_bal")))
+    s.sql(
+      s"""SELECT n.n_name, p.n_suppliers, p.total_bal
+         |FROM $procDb.supplier_stats p
+         |JOIN $rawDb.nation n ON p.s_nationkey = n.n_nationkey
+         |ORDER BY n.n_name""".stripMargin)
+  }
+
+  /** The reference's WHOLE flagship path as one oracle-gated pipeline
+    * (csv_to_parquet.py + demo_stack.py:284-293): IMDB-shaped TSVs land
+    * in a raw zone with `\N` nulls → the ETL job resolves the
+    * birthYear-style choice column (all-string read + try_cast
+    * ApplyMapping), writes dual parquet (birthYear-partitioned + flat)
+    * → crawler-style registration under the `with_classifier_` prefix →
+    * the demo's ratings⋈basics join. Fixtures derive from testdata
+    * (customer/orders) so DuckDB recomputes the whole thing exactly.
+    * The rating rides as o_totalprice/1024 — a binary-exact division,
+    * so the TSV round trip and both engines agree to the bit. */
+  private val etlImdbJoin: Q = (s, dir) => {
+    val root = Lake.scratchDir("imdb")
+    Lake.writeTsv(
+      t(s, dir, "customer").select(
+        concat(lit("nm"), col("c_custkey")).as("nconst"),
+        col("c_name").as("primaryName"),
+        when(col("c_nationkey") < 5, lit(null).cast("string"))
+          .otherwise((col("c_nationkey") + 1900).cast("string"))
+          .as("birthYear")),
+      s"$root/name.basics")
+    Lake.writeTsv(
+      t(s, dir, "orders").select(
+        concat(lit("nm"), col("o_custkey")).as("nconst"),
+        (col("o_totalprice") / 1024).as("rating")),
+      s"$root/name.ratings")
+    val (outPart, outFlat) = (s"$root/basics_part", s"$root/basics_flat")
+    Etl.tsvToParquet(s, s"$root/name.basics",
+      Seq(Mapping("nconst", "nconst", "string"),
+        Mapping("primaryName", "primaryName", "string"),
+        Mapping("birthYear", "birthYear", "int")),
+      outPart, outFlat, Seq("birthYear"))
+    Lake.register(s, Map(
+      "name.basics" -> Lake.readPartitioned(s, outPart),
+      "name.ratings" -> Lake.readTsv(s, s"$root/name.ratings")),
+      prefix = "with_classifier_")
+    s.sql(
+      """SELECT b.primaryName, b.birthYear, count(*) AS n_titles,
+        |  round(avg(r.rating), 4) AS avg_rating
+        |FROM with_classifier_name_ratings r
+        |JOIN with_classifier_name_basics b ON r.nconst = b.nconst
+        |WHERE b.birthYear IS NOT NULL
+        |GROUP BY b.primaryName, b.birthYear
+        |ORDER BY b.primaryName""".stripMargin)
+  }
+
   /** K5: crawler-style registration under a name prefix
     * (`with_classifier_`, demo_stack.py:144/:186). */
   private val k5RegisterPrefix: Q = (s, dir) => {
@@ -189,6 +255,8 @@ object LakeQueries {
     "k3_results_csv" -> k3ResultsCsv,
     "k4_bulk_load" -> k4BulkLoad,
     "s5_catalog_sql" -> s5CatalogSql,
+    "s5b_catalog_db" -> s5bCatalogDb,
+    "etl_imdb_join" -> etlImdbJoin,
     "k5_register_prefix" -> k5RegisterPrefix,
   )
 
@@ -230,5 +298,19 @@ object LakeQueries {
     "k5_register_prefix" ->
       """SELECT n_regionkey, count(*) AS n FROM nation
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin,
+    "s5b_catalog_db" ->
+      """SELECT n.n_name, p.n_suppliers, p.total_bal
+        |FROM (SELECT s_nationkey, count(*) AS n_suppliers,
+        |        round(sum(s_acctbal), 2) AS total_bal
+        |      FROM supplier GROUP BY s_nationkey) p
+        |JOIN nation n ON p.s_nationkey = n.n_nationkey
+        |ORDER BY n.n_name""".stripMargin,
+    "etl_imdb_join" ->
+      """SELECT c_name AS primaryName, c_nationkey + 1900 AS birthYear,
+        |  count(*) AS n_titles, round(avg(o_totalprice / 1024), 4) AS avg_rating
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |WHERE c_nationkey >= 5
+        |GROUP BY c_name, c_nationkey
+        |ORDER BY primaryName""".stripMargin,
   )
 }

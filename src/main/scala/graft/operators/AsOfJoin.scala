@@ -29,20 +29,23 @@ object AsOfJoin {
     val l = left
       .withColumn("_ts", col(leftTs))
       .withColumn("_side", lit(0))
-      .withColumn(payload, lit(null).cast(
-        right.schema(payload).dataType))
+    // The payload rides inside a never-null struct marker: last(...,
+    // ignoreNulls) must skip LEFT rows but still match a right row whose
+    // payload is NULL (a bare `last(payload)` would silently substitute
+    // an earlier non-null right row, diverging from ASOF semantics).
     val r = right.select(
       col(key), col(rightTs).as("_ts"), lit(1).as("_side"),
-      col(payload))
+      struct(col(payload)).as("_p"))
     // Right rows sort before left rows at equal _ts (side desc), so an
     // exactly-simultaneous right row IS matched (ts >= semantics).
     val w = Window.partitionBy(col(key))
       .orderBy(col("_ts"), col("_side").desc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     l.unionByName(r, allowMissingColumns = true)
-      .withColumn(payload, last(col(payload), ignoreNulls = true).over(w))
+      .withColumn(payload,
+        last(col("_p"), ignoreNulls = true).over(w).getField(payload))
       .filter(col("_side") === 0)
-      .drop("_ts", "_side")
+      .drop("_ts", "_side", "_p")
   }
 
   type Q = (SparkSession, String) => DataFrame

@@ -23,19 +23,24 @@ object Federated {
   type Q = (SparkSession, String) => DataFrame
 
   /** S8: key-value source — items addressed by key, scanned as a
-    * DataFrame (the connector contract: scan + key lookup). Backing
-    * store is an in-memory map standing in for the remote KV service. */
-  final class KeyValueSource(spark: SparkSession,
-      items: Seq[(Long, Map[String, String])]) {
-    private val df: DataFrame = {
-      import spark.implicits._
-      items.toDF("kv_key", "attrs")
+    * DataFrame through the DSv2 `TableProvider` connector
+    * (graft.sources.kv.KvSource): segment-parallel scan, key-equality
+    * pushdown to point lookups, column pruning at the reader. The
+    * backing store stands in for the remote KV service. */
+  final class KeyValueSource(spark: SparkSession, val storeName: String) {
+    def this(spark: SparkSession, items: Seq[(Long, Map[String, String])]) = {
+      this(spark, s"anon_${java.util.UUID.randomUUID().toString.take(8)}")
+      kv.KvStore.put(storeName, items)
     }
-    /** Full scan (what a federated SELECT compiles to). */
-    def scan(): DataFrame = df
-    /** Point lookups (what a key-equality predicate pushes down to). */
+    /** Full scan (what a federated SELECT compiles to) — a real DSv2
+      * scan, not a driver-built DataFrame. */
+    def scan(): DataFrame =
+      spark.read.format(classOf[kv.KvSource].getName)
+        .option("store", storeName).load()
+    /** Point lookups — the key-equality predicate pushes down into the
+      * connector, which plans only the matching items. */
     def lookup(keys: Seq[Long]): DataFrame =
-      df.filter(col("kv_key").isin(keys: _*))
+      scan().filter(col("kv_key").isin(keys: _*))
   }
 
   /** Registry unifying heterogeneous sources under names — the catalog
@@ -60,23 +65,37 @@ object Federated {
       .mode("overwrite")
       .save()
 
-  /** S9: relational scan over JDBC. */
-  def jdbcRead(spark: SparkSession, table: String): DataFrame =
-    spark.read.format("jdbc")
+  /** S9: relational scan over JDBC. With `partition` = (column, lower,
+    * upper, n), Spark issues n concurrent range-predicated queries
+    * (`WHERE col >= x AND col < y` per task) — the production posture
+    * for an Aurora-sized table, where a single-connection scan would
+    * funnel everything through one task. Predicates and column pruning
+    * push down to the remote engine either way (JDBC relation). */
+  def jdbcRead(spark: SparkSession, table: String,
+      partition: Option[(String, Long, Long, Int)] = None): DataFrame = {
+    val base = spark.read.format("jdbc")
       .option("url", DerbyUrl)
       .option("dbtable", table)
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
-      .load()
+    partition.fold(base) { case (c, lo, hi, n) =>
+      base.option("partitionColumn", c)
+        .option("lowerBound", lo)
+        .option("upperBound", hi)
+        .option("numPartitions", n)
+    }.load()
+  }
 
-  /** Build the demo KV store: nation rows as key→attribute items. */
+  /** Build the demo KV store: nation rows bulk-loaded as key→attribute
+    * items through the service's write path — each partition writes its
+    * own rows (no driver-side collect anywhere in the pipeline). */
   private def nationKv(s: SparkSession, dir: String): KeyValueSource = {
-    val rows = t(s, dir, "nation")
-      .select(col("n_nationkey").cast("long"), col("n_name"),
-        col("n_regionkey").cast("string"))
-      .collect() // 25 rows — the KV store is a small dimension by design
-      .map(r => (r.getLong(0),
-        Map("name" -> r.getString(1), "regionkey" -> r.getString(2))))
-    new KeyValueSource(s, rows.toSeq)
+    val name = s"nation_${math.abs(dir.hashCode)}"
+    kv.KvStore.bulkLoad(name,
+      t(s, dir, "nation").select(
+        col("n_nationkey").cast("long").as("kv_key"),
+        map(lit("name"), col("n_name"),
+          lit("regionkey"), col("n_regionkey").cast("string")).as("attrs")))
+    new KeyValueSource(s, name)
   }
 
   // ------------------------------------------------------------ queries
@@ -93,10 +112,10 @@ object Federated {
   }
 
   /** S9: relational source round trip — region through embedded Derby
-    * over real JDBC, read back and ordered. */
+    * over real JDBC, read back as a 4-partition parallel range scan. */
   private val s9Jdbc: Q = (s, dir) => {
     jdbcWrite(t(s, dir, "region"), "region_rel")
-    jdbcRead(s, "region_rel")
+    jdbcRead(s, "region_rel", Some(("r_regionkey", 0L, 5L, 4)))
       .select(col("r_regionkey").cast("int"), col("r_name"))
       .orderBy(col("r_regionkey"))
   }

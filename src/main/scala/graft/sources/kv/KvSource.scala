@@ -1,0 +1,182 @@
+package graft.sources.kv
+
+import java.util.concurrent.ConcurrentHashMap
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.sources.{EqualTo, Filter, In}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+/** In-memory stand-in for the remote key-value service the reference
+  * federates (DynamoDB behind a Lambda connector,
+  * stacks/demo_stack.py:308-323, table at :396-409). The store itself is
+  * a process-local registry; everything Spark-facing — segment-parallel
+  * scan, key-predicate pushdown, column pruning — is the real connector
+  * contract a production KV connector implements.
+  */
+object KvStore {
+  private val stores =
+    new ConcurrentHashMap[String, ConcurrentHashMap[java.lang.Long, Map[String, String]]]()
+
+  private def store(name: String) =
+    stores.computeIfAbsent(name, _ => new ConcurrentHashMap[java.lang.Long, Map[String, String]]())
+
+  /** Direct item put (the service's write API; test fixtures). */
+  def put(name: String, items: Seq[(Long, Map[String, String])]): Unit = {
+    val s = store(name)
+    items.foreach { case (k, v) => s.put(k, v) }
+  }
+
+  /** Distributed bulk load: each partition writes its rows through the
+    * service client — no driver-side collect. `df` must have columns
+    * (kv_key long, attrs map<string,string>). In local mode the
+    * "client" is the shared registry; on a cluster it would be the
+    * remote service connection the partition opens. */
+  def bulkLoad(name: String, df: DataFrame): Unit = {
+    import org.apache.spark.sql.Row
+    df.select("kv_key", "attrs").foreachPartition { it: Iterator[Row] =>
+      val s = store(name)
+      it.foreach { r =>
+        s.put(r.getLong(0), r.getMap[String, String](1).toMap)
+      }
+    }
+  }
+
+  /** Scan-time snapshot (driver side, planning only — item payloads are
+    * shipped inside input partitions, mirroring a parallel-scan segment
+    * descriptor that carries its page of items). */
+  def items(name: String): Seq[(Long, Map[String, String])] =
+    store(name).asScala.toSeq.map { case (k, v) => (k.longValue(), v) }
+      .sortBy(_._1)
+}
+
+/** DataSource V2 provider: `spark.read.format(classOf[KvSource].getName)
+  * .option("store", name).load()` — a `TableProvider` whose scans push
+  * key-equality predicates down to point lookups and prune columns at
+  * the source (SURVEY §2.1 S8: "external TableProvider (DSv2)"). */
+class KvSource extends TableProvider {
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    KvSource.Schema
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: java.util.Map[String, String]): Table =
+    new KvTable(properties.get("store"),
+      Option(properties.get("segments")).map(_.toInt).getOrElse(4))
+}
+
+object KvSource {
+  val Schema: StructType = StructType(Seq(
+    StructField("kv_key", LongType, nullable = false),
+    StructField("attrs", MapType(StringType, StringType), nullable = true)))
+}
+
+private[kv] class KvTable(storeName: String, segments: Int)
+    extends Table with SupportsRead {
+  override def name(): String = s"kv:$storeName"
+  override def schema(): StructType = KvSource.Schema
+  override def capabilities(): java.util.Set[TableCapability] =
+    java.util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new KvScanBuilder(storeName, segments)
+}
+
+/** Pushdown happens here: key-equality filters (EqualTo/In on kv_key)
+  * are accepted and turn the scan into point lookups — only matching
+  * items are planned into partitions; everything else stays a full
+  * segment-parallel scan. Column pruning drops unreferenced columns at
+  * the reader. */
+private[kv] class KvScanBuilder(storeName: String, segments: Int)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private var pushedKeys: Option[Set[Long]] = None
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = KvSource.Schema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (accepted, rejected) = filters.partition {
+      case EqualTo("kv_key", _: Long) => true
+      case In("kv_key", vs) => vs.forall(_.isInstanceOf[Long])
+      case _ => false
+    }
+    val keys = accepted.flatMap {
+      case EqualTo(_, v: Long) => Seq(v)
+      case In(_, vs) => vs.map(_.asInstanceOf[Long]).toSeq
+      case _ => Nil
+    }.toSet
+    if (accepted.nonEmpty) pushedKeys = Some(keys)
+    pushed = accepted
+    rejected // Spark re-evaluates anything the source didn't take
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan = new KvScan(storeName, segments, pushedKeys, required)
+}
+
+private[kv] class KvScan(storeName: String, segments: Int,
+    pushedKeys: Option[Set[Long]], required: StructType)
+    extends Scan with Batch {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"kv:$storeName pushedKeys=${pushedKeys.fold("*")(_.toSeq.sorted.mkString("[", ",", "]"))} " +
+      s"readSchema=${required.fieldNames.mkString(",")}"
+
+  override def toBatch: Batch = this
+
+  override def planInputPartitions(): Array[InputPartition] = {
+    val all = KvStore.items(storeName)
+    val selected = pushedKeys.fold(all)(ks => all.filter(i => ks(i._1)))
+    // Hash items across segments — a parallel scan over key-space
+    // segments, each partition carrying its page of items.
+    val n = math.max(1, math.min(segments, math.max(1, selected.size)))
+    (0 until n).map { seg =>
+      KvInputPartition(
+        selected.filter(i => java.lang.Math.floorMod(i._1, n.toLong) == seg).toArray)
+        .asInstanceOf[InputPartition]
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new KvReaderFactory(required)
+}
+
+private[kv] case class KvInputPartition(items: Array[(Long, Map[String, String])])
+    extends InputPartition
+
+private[kv] class KvReaderFactory(required: StructType)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val items = partition.asInstanceOf[KvInputPartition].items
+    val fields = required.fieldNames
+    new PartitionReader[InternalRow] {
+      private var i = -1
+      override def next(): Boolean = { i += 1; i < items.length }
+      override def get(): InternalRow = {
+        val (k, attrs) = items(i)
+        val values: Array[Any] = fields.map {
+          case "kv_key" => k
+          case "attrs" =>
+            new ArrayBasedMapData(
+              new GenericArrayData(attrs.keys.map(UTF8String.fromString).toArray[Any]),
+              new GenericArrayData(attrs.values.map(UTF8String.fromString).toArray[Any]))
+        }
+        new GenericInternalRow(values)
+      }
+      override def close(): Unit = ()
+    }
+  }
+}

@@ -14,6 +14,9 @@ trait SparkSpec extends AnyFunSuite {
     .config("spark.ui.enabled", "false")
     .config("spark.sql.extensions", "graft.plans.GraftExtensions")
     .config("spark.sql.warehouse.dir", "/tmp/graft_warehouse")
+    // events.ts is parquet INT64 TIMESTAMP(NANOS); set once at session
+    // creation (Tables.load must not mutate session config mid-query).
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .getOrCreate()
 
   /** sf0.001 testdata root (TESTDATA.md). */

@@ -56,6 +56,26 @@ class DedupSpec extends SparkSpec {
     assert(ham(1, 4) > 16, s"unrelated pair too close: ${ham(1, 4)}")
   }
 
+  test("simhash banding: pigeonhole recall within radius, linear candidate budget") {
+    val docs = Tables.load(spark, sf, "documents")
+    val n = docs.count()
+    val cand = Dedup.simhashCandidates(docs, "doc_id", "text").cache()
+    // every pair the exact refinement keeps must come out of banding —
+    // verified against the fingerprints directly: any (a,b) with
+    // Hamming <= 11 must be a candidate (pigeonhole guarantee).
+    val fps = docs.select($"doc_id".as("id"),
+      simhash64(Dedup.shingles($"text", 3)).as("fp"))
+    val within = fps.as("x").join(fps.as("y"), $"x.id" < $"y.id")
+      .select($"x.id".as("a"), $"y.id".as("b"),
+        bit_count($"x.fp".bitwiseXOR($"y.fp")).as("h"))
+      .filter($"h" <= 11)
+    val missed = within.join(cand.select("a", "b"), Seq("a", "b"), "left_anti").count()
+    assert(missed == 0, s"banding missed $missed pairs inside the Hamming-11 radius")
+    val nCand = cand.count()
+    info(s"simhash candidates: $nCand over n=$n docs (${nCand / n.toDouble}%.1f per doc)")
+    assert(nCand <= 64 * n, s"candidate volume $nCand exceeds 64*n linear budget")
+  }
+
   test("simhash64 is registered for SQL via GraftExtensions") {
     val v = spark.sql("SELECT simhash64(array('a','b','c')) AS h")
       .head().getLong(0)

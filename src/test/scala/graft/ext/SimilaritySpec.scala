@@ -22,22 +22,25 @@ class SimilaritySpec extends SparkSpec {
 
   test("annCandidates recall over embeddings clears the query's bound with margin") {
     val emb = Tables.load(spark, sf, "embeddings")
-    val exact = Similarity.bruteForceTopK(emb.filter($"vec_id" < 50), emb, 5)
+    val queries = emb.filter($"vec_id" < 50)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5)
       .select("q_id", "c_id")
-    val cand = Similarity.annCandidates(emb, nTables = 20, bitsPerTable = 6)
+    val cand = Similarity.annCandidates(emb, queries).cache()
     val total = exact.count().toDouble
-    val hits = exact.join(cand, Seq("q_id", "c_id"), "left_semi").count()
-    val n = emb.count().toDouble
-    val candFrac = cand.count() / (n * (n - 1))
-    info(f"ANN recall@5 = ${hits / total}%.3f, candidate fraction = $candFrac%.3f")
+    val hits = exact.join(cand.select("q_id", "c_id"),
+      Seq("q_id", "c_id"), "left_semi").count()
+    val maxPerQ = cand.groupBy("q_id").count()
+      .agg(max("count")).head().getLong(0)
+    info(f"ANN recall@5 = ${hits / total}%.3f, max candidates/query = $maxPerQ")
     assert(hits / total >= 0.55, s"recall ${hits / total} too low")
-    assert(candFrac <= 0.35, s"candidate volume $candFrac defeats LSH's purpose")
+    assert(maxPerQ <= 150, s"per-query budget violated: $maxPerQ")
   }
 
-  test("hyperplane signatures are deterministic across evaluations") {
-    val emb = Tables.load(spark, sf, "embeddings").limit(20)
-    val a = Similarity.annCandidates(emb, 4, 8).count()
-    val b = Similarity.annCandidates(emb, 4, 8).count()
+  test("annCandidates is deterministic across evaluations") {
+    val emb = Tables.load(spark, sf, "embeddings").limit(40)
+    val q = emb.limit(5)
+    val a = Similarity.annCandidates(emb, q, budget = 10, tau = 140).count()
+    val b = Similarity.annCandidates(emb, q, budget = 10, tau = 140).count()
     assert(a == b)
   }
 }

@@ -13,6 +13,22 @@ class FederatedSpec extends SparkSpec {
     assert(got.toSeq == Seq(1L, 3L))
   }
 
+  test("KV DSv2 scan: key predicate pushes down to point lookups") {
+    val kvs = new Federated.KeyValueSource(spark,
+      (0L until 100L).map(i => (i, Map("v" -> s"x$i"))))
+    val looked = kvs.lookup(Seq(7L, 42L))
+    val plan = looked.queryExecution.executedPlan.toString()
+    assert(plan.contains("pushedKeys=[7,42]"),
+      s"key filter must reach the connector, plan:\n$plan")
+    assert(looked.select("kv_key").as[Long].collect().sorted.toSeq == Seq(7L, 42L))
+    // attrs unreferenced -> column pruning reaches the reader
+    val pruned = kvs.scan().select("kv_key")
+    assert(pruned.queryExecution.executedPlan.toString().contains("readSchema=kv_key"),
+      "unused attrs column must be pruned at the source")
+    // full scan fans out over segments
+    assert(kvs.scan().rdd.getNumPartitions == 4)
+  }
+
   test("JDBC round trip through embedded Derby preserves rows") {
     val src = Seq((1, "x", 1.5), (2, "y", 2.5)).toDF("id", "s", "d")
     Federated.jdbcWrite(src, "spec_rt")
@@ -21,6 +37,19 @@ class FederatedSpec extends SparkSpec {
     val r = back.collect()
     assert(r(0).getAs[Int]("id") == 1 && r(0).getAs[String]("s") == "x")
     assert(r(1).getAs[Double]("d") == 2.5)
+  }
+
+  test("partitioned JDBC read is a parallel range scan with pushdown") {
+    val src = (0 until 100).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    Federated.jdbcWrite(src, "spec_part")
+    val df = Federated.jdbcRead(spark, "spec_part", Some(("id", 0L, 100L, 4)))
+    assert(df.rdd.getNumPartitions == 4, "range scan must fan out over partitions")
+    assert(df.count() == 100, "range partitions must cover every row exactly once")
+    val filtered = df.filter($"id" >= 90)
+    val plan = filtered.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedFilters") && plan.contains("GreaterThanOrEqual"),
+      s"filter must push to the JDBC source, plan:\n$plan")
+    assert(filtered.count() == 10)
   }
 
   test("SourceRegistry unifies sources under names") {
