@@ -137,9 +137,32 @@ object Similarity {
       (col("max_per_q") <= 150).as("cand_budget_ok"))
   }
 
+  /** PRODUCTION near-dup path: candidates from the compressed-signature
+    * scan (absolute per-vector budget), exact cosine refinement on
+    * candidates only — never all pairs. Returns (a, b, sim) with a < b,
+    * sim ≥ threshold. The signature Hamming bound dominates the cost:
+    * refinement touches ≤ budget·n pairs regardless of corpus size. */
+  def cosineNearDupViaAnn(vecs: DataFrame, threshold: Double,
+      budget: Int = 150, tau: Int = 112): DataFrame = {
+    val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val cand = annCandidates(vecs, vecs, budget, tau)
+      // symmetric dedup: each unordered pair refined once
+      .filter(col("q_id") < col("c_id"))
+      .select(col("q_id").as("a"), col("c_id").as("b"))
+    cand
+      .join(v.as("va"), col("a") === col("va.vec_id"))
+      .join(v.as("vb"), col("b") === col("vb.vec_id"))
+      .withColumn("cos",
+        dot(col("va.v"), col("vb.v")) / (col("va.nrm") * col("vb.nrm")))
+      .filter(col("cos") >= threshold)
+      .select(col("a"), col("b"), round(col("cos"), 6).as("sim"))
+  }
+
   /** E3c: embedding-cosine near-duplicate pairs — exact all-pairs here
-    * (the corpus is the query set); at scale the identical refinement
-    * runs over annCandidates buckets instead of the full cross product.
+    * as the verification harness (the DuckDB oracle recomputes the same
+    * cross product); the production path is `cosineNearDupViaAnn`,
+    * whose recall against this exact result is spec-tested.
     * Threshold 0.45 sits just under the corpus max (0.513). */
   private val e3CosineNearDup: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")

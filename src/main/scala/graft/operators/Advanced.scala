@@ -60,6 +60,32 @@ object Advanced {
         |ORDER BY a_key, b_key""".stripMargin)
   }
 
+  /** P9: correlated EXISTS / NOT EXISTS — planned as semi/anti joins
+    * (the remaining subquery shape after p6 scalar and p7 IN). */
+  private val p9Exists: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """SELECT s_suppkey, s_name,
+        |  EXISTS (SELECT 1 FROM lineitem
+        |          WHERE l_suppkey = s_suppkey AND l_quantity > 49) AS has_bulk
+        |FROM supplier
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_suppkey = s_suppkey AND l_discount > 0.09)
+        |ORDER BY s_suppkey""".stripMargin)
+  }
+
+  /** W5: ntile — equi-depth bucketing within a partition (the remaining
+    * ranking-family window after w1 rank/dense_rank/row_number). */
+  private val w5Ntile: Q = (s, dir) => {
+    val w = Window.partitionBy(col("o_orderstatus"))
+      .orderBy(col("o_totalprice"), col("o_orderkey"))
+    t(s, dir, "orders")
+      .filter(col("o_orderkey") <= 2000)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        ntile(4).over(w).as("quartile"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** A9: explicit GROUPING SETS with grouping() markers (rollup/cube are
     * the pre-canned shapes; this is the general one). */
   private val a9GroupingSets: Q = (s, dir) => {
@@ -284,6 +310,8 @@ object Advanced {
     "p6_scalar_subquery" -> p6ScalarSubquery,
     "p7_in_subquery" -> p7InSubquery,
     "p8_cte_nullsafe" -> p8CteNullsafe,
+    "p9_exists" -> p9Exists,
+    "w5_ntile" -> w5Ntile,
     "a9_grouping_sets" -> a9GroupingSets,
     "a10_pivot" -> a10Pivot,
     "a10_unpivot" -> a10Unpivot,
@@ -341,6 +369,20 @@ object Advanced {
         | AND a.c_custkey < b.c_custkey
         |WHERE a.c_custkey <= 20 AND b.c_custkey <= 20
         |ORDER BY a_key, b_key""".stripMargin,
+    "p9_exists" ->
+      """SELECT s_suppkey, s_name,
+        |  EXISTS (SELECT 1 FROM lineitem
+        |          WHERE l_suppkey = s_suppkey AND l_quantity > 49) AS has_bulk
+        |FROM supplier
+        |WHERE NOT EXISTS (SELECT 1 FROM lineitem
+        |                  WHERE l_suppkey = s_suppkey AND l_discount > 0.09)
+        |ORDER BY s_suppkey""".stripMargin,
+    "w5_ntile" ->
+      """SELECT o_orderkey, o_orderstatus,
+        |  ntile(4) OVER (PARTITION BY o_orderstatus
+        |                 ORDER BY o_totalprice, o_orderkey) AS quartile
+        |FROM orders WHERE o_orderkey <= 2000
+        |ORDER BY o_orderkey""".stripMargin,
     "a9_grouping_sets" ->
       """SELECT coalesce(l_returnflag, '-') AS rf,
         |  coalesce(l_linestatus, '-') AS ls,

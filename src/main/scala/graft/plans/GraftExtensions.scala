@@ -2,22 +2,50 @@ package graft.plans
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
-import graft.functions.SimHash64
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import graft.functions.{HyperplaneSig, MinHashSig, SimHash64}
 
 /** Session extensions — the sanctioned plug-in point for custom
   * expressions (enable with
   * `.config("spark.sql.extensions", "graft.plans.GraftExtensions")`).
   *
-  * Registers `simhash64` for SQL callers; DataFrame callers can use
-  * [[graft.functions.SimHash64.simhash64]] directly without any session
+  * Registers the native sketch expressions for SQL callers
+  * (`simhash64(arr)`, `minhash_sig(arr, k)`,
+  * `hyperplane_sig(vec, nPlanes, seed)` — the non-array arguments must
+  * be literals, as they shape the kernel); DataFrame callers can use
+  * the companion-object entry points directly without any session
   * configuration.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
+
+  private def litInt(e: Expression, what: String): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
+  private def litLong(e: Expression, what: String): Long = e match {
+    case Literal(v: Int, _) => v.toLong
+    case Literal(v: Long, _) => v
+    case other => throw new IllegalArgumentException(
+      s"$what must be an integer literal, got $other")
+  }
+
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction((
       new FunctionIdentifier("simhash64"),
       new ExpressionInfo(classOf[SimHash64].getName, "simhash64"),
       (exprs: Seq[Expression]) => SimHash64(exprs.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("minhash_sig"),
+      new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
+      (exprs: Seq[Expression]) =>
+        MinHashSig(exprs.head, litInt(exprs(1), "minhash_sig k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("hyperplane_sig"),
+      new ExpressionInfo(classOf[HyperplaneSig].getName, "hyperplane_sig"),
+      (exprs: Seq[Expression]) =>
+        HyperplaneSig(exprs.head, litInt(exprs(1), "hyperplane_sig nPlanes"),
+          litLong(exprs(2), "hyperplane_sig seed"))))
   }
 }

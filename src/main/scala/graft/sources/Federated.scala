@@ -10,10 +10,13 @@ import graft.Tables
   * database (Aurora MySQL, :372-394) next to the lake.
   *
   * The Spark model is the same as Athena's: every connector surfaces a
-  * DataFrame, after which joins/aggregations are source-agnostic. Here
-  * the key-value store is an in-memory adapter and the relational source
-  * is embedded Derby over real JDBC — same code paths
-  * (`spark.read.format("jdbc")`) a production MySQL/Postgres would use.
+  * DataFrame, after which joins/aggregations are source-agnostic. The
+  * key-value store is a full DataSource V2 connector (segment-parallel
+  * scan, key-predicate pushdown, column pruning — graft.sources.kv)
+  * over an in-memory stand-in for the remote service; the relational
+  * source is embedded Derby over real JDBC with parallel range
+  * partitioning — the same code paths a production MySQL/Postgres
+  * would use.
   */
 object Federated {
 

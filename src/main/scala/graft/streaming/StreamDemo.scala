@@ -2,7 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, Dataset}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 
 /** Structured Streaming shapes (SURVEY §2.10 is batch-only; these are
   * the EXT streaming ports). The transformations are defined once over
@@ -46,6 +46,43 @@ object StreamDemo {
           val n = state.getOption.getOrElse(0L) + rows.size
           state.update(n)
           UserEvent(userId, n)
+      }
+  }
+
+  final case class SessionOut(userId: Long, nEvents: Int,
+    startMs: Long, endMs: Long)
+
+  /** Event-time sessionization via flatMapGroupsWithState — the
+    * variable-arity custom-state primitive: events accumulate per user;
+    * once the watermark passes `gapMs` beyond a user's last event the
+    * session CLOSES and is emitted (zero rows while open, one on
+    * timeout). State per key is three longs regardless of session
+    * length, and the event-time timeout bounds its lifetime — the
+    * at-scale contract for billions of keys. */
+  def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.toDF("userId", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Int, Long, Long), SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (userId, rows, state) =>
+          if (state.hasTimedOut) {
+            val (n, s0, e0) = state.get
+            state.remove()
+            Iterator.single(SessionOut(userId, n, s0, e0))
+          } else {
+            val times = rows.map(_._2.getTime).toSeq
+            val (n0, s0, e0) =
+              state.getOption.getOrElse((0, Long.MaxValue, Long.MinValue))
+            val next = (n0 + times.size,
+              math.min(s0, times.min), math.max(e0, times.max))
+            state.update(next)
+            state.setTimeoutTimestamp(next._3 + gapMs)
+            Iterator.empty
+          }
       }
   }
 }

@@ -84,6 +84,22 @@ class DedupSpec extends SparkSpec {
     assert(v == v2, "SQL registration and Column API agree")
   }
 
+  test("minhash_sig and hyperplane_sig are registered for SQL via GraftExtensions") {
+    val mhSql = spark.sql("SELECT minhash_sig(array('a','b','c'), 8) AS s")
+      .head().getSeq[Long](0)
+    val mhCol = Seq(Tuple1(Seq("a", "b", "c"))).toDF("t")
+      .select(graft.functions.MinHashSig.minhashSig($"t", 8))
+      .head().getSeq[Long](0)
+    assert(mhSql == mhCol && mhSql.length == 8)
+    val hpSql = spark.sql(
+      "SELECT hyperplane_sig(array(1.0D, -2.0D, 0.5D), 16, 7) AS h")
+      .head().getLong(0)
+    val hpCol = Seq(Tuple1(Seq(1.0, -2.0, 0.5))).toDF("v")
+      .select(graft.functions.HyperplaneSig.hyperplaneSig($"v", 16, 7L))
+      .head().getLong(0)
+    assert(hpSql == hpCol)
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))

@@ -36,6 +36,19 @@ class SimilaritySpec extends SparkSpec {
     assert(maxPerQ <= 150, s"per-query budget violated: $maxPerQ")
   }
 
+  test("cosineNearDupViaAnn finds the exact near-dup pairs without all-pairs compare") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val viaAnn = Similarity.cosineNearDupViaAnn(emb, threshold = 0.45)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    val exact = Similarity.queries("e3_cosine_neardup")(spark, sf)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    assert(exact.nonEmpty, "corpus should contain cosine near-dups")
+    val recall = (exact & viaAnn).size.toDouble / exact.size
+    info(f"ANN near-dup recall vs exact = $recall%.3f (${viaAnn.size} found, ${exact.size} exact)")
+    assert(recall >= 0.8, s"production near-dup path lost too many pairs: $recall")
+    assert(viaAnn.subsetOf(exact), "refinement must not admit false positives")
+  }
+
   test("annCandidates is deterministic across evaluations") {
     val emb = Tables.load(spark, sf, "embeddings").limit(40)
     val q = emb.limit(5)

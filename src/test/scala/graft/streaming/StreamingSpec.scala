@@ -56,6 +56,36 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("flatMapGroupsWithState sessionization closes sessions on event-time timeout") {
+    implicit val sqlCtx = spark.sqlContext
+    val stream = MemoryStream[(Long, Timestamp)]
+    val q = StreamDemo.sessionize(stream.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // two users with open sessions
+      stream.addData((1L, ts(1, 1)), (2L, ts(1, 1)))
+      q.processAllAvailable()
+      // both sessions extend: watermark reaches 02:00 but the timeouts
+      // move to 02:30, so nothing closes yet
+      stream.addData((1L, ts(1, 2)), (2L, ts(1, 2)))
+      q.processAllAvailable()
+      assert(spark.table("sess_out").count() == 0, "sessions still open")
+      // a far-future event advances the watermark past both timeouts
+      stream.addData((3L, ts(2, 12)))
+      q.processAllAvailable()
+      stream.addData((3L, ts(2, 13))) // one more batch so timeouts fire
+      q.processAllAvailable()
+      val sessions = spark.table("sess_out")
+        .as[StreamDemo.SessionOut].collect().map(s => s.userId -> s).toMap
+      assert(sessions.keySet == Set(1L, 2L), s"got ${sessions.keySet}")
+      assert(sessions(1L).nEvents == 2 &&
+        sessions(1L).startMs == ts(1, 1).getTime &&
+        sessions(1L).endMs == ts(1, 2).getTime)
+      assert(sessions(2L).nEvents == 2)
+    } finally q.stop()
+  }
+
   test("mapGroupsWithState keeps running counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Double)]
