@@ -259,16 +259,46 @@ object Relational {
       .filter(col("sum_qty") > 100)
       .orderBy(col("l_suppkey"))
 
+  /** Exact interpolated percentiles WITHOUT buffering a group's values:
+    * one shuffle+sort by (group, value) feeds row_number and a per-group
+    * count (two Window ops over the same exchange); each requested
+    * percentile then needs only its two boundary rows, which a plain
+    * partial+final sum aggregates. Built-in `percentile()` instead holds
+    * ALL of a group's values inside one aggregation buffer — at 100 TB a
+    * single hot group OOMs the executor; here per-task state is O(1)
+    * regardless of group size. Same linear-interpolation semantics as
+    * Spark `percentile()` / DuckDB `quantile_cont` (index = (n-1)·p). */
+  def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
+      ps: Seq[(String, Double)]): DataFrame = {
+    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
+    val whole = Window.partitionBy(col(groupCol))
+    val ranked = df.select(col(groupCol), col(valueCol))
+      .withColumn("_rn", row_number().over(byVal).cast("long") - 1)
+      .withColumn("_n", count(lit(1)).over(whole))
+    def idx(p: Double): Column = (col("_n") - 1) * lit(p)
+    // keep only boundary rows — the aggregation input is ~2·|ps| rows
+    // per group, not the whole group
+    val isBoundary = ps.map { case (_, p) =>
+      col("_rn") === floor(idx(p)) || col("_rn") === ceil(idx(p))
+    }.reduce(_ || _)
+    val aggs = ps.map { case (name, p) =>
+      val i = idx(p)
+      val frac = i - floor(i)
+      round(sum(
+        when(col("_rn") === floor(i) && col("_rn") === ceil(i), col(valueCol))
+          .when(col("_rn") === floor(i), col(valueCol) * (lit(1.0) - frac))
+          .when(col("_rn") === ceil(i), col(valueCol) * frac)), 4).as(name)
+    }
+    ranked.filter(isBoundary)
+      .groupBy(col(groupCol))
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
   /** A7: exact percentiles (linear interpolation — matches DuckDB
-    * quantile_cont). Exact percentile needs the values; at 100 TB prefer
-    * the a4 sketch unless exactness is required. */
+    * quantile_cont), via the rank-based non-buffering plan above. */
   private val a7Percentile: Q = (s, dir) =>
-    t(s, dir, "lineitem")
-      .groupBy(col("l_returnflag"))
-      .agg(
-        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+    exactPercentiles(t(s, dir, "lineitem"), "l_returnflag", "l_extendedprice",
+      Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
       .orderBy(col("l_returnflag"))
 
   /** A8: collect-set (array_agg) — rendered as a sorted joined string so

@@ -1,6 +1,7 @@
 package graft.operators
 
-import graft.{SparkEntry, SparkSpec}
+import graft.{SparkEntry, SparkSpec, Tables}
+import org.apache.spark.sql.functions._
 
 /** Plan-shape assertions: correctness is the oracle gate's job; these
   * pin the *physical* properties that matter at 100 TB — pushdown,
@@ -63,6 +64,20 @@ class RelationalPlanSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
       spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
     }
+  }
+
+  test("rank-based exact percentiles equal the buffering percentile() builtin") {
+    val li = Tables.load(spark, sf, "lineitem")
+    val viaRank = Relational.exactPercentiles(li, "l_returnflag",
+      "l_extendedprice", Seq("p25" -> 0.25, "p50" -> 0.5, "p75" -> 0.75))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    val viaBuiltin = li.groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+        round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+        round(expr("percentile(l_extendedprice, 0.75)"), 4).as("p75"))
+      .orderBy("l_returnflag").collect().map(_.toSeq).toSeq
+    assert(viaRank == viaBuiltin)
   }
 
   test("j8 salted join result equals the plain join") {
