@@ -122,6 +122,33 @@ object Lake {
     }
   }
 
+  /** Small-file compaction — lake maintenance for tail-ingested zones
+    * (thousands of tiny files per partition kill scan throughput at
+    * scale: per-file open cost and lost vectorization). Rewrites a
+    * parquet directory into ~`targetBytes`-sized files, preserving the
+    * data exactly; sizing uses the on-disk footprint so the operation
+    * never reads more than it rewrites. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    def du(f: java.io.File): Long =
+      if (f.isDirectory) f.listFiles().map(du).sum
+      else if (f.getName.endsWith(".parquet")) f.length else 0L
+    val bytes = du(new java.io.File(path))
+    val nFiles = math.max(1, math.ceil(bytes.toDouble / targetBytes).toInt)
+    val tmp = path + "_compacting"
+    spark.read.parquet(path).repartition(nFiles)
+      .write.mode(SaveMode.Overwrite).parquet(tmp)
+    // atomic-ish swap: the reader-visible path flips in one rename pair
+    val dst = new java.io.File(path)
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    rm(dst)
+    if (!new java.io.File(tmp).renameTo(dst))
+      throw new java.io.IOException(s"compaction swap failed for $path")
+  }
+
   // ------------------------------------------------------------ catalog
 
   /** K5/S5: register DataFrames in the session catalog under an optional

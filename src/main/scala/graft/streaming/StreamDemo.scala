@@ -49,6 +49,20 @@ object StreamDemo {
       }
   }
 
+  /** File-source ingestion of the events table: `readStream` over the
+    * parquet directory (new files picked up per micro-batch — the lake
+    * tail-ingest shape). The nanos-to-timestamp rebuild is the same
+    * transform `Tables.load` applies in batch; callers compose the
+    * same downstream transforms in both modes. */
+  def eventStream(spark: org.apache.spark.sql.SparkSession,
+      eventsParquetDir: String): DataFrame = {
+    val schema = spark.read.parquet(eventsParquetDir).schema
+    spark.readStream
+      .schema(schema)
+      .parquet(eventsParquetDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
   final case class SessionOut(userId: Long, nEvents: Int,
     startMs: Long, endMs: Long)
 

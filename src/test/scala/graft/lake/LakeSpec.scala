@@ -105,6 +105,23 @@ class LakeSpec extends SparkSpec {
       Tables.load(spark, sf, "region").count())
   }
 
+  test("compaction collapses small files, preserves data exactly") {
+    val dir = Lake.scratchDir("t_compact") + "/frag"
+    val src = Tables.load(spark, sf, "orders")
+    // fragment: one file per partition of a fine repartition
+    src.repartition(32).write.parquet(dir)
+    def files() = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files() == 32, "fixture should be fragmented")
+    val before = spark.read.parquet(dir).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    Lake.compact(spark, dir, targetBytes = 512L * 1024 * 1024)
+    assert(files() == 1, s"expected one compacted file, got ${files()}")
+    val after = spark.read.parquet(dir).orderBy("o_orderkey")
+      .collect().map(_.toSeq).toSeq
+    assert(after == before, "compaction must preserve data exactly")
+  }
+
   test("register with prefix: views resolvable via SQL") {
     Lake.register(spark, Map("name.basics" ->
       Seq((1, "n")).toDF("id", "v")), prefix = "with_classifier_")

@@ -2,6 +2,7 @@ package graft.streaming
 
 import java.sql.Timestamp
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.streaming.OutputMode
 import graft.SparkSpec
 
@@ -53,6 +54,32 @@ class StreamingSpec extends SparkSpec {
       val ids = spark.table("dedup_out")
         .select("event_id").as[Long].collect().sorted
       assert(ids.toSeq == Seq(1L, 2L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
+  test("file-source readStream over the events parquet equals its batch evaluation") {
+    // stage the events file into a landing DIRECTORY (the file-stream
+    // source tails a directory; testdata ships a single file)
+    val dir = graft.lake.Lake.scratchDir("stream_landing")
+    java.nio.file.Files.copy(
+      java.nio.file.Paths.get(s"$sf/events.parquet"),
+      java.nio.file.Paths.get(s"$dir/events-0.parquet"))
+    val streamed = StreamDemo.eventStream(spark, dir)
+      .select(col("ts").cast("timestamp").as("ts"),
+        col("event_type").as("eventType"), col("value"))
+    val q = StreamDemo.windowedCounts(streamed)
+      .writeStream.format("memory").queryName("file_win_out")
+      .outputMode(OutputMode.Complete()).start()
+    try {
+      q.processAllAvailable()
+      val streaming = spark.table("file_win_out")
+        .orderBy("ws", "eventType").collect().map(_.toSeq).toSeq
+      val batch = StreamDemo.windowedCounts(
+        graft.Tables.load(spark, sf, "events")
+          .select(col("ts"), col("event_type").as("eventType"), col("value")))
+        .orderBy("ws", "eventType").collect().map(_.toSeq).toSeq
+      assert(streaming == batch && batch.nonEmpty,
+        s"stream=${streaming.size} batch=${batch.size}")
     } finally q.stop()
   }
 
