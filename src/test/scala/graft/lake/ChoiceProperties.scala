@@ -36,6 +36,32 @@ class ChoiceProperties extends SparkSpec {
     assert(df.filter(col("rt") =!= col("text")).count() == 0)
   }
 
+  test("property: rank-based percentiles equal the builtin on random groups") {
+    // random group sizes incl. the 1- and 2-element edge cases, random
+    // values incl. exact ties — one DataFrame pass for all groups
+    val gen = for {
+      nGroups <- Gen.chooseNum(1, 8)
+      rows <- Gen.listOfN(400, for {
+        g <- Gen.chooseNum(0, nGroups - 1)
+        v <- Gen.oneOf(Gen.chooseNum(-1000, 1000).map(_ / 10.0),
+          Gen.const(42.0)) // planted ties
+      } yield (s"g$g", v))
+      single <- Gen.chooseNum(0, 1000) // a singleton group
+    } yield rows :+ (("solo", single / 10.0))
+    val data = gen.sample.getOrElse(List(("g0", 1.0)))
+    val df = data.toDF("g", "v")
+    val viaRank = graft.operators.Relational
+      .exactPercentiles(df, "g", "v",
+        Seq("p10" -> 0.1, "p50" -> 0.5, "p99" -> 0.99))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    val viaBuiltin = df.groupBy(col("g"))
+      .agg(round(expr("percentile(v, 0.1)"), 4).as("p10"),
+        round(expr("percentile(v, 0.5)"), 4).as("p50"),
+        round(expr("percentile(v, 0.99)"), 4).as("p99"))
+      .orderBy("g").collect().map(_.toSeq).toSeq
+    assert(viaRank == viaBuiltin)
+  }
+
   test("property: explode fanout count equals total word count") {
     val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
     val docs = Gen.listOfN(40, Gen.nonEmptyListOf(word).map(_.mkString(" ")))
