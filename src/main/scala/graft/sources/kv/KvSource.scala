@@ -50,11 +50,18 @@ object KvStore {
     }
   }
 
-  /** Scan-time snapshot (driver side, planning only — item payloads are
-    * shipped inside input partitions, mirroring a parallel-scan segment
-    * descriptor that carries its page of items). */
-  def items(name: String): Seq[(Long, Map[String, String])] =
-    store(name).asScala.toSeq.map { case (k, v) => (k.longValue(), v) }
+  /** One segment of a parallel scan, fetched by the READER (executor
+    * side) — the driver never materializes items; it plans segment
+    * descriptors only. Keys hash across segments by floorMod; an
+    * optional pushed key set restricts the fetch to point lookups. */
+  def segment(name: String, seg: Int, nSegments: Int,
+      keys: Option[Set[Long]]): IndexedSeq[(Long, Map[String, String])] =
+    store(name).asScala.toIndexedSeq
+      .map { case (k, v) => (k.longValue(), v) }
+      .filter { case (k, _) =>
+        java.lang.Math.floorMod(k, nSegments.toLong) == seg &&
+          keys.forall(_.contains(k))
+      }
       .sortBy(_._1)
 }
 
@@ -138,15 +145,13 @@ private[kv] class KvScan(storeName: String, segments: Int,
   override def toBatch: Batch = this
 
   override def planInputPartitions(): Array[InputPartition] = {
-    val all = KvStore.items(storeName)
-    val selected = pushedKeys.fold(all)(ks => all.filter(i => ks(i._1)))
-    // Hash items across segments — a parallel scan over key-space
-    // segments, each partition carrying its page of items.
-    val n = math.max(1, math.min(segments, math.max(1, selected.size)))
+    // The driver plans SEGMENT DESCRIPTORS only (store, segment index,
+    // pushed keys) — readers fetch their segment from the service on
+    // the executor, so no item payload ever funnels through the driver.
+    val n = math.max(1, segments)
     (0 until n).map { seg =>
-      KvInputPartition(
-        selected.filter(i => java.lang.Math.floorMod(i._1, n.toLong) == seg).toArray)
-        .asInstanceOf[InputPartition]
+      KvInputPartition(storeName, seg, n,
+        pushedKeys.map(_.toArray.sorted)).asInstanceOf[InputPartition]
     }.toArray
   }
 
@@ -154,13 +159,15 @@ private[kv] class KvScan(storeName: String, segments: Int,
     new KvReaderFactory(required)
 }
 
-private[kv] case class KvInputPartition(items: Array[(Long, Map[String, String])])
-    extends InputPartition
+private[kv] case class KvInputPartition(storeName: String, seg: Int,
+    nSegments: Int, pushedKeys: Option[Array[Long]]) extends InputPartition
 
 private[kv] class KvReaderFactory(required: StructType)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
-    val items = partition.asInstanceOf[KvInputPartition].items
+    val p = partition.asInstanceOf[KvInputPartition]
+    val items = KvStore.segment(p.storeName, p.seg, p.nSegments,
+      p.pushedKeys.map(_.toSet))
     val fields = required.fieldNames
     new PartitionReader[InternalRow] {
       private var i = -1
