@@ -158,6 +158,46 @@ object LakeQueries {
     s.read.parquet(s"$zone/nation.parquet").orderBy(col("n_nationkey"))
   }
 
+  /** S10: JSON-lines ingest — the landing format of LLM-document
+    * pipelines (and an Athena-native SerDe): documents written as JSONL,
+    * read back with an explicit schema (inference over JSON is a
+    * crawler concern, not a query-time one). Oracle is the original
+    * table — the round trip must preserve every value. */
+  private val s10JsonlRt: Q = (s, dir) => {
+    val out = Lake.scratchDir("s10")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .write.mode("overwrite").json(out)
+    s.read.schema("doc_id bigint, lang string, text string").json(out)
+      .select(col("doc_id"), col("lang"), col("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** S11: ORC round trip — the second columnar format the provisioned
+    * SQL surface reads; types and values must survive exactly. */
+  private val s11OrcRt: Q = (s, dir) => {
+    val out = Lake.scratchDir("s11")
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("bal"))
+      .write.mode("overwrite").orc(out)
+    s.read.orc(out).orderBy(col("s_suppkey"))
+  }
+
+  /** K7: small-file compaction — a fragmented zone (32 files) compacts
+    * to target-sized files with byte-identical data; the oracle reads
+    * the ORIGINAL table, so the fragment+compact+scan cycle must be
+    * lossless. */
+  private val k7Compact: Q = (s, dir) => {
+    val zone = Lake.scratchDir("k7") + "/orders"
+    t(s, dir, "orders").repartition(32).write.parquet(zone)
+    Lake.compact(s, zone, targetBytes = 1024L * 1024 * 1024)
+    s.read.parquet(zone)
+      .select(col("o_orderkey"), col("o_orderstatus"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** S5: catalog-backed SQL — tables registered in the session catalog,
     * query addresses them by name (`FROM "<db>"."<table>"` shape,
     * demo_stack.py:288). */
@@ -256,6 +296,9 @@ object LakeQueries {
     "k4_bulk_load" -> k4BulkLoad,
     "s5_catalog_sql" -> s5CatalogSql,
     "s5b_catalog_db" -> s5bCatalogDb,
+    "s10_jsonl_rt" -> s10JsonlRt,
+    "s11_orc_rt" -> s11OrcRt,
+    "k7_compact" -> k7Compact,
     "etl_imdb_join" -> etlImdbJoin,
     "k5_register_prefix" -> k5RegisterPrefix,
   )
@@ -305,6 +348,14 @@ object LakeQueries {
         |      FROM supplier GROUP BY s_nationkey) p
         |JOIN nation n ON p.s_nationkey = n.n_nationkey
         |ORDER BY n.n_name""".stripMargin,
+    "s10_jsonl_rt" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
+    "s11_orc_rt" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "k7_compact" ->
+      """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "etl_imdb_join" ->
       """SELECT c_name AS primaryName, c_nationkey + 1900 AS birthYear,
         |  count(*) AS n_titles, round(avg(o_totalprice / 1024), 4) AS avg_rating
