@@ -21,12 +21,7 @@ object Verify {
     SparkEntry.queries.foreach { case (name, fn) =>
       // Remove any stale output first — a failing query must never
       // inherit a previous run's result and pass by accident.
-      def rm(f: java.io.File): Unit = {
-        if (f.isDirectory) f.listFiles().foreach(rm)
-        f.delete(); ()
-      }
-      val out = new java.io.File(s"$outDir/$name")
-      if (out.exists()) rm(out)
+      lake.Lake.deleteRecursively(new java.io.File(s"$outDir/$name"))
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

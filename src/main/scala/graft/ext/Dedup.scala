@@ -199,9 +199,14 @@ object Dedup {
     *    12.5M pairs (sf0.1) the birthday effect admits a few random
     *    64-bit collisions at distance ≥ 9 — inherent to SimHash, and
     *    why the operator reports the distance for downstream use;
-    *  - budget: candidate volume (pre-refinement) ≤ 64·n ABSOLUTE —
-    *    linear in corpus size, not a fraction of n² (measured: ~2·n at
-    *    sf0.01, ~22·n at sf0.1 for the 0.8%-collision banding). */
+    *  - budget: candidate volume (pre-refinement) ≤ 64·n ABSOLUTE
+    *    (measured: ~2·n at sf0.01, ~22·n at sf0.1). The banding itself
+    *    admits a ~0.8% constant FRACTION of pairs on random text, so
+    *    this bound is an operating-scale guard, not an asymptotic
+    *    property: past n ≈ 15k random docs it trips, which is the
+    *    design intent — fail loudly at the scale where a 64-bit
+    *    fingerprint stops being selective enough and must widen,
+    *    instead of silently going quadratic. */
   private val e2SimhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     // The candidate set is tiny after banding; checkpointing runs the

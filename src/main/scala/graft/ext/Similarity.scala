@@ -137,11 +137,16 @@ object Similarity {
       (col("max_per_q") <= 150).as("cand_budget_ok"))
   }
 
-  /** PRODUCTION near-dup path: candidates from the compressed-signature
-    * scan (absolute per-vector budget), exact cosine refinement on
-    * candidates only — never all pairs. Returns (a, b, sim) with a < b,
-    * sim ≥ threshold. The signature Hamming bound dominates the cost:
-    * refinement touches ≤ budget·n pairs regardless of corpus size. */
+  /** Production near-dup path: candidates from the compressed-signature
+    * scan, exact cosine refinement on candidates only — never an
+    * all-pairs cosine. Returns (a, b, sim) with a < b, sim ≥ threshold.
+    * EXACT refinement touches ≤ budget·n pairs; the τ-filter stage
+    * before the cap still passes ~2% of (narrow id+hamming) pairs and
+    * the corpus signature set is broadcast, so this single-call shape is
+    * for corpora whose 32-byte signatures fit a broadcast (~10⁷
+    * vectors). Beyond that, run it query-batched: stream corpus slices
+    * through `annCandidates(corpus, slice, ...)` — same plan per batch,
+    * broadcast is per-slice, and the refinement bound is unchanged. */
   def cosineNearDupViaAnn(vecs: DataFrame, threshold: Double,
       budget: Int = 150, tau: Int = 112): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))

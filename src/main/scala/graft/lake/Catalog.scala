@@ -30,12 +30,8 @@ object Catalog {
     // to a fresh in-memory catalog and fails the write — clear both.
     spark.sql(s"DROP TABLE IF EXISTS `$db`.`$table`")
     val whBase = spark.conf.get("spark.sql.warehouse.dir").stripPrefix("file:")
-    val loc = new java.io.File(new java.io.File(whBase, s"$db.db"), table)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    if (loc.exists()) rm(loc)
+    Lake.deleteRecursively(
+      new java.io.File(new java.io.File(whBase, s"$db.db"), table))
     df.write.mode(SaveMode.Overwrite).saveAsTable(s"`$db`.`$table`")
   }
 

@@ -138,15 +138,26 @@ object Lake {
     val tmp = path + "_compacting"
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // atomic-ish swap: the reader-visible path flips in one rename pair
+    // Swap via rename-aside so a crash mid-swap never leaves the
+    // reader-visible path empty: the original survives at _old until
+    // the replacement is in place.
     val dst = new java.io.File(path)
-    def rm(f: java.io.File): Unit = {
-      if (f.isDirectory) f.listFiles().foreach(rm)
-      f.delete(); ()
-    }
-    rm(dst)
-    if (!new java.io.File(tmp).renameTo(dst))
+    val old = new java.io.File(path + "_old")
+    deleteRecursively(old)
+    if (!dst.renameTo(old))
+      throw new java.io.IOException(s"compaction: cannot move $path aside")
+    if (!new java.io.File(tmp).renameTo(dst)) {
+      old.renameTo(dst) // restore the original before failing
       throw new java.io.IOException(s"compaction swap failed for $path")
+    }
+    deleteRecursively(old)
+  }
+
+  /** Recursive delete (no-op for missing paths) — shared by every
+    * "clear a surviving warehouse/scratch location" site. */
+  def deleteRecursively(f: java.io.File): Unit = {
+    if (f.isDirectory) Option(f.listFiles()).foreach(_.foreach(deleteRecursively))
+    f.delete(); ()
   }
 
   // ------------------------------------------------------------ catalog

@@ -204,13 +204,8 @@ object Advanced {
         // location survived a previous session — drop both name and files.
         Seq(ordersTbl, lineitemTbl).foreach { tbl =>
           s.sql(s"DROP TABLE IF EXISTS $tbl")
-          val loc = new java.io.File(
-            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl)
-          def rm(f: java.io.File): Unit = {
-            if (f.isDirectory) f.listFiles().foreach(rm)
-            f.delete(); ()
-          }
-          if (loc.exists()) rm(loc)
+          graft.lake.Lake.deleteRecursively(new java.io.File(
+            s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))
         }
         t(s, dir, "orders").write.mode("overwrite")
           .bucketBy(8, "o_orderkey").sortBy("o_orderkey")

@@ -272,7 +272,10 @@ object Relational {
       ps: Seq[(String, Double)]): DataFrame = {
     val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
     val whole = Window.partitionBy(col(groupCol))
+    // builtin percentile() ignores nulls; without this filter they would
+    // occupy ranks and inflate the group count
     val ranked = df.select(col(groupCol), col(valueCol))
+      .filter(col(valueCol).isNotNull)
       .withColumn("_rn", row_number().over(byVal).cast("long") - 1)
       .withColumn("_n", count(lit(1)).over(whole))
     def idx(p: Double): Column = (col("_n") - 1) * lit(p)

@@ -74,9 +74,13 @@ class KvSource extends TableProvider {
     KvSource.Schema
 
   override def getTable(schema: StructType, partitioning: Array[Transform],
-      properties: java.util.Map[String, String]): Table =
-    new KvTable(properties.get("store"),
+      properties: java.util.Map[String, String]): Table = {
+    val store = properties.get("store")
+    require(store != null && store.nonEmpty,
+      "the graft KV source requires .option(\"store\", <name>)")
+    new KvTable(store,
       Option(properties.get("segments")).map(_.toInt).getOrElse(4))
+  }
 }
 
 object KvSource {
@@ -114,12 +118,15 @@ private[kv] class KvScanBuilder(storeName: String, segments: Int)
       case In("kv_key", vs) => vs.forall(_.isInstanceOf[Long])
       case _ => false
     }
-    val keys = accepted.flatMap {
-      case EqualTo(_, v: Long) => Seq(v)
-      case In(_, vs) => vs.map(_.asInstanceOf[Long]).toSeq
-      case _ => Nil
-    }.toSet
-    if (accepted.nonEmpty) pushedKeys = Some(keys)
+    // Filters are CONJUNCTIVE: each accepted filter's key set constrains
+    // the scan, so the pushed set is their INTERSECTION (a union would
+    // return rows Spark never re-filters — accepted filters are final).
+    val keySets = accepted.map {
+      case EqualTo(_, v: Long) => Set(v)
+      case In(_, vs) => vs.map(_.asInstanceOf[Long]).toSet
+      case _ => Set.empty[Long]
+    }
+    if (accepted.nonEmpty) pushedKeys = Some(keySets.reduce(_ intersect _))
     pushed = accepted
     rejected // Spark re-evaluates anything the source didn't take
   }

@@ -49,19 +49,20 @@ object StreamDemo {
       }
   }
 
-  /** File-source ingestion of the events table: `readStream` over the
-    * parquet directory (new files picked up per micro-batch — the lake
-    * tail-ingest shape). The nanos-to-timestamp rebuild is the same
-    * transform `Tables.load` applies in batch; callers compose the
-    * same downstream transforms in both modes. */
+  /** File-source ingestion of the events table: `readStream` over a
+    * landing directory (new files picked up per micro-batch — the lake
+    * tail-ingest shape). The schema is passed EXPLICITLY: the normal
+    * start state of tail-ingest is an empty directory, where schema
+    * inference would fail — and a stream's schema is a contract, not a
+    * discovery. The nanos-to-timestamp rebuild is the same transform
+    * `Tables.load` applies in batch. */
   def eventStream(spark: org.apache.spark.sql.SparkSession,
-      eventsParquetDir: String): DataFrame = {
-    val schema = spark.read.parquet(eventsParquetDir).schema
+      landingDir: String,
+      schema: org.apache.spark.sql.types.StructType): DataFrame =
     spark.readStream
       .schema(schema)
-      .parquet(eventsParquetDir)
+      .parquet(landingDir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-  }
 
   final case class SessionOut(userId: Long, nEvents: Int,
     startMs: Long, endMs: Long)

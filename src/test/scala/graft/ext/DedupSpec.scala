@@ -72,7 +72,7 @@ class DedupSpec extends SparkSpec {
     val missed = within.join(cand.select("a", "b"), Seq("a", "b"), "left_anti").count()
     assert(missed == 0, s"banding missed $missed pairs inside the Hamming-11 radius")
     val nCand = cand.count()
-    info(s"simhash candidates: $nCand over n=$n docs (${nCand / n.toDouble}%.1f per doc)")
+    info(f"simhash candidates: $nCand over n=$n docs (${nCand / n.toDouble}%.1f per doc)")
     assert(nCand <= 64 * n, s"candidate volume $nCand exceeds 64*n linear budget")
   }
 

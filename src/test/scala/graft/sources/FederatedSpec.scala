@@ -27,6 +27,12 @@ class FederatedSpec extends SparkSpec {
       "unused attrs column must be pruned at the source")
     // full scan fans out over segments
     assert(kvs.scan().rdd.getNumPartitions == 4)
+    // conjunctive key filters INTERSECT at the source (a union would
+    // return rows Spark never re-filters — accepted filters are final)
+    val conj = kvs.scan()
+      .filter($"kv_key".isin(1L, 2L, 3L) && $"kv_key".isin(2L, 3L, 4L))
+      .select("kv_key").as[Long].collect().sorted
+    assert(conj.toSeq == Seq(2L, 3L), s"got ${conj.toSeq}")
   }
 
   test("JDBC round trip through embedded Derby preserves rows") {

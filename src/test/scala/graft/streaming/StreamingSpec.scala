@@ -64,7 +64,8 @@ class StreamingSpec extends SparkSpec {
     java.nio.file.Files.copy(
       java.nio.file.Paths.get(s"$sf/events.parquet"),
       java.nio.file.Paths.get(s"$dir/events-0.parquet"))
-    val streamed = StreamDemo.eventStream(spark, dir)
+    val schema = spark.read.parquet(s"$sf/events.parquet").schema
+    val streamed = StreamDemo.eventStream(spark, dir, schema)
       .select(col("ts").cast("timestamp").as("ts"),
         col("event_type").as("eventType"), col("value"))
     val q = StreamDemo.windowedCounts(streamed)
