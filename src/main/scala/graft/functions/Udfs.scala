@@ -38,6 +38,42 @@ object Udfs {
       override def outputEncoder: Encoder[Double] = Encoders.scalaDouble
     }
 
+  /** X5: element-wise vector centroid as a typed Aggregator — the IVF
+    * coarse-quantizer training primitive (bucket = nearest centroid,
+    * centroid = mean of bucket). Buffer is (running sum vector, count);
+    * merge is element-wise add, so partial aggregation works exactly
+    * like a built-in agg and per-group state is one vector regardless
+    * of group size. */
+  val vecCentroid: Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] =
+    new Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+      override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
+      override def reduce(b: (Array[Double], Long), x: Seq[Float]): (Array[Double], Long) = {
+        if (x == null) b
+        else {
+          val acc = if (b._1.length == x.length) b._1 else new Array[Double](x.length)
+          var i = 0
+          while (i < x.length) { acc(i) += x(i); i += 1 }
+          (acc, b._2 + 1)
+        }
+      }
+      override def merge(a: (Array[Double], Long), b: (Array[Double], Long)): (Array[Double], Long) =
+        if (a._1.isEmpty) b
+        else if (b._1.isEmpty) a
+        else {
+          var i = 0
+          while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
+          (a._1, a._2 + b._2)
+        }
+      override def finish(b: (Array[Double], Long)): Seq[Double] =
+        if (b._2 == 0) Seq.empty else b._1.map(_ / b._2).toSeq
+      override def bufferEncoder: Encoder[(Array[Double], Long)] =
+        Encoders.tuple(
+          org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]](),
+          Encoders.scalaLong)
+      override def outputEncoder: Encoder[Seq[Double]] =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+
   /** Register the scalar UDF, the UDAF, and the generator UDF on a
     * session (idempotent). */
   def registerAll(spark: SparkSession): Unit = {
@@ -46,6 +82,10 @@ object Udfs {
       (price: Double, discount: Double) => price * (1.0 - discount))
     // X3: UDAF.
     spark.udf.register("geo_mean", udaf(geoMean))
+    // X5: vector-centroid UDAF (explicit input encoder: the input is a
+    // float array column, not a product type).
+    spark.udf.register("vec_centroid", udaf(vecCentroid,
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Float]]()))
     // X4: UDTF-style generator — word bigrams; explode() supplies the
     // lateral semantics.
     spark.udf.register("bigrams", (text: String) =>
@@ -89,10 +129,23 @@ object Udfs {
       .limit(20)
   }
 
+  /** X5: vector centroids per hash-bucket — exploded to (grp, dim, v)
+    * rows so the oracle compare is representation-stable. */
+  private val x5UdafCentroid: Q = (s, dir) => {
+    registerAll(s)
+    t(s, dir, "embeddings")
+      .groupBy((col("vec_id") % 5).as("grp"))
+      .agg(expr("vec_centroid(embedding)").as("c"))
+      .select(col("grp"), posexplode(col("c")).as(Seq("dim", "v")))
+      .select(col("grp"), col("dim"), round(col("v"), 6).as("v"))
+      .orderBy(col("grp"), col("dim"))
+  }
+
   val queries: Map[String, Q] = Map(
     "x2_udf_scalar" -> x2UdfScalar,
     "x3_udaf_geomean" -> x3UdafGeomean,
     "x4_udtf_bigrams" -> x4UdtfBigrams,
+    "x5_udaf_centroid" -> x5UdafCentroid,
   )
 
   val oracles: Map[String, String] = Map(
@@ -113,5 +166,13 @@ object Udfs {
         |         string_split(text,' ')[i+1])) AS bigram
         |  FROM documents)
         |GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""".stripMargin,
+    "x5_udaf_centroid" ->
+      """SELECT grp, dim - 1 AS dim, round(avg(v), 6) AS v
+        |FROM (
+        |  SELECT vec_id % 5 AS grp,
+        |         unnest(embedding) AS v,
+        |         generate_subscripts(embedding, 1) AS dim
+        |  FROM embeddings)
+        |GROUP BY grp, dim ORDER BY grp, dim""".stripMargin,
   )
 }

@@ -15,6 +15,19 @@ class UdfsSpec extends SparkSpec {
       "merge is equivalent to a single partition")
   }
 
+  test("vecCentroid aggregator: reduce/merge element-wise, empty-safe") {
+    val a = Udfs.vecCentroid
+    assert(a.finish(a.zero).isEmpty, "empty group yields empty vector")
+    val b = a.reduce(a.reduce(a.zero, Seq(1f, 3f)), Seq(3f, 5f))
+    assert(a.finish(b) == Seq(2.0, 4.0))
+    val merged = a.merge(a.reduce(a.zero, Seq(1f, 3f)),
+      a.reduce(a.zero, Seq(3f, 5f)))
+    assert(a.finish(merged) == Seq(2.0, 4.0),
+      "merge is equivalent to a single partition")
+    assert(a.finish(a.merge(a.zero, a.reduce(a.zero, Seq(2f)))) == Seq(2.0),
+      "merging with the zero buffer is identity")
+  }
+
   test("registered functions evaluate through SQL") {
     Udfs.registerAll(spark)
     assert(spark.sql("SELECT discounted_price(100.0, 0.25)")
