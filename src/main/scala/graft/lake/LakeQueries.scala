@@ -275,6 +275,29 @@ object LakeQueries {
         |ORDER BY b.primaryName""".stripMargin)
   }
 
+  /** K8: CTAS + INSERT INTO — the Athena workgroup's SQL write surface
+    * (CREATE TABLE AS SELECT into the lake, then append): a catalog
+    * table is created from a query, appended to with a second insert,
+    * and read back by name. Oracle recomputes the union from the
+    * original tables. */
+  private val k8CtasInsert: Q = (s, dir) => {
+    Tables.register(s, dir)
+    val sfx = math.abs((s.sparkContext.applicationId + dir).hashCode).toString
+    val tbl = s"graft_ctas_$sfx"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Lake.deleteRecursively(new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))
+    s.sql(
+      s"""CREATE TABLE $tbl USING parquet AS
+         |SELECT n_nationkey AS id, n_name AS name, 'nation' AS src
+         |FROM nation""".stripMargin)
+    s.sql(
+      s"""INSERT INTO $tbl
+         |SELECT r_regionkey AS id, r_name AS name, 'region' AS src
+         |FROM region""".stripMargin)
+    s.table(tbl).orderBy(col("src"), col("id"))
+  }
+
   /** K5: crawler-style registration under a name prefix
     * (`with_classifier_`, demo_stack.py:144/:186). */
   private val k5RegisterPrefix: Q = (s, dir) => {
@@ -299,6 +322,7 @@ object LakeQueries {
     "s10_jsonl_rt" -> s10JsonlRt,
     "s11_orc_rt" -> s11OrcRt,
     "k7_compact" -> k7Compact,
+    "k8_ctas_insert" -> k8CtasInsert,
     "etl_imdb_join" -> etlImdbJoin,
     "k5_register_prefix" -> k5RegisterPrefix,
   )
@@ -356,6 +380,12 @@ object LakeQueries {
     "k7_compact" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "k8_ctas_insert" ->
+      """SELECT * FROM (
+        |  SELECT n_nationkey AS id, n_name AS name, 'nation' AS src FROM nation
+        |  UNION ALL
+        |  SELECT r_regionkey AS id, r_name AS name, 'region' AS src FROM region)
+        |ORDER BY src, id""".stripMargin,
     "etl_imdb_join" ->
       """SELECT c_name AS primaryName, c_nationkey + 1900 AS birthYear,
         |  count(*) AS n_titles, round(avg(o_totalprice / 1024), 4) AS avg_rating
