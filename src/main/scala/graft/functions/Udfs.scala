@@ -43,13 +43,19 @@ object Udfs {
     * centroid = mean of bucket). Buffer is (running sum vector, count);
     * merge is element-wise add, so partial aggregation works exactly
     * like a built-in agg and per-group state is one vector regardless
-    * of group size. */
+    * of group size. Null/empty vectors are skipped; mismatched
+    * dimensions fail loudly. Precondition: array ELEMENTS are non-null
+    * (the Seq[Float] input encoder is primitive — a null element fails
+    * deserialization before the aggregator ever sees it). */
   val vecCentroid: Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] =
     new Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
       override def zero: (Array[Double], Long) = (Array.empty[Double], 0L)
       override def reduce(b: (Array[Double], Long), x: Seq[Float]): (Array[Double], Long) = {
-        if (x == null) b
+        if (x == null || x.isEmpty) b // null/empty vectors don't count
         else {
+          // dimension mismatches must fail loudly, never average across
+          require(b._1.isEmpty || b._1.length == x.length,
+            s"vec_centroid: dimension mismatch (${b._1.length} vs ${x.length})")
           val acc = if (b._1.length == x.length) b._1 else new Array[Double](x.length)
           var i = 0
           while (i < x.length) { acc(i) += x(i); i += 1 }
@@ -60,6 +66,8 @@ object Udfs {
         if (a._1.isEmpty) b
         else if (b._1.isEmpty) a
         else {
+          require(a._1.length == b._1.length,
+            s"vec_centroid: dimension mismatch (${a._1.length} vs ${b._1.length})")
           var i = 0
           while (i < a._1.length) { a._1(i) += b._1(i); i += 1 }
           (a._1, a._2 + b._2)

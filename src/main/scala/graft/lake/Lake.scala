@@ -138,20 +138,35 @@ object Lake {
     val tmp = path + "_compacting"
     spark.read.parquet(path).repartition(nFiles)
       .write.mode(SaveMode.Overwrite).parquet(tmp)
-    // Swap via rename-aside so a crash mid-swap never leaves the
-    // reader-visible path empty: the original survives at _old until
-    // the replacement is in place.
+    // Swap via rename-aside: the original data always survives (at the
+    // live path or at _old) — a crash between the renames can leave the
+    // live path briefly missing, but never destroys data; recovery is
+    // renaming _old back.
     val dst = new java.io.File(path)
     val old = new java.io.File(path + "_old")
     deleteRecursively(old)
-    if (!dst.renameTo(old))
+    if (!dst.renameTo(old)) {
+      deleteRecursively(new java.io.File(tmp))
       throw new java.io.IOException(s"compaction: cannot move $path aside")
+    }
     if (!new java.io.File(tmp).renameTo(dst)) {
-      old.renameTo(dst) // restore the original before failing
-      throw new java.io.IOException(s"compaction swap failed for $path")
+      if (!old.renameTo(dst))
+        throw new java.io.IOException(
+          s"compaction swap failed for $path AND restore failed — " +
+            s"original data is intact at $old")
+      throw new java.io.IOException(
+        s"compaction swap failed for $path (original restored)")
     }
     deleteRecursively(old)
   }
+
+  /** Session+path-unique suffix for warehouse object names — concurrent
+    * sessions share the warehouse dir, and a fixed name lets one session
+    * overwrite another's tables mid-query (observed live). Unsigned so
+    * an Int.MinValue hashCode can't put a '-' in an identifier. */
+  def sessionSuffix(spark: SparkSession, dir: String): String =
+    java.lang.Integer.toUnsignedString(
+      (spark.sparkContext.applicationId + dir).hashCode)
 
   /** Recursive delete (no-op for missing paths) — shared by every
     * "clear a surviving warehouse/scratch location" site. */

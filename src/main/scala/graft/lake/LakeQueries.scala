@@ -216,7 +216,7 @@ object LakeQueries {
     * the warehouse dir (see k6's race note); CatalogSpec proves the
     * same layout survives a session restart under a Hive metastore. */
   private val s5bCatalogDb: Q = (s, dir) => {
-    val sfx = math.abs((s.sparkContext.applicationId + dir).hashCode).toString
+    val sfx = Lake.sessionSuffix(s, dir)
     val (rawDb, procDb) = (s"raw_$sfx", s"processed_$sfx")
     Catalog.publish(s, rawDb, "nation", t(s, dir, "nation"))
     Catalog.publish(s, procDb, "supplier_stats",
@@ -282,8 +282,7 @@ object LakeQueries {
     * original tables. */
   private val k8CtasInsert: Q = (s, dir) => {
     Tables.register(s, dir)
-    val sfx = math.abs((s.sparkContext.applicationId + dir).hashCode).toString
-    val tbl = s"graft_ctas_$sfx"
+    val tbl = s"graft_ctas_${Lake.sessionSuffix(s, dir)}"
     s.sql(s"DROP TABLE IF EXISTS $tbl")
     Lake.deleteRecursively(new java.io.File(
       s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))

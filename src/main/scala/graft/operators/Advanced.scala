@@ -194,10 +194,7 @@ object Advanced {
   private def ensureBucketedTables(s: SparkSession, dir: String): (String, String) =
     bucketedReady.computeIfAbsent(
       s.sparkContext.applicationId + "|" + dir, { _ =>
-        // Session-unique table names: concurrent sessions share the
-        // warehouse dir, and a fixed name lets one session overwrite the
-        // other's bucketed tables mid-query (observed live).
-        val sfx = math.abs((s.sparkContext.applicationId + dir).hashCode).toString
+        val sfx = graft.lake.Lake.sessionSuffix(s, dir)
         val (ordersTbl, lineitemTbl) =
           (s"graft_b_orders_$sfx", s"graft_b_lineitem_$sfx")
         // A fresh in-memory catalog doesn't know tables whose warehouse

@@ -292,9 +292,13 @@ object Relational {
           .when(col("_rn") === floor(i), col(valueCol) * (lit(1.0) - frac))
           .when(col("_rn") === ceil(i), col(valueCol) * frac)), 4).as(name)
     }
-    ranked.filter(isBoundary)
+    val pcts = ranked.filter(isBoundary)
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
+    // groups whose values are ALL null still emit a row (with NULL
+    // percentiles), matching builtin percentile() semantics
+    df.select(col(groupCol)).distinct()
+      .join(pcts, Seq(groupCol), "left")
   }
 
   /** A7: exact percentiles (linear interpolation — matches DuckDB

@@ -43,12 +43,15 @@ class ChoiceProperties extends SparkSpec {
       nGroups <- Gen.chooseNum(1, 8)
       rows <- Gen.listOfN(400, for {
         g <- Gen.chooseNum(0, nGroups - 1)
-        v <- Gen.oneOf(Gen.chooseNum(-1000, 1000).map(_ / 10.0),
-          Gen.const(42.0)) // planted ties
+        v <- Gen.frequency(
+          (8, Gen.chooseNum(-1000, 1000).map(i => Option(i / 10.0))),
+          (1, Gen.const(Option(42.0))), // planted ties
+          (1, Gen.const(Option.empty[Double]))) // scattered nulls
       } yield (s"g$g", v))
       single <- Gen.chooseNum(0, 1000) // a singleton group
-    } yield rows :+ (("solo", single / 10.0))
-    val data = gen.sample.getOrElse(List(("g0", 1.0)))
+    } yield rows ++ List(("solo", Option(single / 10.0)),
+      ("allnull", Option.empty[Double])) // an all-null group
+    val data = gen.sample.getOrElse(List(("g0", Option(1.0))))
     val df = data.toDF("g", "v")
     val viaRank = graft.operators.Relational
       .exactPercentiles(df, "g", "v",
