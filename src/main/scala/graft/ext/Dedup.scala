@@ -39,14 +39,18 @@ object Dedup {
   /** Word n-gram shingles of a text column (distinct set). Documents
     * shorter than `n` words yield NO shingles — the DuckDB oracle's
     * NULL-propagating `||` concatenation would diverge from a truncated
-    * shingle, so both engines pin the same empty-set semantics. */
+    * shingle, so both engines pin the same empty-set semantics. NULL
+    * text propagates to NULL (`size(null)` is -1, which would otherwise
+    * fall into the empty-array branch while DuckDB's string_split
+    * pipeline returns NULL). */
   def shingles(textCol: Column, n: Int): Column = {
     val words = split(textCol, " ")
-    when(size(words) >= n,
-      array_distinct(
-        transform(
-          sequence(lit(1), size(words) - (n - 1)),
-          i => concat_ws(" ", slice(words, i, lit(n))))))
+    when(textCol.isNull, lit(null).cast("array<string>"))
+      .when(size(words) >= n,
+        array_distinct(
+          transform(
+            sequence(lit(1), size(words) - (n - 1)),
+            i => concat_ws(" ", slice(words, i, lit(n))))))
       .otherwise(lit(Array.empty[String]))
   }
 

@@ -151,10 +151,13 @@ object Similarity {
       budget: Int = 150, tau: Int = 112): DataFrame = {
     val v = vecs.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    // Canonicalize then dedup: a pair found in only ONE orientation
+    // (budget truncation can drop b from a's top-`budget` while a
+    // survives b's) still gets refined exactly once.
     val cand = annCandidates(vecs, vecs, budget, tau)
-      // symmetric dedup: each unordered pair refined once
-      .filter(col("q_id") < col("c_id"))
-      .select(col("q_id").as("a"), col("c_id").as("b"))
+      .select(least(col("q_id"), col("c_id")).as("a"),
+        greatest(col("q_id"), col("c_id")).as("b"))
+      .distinct()
     cand
       .join(v.as("va"), col("a") === col("va.vec_id"))
       .join(v.as("vb"), col("b") === col("vb.vec_id"))

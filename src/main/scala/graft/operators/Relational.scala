@@ -296,9 +296,11 @@ object Relational {
       .groupBy(col(groupCol))
       .agg(aggs.head, aggs.tail: _*)
     // groups whose values are ALL null still emit a row (with NULL
-    // percentiles), matching builtin percentile() semantics
-    df.select(col(groupCol)).distinct()
-      .join(pcts, Seq(groupCol), "left")
+    // percentiles), matching builtin percentile() semantics; null-safe
+    // equality so a NULL group key matches its own pcts row
+    val keys = df.select(col(groupCol)).distinct()
+    keys.join(pcts, keys(groupCol) <=> pcts(groupCol), "left")
+      .select(keys(groupCol) +: ps.map { case (name, _) => pcts(name) }: _*)
   }
 
   /** A7: exact percentiles (linear interpolation — matches DuckDB
