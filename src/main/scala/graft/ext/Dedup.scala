@@ -70,29 +70,24 @@ object Dedup {
         xxhash64(slice(sig, b * rowsPerBand + 1, rowsPerBand)).as("bh"))
     }: _*)
 
-  /** E2: MinHash-LSH near-duplicate pairs with exact-Jaccard refinement.
-    * Candidates come from an equi-join on band keys (shuffle by band
-    * hash — never all-pairs); only candidates pay the exact set
-    * comparison. Returns (a, b, jaccard) with a < b. */
-  def minhashNearDupPairs(
-      df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
-      threshold: Double = 0.8): DataFrame = {
+  /** E2 over a precomputed `(id, sh)` shingle-set frame. The caller
+    * should hand in a MATERIALIZED frame (checkpoint / persisted
+    * signature table): the frame is consumed four times (both sides of
+    * the band self-join, both sides of the refinement join), so an
+    * unmaterialized input would recompute text→shingles 4×. */
+  def minhashNearDupPairsFromSets(
+      sets: DataFrame, k: Int, bands: Int, threshold: Double): DataFrame = {
     val rowsPerBand = k / bands
-    val sigs = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), k))
     // Narrow band table: (id, bandKey) only — the shingle sets are
     // re-joined after candidate dedup so the explode carries no payload.
-    val bandsDf = sigs.select(col("id"),
-      explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+    val bandsDf = sets.select(col("id"),
+      explode(bandKeys(minhashSignature(col("sh"), k), bands, rowsPerBand))
+        .as("bk"))
     val candidates = bandsDf.as("a")
       .join(bandsDf.as("b"),
         col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
       .select(col("a.id").as("a"), col("b.id").as("b"))
       .distinct()
-    val sets = sigs.select(col("id"), col("sh"))
     candidates
       .join(sets.as("sa"), col("a") === col("sa.id"))
       .join(sets.as("sb"), col("b") === col("sb.id"))
@@ -101,6 +96,22 @@ object Dedup {
           size(array_union(col("sa.sh"), col("sb.sh"))))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** E2: MinHash-LSH near-duplicate pairs with exact-Jaccard refinement.
+    * Candidates come from an equi-join on band keys (shuffle by band
+    * hash — never all-pairs); only candidates pay the exact set
+    * comparison. Returns (a, b, jaccard) with a < b. The shingle-set
+    * frame is checkpointed once (at cluster scale: a signature table)
+    * instead of recomputing text→shingles on every consumer. */
+  def minhashNearDupPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, k: Int = 32, bands: Int = 8,
+      threshold: Double = 0.8): DataFrame = {
+    val sets = df.select(
+      col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh")).localCheckpoint()
+    minhashNearDupPairsFromSets(sets, k, bands, threshold)
   }
 
   /** E2b: SimHash LSH candidate pairs with exact Hamming refinement
@@ -122,13 +133,21 @@ object Dedup {
     * only — no text is ever shuffled. */
   def simhashCandidates(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 3, bands: Int = 4, probeFlips: Int = 1): DataFrame = {
+      shingleN: Int = 3, bands: Int = 4, probeFlips: Int = 1): DataFrame =
+    simhashCandidatesFromFps(
+      df.select(col(idCol).as("id"),
+        simhash64(shingles(col(textCol), shingleN)).as("fp")),
+      bands, probeFlips)
+
+  /** E2b candidate generation over a precomputed `(id, fp)` fingerprint
+    * frame (materialize it if it is derived from an expensive scan —
+    * both sides of the band self-join consume it). */
+  def simhashCandidatesFromFps(
+      fps: DataFrame, bands: Int = 4, probeFlips: Int = 1): DataFrame = {
     require(64 % bands == 0, "bands must divide 64")
     require(probeFlips == 0 || probeFlips == 1, "probeFlips ∈ {0, 1}")
     val bits = 64 / bands
     val mask = if (bits == 64) -1L else (1L << bits) - 1
-    val fps = df.select(col(idCol).as("id"),
-      simhash64(shingles(col(textCol), shingleN)).as("fp"))
     val bandsDf = fps.select(col("id"), col("fp"),
       explode(array((0 until bands).flatMap { b =>
         val base = shiftrightunsigned(col("fp"), b * bits).bitwiseAND(lit(mask))
@@ -213,22 +232,25 @@ object Dedup {
     *    instead of silently going quadratic. */
   private val e2SimhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
+    // ONE materialized text→shingles pass feeds every subtree below
+    // (simhash fingerprints, minhash ground truth, exact-Jaccard
+    // refinement); at cluster scale this is the signature table.
+    val sets = docs.select(col("doc_id").as("id"),
+      shingles(col("text"), 3).as("sh")).localCheckpoint()
+    val fps = sets.select(col("id"), simhash64(col("sh")).as("fp"))
+      .localCheckpoint()
     // The candidate set is tiny after banding; checkpointing runs the
     // banding subtree once instead of once per consumer below.
-    val cand = simhashCandidates(docs, "doc_id", "text").localCheckpoint()
+    val cand = simhashCandidatesFromFps(fps).localCheckpoint()
     val sim = cand.filter(col("hamming") <= 11)
-    val sets = docs.select(col("doc_id").as("id"),
-      shingles(col("text"), 3).as("sh"))
-    val fps = docs.select(col("doc_id").as("id"),
-      simhash64(shingles(col("text"), 3)).as("fp"))
     val simJ = sim
       .join(sets.as("sa"), col("a") === col("sa.id"))
       .join(sets.as("sb"), col("b") === col("sb.id"))
       .withColumn("jaccard",
         size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
           size(array_union(col("sa.sh"), col("sb.sh"))))
-    val highJ = minhashNearDupPairs(docs, "doc_id", "text",
-      shingleN = 3, k = 64, bands = 16, threshold = 0.9)
+    val highJ = minhashNearDupPairsFromSets(sets, k = 64, bands = 16,
+      threshold = 0.9)
       .join(fps.as("fa"), col("a") === col("fa.id"))
       .join(fps.as("fb"), col("b") === col("fb.id"))
       .filter(bit_count(col("fa.fp").bitwiseXOR(col("fb.fp"))) <= 11)
