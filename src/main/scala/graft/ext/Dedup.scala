@@ -114,6 +114,65 @@ object Dedup {
     minhashNearDupPairsFromSets(sets, k, bands, threshold)
   }
 
+  /** E2c: EXACT n-gram Jaccard similarity join via prefix filtering
+    * (the AllPairs/PPJoin family — Chaudhuri et al. ICDE'06, Bayardo
+    * et al. WWW'07, Vernica et al. SIGMOD'10 — the standard exact
+    * set-similarity-join shape on MapReduce-style engines). Unlike the
+    * MinHash path this returns the EXACT answer, no probabilistic
+    * recall:
+    *
+    *  1. global token order: shingles ranked by (frequency, token) —
+    *     one explode + groupBy;
+    *  2. prefix blocking: a doc with |s| shingles emits only its
+    *     |s| − ⌈t·|s|⌉ + 1 RAREST shingles as join keys. Any pair with
+    *     J ≥ t must share a prefix token (pigeonhole on the global
+    *     order), so candidates are complete; rare-token postings keep
+    *     buckets small, so candidate volume stays near-linear;
+    *  3. length filter: J ≥ t ⇒ min|s| ≥ t·max|s| prunes before the
+    *     exact verification;
+    *  4. exact Jaccard verification on candidates only.
+    *
+    * Scale posture: two shuffles (token stats, prefix join) + the
+    * candidate verification join, all equi-joins; nothing all-pairs.
+    * Returns (a, b, jaccard) with a < b, J ≥ threshold. */
+  def ngramJaccardPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 2, threshold: Double = 0.75): DataFrame = {
+    val sets = df.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0).localCheckpoint()
+    val tokens = sets.select(col("id"), explode(col("sh")).as("tok"))
+    val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    // per doc: tokens sorted by global (f, tok) order, keep the prefix
+    val prefixes = tokens.join(freq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("f"), col("tok"))).as("ts"))
+      .select(col("id"),
+        slice(array_sort(col("ts")),
+          lit(1),
+          size(col("ts")) - ceil(lit(threshold) * size(col("ts"))).cast("int") + 1)
+          .as("pref"),
+        size(col("ts")).as("n_sh"))
+      .select(col("id"), col("n_sh"),
+        explode(transform(col("pref"), s => s.getField("tok"))).as("tok"))
+    val candidates = prefixes.as("a")
+      .join(prefixes.as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          // length filter: J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|)
+          least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+            lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+    candidates
+      .join(sets.as("sa"), col("a") === col("sa.id"))
+      .join(sets.as("sb"), col("b") === col("sb.id"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
+          size(array_union(col("sa.sh"), col("sb.sh"))))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** E2b: SimHash LSH candidate pairs with exact Hamming refinement
     * values, BEFORE the maxHamming filter (exposed so the self-check can
     * assert an absolute candidate budget).
@@ -230,6 +289,15 @@ object Dedup {
     *    design intent — fail loudly at the scale where a 64-bit
     *    fingerprint stops being selective enough and must widen,
     *    instead of silently going quadratic. */
+  /** E2c: exact bigram-Jaccard similarity join over the natural corpus
+    * — the DuckDB oracle recomputes the exact all-pairs answer, so this
+    * checks the prefix-filter path end to end (completeness AND
+    * values): any lost candidate is a hash mismatch. */
+  private val e2NgramJaccard: Q = (s, dir) =>
+    ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+      shingleN = 2, threshold = 0.75)
+      .orderBy(col("a"), col("b"))
+
   private val e2SimhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
     // ONE materialized text→shingles pass feeds every subtree below
@@ -273,6 +341,7 @@ object Dedup {
   val queries: Map[String, Q] = Map(
     "e1_dedup_exact" -> e1DedupExact,
     "e2_minhash_neardup" -> e2MinhashNearDup,
+    "e2_ngram_jaccard" -> e2NgramJaccard,
     "e2_simhash_neardup" -> e2SimhashNearDup,
   )
 
@@ -306,6 +375,24 @@ object Dedup {
         |WHERE a.doc_id < b.doc_id
         |  AND len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
+        |ORDER BY a, b""".stripMargin,
+    // Exact all-pairs 2-word-shingle Jaccard — the prefix-filter path
+    // must reproduce it bit for bit.
+    "e2_ngram_jaccard" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1])) AS s
+        |  FROM documents)
+        |SELECT a.doc_id AS a, b.doc_id AS b,
+        |  round(len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))), 4) AS jaccard
+        |FROM sh a, sh b
+        |WHERE a.doc_id < b.doc_id
+        |  AND len(list_intersect(a.s, b.s))::DOUBLE
+        |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.75
         |ORDER BY a, b""".stripMargin,
     "e2_simhash_neardup" ->
       "SELECT true AS recall_ok, true AS precision_ok, true AS cand_budget_ok",

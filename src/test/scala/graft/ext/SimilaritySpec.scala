@@ -49,6 +49,28 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAnn.subsetOf(exact), "refinement must not admit false positives")
   }
 
+  test("ivfTopK recall over embeddings clears the query's bound with margin") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 50)
+    val cents = Similarity.ivfTrain(emb, c = 32, iters = 2)
+    assert(cents.size == 32 && cents.forall(_._2.nonEmpty))
+    // trained centroids are unit vectors
+    cents.foreach { case (_, v) =>
+      assert(math.abs(math.sqrt(v.map(x => x * x).sum) - 1.0) < 1e-9)
+    }
+    val exact = Similarity.bruteForceTopK(queries, emb, 5).select("q_id", "c_id")
+    val found = Similarity.ivfTopK(emb, queries, cents, k = 5, nprobe = 8)
+      .select("q_id", "c_id")
+    val total = exact.count().toDouble
+    val hits = exact.join(found, Seq("q_id", "c_id"), "left_semi").count()
+    info(f"IVF recall@5 = ${hits / total}%.3f")
+    assert(hits / total >= 0.6, s"recall ${hits / total} too low")
+    // every corpus vector lands in exactly one of the C cells
+    val assigned = Similarity.ivfAssign(emb, cents)
+    assert(assigned.count() == emb.count())
+    assert(assigned.agg(countDistinct($"cell")).head().getLong(0) <= 32)
+  }
+
   test("annCandidates is deterministic across evaluations") {
     val emb = Tables.load(spark, sf, "embeddings").limit(40)
     val q = emb.limit(5)
