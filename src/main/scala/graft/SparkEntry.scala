@@ -25,6 +25,7 @@ object SparkEntry {
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.TextStats.queries ++
+      ext.Curation.queries ++
       ext.Multimodal.queries ++
       streaming.EventWindows.queries ++
       sources.Federated.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
       ext.TextStats.oracles ++
+      ext.Curation.oracles ++
       ext.Multimodal.oracles ++
       streaming.EventWindows.oracles ++
       sources.Federated.oracles ++
