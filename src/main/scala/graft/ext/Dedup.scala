@@ -132,12 +132,18 @@ object Dedup {
     *     exact verification;
     *  4. exact Jaccard verification on candidates only.
     *
+    * Shingle width is the blocking lever: prefix filtering needs a
+    * skewed token-frequency distribution, so pick n large enough that
+    * most n-grams are rare. On the synthetic corpus (small vocabulary)
+    * bigrams give ~270-doc postings → 2.1M candidates at 5k docs, while
+    * trigrams give ≤ 8-doc postings → 70k candidates (~14·n, linear).
+    *
     * Scale posture: two shuffles (token stats, prefix join) + the
     * candidate verification join, all equi-joins; nothing all-pairs.
     * Returns (a, b, jaccard) with a < b, J ≥ threshold. */
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleN: Int = 2, threshold: Double = 0.75): DataFrame = {
+      shingleN: Int = 3, threshold: Double = 0.75): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0).localCheckpoint()
@@ -289,13 +295,13 @@ object Dedup {
     *    design intent — fail loudly at the scale where a 64-bit
     *    fingerprint stops being selective enough and must widen,
     *    instead of silently going quadratic. */
-  /** E2c: exact bigram-Jaccard similarity join over the natural corpus
+  /** E2c: exact trigram-Jaccard similarity join over the natural corpus
     * — the DuckDB oracle recomputes the exact all-pairs answer, so this
     * checks the prefix-filter path end to end (completeness AND
     * values): any lost candidate is a hash mismatch. */
   private val e2NgramJaccard: Q = (s, dir) =>
     ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
-      shingleN = 2, threshold = 0.75)
+      shingleN = 3, threshold = 0.75)
       .orderBy(col("a"), col("b"))
 
   private val e2SimhashNearDup: Q = (s, dir) => {
@@ -376,15 +382,16 @@ object Dedup {
         |  AND len(list_intersect(a.s, b.s))::DOUBLE
         |    / len(list_distinct(list_concat(a.s, b.s))) >= 0.8
         |ORDER BY a, b""".stripMargin,
-    // Exact all-pairs 2-word-shingle Jaccard — the prefix-filter path
+    // Exact all-pairs 3-word-shingle Jaccard — the prefix-filter path
     // must reproduce it bit for bit.
     "e2_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,
         |    list_distinct(list_transform(
-        |      range(1, greatest(len(string_split(text,' ')) - 1, 0) + 1),
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
         |      i -> string_split(text,' ')[i] || ' ' ||
-        |           string_split(text,' ')[i+1])) AS s
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS s
         |  FROM documents)
         |SELECT a.doc_id AS a, b.doc_id AS b,
         |  round(len(list_intersect(a.s, b.s))::DOUBLE

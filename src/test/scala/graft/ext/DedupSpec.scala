@@ -31,7 +31,7 @@ class DedupSpec extends SparkSpec {
   test("ngramJaccardPairs exactly reproduces the all-pairs answer") {
     val docs = Tables.load(spark, sf, "documents")
     val sets = docs.select($"doc_id".as("id"),
-      Dedup.shingles($"text", 2).as("sh")).filter(size($"sh") > 0)
+      Dedup.shingles($"text", 3).as("sh")).filter(size($"sh") > 0)
     val exact = sets.as("x").join(sets.as("y"), $"x.id" < $"y.id")
       .withColumn("j",
         size(array_intersect($"x.sh", $"y.sh")).cast("double") /
@@ -40,9 +40,9 @@ class DedupSpec extends SparkSpec {
       .select($"x.id".as("a"), $"y.id".as("b"), round($"j", 4).as("jaccard"))
       .as[(Long, Long, Double)].collect().toSet
     val viaPrefix = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
-      shingleN = 2, threshold = 0.75)
+      shingleN = 3, threshold = 0.75)
       .as[(Long, Long, Double)].collect().toSet
-    assert(exact.nonEmpty, "corpus should contain bigram-Jaccard pairs")
+    assert(exact.nonEmpty, "corpus should contain trigram-Jaccard pairs")
     assert(viaPrefix == exact,
       s"prefix-filter path diverged: missing=${exact diff viaPrefix} extra=${viaPrefix diff exact}")
   }
