@@ -240,6 +240,31 @@ object LakeQueries {
     * (customer/orders) so DuckDB recomputes the whole thing exactly.
     * The rating rides as o_totalprice/1024 — a binary-exact division,
     * so the TSV round trip and both engines agree to the bit. */
+  /** K9: dynamic partition overwrite — the re-run-one-partition
+    * semantic of a partitioned ETL job (the reference's Glue job writes
+    * `partitionKeys=["birthYear"]` with overwrite, csv_to_parquet.py:
+    * 52-61; re-running it for one year must replace only that year's
+    * directory). Full partitioned write, then a dynamic-mode overwrite
+    * of ONLY nation 7 with corrected balances; the read-back must show
+    * nation 7 updated and every other partition intact — static
+    * overwrite semantics would have dropped them. */
+  private val k9DynamicOverwrite: Q = (s, dir) => {
+    val root = Lake.scratchDir("k9")
+    val cust = t(s, dir, "customer").select(
+      col("c_custkey"), col("c_name"), round(col("c_acctbal"), 2).as("bal"),
+      col("c_nationkey"))
+    Lake.writeParquet(cust, root, Seq("c_nationkey"))
+    cust.filter(col("c_nationkey") === 7)
+      .withColumn("bal", round(col("bal") + 1000.0, 2))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .partitionBy("c_nationkey").parquet(root)
+    Lake.readPartitioned(s, root)
+      .select(col("c_custkey"), col("c_name"), col("bal"),
+        col("c_nationkey"))
+      .orderBy(col("c_custkey"))
+  }
+
   private val etlImdbJoin: Q = (s, dir) => {
     val root = Lake.scratchDir("imdb")
     Lake.writeTsv(
@@ -322,6 +347,7 @@ object LakeQueries {
     "s11_orc_rt" -> s11OrcRt,
     "k7_compact" -> k7Compact,
     "k8_ctas_insert" -> k8CtasInsert,
+    "k9_dynamic_overwrite" -> k9DynamicOverwrite,
     "etl_imdb_join" -> etlImdbJoin,
     "k5_register_prefix" -> k5RegisterPrefix,
   )
@@ -385,6 +411,13 @@ object LakeQueries {
         |  UNION ALL
         |  SELECT r_regionkey AS id, r_name AS name, 'region' AS src FROM region)
         |ORDER BY src, id""".stripMargin,
+    "k9_dynamic_overwrite" ->
+      """SELECT c_custkey, c_name,
+        | CASE WHEN c_nationkey = 7
+        |   THEN round(round(c_acctbal, 2) + 1000.0, 2)
+        |   ELSE round(c_acctbal, 2) END AS bal,
+        | c_nationkey
+        |FROM customer ORDER BY c_custkey""".stripMargin,
     "etl_imdb_join" ->
       """SELECT c_name AS primaryName, c_nationkey + 1900 AS birthYear,
         |  count(*) AS n_titles, round(avg(o_totalprice / 1024), 4) AS avg_rating
