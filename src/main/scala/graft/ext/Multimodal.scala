@@ -85,6 +85,67 @@ object Multimodal {
     }
   }
 
+  /** REAL image decode for the one format that needs no codec library:
+    * binary PPM (P6 — "P6\n<w> <h>\n<maxval>\n" header, then raw RGB
+    * bytes). Pure-JVM parser, so unlike the stubbed codec paths this
+    * one decodes actual pixels and is value-level oracle-checked. */
+  final case class PpmStats(doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  private[ext] object PpmParser extends Serializable {
+    /** Parse a P6 header → (width, height, pixel-data offset). Fails
+      * loudly on anything that is not an 8-bit P6 image. */
+    def header(b: Array[Byte]): (Int, Int, Int) = {
+      require(b.length >= 2 && b(0) == 'P' && b(1) == '6', "not a P6 PPM")
+      var i = 2
+      def isWs(c: Byte) = c == ' ' || c == '\n' || c == '\r' || c == '\t'
+      def nextInt(): Int = {
+        while (i < b.length && (isWs(b(i)) || b(i) == '#'))
+          if (b(i) == '#') { while (i < b.length && b(i) != '\n') i += 1 }
+          else i += 1
+        var v = 0
+        while (i < b.length && b(i) >= '0' && b(i) <= '9') {
+          v = v * 10 + (b(i) - '0'); i += 1
+        }
+        v
+      }
+      val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(maxval == 255, s"unsupported maxval $maxval")
+      i += 1 // the single whitespace byte separating header from pixels
+      (w, h, i)
+    }
+  }
+
+  /** Partition-batched REAL PPM decode: parses each image's header and
+    * averages the R/G/B channels over its pixels. Same mapPartitions
+    * shape as [[decodePartitioned]] — at scale the parser/codec context
+    * initializes once per partition and rows stream through. */
+  def decodePpm(df: DataFrame, idCol: String, binCol: String): Dataset[PpmStats] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        def round4(x: Double): Double =
+          BigDecimal(x).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+        rows.map { case (id, bytes) =>
+          val (w, h, off) = PpmParser.header(bytes)
+          val n = w * h
+          require(bytes.length >= off + 3 * n, "truncated pixel data")
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var j = 0
+          while (j < n) {
+            sr += bytes(off + 3 * j) & 0xff
+            sg += bytes(off + 3 * j + 1) & 0xff
+            sb += bytes(off + 3 * j + 2) & 0xff
+            j += 1
+          }
+          PpmStats(id, w, h,
+            round4(sr.toDouble / n), round4(sg.toDouble / n),
+            round4(sb.toDouble / n))
+        }
+      }
+  }
+
   /** STUB media resize: binary → binary (a real one re-encodes pixels;
     * the fake truncates deterministically, preserving the shape of the
     * transform: binary in, smaller binary out, map-only). */
@@ -134,10 +195,27 @@ object Multimodal {
       .select(col("doc_id"), col("n_bytes"))
       .orderBy(col("doc_id"))
 
+  /** E5d: REAL decode through the gate — 8×8 P6 images are constructed
+    * from each document's bytes (zero-padded to 192 pixel bytes), the
+    * pure-JVM parser decodes them, and DuckDB recomputes the channel
+    * means from the same byte construction — a value-level oracle on
+    * actual decoded pixels, not a stub. */
+  private val e5PpmDecode: Q = (s, dir) => {
+    val img = concat(
+      lit("P6\n8 8\n255\n".getBytes("UTF-8")),
+      rpad(substring(col("text").cast("binary"), 1, 192), 192,
+        Array[Byte](0)))
+    decodePpm(
+      t(s, dir, "documents").withColumn("img", img), "doc_id", "img")
+      .toDF()
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e5_binary_meta" -> e5BinaryMeta,
     "e5_vector_join" -> e5VectorJoin,
     "e5_decode_batch" -> e5DecodeBatch,
+    "e5_ppm_decode" -> e5PpmDecode,
   )
 
   val oracles: Map[String, String] = Map(
@@ -154,5 +232,24 @@ object Multimodal {
     "e5_decode_batch" ->
       """SELECT doc_id, strlen(text) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Channel means recomputed from the same construction: pixel byte
+    // i is the document's i-th byte (ASCII corpus: ord = byte) or 0
+    // padding; R/G/B interleave as 3j/3j+1/3j+2. sum/64 is exact in
+    // doubles (64 = 2^6), so round(…, 4) is stable on both engines.
+    "e5_ppm_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 192),
+        |      i -> CASE WHEN i + 1 <= strlen(text)
+        |             THEN ord(substr(text, (i + 1)::INT, 1)) ELSE 0 END) AS b
+        |  FROM documents)
+        |SELECT doc_id, 8 AS width, 8 AS height,
+        |  round(list_sum(list_transform(range(0, 64), j -> b[(3*j + 1)::INT]))
+        |    / 64.0, 4) AS mean_r,
+        |  round(list_sum(list_transform(range(0, 64), j -> b[(3*j + 2)::INT]))
+        |    / 64.0, 4) AS mean_g,
+        |  round(list_sum(list_transform(range(0, 64), j -> b[(3*j + 3)::INT]))
+        |    / 64.0, 4) AS mean_b
+        |FROM px ORDER BY doc_id""".stripMargin,
   )
 }

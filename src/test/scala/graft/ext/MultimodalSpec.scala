@@ -5,6 +5,27 @@ import org.apache.spark.sql.types.{ArrayType, FloatType}
 import graft.SparkSpec
 
 class MultimodalSpec extends SparkSpec {
+
+  test("decodePpm parses a hand-built P6 image and averages channels") {
+    import spark.implicits._
+    // 2x2 image: all-red, all-green, all-blue, white
+    val px = Array[Byte](
+      255.toByte, 0, 0, 0, 255.toByte, 0,
+      0, 0, 255.toByte, 255.toByte, 255.toByte, 255.toByte)
+    val img = "P6\n2 2\n255\n".getBytes("UTF-8") ++ px
+    val out = Multimodal.decodePpm(
+      Seq((7L, img)).toDF("doc_id", "img"), "doc_id", "img").head()
+    assert(out == Multimodal.PpmStats(7L, 2, 2, 127.5, 127.5, 127.5))
+    // comment + multi-digit dims parse too
+    val (w, h, off) = Multimodal.PpmParser.header(
+      "P6\n# a comment\n640 480\n255\n".getBytes("UTF-8"))
+    assert((w, h) == ((640, 480)))
+    assert(off == "P6\n# a comment\n640 480\n255\n".length)
+    // non-P6 input fails loudly, never decodes garbage
+    intercept[IllegalArgumentException] {
+      Multimodal.PpmParser.header("JFIF....".getBytes("UTF-8"))
+    }
+  }
   import spark.implicits._
 
   test("binaryMeta: byte length, digest, and head bytes of binary payloads") {

@@ -45,6 +45,23 @@ class RelationalPlanSpec extends SparkSpec {
     assert(plan("j4_semi").contains("LeftSemi"))
   }
 
+  test("ngram Jaccard join is equi-join blocked — never a cartesian product") {
+    val p = physicalPlan(graft.ext.Dedup.ngramJaccardPairs(
+      Tables.load(spark, sf, "documents"), "doc_id", "text"))
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      s"prefix-filter path degenerated to all-pairs:\n$p")
+  }
+
+  test("ivf search broadcasts the probe list; corpus side never shuffles for the join") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = graft.ext.Similarity.ivfTrain(emb, c = 8, iters = 1)
+    val p = physicalPlan(graft.ext.Similarity.ivfTopK(
+      emb, emb.filter(col("vec_id") < 5), cents, k = 3, nprobe = 2))
+    assert(p.contains("BroadcastHashJoin"),
+      s"probe list not broadcast:\n$p")
+  }
+
   test("k6 bucketed join needs no shuffle exchange before the join") {
     // Disable broadcast so the plan shows the big-big path bucketing is
     // for (at test scale Catalyst would rightly broadcast orders).
