@@ -240,6 +240,52 @@ object LakeQueries {
     * (customer/orders) so DuckDB recomputes the whole thing exactly.
     * The rating rides as o_totalprice/1024 — a binary-exact division,
     * so the TSV round trip and both engines agree to the bit. */
+  /** S12: catalog VIEW — Athena's CREATE VIEW surface (the workgroup
+    * SQL, demo_stack.py:255-265): a named view over the processed zone
+    * lives in the catalog and is queried like a table. */
+  private val s12SqlView: Q = (s, dir) => {
+    val db = s"processed_${Lake.sessionSuffix(s, dir)}"
+    Catalog.publish(s, db, "customer_src", t(s, dir, "customer"))
+    s.sql(s"DROP VIEW IF EXISTS `$db`.cust_by_nation")
+    // decimal sum serialized as string — exact on both engines (the
+    // rounded-double avg hit a .005 half boundary; see f14_decimal)
+    s.sql(
+      s"""CREATE VIEW `$db`.cust_by_nation AS
+         |SELECT c_nationkey, count(*) AS n_cust,
+         |       CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS STRING)
+         |         AS total_bal
+         |FROM `$db`.customer_src GROUP BY c_nationkey""".stripMargin)
+    s.sql(s"SELECT * FROM `$db`.cust_by_nation ORDER BY c_nationkey")
+  }
+
+  /** S13: partition discovery — the crawler's defining behavior
+    * (demo_stack.py:130-145: scan a Hive-layout prefix, register the
+    * partitions in the catalog). An EXTERNAL partitioned table is
+    * declared over an existing directory tree and `MSCK REPAIR TABLE`
+    * discovers the partition directories; a partition-pruned query
+    * proves they registered. */
+  private val s13MsckRepair: Q = (s, dir) => {
+    val root = Lake.scratchDir("s13")
+    Lake.writeParquet(
+      t(s, dir, "customer").select(
+        col("c_custkey"), col("c_name"),
+        round(col("c_acctbal"), 2).as("bal"), col("c_nationkey")),
+      root, Seq("c_nationkey"))
+    val tbl = s"graft_msck_${Lake.sessionSuffix(s, dir)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    s.sql(
+      s"""CREATE TABLE $tbl (c_custkey BIGINT, c_name STRING, bal DOUBLE,
+         |  c_nationkey INT)
+         |USING parquet PARTITIONED BY (c_nationkey)
+         |LOCATION '$root'""".stripMargin)
+    // before repair the catalog knows zero partitions; MSCK walks the
+    // directory tree exactly like the crawler walks the S3 prefix
+    s.sql(s"MSCK REPAIR TABLE $tbl")
+    s.sql(
+      s"""SELECT c_custkey, c_name, bal, c_nationkey FROM $tbl
+         |WHERE c_nationkey IN (3, 7) ORDER BY c_custkey""".stripMargin)
+  }
+
   /** K9: dynamic partition overwrite — the re-run-one-partition
     * semantic of a partitioned ETL job (the reference's Glue job writes
     * `partitionKeys=["birthYear"]` with overwrite, csv_to_parquet.py:
@@ -348,6 +394,8 @@ object LakeQueries {
     "k7_compact" -> k7Compact,
     "k8_ctas_insert" -> k8CtasInsert,
     "k9_dynamic_overwrite" -> k9DynamicOverwrite,
+    "s12_sql_view" -> s12SqlView,
+    "s13_msck_repair" -> s13MsckRepair,
     "etl_imdb_join" -> etlImdbJoin,
     "k5_register_prefix" -> k5RegisterPrefix,
   )
@@ -411,6 +459,14 @@ object LakeQueries {
         |  UNION ALL
         |  SELECT r_regionkey AS id, r_name AS name, 'region' AS src FROM region)
         |ORDER BY src, id""".stripMargin,
+    "s12_sql_view" ->
+      """SELECT c_nationkey, count(*) AS n_cust,
+        | CAST(sum(CAST(c_acctbal AS DECIMAL(12,2))) AS VARCHAR) AS total_bal
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "s13_msck_repair" ->
+      """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal, c_nationkey
+        |FROM customer WHERE c_nationkey IN (3, 7)
+        |ORDER BY c_custkey""".stripMargin,
     "k9_dynamic_overwrite" ->
       """SELECT c_custkey, c_name,
         | CASE WHEN c_nationkey = 7
