@@ -259,25 +259,59 @@ object Relational {
       .filter(col("sum_qty") > 100)
       .orderBy(col("l_suppkey"))
 
-  /** Exact interpolated percentiles WITHOUT buffering a group's values:
-    * one shuffle+sort by (group, value) feeds row_number and a per-group
-    * count (two Window ops over the same exchange); each requested
-    * percentile then needs only its two boundary rows, which a plain
-    * partial+final sum aggregates. Built-in `percentile()` instead holds
-    * ALL of a group's values inside one aggregation buffer — at 100 TB a
-    * single hot group OOMs the executor; here per-task state is O(1)
-    * regardless of group size. Same linear-interpolation semantics as
-    * Spark `percentile()` / DuckDB `quantile_cont` (index = (n-1)·p). */
+  /** Exact interpolated percentiles WITHOUT buffering a group's values
+    * AND without a one-task-per-group sort — the classic distributed
+    * order-statistics shape:
+    *
+    *  1. range-partition rows by (group, value) into `parallelism`
+    *     partitions — a single group's values span MANY partitions in
+    *     value order (a plain `Window.partitionBy(group)` instead sorts
+    *     each whole group in ONE task: with 3 groups that is 3 reducers
+    *     no matter how large the cluster);
+    *  2. per-(partition, group) row counts form a TINY offset table
+    *     (partitions × groups rows) — prefix sums give each partition's
+    *     starting rank inside its group, and the per-group totals;
+    *  3. global rank = partition offset + local (partition, group)
+    *     row_number — the rank windows are keyed by (partition, group),
+    *     so rank assignment parallelism is partitions × groups;
+    *  4. each requested percentile needs only its two boundary rows,
+    *     which a plain partial+final sum aggregates.
+    *
+    * Built-in `percentile()` instead holds ALL of a group's values in
+    * one aggregation buffer — at 100 TB a single hot group OOMs the
+    * executor. Same linear-interpolation semantics as Spark
+    * `percentile()` / DuckDB `quantile_cont` (index = (n-1)·p). Value
+    * ties may split across range-partition boundaries; local ranks plus
+    * offsets still produce one valid global numbering, and interpolation
+    * is tie-order-independent. */
   def exactPercentiles(df: DataFrame, groupCol: String, valueCol: String,
-      ps: Seq[(String, Double)]): DataFrame = {
-    val byVal = Window.partitionBy(col(groupCol)).orderBy(col(valueCol))
-    val whole = Window.partitionBy(col(groupCol))
+      ps: Seq[(String, Double)], parallelism: Int = 32): DataFrame = {
     // builtin percentile() ignores nulls; without this filter they would
     // occupy ranks and inflate the group count
-    val ranked = df.select(col(groupCol), col(valueCol))
+    val parts = df.select(col(groupCol), col(valueCol))
       .filter(col(valueCol).isNotNull)
-      .withColumn("_rn", row_number().over(byVal).cast("long") - 1)
-      .withColumn("_n", count(lit(1)).over(whole))
+      .repartitionByRange(parallelism, col(groupCol), col(valueCol))
+      .withColumn("_pid", spark_partition_id())
+      .localCheckpoint() // consumed twice: offset table + rank assignment
+    val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offs = parts.groupBy(col("_pid"), col(groupCol))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_off", coalesce(sum(col("_c")).over(wOff), lit(0L)))
+      .withColumn("_n",
+        sum(col("_c")).over(Window.partitionBy(col(groupCol))))
+      .drop("_c")
+    val wLoc = Window.partitionBy(col("_pid"), col(groupCol))
+      .orderBy(col(valueCol))
+    // null-safe on the group key: a NULL group is a real group to
+    // builtin percentile(), so it must find its offsets too
+    val offsR = offs.select(col("_pid").as("_p"), col(groupCol).as("_g"),
+      col("_off"), col("_n"))
+    val ranked = parts
+      .withColumn("_lrn", row_number().over(wLoc).cast("long"))
+      .join(broadcast(offsR),
+        col("_pid") === col("_p") && (col(groupCol) <=> col("_g")))
+      .withColumn("_rn", col("_off") + col("_lrn") - 1)
     def idx(p: Double): Column = (col("_n") - 1) * lit(p)
     // keep only boundary rows — the aggregation input is ~2·|ps| rows
     // per group, not the whole group

@@ -97,6 +97,23 @@ class RelationalPlanSpec extends SparkSpec {
     assert(viaRank == viaBuiltin)
   }
 
+  test("exact percentiles handle NULL group keys and all-NULL groups like the builtin") {
+    import spark.implicits._
+    val df = Seq[(Option[String], Option[Double])](
+      (Some("a"), Some(1.0)), (Some("a"), Some(2.0)), (Some("a"), Some(3.0)),
+      (None, Some(10.0)), (None, Some(20.0)),      // NULL group with values
+      (Some("b"), None), (Some("b"), None),        // group with only NULLs
+      (Some("c"), Some(5.0)), (Some("c"), None))   // values + a NULL
+      .toDF("g", "v")
+    val viaRank = Relational.exactPercentiles(df, "g", "v",
+      Seq("p50" -> 0.5), parallelism = 3)
+      .orderBy(asc_nulls_first("g")).collect().map(_.toSeq).toSeq
+    val viaBuiltin = df.groupBy(col("g"))
+      .agg(round(expr("percentile(v, 0.5)"), 4).as("p50"))
+      .orderBy(asc_nulls_first("g")).collect().map(_.toSeq).toSeq
+    assert(viaRank == viaBuiltin, s"$viaRank vs $viaBuiltin")
+  }
+
   test("j8 salted join result equals the plain join") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
