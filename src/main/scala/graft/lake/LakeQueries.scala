@@ -286,6 +286,26 @@ object LakeQueries {
          |WHERE c_nationkey IN (3, 7) ORDER BY c_custkey""".stripMargin)
   }
 
+  /** S14: schema evolution across batches — the crawler's
+    * schema-change handling (a later load adds a column; the catalog
+    * table must surface the union). Two parquet batches with different
+    * schemas under one prefix, read with mergeSchema: early rows carry
+    * NULL for the late column. */
+  private val s14SchemaMerge: Q = (s, dir) => {
+    val root = Lake.scratchDir("s14")
+    val n = t(s, dir, "nation")
+    n.filter(col("n_nationkey") < 12)
+      .select(col("n_nationkey"), col("n_name"))
+      .write.parquet(s"$root/batch=1")
+    n.filter(col("n_nationkey") >= 12)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"))
+      .write.parquet(s"$root/batch=2")
+    s.read.option("mergeSchema", "true").parquet(root)
+      .select(col("n_nationkey"), col("n_name"), col("n_regionkey"),
+        col("batch"))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** K9: dynamic partition overwrite — the re-run-one-partition
     * semantic of a partitioned ETL job (the reference's Glue job writes
     * `partitionKeys=["birthYear"]` with overwrite, csv_to_parquet.py:
@@ -396,6 +416,7 @@ object LakeQueries {
     "k9_dynamic_overwrite" -> k9DynamicOverwrite,
     "s12_sql_view" -> s12SqlView,
     "s13_msck_repair" -> s13MsckRepair,
+    "s14_schema_merge" -> s14SchemaMerge,
     "etl_imdb_join" -> etlImdbJoin,
     "k5_register_prefix" -> k5RegisterPrefix,
   )
@@ -467,6 +488,11 @@ object LakeQueries {
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal, c_nationkey
         |FROM customer WHERE c_nationkey IN (3, 7)
         |ORDER BY c_custkey""".stripMargin,
+    "s14_schema_merge" ->
+      """SELECT n_nationkey, n_name,
+        | CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS n_regionkey,
+        | CASE WHEN n_nationkey < 12 THEN 1 ELSE 2 END AS batch
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "k9_dynamic_overwrite" ->
       """SELECT c_custkey, c_name,
         | CASE WHEN c_nationkey = 7
