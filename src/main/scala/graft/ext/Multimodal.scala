@@ -175,7 +175,7 @@ object Multimodal {
     * vector column survives the join shuffle intact. */
   private val e5VectorJoin: Q = (s, dir) => {
     val v = transform(col("embedding"), _.cast("double"))
-    val normSq = aggregate(transform(v, x => x * x), lit(0.0), (acc, x) => acc + x)
+    val normSq = graft.functions.VecDot.vecDot(v, v)
     t(s, dir, "embeddings")
       .join(t(s, dir, "documents"), col("vec_id") === col("doc_id"))
       .groupBy(col("label"), col("lang"))

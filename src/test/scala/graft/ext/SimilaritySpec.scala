@@ -71,6 +71,24 @@ class SimilaritySpec extends SparkSpec {
     assert(assigned.agg(countDistinct($"cell")).head().getLong(0) <= 32)
   }
 
+  test("vec_dot native kernel agrees with the HOF spelling and registers for SQL") {
+    val df = Tables.load(spark, sf, "embeddings").limit(100)
+      .select(transform($"embedding", _.cast("double")).as("v"))
+    val native = df.select(graft.functions.VecDot.vecDot($"v", $"v"))
+      .as[Double].collect().toSeq
+    val hof = df.select(
+      aggregate(zip_with($"v", $"v", (x, y) => x * y), lit(0.0), _ + _))
+      .as[Double].collect().toSeq
+    assert(native == hof, "codegen kernel diverges from HOF fold")
+    val sql = spark.sql("SELECT vec_dot(array(1.0D, 2.0D), array(3.0D, 4.0D))")
+      .head().getDouble(0)
+    assert(sql == 11.0)
+    val err = intercept[Exception] {
+      spark.sql("SELECT vec_dot(array(1.0D), array(1.0D, 2.0D))").head()
+    }
+    assert(err.getMessage.contains("dimension mismatch"))
+  }
+
   test("annCandidates is deterministic across evaluations") {
     val emb = Tables.load(spark, sf, "embeddings").limit(40)
     val q = emb.limit(5)
