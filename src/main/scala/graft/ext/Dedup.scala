@@ -92,8 +92,7 @@ object Dedup {
       .join(sets.as("sa"), col("a") === col("sa.id"))
       .join(sets.as("sb"), col("b") === col("sb.id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh"))))
+        graft.functions.JaccardSim.jaccardSim(col("sa.sh"), col("sb.sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -173,8 +172,7 @@ object Dedup {
       .join(sets.as("sa"), col("a") === col("sa.id"))
       .join(sets.as("sb"), col("b") === col("sb.id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh"))))
+        graft.functions.JaccardSim.jaccardSim(col("sa.sh"), col("sb.sh")))
       .filter(col("jaccard") >= threshold)
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -321,8 +319,7 @@ object Dedup {
       .join(sets.as("sa"), col("a") === col("sa.id"))
       .join(sets.as("sb"), col("b") === col("sb.id"))
       .withColumn("jaccard",
-        size(array_intersect(col("sa.sh"), col("sb.sh"))).cast("double") /
-          size(array_union(col("sa.sh"), col("sb.sh"))))
+        graft.functions.JaccardSim.jaccardSim(col("sa.sh"), col("sb.sh")))
     val highJ = minhashNearDupPairsFromSets(sets, k = 64, bands = 16,
       threshold = 0.9)
       .join(fps.as("fa"), col("a") === col("fa.id"))

@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{HyperplaneSig, MinHashSig, SimHash64, VecDot}
+import graft.functions.{HyperplaneSig, JaccardSim, MinHashSig, SimHash64, VecDot}
 
 /** Session extensions — the sanctioned plug-in point for custom
   * expressions (enable with
@@ -41,6 +41,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[MinHashSig].getName, "minhash_sig"),
       (exprs: Seq[Expression]) =>
         MinHashSig(exprs.head, litInt(exprs(1), "minhash_sig k"))))
+    ext.injectFunction((
+      new FunctionIdentifier("jaccard_sim"),
+      new ExpressionInfo(classOf[JaccardSim].getName, "jaccard_sim"),
+      (exprs: Seq[Expression]) => JaccardSim(exprs.head, exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

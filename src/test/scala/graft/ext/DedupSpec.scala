@@ -95,6 +95,28 @@ class DedupSpec extends SparkSpec {
     assert(nCand <= 64 * n, s"candidate volume $nCand exceeds 64*n linear budget")
   }
 
+  test("jaccard_sim native kernel agrees with the array_intersect/union spelling") {
+    val sets = Tables.load(spark, sf, "documents").limit(200)
+      .select($"doc_id", Dedup.shingles($"text", 3).as("sh"))
+    val pairs = sets.as("a").join(sets.as("b"), $"a.doc_id" < $"b.doc_id")
+      .limit(5000)
+      .select(
+        graft.functions.JaccardSim.jaccardSim($"a.sh", $"b.sh").as("native"),
+        (size(array_intersect($"a.sh", $"b.sh")).cast("double") /
+          size(array_union($"a.sh", $"b.sh"))).as("builtin"))
+      .as[(Double, Double)].collect()
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (n, b) =>
+      assert(n == b || (n.isNaN && b.isNaN), s"$n != $b")
+    }
+    // SQL registration + empty-empty NaN parity with the builtin form
+    val viaSql = spark.sql(
+      "SELECT jaccard_sim(array('a','b'), array('b','c')) AS j").head().getDouble(0)
+    assert(math.abs(viaSql - 1.0 / 3.0) < 1e-12)
+    assert(spark.sql("SELECT jaccard_sim(array(), array()) AS j")
+      .head().getDouble(0).isNaN)
+  }
+
   test("simhash64 is registered for SQL via GraftExtensions") {
     val v = spark.sql("SELECT simhash64(array('a','b','c')) AS h")
       .head().getLong(0)
