@@ -94,22 +94,38 @@ object Bench {
         s""""$n":${if (r.isRight) f"$sec%.3f" else "-1"}"""
       }.mkString("{", ",", "}")
     val total = timed.collect { case (_, sec, Right(_)) => sec }.sum
-    val failedJson = failed.map("\"" + _ + "\"").mkString("[", ",", "]")
-    def jsonLine(qs: String) =
-      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${names.size},"failed":$failedJson}"""
-    val fullLine = jsonLine(qsJson(timed))
-    val stdoutLine = jsonLine(qsJson(timed.filter(t => headline.contains(t._1))))
-    // Hard guard: an over-long stdout line silently breaks the driver's
-    // bench parse (tail buffer ≈ 2000 chars) — fail the build instead.
-    require(stdoutLine.length <= 1500,
-      s"bench stdout line ${stdoutLine.length} chars > 1500; trim `headline`")
+    def failedJson(fs: Seq[String]) =
+      fs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    def jsonLine(qs: String, fs: Seq[String]) =
+      f"""{"metric":"total","value":$total%.3f,"unit":"sec","queries":$qs,"sf":"$sfDir","n_queries":${names.size},"failed":${failedJson(fs)}}"""
+    val fullLine = jsonLine(qsJson(timed), failed)
+    // stdout carries at most 10 failed names — a mass failure must not
+    // blow the line budget (the full list is in the out file + stderr)
+    val stdoutFailed =
+      if (failed.size > 10) failed.take(10) :+ s"+${failed.size - 10} more"
+      else failed
+    val headlineLine =
+      jsonLine(qsJson(timed.filter(t => headline.contains(t._1))), stdoutFailed)
+    // Persist + diagnose FIRST — a guard must never destroy a completed
+    // run's results (many failures inflate `failed` past the limit at
+    // exactly the moment diagnostics matter most).
     val outPath = sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "bench_out.json")
     Files.writeString(Paths.get(outPath), fullLine + "\n")
-    println(stdoutLine)
     timed.foreach { case (n, _, Left(msg)) =>
       System.err.println(s"[bench] FAILED $n: $msg")
     case _ => ()
     }
+    // The driver parses the JSON line from only the last ~2000 chars of
+    // output — an over-long line breaks that silently. Degrade to a
+    // per-query-map-free line rather than ever exceeding the budget.
+    val stdoutLine =
+      if (headlineLine.length <= 1500) headlineLine
+      else {
+        System.err.println(s"[bench] headline line ${headlineLine.length} " +
+          "chars > 1500; emitting summary-only stdout line — trim `headline`")
+        jsonLine("{}", stdoutFailed)
+      }
+    println(stdoutLine)
     spark.stop()
     if (failed.nonEmpty) sys.exit(1)
   }

@@ -41,7 +41,10 @@ object Curation {
   def curate(docs: DataFrame, neardupThreshold: Double = 0.8,
       minQuality: Double = 0.6): DataFrame = {
     // Stage 1: exact dedup — keep the lowest id per identical text.
-    val exactKept = Dedup.exactDedup(docs, "text", "doc_id")
+    // Materialized once: three subtrees consume it (near-dup signature
+    // build, the anti-join, the quality/rollup lineage) and the sha2
+    // window over full text must not rerun per consumer.
+    val exactKept = Dedup.exactDedup(docs, "text", "doc_id").localCheckpoint()
     // Stage 2: near-dup removal among exact-dedup survivors. Banded
     // MinHash-LSH candidates, exact-Jaccard refinement; greedy one-hop
     // drop of the higher id (no transitive closure — each doc is

@@ -148,6 +148,12 @@ object Dedup {
       .filter(size(col("sh")) > 0).localCheckpoint()
     val tokens = sets.select(col("id"), explode(col("sh")).as("tok"))
     val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    // ε guards the PRUNING arithmetic only (never the exact verification):
+    // t·|s| in doubles can land a hair above an exact integer (0.8·5 =
+    // 4.0000000000000004), which would shorten the prefix / tighten the
+    // length filter and silently drop true pairs. ε admits at most a few
+    // extra candidates, which exact verification discards.
+    val eps = 1e-9
     // per doc: tokens sorted by global (f, tok) order, keep the prefix
     val prefixes = tokens.join(freq, Seq("tok"))
       .groupBy(col("id"))
@@ -155,7 +161,8 @@ object Dedup {
       .select(col("id"),
         slice(array_sort(col("ts")),
           lit(1),
-          size(col("ts")) - ceil(lit(threshold) * size(col("ts"))).cast("int") + 1)
+          size(col("ts")) -
+            ceil(lit(threshold) * size(col("ts")) - eps).cast("int") + 1)
           .as("pref"),
         size(col("ts")).as("n_sh"))
       .select(col("id"), col("n_sh"),
@@ -165,7 +172,7 @@ object Dedup {
         col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
           // length filter: J ≥ t ⇒ t·max(|a|,|b|) ≤ min(|a|,|b|)
           least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
-            lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")))
+            lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")) - eps)
       .select(col("a.id").as("a"), col("b.id").as("b"))
       .distinct()
     candidates

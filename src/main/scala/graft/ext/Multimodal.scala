@@ -110,7 +110,10 @@ object Multimodal {
         v
       }
       val w = nextInt(); val h = nextInt(); val maxval = nextInt()
+      require(w > 0 && h > 0, s"bad dimensions ${w}x$h") // nextInt's 0 = no digits
       require(maxval == 255, s"unsupported maxval $maxval")
+      require(i < b.length && isWs(b(i)),
+        "maxval must be followed by a single whitespace byte")
       i += 1 // the single whitespace byte separating header from pixels
       (w, h, i)
     }
@@ -130,7 +133,10 @@ object Multimodal {
         rows.map { case (id, bytes) =>
           val (w, h, off) = PpmParser.header(bytes)
           val n = w * h
-          require(bytes.length >= off + 3 * n, "truncated pixel data")
+          // EXACT length: a mis-parsed offset (e.g. stray bytes between
+          // header and pixels) must fail loudly, never average garbage
+          require(bytes.length == off + 3 * n,
+            s"pixel payload ${bytes.length - off} bytes, expected ${3 * n}")
           var sr = 0L; var sg = 0L; var sb = 0L
           var j = 0
           while (j < n) {
@@ -201,10 +207,13 @@ object Multimodal {
     * means from the same byte construction — a value-level oracle on
     * actual decoded pixels, not a stub. */
   private val e5PpmDecode: Q = (s, dir) => {
+    // coalesce: a NULL text zero-pads to an all-zero image, matching
+    // the oracle's CASE … ELSE 0 (a null binary would instead NPE the
+    // decoder — engine divergence on a nullable column)
     val img = concat(
       lit("P6\n8 8\n255\n".getBytes("UTF-8")),
-      rpad(substring(col("text").cast("binary"), 1, 192), 192,
-        Array[Byte](0)))
+      rpad(substring(coalesce(col("text"), lit("")).cast("binary"), 1, 192),
+        192, Array[Byte](0)))
     decodePpm(
       t(s, dir, "documents").withColumn("img", img), "doc_id", "img")
       .toDF()
