@@ -127,6 +127,19 @@ object Advanced {
       .offset(50)
       .limit(10)
 
+  /** L5: explicit NULL ordering — ANSI `NULLS FIRST/LAST` overrides of
+    * both default directions (Spark defaults: asc→nulls first,
+    * desc→nulls last; the query pins the opposite of each). The
+    * nullable column is derived (`\N`-style choice resolution leaves
+    * NULLs), the tie-break keeps the order total. */
+  private val l5NullOrdering: Q = (s, dir) =>
+    t(s, dir, "part")
+      .select(col("p_partkey"),
+        when(col("p_size") < 10, lit(null).cast("int"))
+          .otherwise(col("p_size")).as("size_opt"))
+      .orderBy(asc_nulls_last("size_opt"), desc("p_partkey"))
+      .limit(200)
+
   /** W4: distribution windows — percent_rank / cume_dist over account
     * balances within a nation. */
   private val w4Distribution: Q = (s, dir) => {
@@ -308,6 +321,7 @@ object Advanced {
     "a10_pivot" -> a10Pivot,
     "a10_unpivot" -> a10Unpivot,
     "l4_offset" -> l4Offset,
+    "l5_null_ordering" -> l5NullOrdering,
     "f14_decimal" -> f14Decimal,
     "w4_distribution" -> w4Distribution,
     "f9_nested_rt" -> f9NestedRt,
@@ -394,6 +408,12 @@ object Advanced {
     "l4_offset" ->
       """SELECT o_orderkey, round(o_totalprice, 2) AS price FROM orders
         |ORDER BY o_orderkey LIMIT 10 OFFSET 50""".stripMargin,
+    "l5_null_ordering" ->
+      """SELECT p_partkey,
+        | CASE WHEN p_size < 10 THEN NULL ELSE p_size END AS size_opt
+        |FROM part
+        |ORDER BY size_opt ASC NULLS LAST, p_partkey DESC
+        |LIMIT 200""".stripMargin,
     "f14_decimal" ->
       """SELECT l_returnflag,
         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(12,2))) AS VARCHAR) AS gross,
