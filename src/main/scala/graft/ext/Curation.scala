@@ -123,7 +123,7 @@ object Curation {
         |FROM (SELECT lang, count(*) AS n_in FROM all_docs GROUP BY lang) i
         |LEFT JOIN (
         |  SELECT lang, count(*) AS n_kept, round(avg(q), 4) AS avg_quality,
-        |         sum(toks) AS total_tokens
+        |         sum(toks)::BIGINT AS total_tokens
         |  FROM kept GROUP BY lang) k USING (lang)
         |ORDER BY lang""".stripMargin,
   )
