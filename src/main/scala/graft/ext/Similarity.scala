@@ -293,11 +293,52 @@ object Similarity {
       (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
   }
 
-  /** E3c: embedding-cosine near-duplicate pairs — exact all-pairs here
-    * as the verification harness (the DuckDB oracle recomputes the same
-    * cross product); the production path is `cosineNearDupViaAnn`,
-    * whose recall against this exact result is spec-tested.
-    * Threshold 0.45 sits just under the corpus max (0.513). */
+  /** E3e: the PRODUCTION ANN near-dup path, oracle-gated — runs
+    * `cosineNearDupViaAnn` and self-checks it in-plan against the exact
+    * all-pairs result (the harness subtree):
+    *   - recall_ok: found ∩ exact / |exact| ≥ 0.7 (measured 1.0 at the
+    *     gate SFs — the ≥-threshold pairs are the closest in the corpus,
+    *     so their Hamming distance sits far under τ and their partners
+    *     well inside the per-query budget; 0.7 leaves LSH head-room);
+    *   - precision_ok: |found| = |found ∩ exact| — exact-cosine
+    *     refinement means the output must be a SUBSET of the true pairs,
+    *     so any false positive is an arithmetic bug, not LSH noise;
+    *   - pair_budget_ok: |found| ≤ budget·n (absolute, not a fraction
+    *     of n²).
+    * Constant-true oracle (✱ pattern). The exact subtree is the price
+    * of the gate; excluded from the default bench via `harnessOnly`. */
+  private val e3AnnNearDup: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val found = cosineNearDupViaAnn(emb, threshold = 0.45).localCheckpoint()
+    val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
+    val exact = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
+      .withColumn("cos",
+        dot(col("a.v"), col("b.v")) / (col("a.nrm") * col("b.nrm")))
+      .filter(col("cos") >= 0.45)
+      .select(col("a.vec_id").as("a"), col("b.vec_id").as("b"))
+    val hitsAgg = exact.join(found.select(col("a"), col("b")),
+        Seq("a", "b"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val foundAgg = found.agg(count(lit(1)).as("n_found"))
+    val nAgg = emb.agg(count(lit(1)).as("n"))
+    hitsAgg.crossJoin(totalAgg).crossJoin(foundAgg).crossJoin(nAgg).select(
+      // an empty exact set (possible at a tiny SF) is vacuous recall,
+      // not a NULL that would hash-mismatch the constant-true oracle
+      when(col("total") === 0, lit(true))
+        .otherwise(col("hits").cast("double") / col("total") >= 0.7)
+        .as("recall_ok"),
+      (col("n_found") === col("hits")).as("precision_ok"),
+      (col("n_found") <= lit(150L) * col("n")).as("pair_budget_ok"))
+  }
+
+  /** E3c: embedding-cosine near-duplicate pairs — exact all-pairs,
+    * VERIFICATION HARNESS ONLY (the DuckDB oracle recomputes the same
+    * cross product; `Bench.harnessOnly` excludes it from timing); the
+    * production operator is `cosineNearDupViaAnn`, oracle-gated by
+    * `e3_ann_neardup` above and recall-spec-tested against this exact
+    * result. Threshold 0.45 sits just under the corpus max (0.513). */
   private val e3CosineNearDup: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
@@ -315,6 +356,7 @@ object Similarity {
     "e3_cosine_topk" -> e3CosineTopk,
     "e3_ann_recall" -> e3AnnRecall,
     "e3_ivf_recall" -> e3IvfRecall,
+    "e3_ann_neardup" -> e3AnnNearDup,
     "e3_cosine_neardup" -> e3CosineNearDup,
   )
 
@@ -336,6 +378,8 @@ object Similarity {
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "e3_ann_recall" ->
       "SELECT true AS recall_ok, true AS cand_budget_ok",
+    "e3_ann_neardup" ->
+      "SELECT true AS recall_ok, true AS precision_ok, true AS pair_budget_ok",
     "e3_ivf_recall" ->
       "SELECT true AS recall_ok, true AS scan_budget_ok",
     "e3_cosine_neardup" ->
