@@ -10,6 +10,17 @@ import org.apache.spark.sql.SparkSession
   * Usage: runMain graft.PlanAudit [sfDir]
   */
 object PlanAudit {
+  /** Scale red flags in an executed-plan string. Shared by the CLI and
+    * `PlanAuditSpec`, which pins the exact expected-flag set so a plan
+    * regression (new cartesian, lost codegen, SortAggregate creep)
+    * fails `sbt test` instead of relying on a human reading the audit. */
+  def flags(plan: String): Set[String] = Seq(
+    "CartesianProduct" -> plan.contains("CartesianProduct"),
+    "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoopJoin"),
+    "NoCodegen" -> !plan.contains("*("), // codegen stages print as *(n)
+    "SortAggregate" -> plan.contains("SortAggregate"),
+  ).collect { case (f, true) => f }.toSet
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[8]")
@@ -26,15 +37,8 @@ object PlanAudit {
     spark.sparkContext.setLogLevel("ERROR")
     SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
       try {
-        val plan = fn(spark, sfDir).queryExecution.executedPlan.toString()
-        val flags = Seq(
-          "CartesianProduct" -> plan.contains("CartesianProduct"),
-          "BroadcastNestedLoop" -> plan.contains("BroadcastNestedLoopJoin"),
-          "NoCodegen" -> !plan.contains("*("), // codegen stages print as *(n)
-
-          "SortAggregate" -> plan.contains("SortAggregate"),
-        ).collect { case (f, true) => f }
-        println(f"$name%-24s ${if (flags.isEmpty) "ok" else flags.mkString(",")}")
+        val fs = flags(fn(spark, sfDir).queryExecution.executedPlan.toString())
+        println(f"$name%-24s ${if (fs.isEmpty) "ok" else fs.toSeq.sorted.mkString(",")}")
       } catch {
         case e: Throwable =>
           println(f"$name%-24s ERROR ${e.getMessage.take(80)}")

@@ -1,0 +1,56 @@
+package graft
+
+/** Freezes the plan audit: every registered query's scale-flag set must
+  * equal the known-benign baseline below. A new CartesianProduct, a
+  * lost whole-stage-codegen span, SortAggregate creep, or an unexpected
+  * BroadcastNestedLoopJoin anywhere fails this suite — the audit is a
+  * test, not a report a human has to read.
+  *
+  * The baseline's BroadcastNestedLoop entries are all intended shapes
+  * (adjudicated in round 4's plan audit):
+  *   - j5_cross / j5_theta: cross and theta joins ARE the semantics;
+  *   - e3_cosine_topk / e3_ann_recall / e3_ann_neardup / e3_ivf_recall /
+  *     e3_cosine_neardup: broadcast-query non-equi scans (the designed
+  *     map-side ANN shape) and the exact all-pairs verification
+  *     harnesses inside self-check gates;
+  *   - e2_simhash_neardup / e6_cms_heavyhitters: one-row crossJoins
+  *     assembling self-check scalars.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  /** Known-benign flags per query; queries absent here must audit clean. */
+  private val expected: Map[String, Set[String]] = Map(
+    "e2_simhash_neardup" -> Set("BroadcastNestedLoop"),
+    "e3_ann_neardup" -> Set("BroadcastNestedLoop"),
+    "e3_ann_recall" -> Set("BroadcastNestedLoop"),
+    "e3_cosine_neardup" -> Set("BroadcastNestedLoop"),
+    "e3_cosine_topk" -> Set("BroadcastNestedLoop"),
+    "e3_ivf_recall" -> Set("BroadcastNestedLoop"),
+    "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
+    "j5_cross" -> Set("BroadcastNestedLoop"),
+    "j5_theta" -> Set("BroadcastNestedLoop"),
+  )
+
+  test("plan audit: every query's flag set matches the benign baseline") {
+    // Codegen spans (*(n)) are hidden under AdaptiveSparkPlan until
+    // execution — audit the static plan, as the PlanAudit CLI does.
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try {
+      val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
+        case (name, fn) =>
+          val got = PlanAudit.flags(
+            fn(spark, sf).queryExecution.executedPlan.toString())
+          val want = expected.getOrElse(name, Set.empty)
+          if (got == want) None
+          else Some(s"$name: got ${got.toSeq.sorted.mkString(",")} " +
+            s"want ${want.toSeq.sorted.mkString(",")}")
+      }
+      assert(diffs.isEmpty, s"plan-audit drift:\n${diffs.mkString("\n")}")
+    } finally spark.conf.unset("spark.sql.adaptive.enabled")
+  }
+
+  test("baseline only names registered queries (no stale entries)") {
+    val stale = expected.keySet -- SparkEntry.queries.keySet
+    assert(stale.isEmpty, s"baseline entries for unregistered queries: $stale")
+  }
+}
