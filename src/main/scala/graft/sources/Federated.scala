@@ -58,15 +58,27 @@ object Federated {
 
   private val DerbyUrl = "jdbc:derby:memory:graftdb;create=true"
 
+  /** LIMIT pushdown for Derby — see
+    * [[org.apache.spark.sql.jdbc.GraftDerbyDialect]]. */
+  private lazy val registerDerbyDialect: Unit =
+    org.apache.spark.sql.jdbc.GraftDerbyDialect.register()
+
   /** S9: load a DataFrame into the embedded relational store via JDBC
-    * (stand-in for Aurora; identical Spark code path). */
-  def jdbcWrite(df: DataFrame, table: String): Unit =
-    df.write.format("jdbc")
+    * (stand-in for Aurora; identical Spark code path). `columnTypes`
+    * is the standard `createTableColumnTypes` override — needed when a
+    * string column will be grouped/compared remotely: Spark's default
+    * Derby mapping for StringType is CLOB, which Derby refuses in
+    * GROUP BY / DISTINCT / ORDER BY. */
+  def jdbcWrite(df: DataFrame, table: String,
+      columnTypes: Option[String] = None): Unit = {
+    val w = df.write.format("jdbc")
       .option("url", DerbyUrl)
       .option("dbtable", table)
       .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    columnTypes.fold(w)(w.option("createTableColumnTypes", _))
       .mode("overwrite")
       .save()
+  }
 
   /** S9: relational scan over JDBC. With `partition` = (column, lower,
     * upper, n), Spark issues n concurrent range-predicated queries
@@ -86,6 +98,32 @@ object Federated {
         .option("upperBound", hi)
         .option("numPartitions", n)
     }.load()
+  }
+
+  /** S9b: the same embedded Derby surfaced through the DataSource V2
+    * JDBC catalog — the path where AGGREGATE and LIMIT pushdown live
+    * (the v1 `format("jdbc")` relation only pushes predicates/columns).
+    * At 100 TB federation this is the difference between moving rows
+    * and moving a scalar: `SELECT status, sum(x) … GROUP BY status`
+    * executes inside the remote engine (the posture the reference's
+    * Aurora federation implies, stacks/demo_stack.py:372-394) and the
+    * scan returns pre-aggregated rows. Catalog registration is
+    * session-conf-scoped and idempotent.
+    *
+    * Identifier case: the v1 write path embeds `dbtable` unquoted, so
+    * Derby normalizes table/column names to UPPERCASE; the v2 catalog
+    * quotes identifiers, so the lookup must use the normalized form
+    * (consumers re-alias columns to the lake's lowercase names). */
+  def jdbcCatalogTable(spark: SparkSession, table: String): DataFrame = {
+    registerDerbyDialect
+    val c = "spark.sql.catalog.graftdb"
+    spark.conf.set(c,
+      "org.apache.spark.sql.execution.datasources.v2.jdbc.JDBCTableCatalog")
+    spark.conf.set(s"$c.url", DerbyUrl)
+    spark.conf.set(s"$c.driver", "org.apache.derby.jdbc.EmbeddedDriver")
+    spark.conf.set(s"$c.pushDownAggregate", "true")
+    spark.conf.set(s"$c.pushDownLimit", "true")
+    spark.table(s"graftdb.APP.${table.toUpperCase(java.util.Locale.ROOT)}")
   }
 
   /** Build the demo KV store: nation rows bulk-loaded as key→attribute
@@ -123,6 +161,25 @@ object Federated {
       .orderBy(col("r_regionkey"))
   }
 
+  /** S9b: federated aggregate pushed INTO the remote engine — the scan
+    * node's `PushedAggregates` carries the whole GROUP BY, so Derby
+    * returns one row per status instead of one per order (plan-pinned
+    * in FederatedSpec). Summed column is BIGINT end-to-end: Derby
+    * SUM(INT) would overflow where SUM(BIGINT) cannot. */
+  private val s9bJdbcAggPush: Q = (s, dir) => {
+    jdbcWrite(t(s, dir, "orders")
+      .select(col("o_orderstatus"), col("o_custkey"), col("o_totalprice")),
+      "orders_agg_rel", columnTypes = Some("o_orderstatus VARCHAR(4)"))
+    jdbcCatalogTable(s, "orders_agg_rel")
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("o_custkey")).as("sum_cust"),
+        max(col("o_totalprice")).as("max_price"))
+      .select(col("o_orderstatus").as("o_orderstatus"), col("n"),
+        col("sum_cust"), col("max_price"))
+      .orderBy(col("o_orderstatus"))
+  }
+
   /** J2: cross-source federated join — JDBC relational × lake parquet ×
     * in-memory KV in ONE query, the whole point of the reference's
     * federation infra. */
@@ -145,6 +202,7 @@ object Federated {
   val queries: Map[String, Q] = Map(
     "s8_kv_join" -> s8KvJoin,
     "s9_jdbc" -> s9Jdbc,
+    "s9b_jdbc_agg_push" -> s9bJdbcAggPush,
     "j2_federated" -> j2Federated,
   )
 
@@ -155,6 +213,12 @@ object Federated {
         |ORDER BY s_suppkey""".stripMargin,
     "s9_jdbc" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
+    "s9b_jdbc_agg_push" ->
+      """SELECT o_orderstatus, count(*)::BIGINT AS n,
+        |  sum(o_custkey)::BIGINT AS sum_cust,
+        |  max(o_totalprice) AS max_price
+        |FROM orders GROUP BY o_orderstatus
+        |ORDER BY o_orderstatus""".stripMargin,
     "j2_federated" ->
       """SELECT r_name, n_name, n_regionkey AS kv_regionkey
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -58,6 +58,47 @@ class FederatedSpec extends SparkSpec {
     assert(filtered.count() == 10)
   }
 
+  test("DSv2 JDBC catalog pushes the whole aggregate to the remote engine") {
+    val src = (0 until 100).map(i => (s"g${i % 3}", i.toLong, i * 1.5))
+      .toDF("g", "v", "d")
+    // VARCHAR override: Spark maps StringType to Derby CLOB, which
+    // Derby refuses in GROUP BY — the remote agg needs a comparable type
+    Federated.jdbcWrite(src, "spec_aggpush", Some("g VARCHAR(8)"))
+    val agg = Federated.jdbcCatalogTable(spark, "spec_aggpush")
+      .groupBy($"g")
+      .agg(org.apache.spark.sql.functions.count(
+          org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"v").as("sv"),
+        org.apache.spark.sql.functions.max($"d").as("md"))
+    val plan = agg.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates"),
+      s"aggregate must push into the JDBC scan, plan:\n$plan")
+    val rows = agg.orderBy($"g").collect()
+    assert(rows.map(_.getAs[Long]("n")).toSeq == Seq(34L, 33L, 33L))
+    assert(rows.map(_.getAs[Long]("sv")).sum == (0 until 100).map(_.toLong).sum)
+  }
+
+  test("DSv2 JDBC catalog pushes LIMIT into the remote query") {
+    val src = (0 until 50).map(i => (i.toLong, s"v$i")).toDF("id", "s")
+    Federated.jdbcWrite(src, "spec_limitpush")
+    val lim = Federated.jdbcCatalogTable(spark, "spec_limitpush").limit(7)
+    val plan = lim.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedLimit"),
+      s"limit must push into the JDBC scan, plan:\n$plan")
+    assert(lim.count() == 7)
+  }
+
+  test("s9b gated query: whole GROUP BY executes remotely, no Spark-side aggregate") {
+    val df = Federated.queries("s9b_jdbc_agg_push")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedAggregates: [COUNT(*), SUM(") &&
+      plan.contains("PushedGroupByExpressions: [o_orderstatus]"),
+      s"aggregate not pushed to the remote engine:\n$plan")
+    assert(!plan.contains("HashAggregate"),
+      s"complete pushdown expected — Spark should not re-aggregate:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("SourceRegistry unifies sources under names") {
     val reg = new Federated.SourceRegistry
     reg.register("a", () => Seq(1).toDF("x"))
