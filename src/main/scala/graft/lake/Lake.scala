@@ -78,9 +78,45 @@ object Lake {
 
   /** P2: choice-type resolution — a column whose values parse as more
     * than one primitive (int-or-`\N`-string, csv_to_parquet.py:43-44)
-    * resolved to one type; non-parsing values → null. */
+    * resolved to one type; non-parsing values → null. This is Glue's
+    * `cast:`/`project:` mode; `make_struct`/`make_cols` below keep BOTH
+    * representations. */
   def resolveChoice(df: DataFrame, colName: String, toType: String): DataFrame =
     df.withColumn(colName, expr(s"try_cast(`$colName` AS $toType)"))
+
+  /** The per-type claim expressions behind make_struct/make_cols: each
+    * value is claimed by the FIRST listed type it parses as (a choice
+    * value has exactly one runtime type in Glue — the struct fields are
+    * mutually exclusive, not parallel casts). List `string` last: it
+    * parses everything. */
+  private def choiceClaims(colName: String, types: Seq[String]): Seq[(String, String)] = {
+    val c = s"`$colName`"
+    types.zipWithIndex.map { case (t, i) =>
+      val cond = (s"try_cast($c AS $t) IS NOT NULL" +:
+        types.take(i).map(u => s"try_cast($c AS $u) IS NULL")).mkString(" AND ")
+      (t, s"CASE WHEN $cond THEN try_cast($c AS $t) END")
+    }
+  }
+
+  /** P2b: Glue `resolveChoice(choice = "make_struct")` — the column
+    * becomes `struct<as_int:int, as_string:string, …>` with the value in
+    * the one field matching its runtime type and NULL elsewhere; nothing
+    * is lost, downstream projects whichever representation it wants. */
+  def resolveChoiceStruct(df: DataFrame, colName: String,
+      types: Seq[String]): DataFrame =
+    df.withColumn(colName, expr(
+      choiceClaims(colName, types)
+        .map { case (t, claim) => s"'as_$t', $claim" }
+        .mkString("named_struct(", ", ", ")")))
+
+  /** P2b: Glue `resolveChoice(choice = "make_cols")` — like make_struct
+    * but flattened: the choice column is replaced by one top-level
+    * `<col>_<type>` column per candidate type. */
+  def resolveChoiceCols(df: DataFrame, colName: String,
+      types: Seq[String]): DataFrame =
+    choiceClaims(colName, types).foldLeft(df) { case (d, (t, claim)) =>
+      d.withColumn(s"${colName}_$t", expr(claim))
+    }.drop(colName)
 
   // ------------------------------------------------------------ sinks
 

@@ -105,6 +105,27 @@ object LakeQueries {
       .orderBy(col("part_id"))
   }
 
+  /** P2b: `make_struct` choice resolution — the same int-or-'N/A'
+    * column, but keeping BOTH representations (`struct<as_int,
+    * as_string>`, the csv_to_parquet.py:43-44 `choice` semantics Glue
+    * users resolve with make_struct) and projecting each field out. */
+  private val p2ChoiceStruct: Q = (s, dir) => {
+    val out = Lake.scratchDir("p2")
+    Lake.writeTsv(
+      t(s, dir, "part").select(
+        col("p_partkey"),
+        when(col("p_size") < 10, lit("N/A"))
+          .otherwise(col("p_size").cast("string")).as("size_raw")),
+      out)
+    Lake.resolveChoiceStruct(
+      Lake.readTsv(s, out, inferSchema = false),
+      "size_raw", Seq("int", "string"))
+      .select(col("p_partkey").cast("bigint").as("part_id"),
+        col("size_raw.as_int").as("size_int"),
+        col("size_raw.as_string").as("size_str"))
+      .orderBy(col("part_id"))
+  }
+
   /** K1+S7: partitioned parquet write then partition-pruned read-back —
     * the filter on the partition column prunes directories (the layout
     * decision at csv_to_parquet.py:58). */
@@ -306,6 +327,32 @@ object LakeQueries {
       .orderBy(col("n_nationkey"))
   }
 
+  /** S15: crawler re-crawl — a crawler re-run updates the EXISTING
+    * table definition in place (stacks/demo_stack.py:130-145: the same
+    * crawler name re-walks the prefix and rewrites the catalog entry);
+    * consumers addressing the table by name must see the new schema
+    * without re-registering anything themselves. First crawl registers
+    * a 2-column nation; the folder is reloaded with a 3rd column;
+    * re-crawling the SAME name updates the definition — the final
+    * by-name read surfaces the new column. `cols_before` pins the
+    * pre-recrawl width so the gate proves the schema actually changed. */
+  private val s15RecrawlUpdate: Q = (s, dir) => {
+    val root = Lake.scratchDir("s15")
+    val n = t(s, dir, "nation")
+    Lake.writeParquet(n.select(col("n_nationkey"), col("n_name")), root)
+    val name = s"recrawl_nation_${Lake.sessionSuffix(s, dir)}"
+    Lake.register(s, Map(name -> s.read.parquet(root)))
+    val colsBefore = s.table(name).columns.length
+    // the raw zone is reloaded with a wider schema…
+    Lake.writeParquet(
+      n.select(col("n_nationkey"), col("n_name"), col("n_regionkey")), root)
+    // …and the crawler re-runs under the SAME table name (in-place update)
+    Lake.register(s, Map(name -> s.read.parquet(root)))
+    s.table(name)
+      .withColumn("cols_before", lit(colsBefore))
+      .orderBy(col("n_nationkey"))
+  }
+
   /** K9: dynamic partition overwrite — the re-run-one-partition
     * semantic of a partitioned ETL job (the reference's Glue job writes
     * `partitionKeys=["birthYear"]` with overwrite, csv_to_parquet.py:
@@ -403,6 +450,7 @@ object LakeQueries {
     "s3_crawler_allstring" -> s3CrawlerAllstring,
     "s4_classifier_infer" -> s4ClassifierInfer,
     "p1_apply_mapping" -> p1ApplyMapping,
+    "p2_choice_struct" -> p2ChoiceStruct,
     "k1_partition_prune" -> k1PartitionPrune,
     "k2_parquet_rt" -> k2ParquetRt,
     "k3_results_csv" -> k3ResultsCsv,
@@ -417,6 +465,7 @@ object LakeQueries {
     "s12_sql_view" -> s12SqlView,
     "s13_msck_repair" -> s13MsckRepair,
     "s14_schema_merge" -> s14SchemaMerge,
+    "s15_recrawl_update" -> s15RecrawlUpdate,
     "etl_imdb_join" -> etlImdbJoin,
     "k5_register_prefix" -> k5RegisterPrefix,
   )
@@ -438,6 +487,11 @@ object LakeQueries {
     "p1_apply_mapping" ->
       """SELECT p_partkey AS part_id, p_name AS name,
         | CASE WHEN p_size < 10 THEN NULL ELSE p_size END AS size_int
+        |FROM part ORDER BY part_id""".stripMargin,
+    "p2_choice_struct" ->
+      """SELECT p_partkey AS part_id,
+        | CASE WHEN p_size >= 10 THEN p_size END AS size_int,
+        | CASE WHEN p_size < 10 THEN 'N/A' END AS size_str
         |FROM part ORDER BY part_id""".stripMargin,
     "k1_partition_prune" ->
       """SELECT c_custkey, c_name, round(c_acctbal,2) AS bal, c_nationkey
@@ -488,6 +542,9 @@ object LakeQueries {
       """SELECT c_custkey, c_name, round(c_acctbal, 2) AS bal, c_nationkey
         |FROM customer WHERE c_nationkey IN (3, 7)
         |ORDER BY c_custkey""".stripMargin,
+    "s15_recrawl_update" ->
+      """SELECT n_nationkey, n_name, n_regionkey, 2 AS cols_before
+        |FROM nation ORDER BY n_nationkey""".stripMargin,
     "s14_schema_merge" ->
       """SELECT n_nationkey, n_name,
         | CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS n_regionkey,

@@ -27,6 +27,49 @@ class ChoiceProperties extends SparkSpec {
     }
   }
 
+  test("property: make_struct claims each value in exactly one field") {
+    val numeric = Gen.chooseNum(Int.MinValue, Int.MaxValue).map(_.toString)
+    val junk = Gen.oneOf(Gen.alphaStr.suchThat(_.nonEmpty),
+      Gen.const("12.5x"), Gen.const("N/A"))
+    val samples = Gen.listOfN(150, Gen.oneOf(numeric, junk))
+      .sample.getOrElse(Nil)
+    val got = Lake.resolveChoiceStruct(
+      samples.toDF("s").withColumn("c", col("s")), "c", Seq("int", "string"))
+      .select(col("s"), col("c.as_int"), col("c.as_string"))
+      .collect()
+    got.foreach { r =>
+      val s = r.getString(0)
+      val asInt = if (r.isNullAt(1)) None else Some(r.getInt(1))
+      val asStr = Option(r.getString(2))
+      s.toIntOption match {
+        case Some(i) => // int claims it; string field must stay null
+          assert(asInt.contains(i) && asStr.isEmpty, s"'$s' -> ($asInt, $asStr)")
+        case None =>
+          assert(asInt.isEmpty && asStr.contains(s), s"'$s' -> ($asInt, $asStr)")
+      }
+    }
+  }
+
+  test("property: make_cols equals make_struct flattened") {
+    val samples = Gen.listOfN(120, Gen.oneOf(
+      Gen.chooseNum(-9999, 9999).map(_.toString),
+      Gen.alphaStr.suchThat(_.nonEmpty))).sample.getOrElse(Nil)
+    val viaCols = Lake.resolveChoiceCols(
+      samples.toDF("s").withColumn("c", col("s")), "c", Seq("int", "string"))
+      .select(col("s"), col("c_int"), col("c_string"))
+      .collect().map(_.toSeq).toSeq
+    val viaStruct = Lake.resolveChoiceStruct(
+      samples.toDF("s").withColumn("c", col("s")), "c", Seq("int", "string"))
+      .select(col("s"), col("c.as_int"), col("c.as_string"))
+      .collect().map(_.toSeq).toSeq
+    assert(viaCols == viaStruct)
+    // and the choice column itself is gone after make_cols
+    val cols = Lake.resolveChoiceCols(
+      samples.toDF("s").withColumn("c", col("s")), "c", Seq("int", "string"))
+      .columns.toSeq
+    assert(cols == Seq("s", "c_int", "c_string"))
+  }
+
   test("property: split is inverted by concat_ws for delimiter-free words") {
     val word = Gen.nonEmptyListOf(Gen.alphaChar).map(_.mkString)
     val sentences = Gen.listOfN(80, Gen.nonEmptyListOf(word).map(_.mkString(" ")))
