@@ -37,9 +37,24 @@ object Curation {
         .select((col("doc_id") + 200000).as("doc_id"),
           concat(col("text"), lit(" zzduplicate")).as("text"), col("lang")))
 
-  /** The curation pipeline over a (doc_id, text, lang) frame. */
+  /** The curation pipeline over a (doc_id, text, lang) frame.
+    *
+    * Stage-2 near-dup mode is a knob:
+    *   - `exactNearDup = false` (default): banded MinHash-LSH (k=64,
+    *     16 bands × 4 rows) + exact-Jaccard refinement. The scale
+    *     choice — candidate volume is banding-bounded, never all-pairs
+    *     — but probabilistically complete: a true pair at J just above
+    *     the 0.8 threshold is missed with p = (1−J⁴)¹⁶ ≈ 2·10⁻⁴, so a
+    *     borderline natural pair at a new scale factor could flip the
+    *     oracle gate red with correct code.
+    *   - `exactNearDup = true`: prefix-filtered exact n-gram Jaccard
+    *     join (PPJoin-style, still equi-join blocked — no all-pairs).
+    *     Guarantee-exact: the result matches the all-pairs oracle by
+    *     construction, at the cost of building the global token-
+    *     frequency order (two extra shuffles over the shingle tokens).
+    * Both modes are oracle-gated (e7_curation / e7_curation_exact). */
   def curate(docs: DataFrame, neardupThreshold: Double = 0.8,
-      minQuality: Double = 0.6): DataFrame = {
+      minQuality: Double = 0.6, exactNearDup: Boolean = false): DataFrame = {
     // Stage 1: exact dedup — keep the lowest id per identical text.
     // Materialized once: three subtrees consume it (near-dup signature
     // build, the anti-join, the quality/rollup lineage) and the sha2
@@ -49,8 +64,13 @@ object Curation {
     // MinHash-LSH candidates, exact-Jaccard refinement; greedy one-hop
     // drop of the higher id (no transitive closure — each doc is
     // removed only for a DIRECT J ≥ t partner with a lower id).
-    val nearPairs = Dedup.minhashNearDupPairs(exactKept, "doc_id", "text",
-      shingleN = 3, k = 64, bands = 16, threshold = neardupThreshold)
+    val nearPairs =
+      if (exactNearDup)
+        Dedup.ngramJaccardPairs(exactKept, "doc_id", "text",
+          shingleN = 3, threshold = neardupThreshold)
+      else
+        Dedup.minhashNearDupPairs(exactKept, "doc_id", "text",
+          shingleN = 3, k = 64, bands = 16, threshold = neardupThreshold)
     val nearKept = exactKept.join(nearPairs.select(col("b").as("doc_id")),
       Seq("doc_id"), "left_anti")
     // Stage 3: map-only quality filter.
@@ -71,15 +91,21 @@ object Curation {
   private val e7Curation: Q = (s, dir) =>
     curate(withPlantedLang(Tables.load(s, dir, "documents")))
 
+  private val e7CurationExact: Q = (s, dir) =>
+    curate(withPlantedLang(Tables.load(s, dir, "documents")),
+      exactNearDup = true)
+
   val queries: Map[String, Q] = Map(
     "e7_curation" -> e7Curation,
+    "e7_curation_exact" -> e7CurationExact,
   )
 
   /** The oracle recomputes the pipeline with EXACT all-pairs Jaccard
     * for stage 2 — shingles mirror Dedup.shingles (3-word, distinct,
-    * <3-word docs give the empty set). */
-  val oracles: Map[String, String] = Map(
-    "e7_curation" ->
+    * <3-word docs give the empty set). Both modes share it: the LSH
+    * gate proves recall end to end, the exact gate matches by
+    * construction. */
+  private val curationOracle: String =
       """WITH all_docs AS (
         |  SELECT doc_id, text, lang FROM documents
         |  UNION ALL
@@ -125,6 +151,10 @@ object Curation {
         |  SELECT lang, count(*) AS n_kept, round(avg(q), 4) AS avg_quality,
         |         sum(toks)::BIGINT AS total_tokens
         |  FROM kept GROUP BY lang) k USING (lang)
-        |ORDER BY lang""".stripMargin,
+        |ORDER BY lang""".stripMargin
+
+  val oracles: Map[String, String] = Map(
+    "e7_curation" -> curationOracle,
+    "e7_curation_exact" -> curationOracle,
   )
 }

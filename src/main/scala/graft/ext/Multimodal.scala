@@ -166,11 +166,21 @@ object Multimodal {
 
   // ------------------------------------------------------------ queries
 
+  /** Byte/char equivalence guard for the oracle-shared byte queries:
+    * Spark's `cast("binary")` yields UTF-8 BYTES while DuckDB's
+    * strlen/substr/ord count CHARACTERS — identical only for pure-ASCII
+    * text. Both engines therefore compute over an explicitly
+    * ASCII-stripped projection (a no-op on today's corpus), so a future
+    * non-ASCII document cannot silently diverge the gate. NULL passes
+    * through (regexp_replace(NULL) is NULL on both engines). */
+  private def asciiOnly(c: Column): Column =
+    regexp_replace(c, "[^\\x00-\\x7F]", "")
+
   /** E5: binary passthrough — text bytes as an opaque binary column with
     * derived metadata (the oracle recomputes digests over the same
     * bytes). */
   private val e5BinaryMeta: Q = (s, dir) => {
-    val bin = col("text").cast("binary")
+    val bin = asciiOnly(col("text")).cast("binary")
     t(s, dir, "documents")
       .select(col("doc_id") +: binaryMeta(bin): _*)
       .orderBy(col("doc_id"))
@@ -195,7 +205,8 @@ object Multimodal {
     * byte accounting through mapPartitions are. */
   private val e5DecodeBatch: Q = (s, dir) =>
     decodePartitioned(
-      t(s, dir, "documents").withColumn("bin", col("text").cast("binary")),
+      t(s, dir, "documents")
+        .withColumn("bin", asciiOnly(col("text")).cast("binary")),
       "doc_id", "bin", dim = 8)
       .toDF()
       .select(col("doc_id"), col("n_bytes"))
@@ -212,7 +223,8 @@ object Multimodal {
     // decoder — engine divergence on a nullable column)
     val img = concat(
       lit("P6\n8 8\n255\n".getBytes("UTF-8")),
-      rpad(substring(coalesce(col("text"), lit("")).cast("binary"), 1, 192),
+      rpad(substring(asciiOnly(coalesce(col("text"), lit("")))
+          .cast("binary"), 1, 192),
         192, Array[Byte](0)))
     decodePpm(
       t(s, dir, "documents").withColumn("img", img), "doc_id", "img")
@@ -228,10 +240,16 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Every oracle below computes over the same ASCII-stripped
+    // projection as the Spark side (see asciiOnly) — char ops equal
+    // byte ops only once non-ASCII is gone.
     "e5_binary_meta" ->
-      """SELECT doc_id, strlen(text) AS n_bytes, md5(text) AS digest,
-        | upper(hex(substr(text, 1, 8))) AS head8
-        |FROM documents ORDER BY doc_id""".stripMargin,
+      """WITH a AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+        |  FROM documents)
+        |SELECT doc_id, strlen(t) AS n_bytes, md5(t) AS digest,
+        | upper(hex(substr(t, 1, 8))) AS head8
+        |FROM a ORDER BY doc_id""".stripMargin,
     "e5_vector_join" ->
       """SELECT label, lang, count(*) AS n,
         | round(avg(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
@@ -239,19 +257,23 @@ object Multimodal {
         |FROM embeddings JOIN documents ON vec_id = doc_id
         |GROUP BY label, lang ORDER BY label, lang""".stripMargin,
     "e5_decode_batch" ->
-      """SELECT doc_id, strlen(text) AS n_bytes
+      """SELECT doc_id,
+        | strlen(regexp_replace(text, '[^\x00-\x7F]', '', 'g')) AS n_bytes
         |FROM documents ORDER BY doc_id""".stripMargin,
     // Channel means recomputed from the same construction: pixel byte
     // i is the document's i-th byte (ASCII corpus: ord = byte) or 0
     // padding; R/G/B interleave as 3j/3j+1/3j+2. sum/64 is exact in
     // doubles (64 = 2^6), so round(…, 4) is stable on both engines.
     "e5_ppm_decode" ->
-      """WITH px AS (
+      """WITH a AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+        |  FROM documents),
+        |px AS (
         |  SELECT doc_id,
         |    list_transform(range(0, 192),
-        |      i -> CASE WHEN i + 1 <= strlen(text)
-        |             THEN ord(substr(text, (i + 1)::INT, 1)) ELSE 0 END) AS b
-        |  FROM documents)
+        |      i -> CASE WHEN i + 1 <= strlen(t)
+        |             THEN ord(substr(t, (i + 1)::INT, 1)) ELSE 0 END) AS b
+        |  FROM a)
         |SELECT doc_id, 8 AS width, 8 AS height,
         |  round(list_sum(list_transform(range(0, 64), j -> b[(3*j + 1)::INT]))
         |    / 64.0, 4) AS mean_r,

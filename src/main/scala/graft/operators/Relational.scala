@@ -292,7 +292,11 @@ object Relational {
       .filter(col(valueCol).isNotNull)
       .repartitionByRange(parallelism, col(groupCol), col(valueCol))
       .withColumn("_pid", spark_partition_id())
-      .localCheckpoint() // consumed twice: offset table + rank assignment
+      // Consumed twice (offset table + rank assignment) and _pid must be
+      // IDENTICAL in both — checkpointing pins the range-sampled
+      // partitioning. Lazy: the first consuming job materializes the
+      // blocks in-line instead of paying a separate eager pass.
+      .localCheckpoint(eager = false)
     val wOff = Window.partitionBy(col(groupCol)).orderBy(col("_pid"))
       .rowsBetween(Window.unboundedPreceding, -1)
     val offs = parts.groupBy(col("_pid"), col(groupCol))
