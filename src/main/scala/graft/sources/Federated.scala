@@ -123,6 +123,15 @@ object Federated {
     spark.conf.set(s"$c.driver", "org.apache.derby.jdbc.EmbeddedDriver")
     spark.conf.set(s"$c.pushDownAggregate", "true")
     spark.conf.set(s"$c.pushDownLimit", "true")
+    // Join pushdown needs the catalog option AND the optimizer flag
+    // (off by default in Spark 4.1) AND a dialect that opts in — a
+    // same-source two-table join then ships as ONE remote query, and
+    // composes with aggregate pushdown (join + GROUP BY remotely, one
+    // row per group over the wire). All options are set before the
+    // catalog's first instantiation; later sets are idempotent (the
+    // catalog snapshots its options on first use).
+    spark.conf.set(s"$c.pushDownJoin", "true")
+    spark.conf.set("spark.sql.optimizer.datasourceV2JoinPushdown", "true")
     spark.table(s"graftdb.APP.${table.toUpperCase(java.util.Locale.ROOT)}")
   }
 
@@ -180,6 +189,30 @@ object Federated {
       .orderBy(col("o_orderstatus"))
   }
 
+  /** S9c: federated JOIN + aggregate pushed into the remote engine as
+    * ONE query — the scan node carries `PushedJoins` AND
+    * `PushedAggregates`, so Derby joins nation to region, groups, and
+    * returns one row per region name (plan-pinned in FederatedSpec).
+    * At 100 TB federation this is the end state: the remote engine does
+    * the relational work; Spark receives answers, not rows. */
+  private val s9cJdbcJoinPush: Q = (s, dir) => {
+    jdbcWrite(t(s, dir, "nation")
+      .select(col("n_nationkey").cast("bigint").as("n_nationkey"),
+        col("n_regionkey")),
+      "nation_join_rel")
+    jdbcWrite(t(s, dir, "region")
+      .select(col("r_regionkey"), col("r_name")),
+      "region_join_rel", columnTypes = Some("r_name VARCHAR(32)"))
+    jdbcCatalogTable(s, "nation_join_rel")
+      .join(jdbcCatalogTable(s, "region_join_rel"),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(count(lit(1)).as("n_nations"),
+        sum(col("n_nationkey")).as("sum_key"))
+      .select(col("r_name").as("r_name"), col("n_nations"), col("sum_key"))
+      .orderBy(col("r_name"))
+  }
+
   /** J2: cross-source federated join — JDBC relational × lake parquet ×
     * in-memory KV in ONE query, the whole point of the reference's
     * federation infra. */
@@ -203,6 +236,7 @@ object Federated {
     "s8_kv_join" -> s8KvJoin,
     "s9_jdbc" -> s9Jdbc,
     "s9b_jdbc_agg_push" -> s9bJdbcAggPush,
+    "s9c_jdbc_join_push" -> s9cJdbcJoinPush,
     "j2_federated" -> j2Federated,
   )
 
@@ -219,6 +253,11 @@ object Federated {
         |  max(o_totalprice) AS max_price
         |FROM orders GROUP BY o_orderstatus
         |ORDER BY o_orderstatus""".stripMargin,
+    "s9c_jdbc_join_push" ->
+      """SELECT r_name, count(*)::BIGINT AS n_nations,
+        |  sum(n_nationkey)::BIGINT AS sum_key
+        |FROM nation JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name ORDER BY r_name""".stripMargin,
     "j2_federated" ->
       """SELECT r_name, n_name, n_regionkey AS kv_regionkey
         |FROM nation JOIN region ON n_regionkey = r_regionkey

@@ -18,6 +18,10 @@ private[jdbc] final class GraftDerbyDialect extends DerbyDialect {
   override def supportsLimit: Boolean = true
   override def getLimitClause(limit: Integer): String =
     if (limit > 0) s"FETCH FIRST $limit ROWS ONLY" else ""
+  // The generated join SQL (inline subqueries + standard JOIN … ON) is
+  // plain SQL-92, which Derby executes fine — the base dialect just
+  // never opted in.
+  override def supportsJoin: Boolean = true
 }
 
 object GraftDerbyDialect {

@@ -88,6 +88,30 @@ class FederatedSpec extends SparkSpec {
     assert(lim.count() == 7)
   }
 
+  test("DSv2 JDBC catalog pushes ORDER BY + LIMIT as remote TopN") {
+    val src = (0 until 60).map(i => (i.toLong, i * 2.5)).toDF("id", "v")
+    Federated.jdbcWrite(src, "spec_topn")
+    val top = Federated.jdbcCatalogTable(spark, "spec_topn")
+      .orderBy($"v".desc).limit(4)
+    val plan = top.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedTopN"),
+      s"topN must push into the JDBC scan, plan:\n$plan")
+    assert(top.select("id").as[Long].collect().toSeq == Seq(59L, 58L, 57L, 56L))
+  }
+
+  test("s9c gated query: join AND aggregate execute remotely as one query") {
+    val df = Federated.queries("s9c_jdbc_join_push")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString()
+    assert(plan.contains("PushedJoins"),
+      s"join not pushed to the remote engine:\n$plan")
+    assert(plan.contains("PushedAggregates"),
+      s"aggregate not pushed on top of the pushed join:\n$plan")
+    assert(!plan.contains("SortMergeJoin") && !plan.contains("HashJoin") &&
+      !plan.contains("HashAggregate"),
+      s"Spark should neither re-join nor re-aggregate:\n$plan")
+    assert(df.count() > 0)
+  }
+
   test("s9b gated query: whole GROUP BY executes remotely, no Spark-side aggregate") {
     val df = Federated.queries("s9b_jdbc_agg_push")(spark, sf)
     val plan = df.queryExecution.executedPlan.toString()
