@@ -26,6 +26,7 @@ object SparkEntry {
       ext.Similarity.queries ++
       ext.TextStats.queries ++
       ext.Curation.queries ++
+      ext.TrainPrep.queries ++
       ext.Multimodal.queries ++
       streaming.EventWindows.queries ++
       sources.Federated.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       ext.Similarity.oracles ++
       ext.TextStats.oracles ++
       ext.Curation.oracles ++
+      ext.TrainPrep.oracles ++
       ext.Multimodal.oracles ++
       streaming.EventWindows.oracles ++
       sources.Federated.oracles ++

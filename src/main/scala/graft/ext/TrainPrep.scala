@@ -1,0 +1,198 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Training-dataset preparation operators (EXT, SURVEY §2.12; no
+  * reference analog — the reference stops at relational ETL). The three
+  * operations every LLM training pipeline runs after curation:
+  *
+  *   - deterministic train/val/test split (reproducible across runs and
+  *     engines — multiplicative hashing on the id, no RNG state);
+  *   - token-budget sequence packing (assign documents to fixed-budget
+  *     bins so training rows waste no context window);
+  *   - train/test contamination detection (n-gram containment of each
+  *     holdout document against the training split).
+  *
+  * All three are map/equi-join/window shapes — no all-pairs anywhere.
+  */
+object TrainPrep {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ------------------------------------------------------ hash split
+
+  /** Deterministic split bucket in [0, 1): Knuth multiplicative hash of
+    * the integer id, divided by 2³². Pure integer arithmetic then a
+    * power-of-two division — bit-identical in any engine (no RNG, no
+    * engine hash function), so the split is stable across reruns,
+    * engines, and partitionings. Map-only. */
+  def splitBucket(id: Column): Column =
+    (id * lit(2654435761L)) % lit(4294967296L) / lit(4294967296.0)
+
+  /** Assign each row a split label from cumulative fractions, e.g.
+    * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */
+  def hashSplit(df: DataFrame, idCol: String,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    val u = splitBucket(col(idCol))
+    val cum = fracs.scanLeft(0.0)(_ + _._2).tail
+    val label = fracs.zip(cum).init.foldRight(
+      lit(fracs.last._1): Column) { case (((name, _), hi), rest) =>
+      when(u < hi, name).otherwise(rest)
+    }
+    df.withColumn("split", label)
+  }
+
+  // ------------------------------------------------- sequence packing
+
+  /** Token-budget packing: within each `partCol` shard, documents are
+    * laid out in `idCol` order and each is assigned to the bin its
+    * STARTING token offset falls in (`floor(prefix_tokens / budget)`)
+    * — the streaming-concatenation layout trainers use; a document may
+    * straddle its bin boundary. One window per shard: parallelism is
+    * across shards (at 100 TB, shard = (lang, hash-bucket) keeps every
+    * window bounded; here lang alone is the natural shard). */
+  def packByTokenBudget(df: DataFrame, partCol: String, idCol: String,
+      textCol: String, budget: Int): DataFrame = {
+    val w = Window.partitionBy(col(partCol)).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.select(col(partCol), col(idCol),
+      TextStats.bpeishTokenCount(col(textCol)).cast("long").as("toks"))
+      .withColumn("cum", sum(col("toks")).over(w))
+      .withColumn("bin", expr(s"(cum - toks) DIV $budget"))
+  }
+
+  // ------------------------------------------------- contamination
+
+  /** Train/test contamination: for each holdout document, the maximum
+    * n-gram containment against any training document — `|shared rare
+    * shingles| / |holdout's rare shingles|` — plus how many training
+    * documents exceed `threshold`. Blocking is the shingle equi-join;
+    * shingles appearing in more than `maxDf` documents are dropped
+    * first (boilerplate is not contamination signal, and the df cap
+    * bounds the join fanout per shingle — the same role the prefix
+    * filter plays in the exact Jaccard join). Holdout = id % holdoutMod
+    * == 0, a deterministic stand-in for a real eval-set id list. */
+  def contamination(docs: DataFrame, idCol: String, textCol: String,
+      holdoutMod: Int = 50, shingleN: Int = 3, maxDf: Long = 100,
+      threshold: Double = 0.5): DataFrame = {
+    val sh = docs.select(col(idCol).as("id"),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("tok"))
+    val dfc = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val rare = sh.join(dfc.filter(col("df") <= maxDf).select(col("tok")),
+      Seq("tok"))
+    val test = rare.filter(col("id") % holdoutMod === 0)
+      .withColumnRenamed("id", "test_id")
+    val train = rare.filter(col("id") % holdoutMod =!= 0)
+      .withColumnRenamed("id", "train_id")
+    val sizes = test.groupBy(col("test_id")).agg(count(lit(1)).as("n_rare"))
+    val shared = test.join(train, Seq("tok"))
+      .groupBy(col("test_id"), col("train_id"))
+      .agg(count(lit(1)).as("shared"))
+    val per = shared.join(sizes, Seq("test_id"))
+      .withColumn("containment",
+        col("shared").cast("double") / col("n_rare"))
+    val agg = per.groupBy(col("test_id")).agg(
+      round(max(col("containment")), 4).as("max_containment"),
+      sum(when(col("containment") >= threshold, 1L).otherwise(0L))
+        .as("n_contaminating"))
+    docs.filter(col(idCol) % holdoutMod === 0)
+      .select(col(idCol).as("test_id"))
+      .join(agg, Seq("test_id"), "left")
+      .select(col("test_id"),
+        coalesce(col("max_containment"), lit(0.0)).as("max_containment"),
+        coalesce(col("n_contaminating"), lit(0L)).as("n_contaminating"))
+      .orderBy(col("test_id"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** E8: deterministic 80/10/10 split — per-split counts plus an id
+    * checksum so the oracle pins the exact membership, not just sizes. */
+  private val e8HashSplit: Q = (s, dir) =>
+    hashSplit(t(s, dir, "documents"), "doc_id",
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("split"))
+
+  /** E8b: per-language 2048-token packing — bin-level stats. */
+  private val e8Pack: Q = (s, dir) =>
+    packByTokenBudget(t(s, dir, "documents"), "lang", "doc_id", "text", 2048)
+      .groupBy(col("lang"), col("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
+      .orderBy(col("lang"), col("bin"))
+
+  /** E8c: contamination of the deterministic holdout vs the rest. */
+  private val e8Contamination: Q = (s, dir) =>
+    contamination(t(s, dir, "documents"), "doc_id", "text")
+
+  val queries: Map[String, Q] = Map(
+    "e8_hash_split" -> e8HashSplit,
+    "e8_pack" -> e8Pack,
+    "e8_contamination" -> e8Contamination,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e8_hash_split" ->
+      """WITH b AS (
+        |  SELECT doc_id,
+        |    ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+        |  FROM documents)
+        |SELECT CASE WHEN u < 0.8 THEN 'train'
+        |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
+        |  count(*)::BIGINT AS n_docs, sum(doc_id)::BIGINT AS sum_ids
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+    "e8_pack" ->
+      """WITH s AS (
+        |  SELECT lang, doc_id,
+        |    len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]'))
+        |      AS toks
+        |  FROM documents),
+        |c AS (
+        |  SELECT lang, doc_id, toks,
+        |    sum(toks) OVER (PARTITION BY lang ORDER BY doc_id
+        |                    ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM s)
+        |SELECT lang, ((cum - toks) // 2048)::BIGINT AS bin,
+        |  count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS bin_tokens
+        |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "e8_contamination" ->
+      """WITH sh0 AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2]))) AS tok
+        |  FROM documents),
+        |dfc AS (SELECT tok, count(*) AS df FROM sh0 GROUP BY tok),
+        |rare AS (
+        |  SELECT doc_id, tok FROM sh0 JOIN dfc USING (tok) WHERE df <= 100),
+        |test AS (
+        |  SELECT doc_id AS test_id, tok FROM rare WHERE doc_id % 50 = 0),
+        |train AS (
+        |  SELECT doc_id AS train_id, tok FROM rare WHERE doc_id % 50 <> 0),
+        |sz AS (SELECT test_id, count(*) AS n_rare FROM test GROUP BY test_id),
+        |shared AS (
+        |  SELECT test_id, train_id, count(*) AS shared
+        |  FROM test JOIN train USING (tok) GROUP BY test_id, train_id),
+        |per AS (
+        |  SELECT s.test_id, s.shared::DOUBLE / z.n_rare AS containment
+        |  FROM shared s JOIN sz z USING (test_id)),
+        |agg AS (
+        |  SELECT test_id, round(max(containment), 4) AS max_containment,
+        |    sum(CASE WHEN containment >= 0.5 THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_contaminating
+        |  FROM per GROUP BY test_id)
+        |SELECT d.doc_id AS test_id,
+        |  coalesce(a.max_containment, 0.0) AS max_containment,
+        |  coalesce(a.n_contaminating, 0) AS n_contaminating
+        |FROM documents d LEFT JOIN agg a ON d.doc_id = a.test_id
+        |WHERE d.doc_id % 50 = 0 ORDER BY test_id""".stripMargin,
+  )
+}

@@ -1,0 +1,61 @@
+package graft.ext
+
+import graft.{SparkSpec, Tables}
+import org.apache.spark.sql.functions._
+
+class TrainPrepSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit is deterministic, exhaustive, and near the requested fractions") {
+    val docs = Tables.load(spark, sf, "documents")
+    val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val a = TrainPrep.hashSplit(docs, "doc_id", fracs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val b = TrainPrep.hashSplit(docs, "doc_id", fracs)
+      .groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(a == b, "split must be reproducible run to run")
+    val n = docs.count().toDouble
+    assert(a.values.sum == n.toLong, "every row gets exactly one split")
+    // multiplicative hashing is uniform enough that 80% ± 15pp holds
+    // even on 50 ids (sf0.001)
+    assert(math.abs(a.getOrElse("train", 0L) / n - 0.8) < 0.15,
+      s"train fraction off: $a")
+  }
+
+  test("packing: every bin's documents start inside the bin's token range") {
+    val packed = TrainPrep.packByTokenBudget(
+      Tables.load(spark, sf, "documents"), "lang", "doc_id", "text", 2048)
+      .withColumn("start", col("cum") - col("toks"))
+    val bad = packed.filter(
+      col("start") < col("bin") * 2048 ||
+        col("start") >= (col("bin") + 1) * 2048)
+    assert(bad.count() == 0, "bin must equal floor(startOffset / budget)")
+    // bins are contiguous from 0 within each lang
+    val gaps = packed.groupBy("lang").agg(
+      max(col("bin")).as("mx"), countDistinct(col("bin")).as("nb"))
+      .filter(col("nb") =!= col("mx") + 1)
+    assert(gaps.count() == 0, "bin ids must be contiguous per shard")
+  }
+
+  test("contamination flags a planted duplicate and clears an unrelated doc") {
+    val mk = (id: Int, text: String) => (id.toLong, text)
+    val trainText = "the quick brown fox jumps over the lazy dog again and again"
+    val docs = Seq(
+      mk(50, trainText),                       // holdout: exact dup of 1
+      mk(100, "completely different words about spark catalyst optimizers"),
+      mk(1, trainText),                        // train partner
+      mk(2, "unrelated filler content entirely made of other phrases okay"))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.contamination(docs, "doc_id", "text",
+      holdoutMod = 50, maxDf = 100, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+    assert(got.length == 2, s"holdout should be exactly ids 50 and 100: ${got.toSeq}")
+    val byId = got.map(r => r._1 -> r).toMap
+    assert(byId(50)._2 == 1.0 && byId(50)._3 == 1L,
+      s"planted dup must hit containment 1.0: ${got.toSeq}")
+    assert(byId(100)._2 == 0.0 && byId(100)._3 == 0L,
+      s"unrelated doc must be clean: ${got.toSeq}")
+  }
+}
