@@ -34,6 +34,22 @@ object StreamDemo {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-stream interval join: impressions matched to clicks within
+    * one hour AFTER the impression. Both sides watermarked and the join
+    * condition carries the time bound — that pair is what lets the
+    * engine expire buffered state (an unbounded-condition stream-stream
+    * join would buffer both streams forever). Works identically over
+    * batch frames, which is how the spec checks it. */
+  def intervalJoin(impressions: DataFrame, clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("impTs", "2 hours")
+    val clk = clicks.withWatermark("clickTs", "2 hours")
+    imp.join(clk,
+      col("impAd") === col("clickAd") &&
+        col("clickTs") >= col("impTs") &&
+        col("clickTs") <= col("impTs") + expr("INTERVAL 1 HOUR"))
+      .select(col("impAd").as("ad"), col("impTs"), col("clickTs"))
+  }
+
   /** Arbitrary stateful processing: running per-user event counts via
     * mapGroupsWithState — the custom-state primitive (the scale story:
     * state is partitioned by key in the state store, updates are

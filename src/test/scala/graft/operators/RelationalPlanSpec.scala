@@ -114,6 +114,29 @@ class RelationalPlanSpec extends SparkSpec {
     assert(viaRank == viaBuiltin, s"$viaRank vs $viaBuiltin")
   }
 
+  test("runtime bloom filter prunes the fact side of a selective dim join") {
+    // The 100 TB posture: a selective dimension filter becomes a bloom
+    // filter applied to the fact scan BEFORE the join shuffle, so
+    // non-matching fact rows never cross the wire. Thresholds lowered
+    // because the technique targets scans far bigger than testdata.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      val li = Tables.load(spark, sf, "lineitem")
+      val supp = Tables.load(spark, sf, "supplier")
+        .filter(col("s_acctbal") > 9000)
+      val j = li.join(supp, col("l_suppkey") === col("s_suppkey"))
+        .groupBy(col("s_nationkey")).agg(count(lit(1)).as("n"))
+      val p = j.queryExecution.optimizedPlan.toString()
+      assert(p.contains("might_contain") && p.contains("bloom_filter_agg"),
+        s"no runtime bloom filter injected:\n${p.take(2000)}")
+    } finally confs.foreach { case (k, _) => spark.conf.unset(k) }
+  }
+
   test("j8 salted join result equals the plain join") {
     import spark.implicits._
     import org.apache.spark.sql.functions._

@@ -57,6 +57,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join matches clicks within the window, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clks = MemoryStream[(Timestamp, String)]
+    val q = StreamDemo.intervalJoin(
+      imps.toDF().toDF("impTs", "impAd"),
+      clks.toDF().toDF("clickTs", "clickAd"))
+      .writeStream.format("memory").queryName("ij_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val impData = Seq((ts(1, 1), "a"), (ts(1, 3), "a"), (ts(1, 5), "b"))
+      val clkData = Seq(
+        (ts(1, 1), "a"),  // joins the 01:00 impression (same instant)
+        (ts(1, 4), "a"),  // within 1h of the 03:00 impression only
+        (ts(2, 5), "b"))  // a day late — no impression within 1h
+      imps.addData(impData: _*)
+      clks.addData(clkData: _*)
+      q.processAllAvailable()
+      val streaming = spark.table("ij_out")
+        .orderBy("ad", "impTs", "clickTs").collect().map(_.toSeq).toSeq
+      val batch = StreamDemo.intervalJoin(
+        impData.toDF("impTs", "impAd"), clkData.toDF("clickTs", "clickAd"))
+        .orderBy("ad", "impTs", "clickTs").collect().map(_.toSeq).toSeq
+      assert(streaming == batch, s"streaming $streaming vs batch $batch")
+      assert(batch.size == 2, s"expected exactly two joined pairs: $batch")
+    } finally q.stop()
+  }
+
   test("file-source readStream over the events parquet equals its batch evaluation") {
     // stage the events file into a landing DIRECTORY (the file-stream
     // source tails a directory; testdata ships a single file)
