@@ -59,7 +59,7 @@ object Curation {
     // Materialized once: three subtrees consume it (near-dup signature
     // build, the anti-join, the quality/rollup lineage) and the sha2
     // window over full text must not rerun per consumer.
-    val exactKept = Dedup.exactDedup(docs, "text", "doc_id").localCheckpoint()
+    val exactKept = Dedup.exactDedup(docs, "text", "doc_id").localCheckpoint(eager = false)
     // Stage 2: near-dup removal among exact-dedup survivors. Banded
     // MinHash-LSH candidates, exact-Jaccard refinement; greedy one-hop
     // drop of the higher id (no transitive closure — each doc is

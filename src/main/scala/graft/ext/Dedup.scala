@@ -109,7 +109,7 @@ object Dedup {
       threshold: Double = 0.8): DataFrame = {
     val sets = df.select(
       col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh")).localCheckpoint()
+      shingles(col(textCol), shingleN).as("sh")).localCheckpoint(eager = false)
     minhashNearDupPairsFromSets(sets, k, bands, threshold)
   }
 
@@ -145,7 +145,7 @@ object Dedup {
       shingleN: Int = 3, threshold: Double = 0.75): DataFrame = {
     val sets = df.select(col(idCol).as("id"),
       shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0).localCheckpoint()
+      .filter(size(col("sh")) > 0).localCheckpoint(eager = false)
     val tokens = sets.select(col("id"), explode(col("sh")).as("tok"))
     val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("f"))
     // ε guards the PRUNING arithmetic only (never the exact verification):
@@ -315,12 +315,12 @@ object Dedup {
     // (simhash fingerprints, minhash ground truth, exact-Jaccard
     // refinement); at cluster scale this is the signature table.
     val sets = docs.select(col("doc_id").as("id"),
-      shingles(col("text"), 3).as("sh")).localCheckpoint()
+      shingles(col("text"), 3).as("sh")).localCheckpoint(eager = false)
     val fps = sets.select(col("id"), simhash64(col("sh")).as("fp"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // The candidate set is tiny after banding; checkpointing runs the
     // banding subtree once instead of once per consumer below.
-    val cand = simhashCandidatesFromFps(fps).localCheckpoint()
+    val cand = simhashCandidatesFromFps(fps).localCheckpoint(eager = false)
     val sim = cand.filter(col("hamming") <= 11)
     val simJ = sim
       .join(sets.as("sa"), col("a") === col("sa.id"))

@@ -217,7 +217,7 @@ object Similarity {
     val exact = bruteForceTopK(emb.filter(col("vec_id") < 50), emb, k = 5)
       .select(col("q_id"), col("c_id"))
     val cand = annCandidates(emb, emb.filter(col("vec_id") < 50),
-      budget = 150, tau = 112).localCheckpoint()
+      budget = 150, tau = 112).localCheckpoint(eager = false)
     // All scalars in ONE returned plan (no driver-side actions); the
     // exact top-k subtree is shared between total and hits.
     val hitsAgg = exact.join(cand.select(col("q_id"), col("c_id")),
@@ -309,7 +309,7 @@ object Similarity {
     * of the gate; excluded from the default bench via `harnessOnly`. */
   private val e3AnnNearDup: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
-    val found = cosineNearDupViaAnn(emb, threshold = 0.45).localCheckpoint()
+    val found = cosineNearDupViaAnn(emb, threshold = 0.45).localCheckpoint(eager = false)
     val v = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(dot(col("v"), col("v"))))
     val exact = v.as("a").join(v.as("b"), col("a.vec_id") < col("b.vec_id"))
