@@ -197,6 +197,36 @@ object Similarity {
         round(col("cos"), 6).as("sim"))
   }
 
+  /** Persist the IVF index: corpus assigned to cells, laid out as a
+    * cell-partitioned parquet table — the one-off index build the
+    * in-memory path documents. At cluster scale this is the stored
+    * artifact searches run against. */
+  def ivfWriteIndex(corpus: DataFrame, cents: Seq[(Int, Seq[Double])],
+      path: String): Unit =
+    ivfAssign(corpus, cents)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search the on-disk index. The probe list joins the index on its
+    * PARTITION column, and the broadcast join triggers dynamic
+    * partition pruning — unprobed cell directories are never read
+    * (`PartitionFilters: [... dynamicpruningexpression(cell IN ...)]`,
+    * plan-pinned in SimilaritySpec). Same ranking semantics as
+    * `ivfTopK`; the gate asserts result equality. */
+  def ivfSearchIndex(spark: SparkSession, path: String, queries: DataFrame,
+      cents: Seq[(Int, Seq[Double])], k: Int, nprobe: Int): DataFrame = {
+    val idx = spark.read.parquet(path)
+      .select(col("vec_id").as("c_id"), col("uv").as("cv"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    idx.join(broadcast(ivfProbes(queries, cents, nprobe)), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("cos"), 6).as("sim"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E3: exact cosine top-5 for the first 5 vectors, against the full
@@ -293,6 +323,28 @@ object Similarity {
       (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
   }
 
+  /** E3f: the on-disk IVF index path — build the cell-partitioned
+    * index, search it, and assert the result EQUALS the in-memory
+    * `ivfTopK` answer exactly (both exceptAll counts zero; vectors
+    * round-trip parquet losslessly and tie-breaks are deterministic,
+    * so equality — not recall — is the bar), and that the search is
+    * non-vacuous. Constant-true oracle (✱). */
+  private val e3IvfIndexed: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(emb, c = 32, iters = 2)
+    val path = graft.lake.Lake.scratchDir("ivfidx") + "/index"
+    ivfWriteIndex(emb, cents, path)
+    val viaIndex = ivfSearchIndex(s, path, queries, cents, k = 5, nprobe = 8)
+    val inMemory = ivfTopK(emb, queries, cents, k = 5, nprobe = 8)
+    val extraAgg = viaIndex.exceptAll(inMemory).agg(count(lit(1)).as("extra"))
+    val missAgg = inMemory.exceptAll(viaIndex).agg(count(lit(1)).as("missing"))
+    val nAgg = viaIndex.agg(count(lit(1)).as("n"))
+    extraAgg.crossJoin(missAgg).crossJoin(nAgg).select(
+      (col("extra") === 0 && col("missing") === 0).as("index_equals_memory"),
+      (col("n") > 0).as("nonempty"))
+  }
+
   /** E3e: the PRODUCTION ANN near-dup path, oracle-gated — runs
     * `cosineNearDupViaAnn` and self-checks it in-plan against the exact
     * all-pairs result (the harness subtree):
@@ -356,6 +408,7 @@ object Similarity {
     "e3_cosine_topk" -> e3CosineTopk,
     "e3_ann_recall" -> e3AnnRecall,
     "e3_ivf_recall" -> e3IvfRecall,
+    "e3_ivf_indexed" -> e3IvfIndexed,
     "e3_ann_neardup" -> e3AnnNearDup,
     "e3_cosine_neardup" -> e3CosineNearDup,
   )
@@ -382,6 +435,8 @@ object Similarity {
       "SELECT true AS recall_ok, true AS precision_ok, true AS pair_budget_ok",
     "e3_ivf_recall" ->
       "SELECT true AS recall_ok, true AS scan_budget_ok",
+    "e3_ivf_indexed" ->
+      "SELECT true AS index_equals_memory, true AS nonempty",
     "e3_cosine_neardup" ->
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "e3_cosine_neardup" -> Set("BroadcastNestedLoop"),
     "e3_cosine_topk" -> Set("BroadcastNestedLoop"),
     "e3_ivf_recall" -> Set("BroadcastNestedLoop"),
+    "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
     "j5_cross" -> Set("BroadcastNestedLoop"),
     "j5_theta" -> Set("BroadcastNestedLoop"),

@@ -89,6 +89,24 @@ class SimilaritySpec extends SparkSpec {
     assert(err.getMessage.contains("dimension mismatch"))
   }
 
+  test("IVF on-disk index search dynamically prunes unprobed cell partitions") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.ivfTrain(emb, c = 8, iters = 1)
+    val path = graft.lake.Lake.scratchDir("ivfidx_spec") + "/index"
+    Similarity.ivfWriteIndex(emb, cents, path)
+    val search = Similarity.ivfSearchIndex(spark, path,
+      emb.filter(col("vec_id") < 3), cents, k = 3, nprobe = 2)
+    val plan = search.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruningexpression"),
+      s"index scan must prune cells via DPP:\n${plan.take(1500)}")
+    // and the search result equals the in-memory path
+    val mem = Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 3),
+      cents, k = 3, nprobe = 2)
+    assert(search.exceptAll(mem).count() == 0 &&
+      mem.exceptAll(search).count() == 0)
+  }
+
   test("annCandidates is deterministic across evaluations") {
     val emb = Tables.load(spark, sf, "embeddings").limit(40)
     val q = emb.limit(5)
