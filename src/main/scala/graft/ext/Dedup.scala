@@ -304,10 +304,62 @@ object Dedup {
     * — the DuckDB oracle recomputes the exact all-pairs answer, so this
     * checks the prefix-filter path end to end (completeness AND
     * values): any lost candidate is a hash mismatch. */
+  /** Connected components over a near-dup pair set — the transitive
+    * clustering step real dedup pipelines run after pair generation
+    * (one-hop removal under-merges: a~b, b~c leaves a and c apart).
+    * Iterative min-label propagation: each round every node adopts the
+    * minimum component id among itself and its neighbors — two
+    * equi-join shuffles per round, lineage truncated by an eager
+    * checkpoint (also what the convergence count consumes). Rounds =
+    * graph diameter; near-dup clusters are quasi-cliques with tiny
+    * diameters, so 2-3 rounds in practice (a web-scale general graph
+    * would want the O(log n)-round large-star/small-star variant —
+    * same join/groupBy building blocks). Loud failure, never a silent
+    * partial merge, if `maxIter` is hit. Returns (id, component) for
+    * every node that appears in a pair. */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
+      .union(pairs.select(col("b").as("src"), col("a").as("dst")))
+      .localCheckpoint(eager = false)
+    var labels = edges.select(col("src").as("id")).distinct()
+      .withColumn("comp", col("id"))
+    var iter = 0
+    while (true) {
+      val viaNeighbors = edges
+        .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
+        .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
+        .withColumnRenamed("src", "id")
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
+        .localCheckpoint() // eager: consumed by the count AND next round
+      val changed = next.withColumnRenamed("comp", "ncomp")
+        .join(labels, Seq("id"))
+        .filter(col("ncomp") =!= col("comp")).count()
+      labels = next
+      if (changed == 0) return labels
+      iter += 1
+      if (iter >= maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxIter rounds")
+    }
+    labels // unreachable (while(true) exits via return/throw only)
+  }
+
   private val e2NgramJaccard: Q = (s, dir) =>
     ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       shingleN = 3, threshold = 0.75)
       .orderBy(col("a"), col("b"))
+
+  /** E2d: transitive near-dup clusters — exact pair set (so the edge
+    * list is engine-independent) → connected components; the DuckDB
+    * oracle recomputes the closure with a recursive CTE. */
+  private val e2ClusterCc: Q = (s, dir) =>
+    connectedComponents(
+      ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
+        shingleN = 3, threshold = 0.75))
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
 
   private val e2SimhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
@@ -352,6 +404,7 @@ object Dedup {
     "e1_dedup_exact" -> e1DedupExact,
     "e2_minhash_neardup" -> e2MinhashNearDup,
     "e2_ngram_jaccard" -> e2NgramJaccard,
+    "e2_cluster_cc" -> e2ClusterCc,
     "e2_simhash_neardup" -> e2SimhashNearDup,
   )
 
@@ -407,5 +460,31 @@ object Dedup {
         |ORDER BY a, b""".stripMargin,
     "e2_simhash_neardup" ->
       "SELECT true AS recall_ok, true AS precision_ok, true AS cand_budget_ok",
+    // The closure recomputed declaratively: reach(src,dst) saturates
+    // via UNION-distinct; component = min reachable id.
+    "e2_cluster_cc" ->
+      """WITH RECURSIVE sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS s
+        |  FROM documents),
+        |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.75),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
   )
 }

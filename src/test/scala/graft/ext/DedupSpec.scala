@@ -141,6 +141,25 @@ class DedupSpec extends SparkSpec {
     assert(hpSql == hpCol)
   }
 
+  test("connectedComponents merges transitively and keeps components apart") {
+    // chain 1-2-3 (no direct 1-3 edge) + disjoint pair 10-11 + a
+    // second chain hitting the min-label from the far end
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 8L), (8L, 9L), (9L, 6L))
+      .toDF("a", "b")
+    val got = Dedup.connectedComponents(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L,
+      6L -> 6L, 7L -> 6L, 8L -> 6L, 9L -> 6L), s"got $got")
+  }
+
+  test("connectedComponents fails loudly when maxIter is too small") {
+    val chain = (1L until 6L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(chain, maxIter = 1)
+    }
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))
