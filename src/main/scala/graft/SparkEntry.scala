@@ -27,6 +27,7 @@ object SparkEntry {
       ext.TextStats.queries ++
       ext.Curation.queries ++
       ext.TrainPrep.queries ++
+      ext.Hygiene.queries ++
       ext.Multimodal.queries ++
       streaming.EventWindows.queries ++
       sources.Federated.queries ++
@@ -45,6 +46,7 @@ object SparkEntry {
       ext.TextStats.oracles ++
       ext.Curation.oracles ++
       ext.TrainPrep.oracles ++
+      ext.Hygiene.oracles ++
       ext.Multimodal.oracles ++
       streaming.EventWindows.oracles ++
       sources.Federated.oracles ++

@@ -1,0 +1,198 @@
+package graft.ext
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Corpus-hygiene operators for training-data pipelines (EXT, SURVEY
+  * §2.12; no reference analog — the reference stops at relational ETL):
+  *
+  *   - PII detection and redaction (emails, phone numbers, IPv4
+  *     addresses) — regex scrub, map-only;
+  *   - repetition-based quality signals (the Gopher/C4 family):
+  *     unique-word ratio, duplicate-bigram ratio, top-word frequency
+  *     fraction — one narrow shuffle keyed by doc_id for the word-mode
+  *     signal, everything else map-only.
+  *
+  * The regex constants are shared verbatim with the DuckDB oracle
+  * (interpolated into the SQL), restricted to syntax Java regex and
+  * RE2 parse identically: character classes, bounded repetition, \b,
+  * \d — no backreferences or lookaround.
+  */
+object Hygiene {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  // ----------------------------------------------------- PII redaction
+
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val PhoneRe = "\\b\\d{3}-\\d{3}-\\d{4}\\b"
+  val Ipv4Re = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+
+  /** Scrub PII in one map-only pass. Email first: its replacement token
+    * contains no digits or dots, so later patterns cannot match inside
+    * it (and vice versa — phone/IP spans never contain '@'). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        PhoneRe, "<PHONE>"),
+      Ipv4Re, "<IP>")
+
+  /** Per-type PII match counts (detection without redaction). */
+  def piiCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(text, lit(PhoneRe)),
+      regexp_count(text, lit(Ipv4Re)))
+
+  /** The synthetic corpus is letters-only, so the gate plants PII
+    * deterministically: an email on every 7th doc, a phone on every
+    * 11th, an IP on every 13th (a doc can get several). Mirrors the
+    * planted-duplicate pattern of [[Curation.withPlantedLang]]. */
+  private[ext] def withPlantedPii(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          concat(lit(" mail user"), col("doc_id").cast("string"),
+            lit("@example.com"))).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" tel 555-867-5309"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 13 === 0,
+          concat(lit(" host 10.20."), (col("doc_id") % 256).cast("string"),
+            lit(".7"))).otherwise(lit(""))).as("text"))
+
+  // ------------------------------------------- repetition quality signals
+
+  /** Map-only repetition signals over the word array: unique-word ratio
+    * and duplicate-bigram ratio (1 − distinct bigrams / total bigrams —
+    * boilerplate text repeats n-grams, natural text mostly doesn't). */
+  def uniqueWordRatio(text: Column): Column = {
+    val words = split(text, " ")
+    round(size(array_distinct(words)).cast("double") /
+      greatest(size(words), lit(1)), 4)
+  }
+
+  def dupBigramRatio(text: Column): Column = {
+    val n = size(split(text, " "))
+    when(n >= 2,
+      round(lit(1.0) - size(Dedup.shingles(text, 2)).cast("double") /
+        (n - 1), 4))
+      .otherwise(lit(0.0))
+  }
+
+  /** Per-document repetition profile. The top-word signal needs per-word
+    * counts, so it is the one non-map stage: explode → count keyed by
+    * (doc_id, word) → max/sum per doc — a narrow two-level aggregation
+    * that pre-combines map-side; candidates never leave their doc key.
+    * At 100 TB this is a linear scan plus one shuffle of (doc_id, word)
+    * counts — no global state, no all-pairs. */
+  def repetitionProfile(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val mapSide = docs.select(col(idCol).as("doc_id"),
+      size(split(col(textCol), " ")).cast("long").as("n_words"),
+      uniqueWordRatio(col(textCol)).as("uniq_ratio"),
+      dupBigramRatio(col(textCol)).as("dup_bigram_ratio"))
+    val topWord = docs
+      .select(col(idCol).as("doc_id"),
+        explode(split(col(textCol), " ")).as("word"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(max(col("c")).as("top_n"))
+    mapSide.join(topWord, Seq("doc_id"))
+      .select(col("doc_id"), col("n_words"), col("uniq_ratio"),
+        col("dup_bigram_ratio"),
+        round(col("top_n").cast("double") / col("n_words"), 4)
+          .as("top_word_ratio"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------------------ queries
+
+  /** E9: plant PII → detect per type → redact → prove nothing survives.
+    * `residual_pii` is value-checked (the oracle recomputes the counts
+    * on ITS redacted text, not a constant 0), so a redaction bug that
+    * leaves matches behind fails the hash even if detection agrees. */
+  private val e9PiiRedact: Q = (s, dir) => {
+    val planted = withPlantedPii(t(s, dir, "documents"))
+    val (em, ph, ip) = piiCounts(col("text"))
+    val (rem, rph, rip) = piiCounts(col("redacted"))
+    planted.withColumn("redacted", piiRedact(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(em.cast("long")).as("n_emails"),
+        sum(ph.cast("long")).as("n_phones"),
+        sum(ip.cast("long")).as("n_ips"),
+        sum((rem + rph + rip).cast("long")).as("residual_pii"),
+        sum((length(col("text")) - length(col("redacted"))).cast("long"))
+          .as("chars_delta"))
+      .orderBy(col("lang"))
+  }
+
+  /** E9b: per-document repetition profile over the whole corpus. */
+  private val e9Repetition: Q = (s, dir) =>
+    repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
+
+  val queries: Map[String, Q] = Map(
+    "e9_pii_redact" -> e9PiiRedact,
+    "e9_repetition" -> e9Repetition,
+  )
+
+  val oracles: Map[String, String] = Map(
+    "e9_pii_redact" ->
+      s"""WITH planted AS (
+         |  SELECT lang, text ||
+         |    (CASE WHEN doc_id % 7 = 0
+         |          THEN ' mail user' || doc_id || '@example.com'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN ' tel 555-867-5309'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 13 = 0
+         |          THEN ' host 10.20.' || (doc_id % 256) || '.7'
+         |          ELSE '' END) AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT lang, text,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$EmailRe', '<EMAIL>', 'g'),
+         |      '$PhoneRe', '<PHONE>', 'g'),
+         |      '$Ipv4Re', '<IP>', 'g') AS redacted
+         |  FROM planted)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(len(regexp_extract_all(text, '$EmailRe')))::BIGINT AS n_emails,
+         |  sum(len(regexp_extract_all(text, '$PhoneRe')))::BIGINT AS n_phones,
+         |  sum(len(regexp_extract_all(text, '$Ipv4Re')))::BIGINT AS n_ips,
+         |  sum(len(regexp_extract_all(redacted, '$EmailRe'))
+         |    + len(regexp_extract_all(redacted, '$PhoneRe'))
+         |    + len(regexp_extract_all(redacted, '$Ipv4Re')))::BIGINT
+         |    AS residual_pii,
+         |  sum(len(text) - len(redacted))::BIGINT AS chars_delta
+         |FROM red GROUP BY lang ORDER BY lang""".stripMargin,
+    "e9_repetition" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |base AS (
+        |  SELECT doc_id, len(ws)::BIGINT AS n_words,
+        |    round(len(list_distinct(ws))::DOUBLE
+        |      / greatest(len(ws), 1), 4) AS uniq_ratio,
+        |    round(CASE WHEN len(ws) >= 2
+        |      THEN 1.0 - len(list_distinct(list_transform(
+        |             range(1, len(ws)),
+        |             i -> ws[i] || ' ' || ws[i+1])))::DOUBLE / (len(ws) - 1)
+        |      ELSE 0.0 END, 4) AS dup_bigram_ratio
+        |  FROM w),
+        |tw AS (
+        |  SELECT doc_id, max(c) AS top_n FROM (
+        |    SELECT doc_id, word, count(*) AS c
+        |    FROM (SELECT doc_id, unnest(ws) AS word FROM w)
+        |    GROUP BY doc_id, word)
+        |  GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_words, b.uniq_ratio, b.dup_bigram_ratio,
+        |  round(t.top_n::DOUBLE / b.n_words, 4) AS top_word_ratio
+        |FROM base b JOIN tw t USING (doc_id) ORDER BY doc_id""".stripMargin,
+  )
+}

@@ -67,6 +67,26 @@ object TrainPrep {
       .withColumn("bin", expr(s"(cum - toks) DIV $budget"))
   }
 
+  // ------------------------------------------- stratified sampling
+
+  /** Deterministic stratified sample: within each stratum, rank rows by
+    * the multiplicative-hash bucket (id as tiebreak) and keep the first
+    * `ceil(frac · n_stratum)` — an exact per-stratum quota, reproducible
+    * across runs/engines/partitionings (same no-RNG rationale as
+    * [[splitBucket]]). Two window passes over each stratum, no shuffle
+    * beyond the stratum partitioning; at 100 TB a skewed stratum splits
+    * into (stratum, hash-bucket) sub-windows with per-bucket quotas. */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+      frac: Double): DataFrame = {
+    val order = Window.partitionBy(col(stratumCol))
+      .orderBy(splitBucket(col(idCol)), col(idCol))
+    val whole = Window.partitionBy(col(stratumCol))
+    df.withColumn("rk", row_number().over(order))
+      .withColumn("n_stratum", count(lit(1)).over(whole))
+      .filter(col("rk") <= ceil(col("n_stratum") * lit(frac)))
+      .drop("rk", "n_stratum")
+  }
+
   // ------------------------------------------------- contamination
 
   /** Train/test contamination: for each holdout document, the maximum
@@ -132,10 +152,19 @@ object TrainPrep {
   private val e8Contamination: Q = (s, dir) =>
     contamination(t(s, dir, "documents"), "doc_id", "text")
 
+  /** E8d: 20% per-language sample — exact quotas plus an id checksum so
+    * the oracle pins the exact membership, not just the sizes. */
+  private val e8Stratified: Q = (s, dir) =>
+    stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 0.2)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, Q] = Map(
     "e8_hash_split" -> e8HashSplit,
     "e8_pack" -> e8Pack,
     "e8_contamination" -> e8Contamination,
+    "e8_stratified" -> e8Stratified,
   )
 
   val oracles: Map[String, String] = Map(
@@ -162,6 +191,20 @@ object TrainPrep {
         |SELECT lang, ((cum - toks) // 2048)::BIGINT AS bin,
         |  count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS bin_tokens
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "e8_stratified" ->
+      """WITH b AS (
+        |  SELECT lang, doc_id,
+        |    ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id,
+        |    row_number() OVER (PARTITION BY lang ORDER BY u, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY lang) AS n
+        |  FROM b)
+        |SELECT lang, count(*)::BIGINT AS n_kept,
+        |  sum(doc_id)::BIGINT AS sum_ids
+        |FROM r WHERE rk <= ceil(n * 0.2)
+        |GROUP BY lang ORDER BY lang""".stripMargin,
     "e8_contamination" ->
       """WITH sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -1,0 +1,52 @@
+package graft.ext
+
+import org.apache.spark.sql.functions._
+import graft.SparkSpec
+
+class HygieneSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("piiRedact scrubs emails, phones, and IPv4 addresses") {
+    val out = Seq(
+      "write to jane.doe+x@mail-host.org or call 415-555-0199 now",
+      "server 192.168.0.1 but version 1.2 stays and so does 1.2.3",
+      "no pii here at all",
+    ).toDF("text")
+      .select(Hygiene.piiRedact($"text").as("r")).as[String].collect()
+    assert(out(0) == "write to <EMAIL> or call <PHONE> now")
+    assert(out(1) == "server <IP> but version 1.2 stays and so does 1.2.3")
+    assert(out(2) == "no pii here at all")
+  }
+
+  test("redaction leaves zero residual matches on planted corpus") {
+    val planted = Hygiene.withPlantedPii(
+      graft.Tables.load(spark, sf, "documents"))
+    val (em, ph, ip) = Hygiene.piiCounts(Hygiene.piiRedact($"text"))
+    val residual = planted
+      .agg(sum((em + ph + ip).cast("long"))).as[Long].head()
+    assert(residual == 0L)
+  }
+
+  test("repetitionProfile computes the three signals exactly") {
+    // "a b a b" → 4 words, 2 distinct (0.5), bigrams {a b, b a} of 3
+    // (dup ratio 1 − 2/3 = 0.3333), top word 2/4 = 0.5.
+    val df = Seq((1L, "a b a b"), (2L, "x y z")).toDF("doc_id", "text")
+    val rows = Hygiene.repetitionProfile(df, "doc_id", "text")
+      .as[(Long, Long, Double, Double, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 4L, 0.5, 0.3333, 0.5),
+      (2L, 3L, 1.0, 0.0, 0.3333)))
+  }
+
+  test("stratifiedSample keeps an exact per-stratum quota, deterministically") {
+    val df = (0L until 100L).map(i => (i, if (i < 60) "a" else "b"))
+      .toDF("id", "s")
+    val kept = TrainPrep.stratifiedSample(df, "s", "id", 0.25)
+    val sizes = kept.groupBy($"s").count().as[(String, Long)]
+      .collect().toMap
+    assert(sizes == Map("a" -> 15L, "b" -> 10L)) // ceil(.25·60), ceil(.25·40)
+    val again = TrainPrep.stratifiedSample(df.repartition(7), "s", "id", 0.25)
+    assert(kept.select("id").as[Long].collect().sorted.toSeq ==
+      again.select("id").as[Long].collect().sorted.toSeq)
+  }
+}
