@@ -113,6 +113,69 @@ object Dedup {
     minhashNearDupPairsFromSets(sets, k, bands, threshold)
   }
 
+  /** Asymmetric banded MinHash join: candidates pair `base` × `probe`
+    * band keys with `a.id < b.id` — never base×base. This is the
+    * incremental shape: at cluster scale `base` bands come from the
+    * persisted signature table of the existing corpus and only the new
+    * batch computes signatures fresh, so each ingest pays O(|batch|)
+    * signature work plus a banding-bounded candidate join, not a
+    * recluster of the corpus. `base`/`probe` are (id, sh) set frames;
+    * returns (a, b, jaccard) with b ∈ probe, jaccard ≥ threshold. */
+  def minhashNearDupPairsAgainst(base: DataFrame, probe: DataFrame,
+      k: Int, bands: Int, threshold: Double): DataFrame = {
+    val rowsPerBand = k / bands
+    def bandTable(sets: DataFrame) = sets.select(col("id"),
+      explode(bandKeys(minhashSignature(col("sh"), k), bands, rowsPerBand))
+        .as("bk"))
+    val candidates = bandTable(base).as("a")
+      .join(bandTable(probe).as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+    candidates
+      .join(base.as("sa"), col("a") === col("sa.id"))
+      .join(probe.as("sb"), col("b") === col("sb.id"))
+      .withColumn("jaccard",
+        graft.functions.JaccardSim.jaccardSim(col("sa.sh"), col("sb.sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** E2e: incremental dedup — admit a fresh batch against an immutable
+    * existing corpus. A fresh row is dropped iff it exactly duplicates
+    * an old text or a lower-id fresh text (sha2 digest, never raw
+    * text), or is a near-dup (J ≥ threshold) of any old doc or any
+    * surviving lower-id fresh doc. The old corpus never changes and is
+    * never self-compared — old↔old pairs are excluded structurally by
+    * the asymmetric band join. REQUIRES every fresh id > every old id
+    * (ingest batches get monotone id ranges), which is what makes
+    * "drop the fresh side" expressible as `drop b`. Returns the
+    * surviving fresh rows with all their columns. */
+  def incrementalDedup(old: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, shingleN: Int = 3,
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+    val oldDigests = old
+      .select(sha2(col(textCol), 256).as("_digest")).distinct()
+    // Materialized once: three consumers (set build, band join's
+    // refinement side, final anti-join) must not re-run the digest
+    // window over full text.
+    val exactKept = exactDedup(fresh, textCol, idCol)
+      .withColumn("_digest", sha2(col(textCol), 256))
+      .join(oldDigests, Seq("_digest"), "left_anti")
+      .drop("_digest")
+      .localCheckpoint(eager = false)
+    val freshSets = exactKept.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(eager = false)
+    val baseSets = old.select(col(idCol).as("id"),
+      shingles(col(textCol), shingleN).as("sh"))
+      .unionByName(freshSets)
+    val dropIds =
+      minhashNearDupPairsAgainst(baseSets, freshSets, k, bands, threshold)
+        .select(col("b").as(idCol)).distinct()
+    exactKept.join(dropIds, Seq(idCol), "left_anti")
+  }
+
   /** E2c: EXACT n-gram Jaccard similarity join via prefix filtering
     * (the AllPairs/PPJoin family — Chaudhuri et al. ICDE'06, Bayardo
     * et al. WWW'07, Vernica et al. SIGMOD'10 — the standard exact
@@ -400,12 +463,50 @@ object Dedup {
       (col("n_cand") <= col("n") * 64).as("cand_budget_ok"))
   }
 
+  /** Fresh ingest batch for the incremental gate: exact copies of every
+    * 10th doc, a one-word mutation of every 20th, and the front half of
+    * every 25th (J ≈ 0.5 vs its source — genuinely novel at the 0.8
+    * threshold). Ids offset above the corpus range, per the
+    * `incrementalDedup` contract. */
+  private[ext] def freshBatch(docs: DataFrame): DataFrame =
+    docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"), col("lang"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzduplicate")).as("text"), col("lang")))
+      .unionByName(docs.filter(col("doc_id") % 25 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"),
+          col("text").substr(lit(1), expr("CAST(n_chars DIV 2 AS INT)"))
+            .as("text"), col("lang")))
+
+  /** E2e: incremental dedup of the fresh batch against the corpus —
+    * exact copies and near-dup mutations must be rejected, the halved
+    * novel docs admitted; the DuckDB oracle recomputes the whole
+    * admission with EXACT all-pairs Jaccard restricted to fresh b-sides
+    * (the same pairs the asymmetric band join is allowed to find). */
+  private val e2Incremental: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val old = docs.select(col("doc_id"), col("text"), col("lang"))
+    val fresh = freshBatch(docs)
+    val kept = incrementalDedup(old, fresh, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.8)
+    fresh.groupBy(col("lang")).agg(count(lit(1)).as("n_fresh"))
+      .join(kept.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids")),
+        Seq("lang"), "left")
+      .select(col("lang"), col("n_fresh"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e1_dedup_exact" -> e1DedupExact,
     "e2_minhash_neardup" -> e2MinhashNearDup,
     "e2_ngram_jaccard" -> e2NgramJaccard,
     "e2_cluster_cc" -> e2ClusterCc,
     "e2_simhash_neardup" -> e2SimhashNearDup,
+    "e2_incremental" -> e2Incremental,
   )
 
   /** The planted-pair ground truth, written directly in SQL. */
@@ -460,6 +561,54 @@ object Dedup {
         |ORDER BY a, b""".stripMargin,
     "e2_simhash_neardup" ->
       "SELECT true AS recall_ok, true AS precision_ok, true AS cand_budget_ok",
+    // Whole admission recomputed with exact all-pairs Jaccard over
+    // old ∪ exact-kept fresh, restricted to fresh b-sides (ids ≥
+    // 100000) — exactly the pair population the asymmetric band join
+    // may draw from.
+    "e2_incremental" ->
+      """WITH old AS (SELECT doc_id, text, lang FROM documents),
+        |fresh AS (
+        |  SELECT doc_id + 100000 AS doc_id, text, lang FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' zzduplicate', lang FROM documents
+        |  WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, substr(text, 1, (n_chars // 2)::INT), lang
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |exact_kept AS (
+        |  SELECT doc_id, text, lang FROM (
+        |    SELECT doc_id, text, lang,
+        |      row_number() OVER (PARTITION BY text ORDER BY doc_id) AS rn
+        |    FROM fresh)
+        |  WHERE rn = 1 AND text NOT IN (SELECT text FROM old)),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS s
+        |  FROM (SELECT doc_id, text FROM old
+        |        UNION ALL SELECT doc_id, text FROM exact_kept)),
+        |drop_b AS (
+        |  SELECT DISTINCT b.doc_id AS doc_id
+        |  FROM sh a, sh b
+        |  WHERE b.doc_id >= 100000 AND a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.8),
+        |kept AS (
+        |  SELECT * FROM exact_kept
+        |  WHERE doc_id NOT IN (SELECT doc_id FROM drop_b))
+        |SELECT f.lang, f.n_fresh,
+        |  coalesce(k.n_kept, 0) AS n_kept,
+        |  coalesce(k.sum_kept_ids, 0) AS sum_kept_ids
+        |FROM (SELECT lang, count(*)::BIGINT AS n_fresh
+        |      FROM fresh GROUP BY lang) f
+        |LEFT JOIN (SELECT lang, count(*)::BIGINT AS n_kept,
+        |             sum(doc_id)::BIGINT AS sum_kept_ids
+        |           FROM kept GROUP BY lang) k USING (lang)
+        |ORDER BY lang""".stripMargin,
     // The closure recomputed declaratively: reach(src,dst) saturates
     // via UNION-distinct; component = min reachable id.
     "e2_cluster_cc" ->

@@ -385,6 +385,43 @@ object Similarity {
       (col("n_found") <= lit(150L) * col("n")).as("pair_budget_ok"))
   }
 
+  /** E3g: int8 scalar-quantized cosine — the memory/bandwidth path for
+    * billion-vector corpora: per-vector symmetric scale s = max|v|/127,
+    * codes q = round(v/s) ∈ [−127, 127] (4× smaller than float32, 16×
+    * smaller than the double compute form), reconstruction r = q·s.
+    * The gate ranks top-3 per query by QUANTIZED cosine and
+    * value-checks both the quantized score and its error vs the exact
+    * cosine — DuckDB recomputes the identical arithmetic, so a drifted
+    * scale, a wrong rounding mode, or a reconstruction bug all
+    * hash-mismatch. Map-only compression; the search is the same
+    * broadcast-queries shape as the exact scan. */
+  private val e3QuantizedCosine: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val base = emb.select(col("vec_id"), asDouble(col("embedding")).as("v"))
+      .withColumn("sc",
+        greatest(array_max(transform(col("v"), x => abs(x))), lit(1e-30))
+          / 127.0)
+      .withColumn("r", transform(col("v"), x => round(x / col("sc")) * col("sc")))
+      .withColumn("n", sqrt(dot(col("v"), col("v"))))
+      .withColumn("rn", sqrt(dot(col("r"), col("r"))))
+    val q = base.filter(col("vec_id") < 20)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("r").as("qr"),
+        col("n").as("qn"), col("rn").as("qrn"))
+    val c = base.select(col("vec_id").as("c_id"), col("v").as("cv"),
+      col("r").as("cr"), col("n").as("cn"), col("rn").as("crn"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("qsim").desc, col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("qsim", dot(col("qr"), col("cr")) / (col("qrn") * col("crn")))
+      .withColumn("esim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("qsim"), 6).as("qsim"),
+        round(abs(col("qsim") - col("esim")), 4).as("err"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** E3c: embedding-cosine near-duplicate pairs — exact all-pairs,
     * VERIFICATION HARNESS ONLY (the DuckDB oracle recomputes the same
     * cross product; `Bench.harnessOnly` excludes it from timing); the
@@ -411,6 +448,7 @@ object Similarity {
     "e3_ivf_indexed" -> e3IvfIndexed,
     "e3_ann_neardup" -> e3AnnNearDup,
     "e3_cosine_neardup" -> e3CosineNearDup,
+    "e3_quantized_cosine" -> e3QuantizedCosine,
   )
 
   val oracles: Map[String, String] = Map(
@@ -437,6 +475,36 @@ object Similarity {
       "SELECT true AS recall_ok, true AS scan_budget_ok",
     "e3_ivf_indexed" ->
       "SELECT true AS index_equals_memory, true AS nonempty",
+    "e3_quantized_cosine" ->
+      """WITH v AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        |sc AS (
+        |  SELECT vec_id, v,
+        |    greatest(list_max(list_transform(v, x -> abs(x))), 1e-30)
+        |      / 127.0 AS sc
+        |  FROM v),
+        |r AS (
+        |  SELECT vec_id, v,
+        |    list_transform(v, x -> round(x / sc) * sc) AS r
+        |  FROM sc),
+        |nn AS (
+        |  SELECT vec_id, v, r,
+        |    sqrt(list_dot_product(v, v)) AS n,
+        |    sqrt(list_dot_product(r, r)) AS rn
+        |  FROM r),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_dot_product(q.r, c.r) / (q.rn * c.rn) AS qsim,
+        |    list_dot_product(q.v, c.v) / (q.n * c.n) AS esim
+        |  FROM nn q, nn c WHERE q.vec_id < 20 AND c.vec_id <> q.vec_id),
+        |rk AS (
+        |  SELECT q_id, c_id, qsim, esim,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY qsim DESC, c_id) AS rnk
+        |  FROM p)
+        |SELECT q_id, rnk, c_id, round(qsim, 6) AS qsim,
+        |  round(abs(qsim - esim), 4) AS err
+        |FROM rk WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "e3_cosine_neardup" ->
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

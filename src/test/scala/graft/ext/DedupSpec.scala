@@ -160,6 +160,41 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incrementalDedup admits novel docs, rejects exact and near dups of old") {
+    val old = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (2L, "completely different words about spark catalyst optimizer plans here"),
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight again"), // exact dup of old 1
+      (102L, "the quick brown fox jumps over the lazy dog tonight again okay"), // near dup of old 1
+      (103L, "entirely novel content that resembles nothing in the corpus today"),
+      (104L, "entirely novel content that resembles nothing in the corpus today"), // exact dup of fresh 103
+      (105L, "entirely novel content that resembles nothing in the corpus today yes"), // near dup of fresh 103
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(old, fresh, "doc_id", "text",
+      shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+      .select("doc_id").as[Long].collect().sorted.toSeq
+    assert(kept == Seq(103L))
+  }
+
+  test("minhashNearDupPairsAgainst never emits base-base pairs") {
+    val sets = Seq(
+      (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
+      (3L, "a b c d e f g x")
+    ).toDF("doc_id", "text")
+      .select($"doc_id".as("id"), Dedup.shingles($"text", 3).as("sh"))
+    val base = sets
+    val probe = sets.filter($"id" === 3L)
+    val pairs = Dedup.minhashNearDupPairsAgainst(base, probe,
+      k = 64, bands = 16, threshold = 0.3)
+      .select("a", "b").as[(Long, Long)].collect().toSet
+    // 1-2 is an identical base pair — must NOT appear; only *-3 pairs may.
+    assert(pairs.forall(_._2 == 3L), s"got $pairs")
+    assert(pairs.map(_._1).subsetOf(Set(1L, 2L)))
+    assert(pairs.nonEmpty)
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))

@@ -114,4 +114,16 @@ class SimilaritySpec extends SparkSpec {
     val b = Similarity.annCandidates(emb, q, budget = 10, tau = 140).count()
     assert(a == b)
   }
+
+  test("quantized cosine stays within the int8 error envelope") {
+    // 64-dim int8 symmetric quantization: per-element error ≤ s/2 with
+    // s ≈ max|v|/127, so cosine error stays well under 0.05 on unit-ish
+    // vectors; the gate's err column must reflect that, with full rows.
+    val rows = graft.SparkEntry.queries("e3_quantized_cosine")(spark, sf)
+      .select($"err", $"qsim").as[(Double, Double)].collect()
+    assert(rows.length == 20 * 3)
+    assert(rows.forall { case (err, _) => err <= 0.05 },
+      s"max err = ${rows.map(_._1).max}")
+    assert(rows.forall { case (_, qsim) => qsim >= -1.0001 && qsim <= 1.0001 })
+  }
 }
