@@ -87,6 +87,43 @@ object TrainPrep {
       .drop("rk", "n_stratum")
   }
 
+  // ------------------------------------------------- mixture rebalance
+
+  /** Per-source acceptance rates that rebalance the corpus to a target
+    * mixture by downsampling only: rate_s = min(1, target_s·N_out/n_s)
+    * with N_out = min_s(n_s/target_s) — the largest output size whose
+    * mixture hits the target without upsampling any source; the binding
+    * source keeps everything. `weight` is the (unnormalized) target
+    * weight as an expression over the source column. The rate table is
+    * S rows: the two one-row crossJoins assemble scalars over it, and
+    * the table then broadcasts to the corpus — the corpus itself never
+    * shuffles and is filtered map-side. */
+  def mixtureRates(df: DataFrame, sourceCol: String,
+      weight: Column): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("w", weight)
+    val tot = counts.agg(sum(col("w")).as("w_tot"))
+    val withTot = counts.crossJoin(tot)
+    val nOut = withTot
+      .agg(min(col("n_s") / (col("w") / col("w_tot"))).as("n_out"))
+    withTot.crossJoin(nOut)
+      .select(col(sourceCol), col("n_s"),
+        least(lit(1.0),
+          (col("w") / col("w_tot")) * col("n_out") / col("n_s"))
+          .as("rate"))
+  }
+
+  /** Apply the mixture: deterministic hash sampling (same
+    * [[splitBucket]] arithmetic as the split — no RNG) at each source's
+    * rate; the S-row rate table broadcasts. */
+  def applyMixture(df: DataFrame, idCol: String, sourceCol: String,
+      weight: Column): DataFrame =
+    df.join(
+      broadcast(mixtureRates(df, sourceCol, weight)
+        .select(col(sourceCol), col("rate"))),
+      Seq(sourceCol))
+      .filter(splitBucket(col(idCol)) < col("rate"))
+
   // ------------------------------------------------- contamination
 
   /** Train/test contamination: for each holdout document, the maximum
@@ -160,11 +197,33 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
       .orderBy(col("lang"))
 
+  /** E8e: rebalance the uniform 20-source corpus to a 2:1 target
+    * (sources 0-4 weighted double) — rates, kept counts, and an id
+    * checksum all value-checked. */
+  private val e8Mixture: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def weight = when(
+      col("source").substr(lit(4), lit(10)).cast("int") < 5, 2.0)
+      .otherwise(1.0)
+    val rates = mixtureRates(docs, "source", weight)
+    val kept = applyMixture(docs, "doc_id", "source", weight)
+    rates.join(
+      kept.groupBy(col("source")).agg(
+        count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids")),
+      Seq("source"), "left")
+      .select(col("source"), col("n_s").as("n_in"),
+        round(col("rate"), 6).as("rate"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        coalesce(col("sum_kept_ids"), lit(0L)).as("sum_kept_ids"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e8_hash_split" -> e8HashSplit,
     "e8_pack" -> e8Pack,
     "e8_contamination" -> e8Contamination,
     "e8_stratified" -> e8Stratified,
+    "e8_mixture" -> e8Mixture,
   )
 
   val oracles: Map[String, String] = Map(
@@ -205,6 +264,29 @@ object TrainPrep {
         |  sum(doc_id)::BIGINT AS sum_ids
         |FROM r WHERE rk <= ceil(n * 0.2)
         |GROUP BY lang ORDER BY lang""".stripMargin,
+    "e8_mixture" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_s,
+        |    CASE WHEN substr(source, 4)::INT < 5 THEN 2.0 ELSE 1.0 END AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(w) AS w_tot FROM c),
+        |m AS (SELECT min(n_s / (w / w_tot)) AS n_out FROM c, t),
+        |r AS (
+        |  SELECT source, n_s,
+        |    least(1.0, (w / w_tot) * n_out / n_s) AS rate
+        |  FROM c, t, m),
+        |k AS (
+        |  SELECT d.source, d.doc_id
+        |  FROM documents d JOIN r USING (source)
+        |  WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < rate)
+        |SELECT r.source, r.n_s::BIGINT AS n_in, round(r.rate, 6) AS rate,
+        |  coalesce(k2.n_kept, 0) AS n_kept,
+        |  coalesce(k2.sum_kept_ids, 0) AS sum_kept_ids
+        |FROM r LEFT JOIN (
+        |  SELECT source, count(*)::BIGINT AS n_kept,
+        |    sum(doc_id)::BIGINT AS sum_kept_ids
+        |  FROM k GROUP BY source) k2 USING (source)
+        |ORDER BY source""".stripMargin,
     "e8_contamination" ->
       """WITH sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(

@@ -29,6 +29,8 @@ class PlanAuditSpec extends SparkSpec {
     "e3_ivf_recall" -> Set("BroadcastNestedLoop"),
     "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
+    // one-row crossJoins assembling the S-row rate table's scalars
+    "e8_mixture" -> Set("BroadcastNestedLoop"),
     "j5_cross" -> Set("BroadcastNestedLoop"),
     "j5_theta" -> Set("BroadcastNestedLoop"),
   )

@@ -58,4 +58,28 @@ class TrainPrepSpec extends SparkSpec {
     assert(byId(100)._2 == 0.0 && byId(100)._3 == 0L,
       s"unrelated doc must be clean: ${got.toSeq}")
   }
+
+  test("mixtureRates: uniform targets on a uniform corpus keep everything") {
+    val df = (0L until 100L).map(i => (i, s"src${i % 4}")).toDF("id", "source")
+    val rates = TrainPrep.mixtureRates(df, "source", lit(1.0))
+      .select($"source", $"rate").as[(String, Double)].collect().toMap
+    assert(rates.size == 4 && rates.values.forall(r => math.abs(r - 1.0) < 1e-9))
+    assert(TrainPrep.applyMixture(df, "id", "source", lit(1.0)).count() == 100)
+  }
+
+  test("mixture rebalance hits the target proportions via the binding source") {
+    // 80 rows of a, 20 of b; target 1:1 → b binds (keeps all 20),
+    // a's rate = (0.5·40)/80 = 0.25 → ~20 kept.
+    val df = ((0L until 80L).map(i => (i, "a")) ++
+      (100L until 120L).map(i => (i, "b"))).toDF("id", "source")
+    val rates = TrainPrep.mixtureRates(df, "source", lit(1.0))
+      .select($"source", $"rate").as[(String, Double)].collect().toMap
+    assert(math.abs(rates("b") - 1.0) < 1e-9, s"binding source keeps all: $rates")
+    assert(math.abs(rates("a") - 0.25) < 1e-9, s"a downsamples 4:1: $rates")
+    val kept = TrainPrep.applyMixture(df, "id", "source", lit(1.0))
+      .groupBy($"source").count().as[(String, Long)].collect().toMap
+    assert(kept("b") == 20L)
+    // deterministic hash sampling at rate .25 over 80 uniform-hash ids
+    assert(kept("a") >= 10L && kept("a") <= 30L, s"got $kept")
+  }
 }
