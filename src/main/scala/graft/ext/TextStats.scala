@@ -2,6 +2,7 @@ package graft.ext
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.functions.SimHash64.simhash64
 
@@ -69,6 +70,37 @@ object TextStats {
     round((lenOk + wordLenOk + stopOk) / 3.0, 4)
   }
 
+  /** Per-document top-k TF-IDF keywords: tf = term count / doc length,
+    * idf = ln(N/df). Two keyed aggregations (doc-term counts, term
+    * document frequency), a vocabulary-sized equi-join back, a per-doc
+    * rank — no all-pairs, no unpartitioned window; the one-row corpus
+    * count crossJoins onto the VOCABULARY table (not the corpus), which
+    * then joins term-keyed. The canonical keyword/boilerplate-surfacing
+    * signal over a training corpus. */
+  def tfidfTopTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val tf = words.groupBy(col("doc_id"), col("word"))
+      .agg(count(lit(1)).as("c"))
+      .withColumn("tf", col("c").cast("double") /
+        sum(col("c")).over(Window.partitionBy(col("doc_id"))))
+    val dft = tf.groupBy(col("word")).agg(count(lit(1)).as("df"))
+    val nAgg = docs.agg(count(lit(1)).as("n"))
+    val idf = dft.crossJoin(nAgg)
+      .withColumn("idf", log(col("n").cast("double") / col("df")))
+      .select(col("word"), col("idf"))
+    val w = Window.partitionBy(col("doc_id"))
+      .orderBy(col("tfidf").desc, col("word"))
+    tf.join(idf, Seq("word"))
+      .withColumn("tfidf", col("tf") * col("idf"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("word"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -112,8 +144,13 @@ object TextStats {
           .as("overcount_bounded"))
   }
 
+  /** E4b: top-3 TF-IDF keywords per document, full value-level oracle. */
+  private val e4Tfidf: Q = (s, dir) =>
+    tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+
   val queries: Map[String, Q] = Map(
     "e4_text_stats" -> e4TextStats,
+    "e4_tfidf" -> e4Tfidf,
     "e6_cms_heavyhitters" -> e6CmsHeavyHitters,
   )
 
@@ -129,6 +166,29 @@ object TextStats {
         |   w -> w IN ('the','a','of','and','to')))::DOUBLE
         |   / greatest(len(string_split(text, ' ')), 1)), 4) AS avg_stop_ratio
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "e4_tfidf" ->
+      """WITH wds AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |tf0 AS (
+        |  SELECT doc_id, word, count(*) AS c FROM wds GROUP BY doc_id, word),
+        |tfn AS (
+        |  SELECT doc_id, word,
+        |    c::DOUBLE / sum(c) OVER (PARTITION BY doc_id) AS tf
+        |  FROM tf0),
+        |dft AS (SELECT word, count(*) AS df FROM tf0 GROUP BY word),
+        |n AS (SELECT count(*) AS n FROM documents),
+        |idf AS (SELECT word, ln(n::DOUBLE / df) AS idf FROM dft, n),
+        |sc AS (
+        |  SELECT t.doc_id, t.word, t.tf * i.idf AS tfidf
+        |  FROM tfn t JOIN idf i USING (word)),
+        |rk AS (
+        |  SELECT doc_id, word, tfidf,
+        |    row_number() OVER (PARTITION BY doc_id
+        |                       ORDER BY tfidf DESC, word) AS rnk
+        |  FROM sc)
+        |SELECT doc_id, rnk, word, round(tfidf, 6) AS tfidf
+        |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     "e6_cms_heavyhitters" ->
       "SELECT true AS no_undercount, true AS overcount_bounded",
   )

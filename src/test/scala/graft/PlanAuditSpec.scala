@@ -31,6 +31,8 @@ class PlanAuditSpec extends SparkSpec {
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
     // one-row crossJoins assembling the S-row rate table's scalars
     "e8_mixture" -> Set("BroadcastNestedLoop"),
+    // one-row corpus count crossJoined onto the vocabulary table
+    "e4_tfidf" -> Set("BroadcastNestedLoop"),
     "j5_cross" -> Set("BroadcastNestedLoop"),
     "j5_theta" -> Set("BroadcastNestedLoop"),
   )

@@ -40,4 +40,16 @@ class TextStatsSpec extends SparkSpec {
     assert(fp1 == fp2)
     assert(fp1 != fp3)
   }
+
+  test("tfidfTopTerms ranks discriminative terms first") {
+    // N=2; 'a' in both docs → idf 0; 'b'/'c' unique → idf ln 2.
+    val docs = Seq((1L, "a a b"), (2L, "a c")).toDF("doc_id", "text")
+    val rows = TextStats.tfidfTopTerms(docs, "doc_id", "text", 3)
+      .as[(Long, Int, String, Double)].collect().toSeq
+    assert(rows == Seq(
+      (1L, 1, "b", math.rint(math.log(2.0) / 3 * 1e6) / 1e6),
+      (1L, 2, "a", 0.0),
+      (2L, 1, "c", math.rint(math.log(2.0) / 2 * 1e6) / 1e6),
+      (2L, 2, "a", 0.0)), s"got $rows")
+  }
 }
