@@ -444,6 +444,75 @@ object LakeQueries {
         |GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)
   }
 
+  /** S16: crawler column statistics — the table-stats side of a crawler
+    * run (the reference's crawlers populate catalog column stats next to
+    * schemas): per-column null count, exact NDV, numeric min/max,
+    * string min/max, computed in ONE scan (a single aggregate row —
+    * count_distinct expands map-side — then exploded into the per-column
+    * stats rows; the explode is over a 4-element literal array, not
+    * data). ASCII-only string min/max keeps both engines' byte order
+    * identical. */
+  private val s16Profile: Q = (s, dir) => {
+    val df = t(s, dir, "customer")
+    def nulls(c: String) =
+      sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
+    val a = df.agg(
+      nulls("c_custkey"), countDistinct(col("c_custkey")).as("c_custkey_ndv"),
+      min(col("c_custkey")).cast("double").as("c_custkey_min"),
+      max(col("c_custkey")).cast("double").as("c_custkey_max"),
+      nulls("c_acctbal"), countDistinct(col("c_acctbal")).as("c_acctbal_ndv"),
+      min(col("c_acctbal")).cast("double").as("c_acctbal_min"),
+      max(col("c_acctbal")).cast("double").as("c_acctbal_max"),
+      nulls("c_name"), countDistinct(col("c_name")).as("c_name_ndv"),
+      min(col("c_name")).as("c_name_smin"), max(col("c_name")).as("c_name_smax"),
+      nulls("c_mktsegment"),
+      countDistinct(col("c_mktsegment")).as("c_mktsegment_ndv"),
+      min(col("c_mktsegment")).as("c_mktsegment_smin"),
+      max(col("c_mktsegment")).as("c_mktsegment_smax"))
+    def num(c: String) = struct(lit(c).as("column_name"),
+      col(s"${c}_nulls").as("n_nulls"), col(s"${c}_ndv").as("n_distinct"),
+      col(s"${c}_min").as("min_num"), col(s"${c}_max").as("max_num"),
+      lit(null).cast("string").as("min_str"),
+      lit(null).cast("string").as("max_str"))
+    def str(c: String) = struct(lit(c).as("column_name"),
+      col(s"${c}_nulls").as("n_nulls"), col(s"${c}_ndv").as("n_distinct"),
+      lit(null).cast("double").as("min_num"),
+      lit(null).cast("double").as("max_num"),
+      col(s"${c}_smin").as("min_str"), col(s"${c}_smax").as("max_str"))
+    a.select(explode(array(num("c_custkey"), num("c_acctbal"),
+        str("c_name"), str("c_mktsegment"))).as("st"))
+      .select(col("st.*"))
+      .orderBy(col("column_name"))
+  }
+
+  /** K11: snapshot diff — the delta computation an incremental pipeline
+    * runs between two corpus snapshots before incremental dedup/ingest:
+    * full outer join on the id, content compared by sha2 digest (never
+    * raw text), rows classified added/changed/removed/unchanged. The
+    * "new" snapshot drops every 30th doc, rewrites every 15th, and adds
+    * fresh ids. */
+  private val k11SnapshotDiff: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val newSnap = docs.filter(col("doc_id") % 30 =!= 0)
+      .select(col("doc_id"),
+        when(col("doc_id") % 15 === 0, concat(col("text"), lit(" v2")))
+          .otherwise(col("text")).as("text"))
+      .unionByName(docs.filter(col("doc_id") % 40 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"),
+          concat(lit("fresh "), col("text")).as("text")))
+    val o = docs.select(col("doc_id"), sha2(col("text"), 256).as("od"))
+    val n = newSnap.select(col("doc_id"), sha2(col("text"), 256).as("nd"))
+    o.join(n, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("od").isNull, "added")
+          .when(col("nd").isNull, "removed")
+          .when(col("od") =!= col("nd"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("status"))
+  }
+
   val queries: Map[String, Q] = Map(
     "s1_tsv_scan" -> s1TsvScan,
     "s2_gzip_scan" -> s2GzipScan,
@@ -466,11 +535,62 @@ object LakeQueries {
     "s13_msck_repair" -> s13MsckRepair,
     "s14_schema_merge" -> s14SchemaMerge,
     "s15_recrawl_update" -> s15RecrawlUpdate,
+    "s16_profile" -> s16Profile,
+    "k11_snapshot_diff" -> k11SnapshotDiff,
     "etl_imdb_join" -> etlImdbJoin,
     "k5_register_prefix" -> k5RegisterPrefix,
   )
 
   val oracles: Map[String, String] = Map(
+    "s16_profile" ->
+      """SELECT 'c_acctbal' AS column_name,
+        |  sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,
+        |  count(DISTINCT c_acctbal)::BIGINT AS n_distinct,
+        |  min(c_acctbal)::DOUBLE AS min_num, max(c_acctbal)::DOUBLE AS max_num,
+        |  NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_custkey',
+        |  sum(CASE WHEN c_custkey IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT c_custkey)::BIGINT,
+        |  min(c_custkey)::DOUBLE, max(c_custkey)::DOUBLE,
+        |  NULL::VARCHAR, NULL::VARCHAR
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_mktsegment',
+        |  sum(CASE WHEN c_mktsegment IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT c_mktsegment)::BIGINT,
+        |  NULL::DOUBLE, NULL::DOUBLE,
+        |  min(c_mktsegment), max(c_mktsegment)
+        |FROM customer
+        |UNION ALL
+        |SELECT 'c_name',
+        |  sum(CASE WHEN c_name IS NULL THEN 1 ELSE 0 END)::BIGINT,
+        |  count(DISTINCT c_name)::BIGINT,
+        |  NULL::DOUBLE, NULL::DOUBLE,
+        |  min(c_name), max(c_name)
+        |FROM customer
+        |ORDER BY column_name""".stripMargin,
+    "k11_snapshot_diff" ->
+      """WITH new_snap AS (
+        |  SELECT doc_id,
+        |    CASE WHEN doc_id % 15 = 0 THEN text || ' v2' ELSE text END AS text
+        |  FROM documents WHERE doc_id % 30 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 400000, 'fresh ' || text FROM documents
+        |  WHERE doc_id % 40 = 0),
+        |o AS (SELECT doc_id, sha256(text) AS od FROM documents),
+        |n AS (SELECT doc_id, sha256(text) AS nd FROM new_snap),
+        |j AS (
+        |  SELECT coalesce(o.doc_id, n.doc_id) AS doc_id,
+        |    CASE WHEN o.doc_id IS NULL THEN 'added'
+        |         WHEN n.doc_id IS NULL THEN 'removed'
+        |         WHEN od <> nd THEN 'changed'
+        |         ELSE 'unchanged' END AS status
+        |  FROM o FULL OUTER JOIN n ON o.doc_id = n.doc_id)
+        |SELECT status, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS sum_ids
+        |FROM j GROUP BY status ORDER BY status""".stripMargin,
     "s1_tsv_scan" ->
       """SELECT c_custkey, c_name, nullif(c_mktsegment,'BUILDING') AS seg,
         | round(c_acctbal,2) AS bal

@@ -33,6 +33,11 @@ class PlanAuditSpec extends SparkSpec {
     "e8_mixture" -> Set("BroadcastNestedLoop"),
     // one-row corpus count crossJoined onto the vocabulary table
     "e4_tfidf" -> Set("BroadcastNestedLoop"),
+    // min/max over STRING columns have immutable aggregation buffers,
+    // which HashAggregate can't hold — Spark's canonical plan is
+    // SortAggregate, and with ZERO grouping keys it performs no sort
+    // (one partial row per partition, one merge). Not creep.
+    "s16_profile" -> Set("SortAggregate"),
     "j5_cross" -> Set("BroadcastNestedLoop"),
     "j5_theta" -> Set("BroadcastNestedLoop"),
   )
