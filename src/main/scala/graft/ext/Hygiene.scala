@@ -110,6 +110,28 @@ object Hygiene {
       .orderBy(col("doc_id"))
   }
 
+  // ------------------------------------------- boilerplate profiling
+
+  /** Corpus-wide boilerplate profile (the C4-family signal): a doc's
+    * fraction of distinct shingles whose corpus document-frequency
+    * exceeds `maxDf` — template/navigation text shares n-grams across
+    * many documents, original prose doesn't. Two keyed shuffles (shingle
+    * df, per-doc re-aggregation); the df join is vocabulary-keyed.
+    * Linear at 100 TB — the same blocking frame as contamination. */
+  def boilerplateProfile(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, maxDf: Long = 2): DataFrame = {
+    val sh = docs.select(col(idCol).as("doc_id"),
+      explode(Dedup.shingles(col(textCol), shingleN)).as("tok"))
+    val dfc = sh.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    sh.join(dfc, Seq("tok"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when(col("df") > maxDf, 1L).otherwise(0L)).as("n_boiler"))
+      .withColumn("boiler_frac",
+        round(col("n_boiler").cast("double") / col("n_shingles"), 4))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E9: plant PII → detect per type → redact → prove nothing survives.
@@ -137,9 +159,14 @@ object Hygiene {
   private val e9Repetition: Q = (s, dir) =>
     repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
 
+  /** E9c: per-document boilerplate fraction at df > 2. */
+  private val e9Boilerplate: Q = (s, dir) =>
+    boilerplateProfile(t(s, dir, "documents"), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
     "e9_pii_redact" -> e9PiiRedact,
     "e9_repetition" -> e9Repetition,
+    "e9_boilerplate" -> e9Boilerplate,
   )
 
   val oracles: Map[String, String] = Map(
@@ -172,6 +199,21 @@ object Hygiene {
          |    AS residual_pii,
          |  sum(len(text) - len(redacted))::BIGINT AS chars_delta
          |FROM red GROUP BY lang ORDER BY lang""".stripMargin,
+    "e9_boilerplate" ->
+      """WITH sh AS (
+        |  SELECT doc_id, unnest(list_distinct(list_transform(
+        |    range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |    i -> string_split(text,' ')[i] || ' ' ||
+        |         string_split(text,' ')[i+1] || ' ' ||
+        |         string_split(text,' ')[i+2]))) AS tok
+        |  FROM documents),
+        |dfc AS (SELECT tok, count(*) AS df FROM sh GROUP BY tok),
+        |j AS (SELECT s.doc_id, d.df FROM sh s JOIN dfc d USING (tok))
+        |SELECT doc_id, count(*)::BIGINT AS n_shingles,
+        |  sum(CASE WHEN df > 2 THEN 1 ELSE 0 END)::BIGINT AS n_boiler,
+        |  round(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 4) AS boiler_frac
+        |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e9_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -38,6 +38,22 @@ class HygieneSpec extends SparkSpec {
       (2L, 3L, 1.0, 0.0, 0.3333)))
   }
 
+  test("boilerplateProfile separates template text from original prose") {
+    // "nav home about contact" shingles appear in 3 docs (df 3 > 2);
+    // each doc's tail is unique.
+    val docs = Seq(
+      (1L, "nav home about contact unique alpha beta gamma"),
+      (2L, "nav home about contact other delta epsilon zeta"),
+      (3L, "nav home about contact more eta theta iota"),
+      (4L, "entirely original words nothing shared with anyone else"),
+    ).toDF("doc_id", "text")
+    val got = Hygiene.boilerplateProfile(docs, "doc_id", "text")
+      .select($"doc_id", $"boiler_frac").as[(Long, Double)].collect().toMap
+    assert(got(4L) == 0.0)
+    // docs 1-3 share exactly the 2 shingles fully inside the nav prefix
+    assert(Seq(1L, 2L, 3L).forall(id => got(id) > 0.0 && got(id) < 1.0), s"$got")
+  }
+
   test("stratifiedSample keeps an exact per-stratum quota, deterministically") {
     val df = (0L until 100L).map(i => (i, if (i < 60) "a" else "b"))
       .toDF("id", "s")
