@@ -34,6 +34,22 @@ object StreamDemo {
       .withWatermark("ts", "1 hour")
       .dropDuplicatesWithinWatermark(idCol)
 
+  /** Stream-static incremental dedup — the live-ingest counterpart of
+    * `Dedup.incrementalDedup`'s exact stage: an arriving doc is dropped
+    * if it repeats within the stream inside the watermark window
+    * (dropDuplicatesWithinWatermark on the sha2 digest — bounded state,
+    * fixed-width key) or if its digest already exists in the static
+    * corpus (stream-static left-anti join: the static side holds no
+    * stream state, re-resolves per micro-batch, and broadcasts when
+    * small — at 100 TB the digest table is a bucketed lake table and
+    * the anti-join shuffles 32-byte keys only). */
+  def incrementalDedupStream(docs: DataFrame,
+      corpusDigests: DataFrame): DataFrame =
+    docs.withColumn("digest", sha2(col("text"), 256))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark("digest")
+      .join(corpusDigests, Seq("digest"), "left_anti")
+
   /** Stream-stream interval join: impressions matched to clicks within
     * one hour AFTER the impression. Both sides watermarked and the join
     * condition carries the time bound — that pair is what lets the

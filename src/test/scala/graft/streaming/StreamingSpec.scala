@@ -57,6 +57,30 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static incremental dedup drops corpus dups and in-stream repeats") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = Seq("existing doc one", "existing doc two").toDF("text")
+      .select(org.apache.spark.sql.functions.sha2(col("text"), 256)
+        .as("digest"))
+    val stream = MemoryStream[(Timestamp, Long, String)]
+    val q = StreamDemo.incrementalDedupStream(
+      stream.toDF().toDF("ts", "doc_id", "text"), corpus)
+      .writeStream.format("memory").queryName("incdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData(
+        (ts(1, 1), 10L, "existing doc one"),   // exact dup of corpus
+        (ts(1, 1), 11L, "genuinely novel doc"),
+        (ts(1, 2), 12L, "genuinely novel doc")) // in-stream repeat
+      q.processAllAvailable()
+      stream.addData((ts(1, 3), 13L, "another novel doc"))
+      q.processAllAvailable()
+      val ids = spark.table("incdedup_out")
+        .select("doc_id").as[Long].collect().sorted
+      assert(ids.toSeq == Seq(11L, 13L), s"got ${ids.toSeq}")
+    } finally q.stop()
+  }
+
   test("stream-stream interval join matches clicks within the window, equals batch") {
     implicit val sqlCtx = spark.sqlContext
     val imps = MemoryStream[(Timestamp, String)]
