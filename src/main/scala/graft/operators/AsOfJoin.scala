@@ -65,9 +65,76 @@ object AsOfJoin {
       .orderBy(col("event_id"))
   }
 
-  val queries: Map[String, Q] = Map("j7_asof" -> j7Asof)
+  /** Bucketed range join — J9, the other canonical "join Spark lacks":
+    * points matched to enclosing time intervals WITHOUT an equi key.
+    * The naive spelling is a BroadcastNestedLoopJoin over a range
+    * predicate — quadratic, the classic Spark scale-killer. The
+    * standard fix (preference (a): compose built-ins): quantize time
+    * into buckets no narrower than the longest interval, expand each
+    * interval to the buckets it covers (≤ 2 here), equi-join on the
+    * bucket, re-check the exact range. Each point lives in EXACTLY one
+    * bucket, so no dedup step is needed and the join is a plain
+    * shuffle/broadcast hash join whose fanout is bounded by interval
+    * length / bucket width + 1.
+    *
+    * `points` needs (pt: long micros); `intervals` (s, e: long micros,
+    * half-open [s, e)); `bucketW` must be ≥ max(e − s). */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+      bucketW: Long): DataFrame = {
+    val winB = intervals.withColumn("bk",
+      explode(sequence(expr(s"s DIV $bucketW"),
+        expr(s"(e - 1) DIV $bucketW"))))
+    points.withColumn("bk", expr(s"pt DIV $bucketW"))
+      .join(winB, Seq("bk"))
+      .filter(col("pt") >= col("s") && col("pt") < col("e"))
+      .drop("bk")
+  }
+
+  /** J9: events counted into 50 two-hour windows anchored at the first
+    * 50 events' timestamps — value-level DuckDB oracle over the naive
+    * range join (the bucketed plan must reproduce it exactly, empty
+    * windows included). */
+  private val j9Range: Q = (s, dir) => {
+    val events = Tables.load(s, dir, "events")
+    val W = 7200000000L // 2 h in micros
+    val wins = events.filter(col("event_id") < 50)
+      .select(col("event_id").as("window_id"),
+        unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + W)
+    val pts = events.select(unix_micros(col("ts")).as("pt"), col("value"))
+    val agg = rangeJoinBucketed(pts, wins, bucketW = W)
+      .groupBy(col("window_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    wins.select(col("window_id")).join(agg, Seq("window_id"), "left")
+      .select(col("window_id"),
+        coalesce(col("n_events"), lit(0L)).as("n_events"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("window_id"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "j7_asof" -> j7Asof,
+    "j9_range" -> j9Range,
+  )
 
   val oracles: Map[String, String] = Map(
+    "j9_range" ->
+      """WITH w AS (
+        |  SELECT event_id AS window_id, epoch_us(ts) AS s,
+        |    epoch_us(ts) + 7200000000 AS e
+        |  FROM events WHERE event_id < 50),
+        |j AS (
+        |  SELECT w.window_id, ev.value
+        |  FROM w JOIN events ev
+        |    ON epoch_us(ev.ts) >= w.s AND epoch_us(ev.ts) < w.e)
+        |SELECT w.window_id, coalesce(a.n_events, 0) AS n_events,
+        |  coalesce(a.sum_value, 0.0) AS sum_value
+        |FROM w LEFT JOIN (
+        |  SELECT window_id, count(*)::BIGINT AS n_events,
+        |    round(sum(value), 4) AS sum_value
+        |  FROM j GROUP BY window_id) a USING (window_id)
+        |ORDER BY window_id""".stripMargin,
     "j7_asof" ->
       """WITH clicks AS (
         |  SELECT user_id, ts, round(max(value), 2) AS click_value

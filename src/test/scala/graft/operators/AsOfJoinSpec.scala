@@ -26,4 +26,22 @@ class AsOfJoinSpec extends SparkSpec {
       1L -> None, 2L -> Some(10.0), 3L -> Some(10.0),
       4L -> Some(11.0), 5L -> Some(20.0), 6L -> None))
   }
+
+  test("rangeJoinBucketed equals the naive range join, boundaries half-open") {
+    import org.apache.spark.sql.functions._
+    // intervals of length ≤ 10 (bucketW 10): one bucket-aligned, one
+    // straddling a bucket edge; points at s (in), e (out), e-1 (in).
+    val intervals = Seq((1L, 10L, 20L), (2L, 15L, 25L), (3L, 90L, 95L))
+      .toDF("window_id", "s", "e")
+    val points = (0L until 100L).map(p => (p, 1.0)).toDF("pt", "v")
+    val bucketed = AsOfJoin.rangeJoinBucketed(points, intervals, bucketW = 10L)
+      .select($"window_id", $"pt").as[(Long, Long)].collect().toSet
+    val naive = points.crossJoin(intervals)
+      .filter($"pt" >= $"s" && $"pt" < $"e")
+      .select($"window_id", $"pt").as[(Long, Long)].collect().toSet
+    assert(bucketed == naive)
+    assert(bucketed.contains((1L, 10L)) && !bucketed.contains((1L, 20L)))
+    assert(bucketed.contains((1L, 19L)))
+    assert(bucketed.count(_._1 == 2L) == 10)
+  }
 }
