@@ -152,6 +152,41 @@ object Multimodal {
       }
   }
 
+  /** Typed record for the decoded-feature path. */
+  final case class PpmRowFeatures(doc_id: Long, v: Array[Double])
+
+  /** REAL feature extraction from decoded pixels: one feature per image
+    * row (the mean of that row's 3·w channel bytes) — a genuine
+    * pixels→vector encoder, not a stub, so the whole
+    * multimodal→similarity pipeline is value-level checkable. Same
+    * mapPartitions batching as the other decoders. */
+  def decodePpmRowFeatures(df: DataFrame, idCol: String,
+      binCol: String): Dataset[PpmRowFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, off) = PpmParser.header(bytes)
+          require(bytes.length == off + 3 * w * h,
+            s"pixel payload ${bytes.length - off} bytes, expected ${3 * w * h}")
+          val v = new Array[Double](h)
+          var r = 0
+          while (r < h) {
+            var sum = 0L
+            var j = 0
+            while (j < 3 * w) {
+              sum += bytes(off + r * 3 * w + j) & 0xff
+              j += 1
+            }
+            v(r) = sum.toDouble / (3 * w)
+            r += 1
+          }
+          PpmRowFeatures(id, v)
+        }
+      }
+  }
+
   /** STUB media resize: binary → binary (a real one re-encodes pixels;
     * the fake truncates deterministically, preserving the shape of the
     * transform: binary in, smaller binary out, map-only). */
@@ -217,19 +252,50 @@ object Multimodal {
     * pure-JVM parser decodes them, and DuckDB recomputes the channel
     * means from the same byte construction — a value-level oracle on
     * actual decoded pixels, not a stub. */
-  private val e5PpmDecode: Q = (s, dir) => {
-    // coalesce: a NULL text zero-pads to an all-zero image, matching
-    // the oracle's CASE … ELSE 0 (a null binary would instead NPE the
-    // decoder — engine divergence on a nullable column)
-    val img = concat(
-      lit("P6\n8 8\n255\n".getBytes("UTF-8")),
-      rpad(substring(asciiOnly(coalesce(col("text"), lit("")))
-          .cast("binary"), 1, 192),
-        192, Array[Byte](0)))
+  // coalesce: a NULL text zero-pads to an all-zero image, matching
+  // the oracle's CASE … ELSE 0 (a null binary would instead NPE the
+  // decoder — engine divergence on a nullable column)
+  private def ppmImage: Column = concat(
+    lit("P6\n8 8\n255\n".getBytes("UTF-8")),
+    rpad(substring(asciiOnly(coalesce(col("text"), lit("")))
+        .cast("binary"), 1, 192),
+      192, Array[Byte](0)))
+
+  private val e5PpmDecode: Q = (s, dir) =>
     decodePpm(
-      t(s, dir, "documents").withColumn("img", img), "doc_id", "img")
+      t(s, dir, "documents").withColumn("img", ppmImage), "doc_id", "img")
       .toDF()
       .orderBy(col("doc_id"))
+
+  /** E5e: the full multimodal→similarity pipeline on REAL decoded
+    * pixels — construct 8×8 P6 images, decode, extract one feature per
+    * image row (row-mean luminance over the 24 channel bytes), cosine
+    * top-3 for the first 5 docs. DuckDB recomputes features from the
+    * same byte construction and re-ranks, so the decoder, the encoder,
+    * and the search are all value-level gated end to end. Integer byte
+    * sums divide exactly in doubles, so feature arithmetic is
+    * bit-identical across engines. */
+  private val e5Pipeline: Q = (s, dir) => {
+    val feats = decodePpmRowFeatures(
+      t(s, dir, "documents").withColumn("img", ppmImage),
+      "doc_id", "img").toDF()
+    val withN = feats.withColumn("nrm",
+      sqrt(graft.functions.VecDot.vecDot(col("v"), col("v"))))
+    val q = withN.filter(col("doc_id") < 5)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"),
+        col("nrm").as("qn"))
+    val c = withN.select(col("doc_id").as("c_id"), col("v").as("cv"),
+      col("nrm").as("cn"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("cos", graft.functions.VecDot.vecDot(col("qv"), col("cv"))
+        / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 3)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("cos"), 6).as("sim"))
+      .orderBy(col("q_id"), col("rnk"))
   }
 
   val queries: Map[String, Q] = Map(
@@ -237,6 +303,7 @@ object Multimodal {
     "e5_vector_join" -> e5VectorJoin,
     "e5_decode_batch" -> e5DecodeBatch,
     "e5_ppm_decode" -> e5PpmDecode,
+    "e5_pipeline" -> e5Pipeline,
   )
 
   val oracles: Map[String, String] = Map(
@@ -264,6 +331,35 @@ object Multimodal {
     // i is the document's i-th byte (ASCII corpus: ord = byte) or 0
     // padding; R/G/B interleave as 3j/3j+1/3j+2. sum/64 is exact in
     // doubles (64 = 2^6), so round(…, 4) is stable on both engines.
+    // Features recomputed from the same 192-byte construction: feature
+    // r = mean of bytes r·24 … r·24+23. The byte sums are small
+    // integers (exact in doubles), so the cosine arithmetic is
+    // bit-identical across engines.
+    "e5_pipeline" ->
+      """WITH a AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id,
+        |    list_transform(range(0, 8), r ->
+        |      list_sum(list_transform(range(1, 25), i ->
+        |        CASE WHEN r*24 + i <= strlen(t)
+        |             THEN ord(substr(t, (r*24 + i)::INT, 1))::DOUBLE
+        |             ELSE 0.0 END)) / 24.0) AS v
+        |  FROM a),
+        |n AS (
+        |  SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm FROM f),
+        |p AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c WHERE q.doc_id < 5 AND c.doc_id <> q.doc_id),
+        |rk AS (
+        |  SELECT q_id, c_id, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |                       ORDER BY cos DESC, c_id) AS rnk
+        |  FROM p)
+        |SELECT q_id, rnk, c_id, round(cos, 6) AS sim
+        |FROM rk WHERE rnk <= 3 ORDER BY q_id, rnk""".stripMargin,
     "e5_ppm_decode" ->
       """WITH a AS (
         |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t

@@ -26,6 +26,7 @@ class PlanAuditSpec extends SparkSpec {
     "e3_cosine_neardup" -> Set("BroadcastNestedLoop"),
     "e3_cosine_topk" -> Set("BroadcastNestedLoop"),
     "e3_quantized_cosine" -> Set("BroadcastNestedLoop"),
+    "e5_pipeline" -> Set("BroadcastNestedLoop"),
     "e3_ivf_recall" -> Set("BroadcastNestedLoop"),
     "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
