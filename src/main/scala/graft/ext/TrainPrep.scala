@@ -31,9 +31,18 @@ object TrainPrep {
     * the integer id, divided by 2³². Pure integer arithmetic then a
     * power-of-two division — bit-identical in any engine (no RNG, no
     * engine hash function), so the split is stable across reruns,
-    * engines, and partitionings. Map-only. */
+    * engines, and partitionings. Map-only.
+    *
+    * Ids past ~3.5·10⁹ are real at corpus scale and would overflow
+    * id·2654435761 — which under Spark 4's default ANSI mode THROWS
+    * (not wraps). The id is folded into [0, 2³¹) first, which keeps the
+    * product under 2⁶³ for the whole long range (incl. negatives, via
+    * pmod); for in-range nonnegative ids both pmods are identities, so
+    * the SQL oracles keep the plain `%` spelling and values are
+    * unchanged. */
   def splitBucket(id: Column): Column =
-    (id * lit(2654435761L)) % lit(4294967296L) / lit(4294967296.0)
+    pmod(pmod(id, lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L)) / lit(4294967296.0)
 
   /** Assign each row a split label from cumulative fractions, e.g.
     * Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1). */

@@ -159,4 +159,18 @@ class RelationalPlanSpec extends SparkSpec {
     assert(!p.contains("l_partkey"),
       "q1 must not read l_partkey — column pruning is broken")
   }
+
+  test("group top-k pushes the rank filter into WindowGroupLimit") {
+    // row_number-filter ≤ k must become a WindowGroupLimit below the
+    // Window: each partition keeps only k rows BEFORE the full
+    // sort-rank — the difference between sorting every group and a
+    // bounded heap at 100 TB. Pinned on the pure top-k query
+    // (w1_rank's window carries ntile, which the InferWindowGroupLimit
+    // rule correctly refuses — ntile needs the whole partition). An
+    // optimizer-defeating refactor (non-literal limit, transformed rank
+    // column) fails here.
+    val p = plan("e3_cosine_topk")
+    assert(p.contains("WindowGroupLimit"),
+      s"e3_cosine_topk lost its WindowGroupLimit:\n$p")
+  }
 }
