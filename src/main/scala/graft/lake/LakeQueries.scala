@@ -513,7 +513,88 @@ object LakeQueries {
       .orderBy(col("status"))
   }
 
+  /** S17: corrupt-record handling — dirty ingest is the 100 TB normal.
+    * A TSV is written with an unparseable numeric field on every 10th
+    * row; PERMISSIVE mode must capture exactly those rows in the
+    * corrupt-record column (good rows parse fully), DROPMALFORMED must
+    * silently keep only the good rows. The oracle derives both modes'
+    * counts from the source table, so a reader that misclassifies even
+    * one row hash-mismatches. (FAILFAST is spec-tested — it throws.) */
+  private val s17CorruptRecords: Q = (s, dir) => {
+    val out = Lake.scratchDir("s17") + "/raw"
+    val docs = t(s, dir, "documents")
+    docs.select(concat_ws("\t",
+        col("doc_id"), col("lang"),
+        when(col("doc_id") % 10 === 0, concat(lit("xx"), col("n_chars")))
+          .otherwise(col("n_chars").cast("string"))).as("value"))
+      .coalesce(1).write.mode("overwrite").text(out)
+    val perm = s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG, _corrupt STRING")
+      .option("sep", "\t").option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt")
+      .csv(out)
+    val drop = s.read
+      .schema("doc_id LONG, lang STRING, n_chars LONG")
+      .option("sep", "\t").option("mode", "DROPMALFORMED")
+      .csv(out)
+    perm.agg(
+      sum(when(col("_corrupt").isNull, 1L).otherwise(0L)).as("n_good"),
+      sum(when(col("_corrupt").isNotNull, 1L).otherwise(0L)).as("n_corrupt"),
+      sum(when(col("_corrupt").isNull, col("n_chars"))).as("sum_chars"))
+      .withColumn("mode", lit("permissive"))
+      .unionByName(
+        drop.agg(count(lit(1)).as("n_good"), lit(0L).as("n_corrupt"),
+          sum(col("n_chars")).as("sum_chars"))
+          .withColumn("mode", lit("dropmalformed")))
+      .select(col("mode"), col("n_good"), col("n_corrupt"), col("sum_chars"))
+      .orderBy(col("mode"))
+  }
+
+  /** K12: job-bookmark incremental processing (the Glue ETL re-run
+    * semantics): each run processes only landing files NOT yet in the
+    * bookmark manifest, appends them to the curated zone, and advances
+    * the manifest. Two batches land in sequence; the second run must
+    * pick up ONLY the second batch — a bookmark bug double-processes
+    * batch 1 and the whole-table oracle hash-mismatches on the inflated
+    * counts. */
+  private val k12Bookmark: Q = (s, dir) => {
+    val root = Lake.scratchDir("k12")
+    val (landing, curated) = (s"$root/landing", s"$root/curated")
+    val manifest = new java.io.File(s"$root/manifest.txt")
+    def listParts(): Set[String] =
+      Option(new java.io.File(landing).listFiles()).toSeq.flatten
+        .filter(f => f.getName.endsWith(".parquet"))
+        .map(_.getAbsolutePath).toSet
+    def incrementalLoad(): Unit = {
+      val seen: Set[String] =
+        if (manifest.exists())
+          scala.io.Source.fromFile(manifest).getLines().toSet
+        else Set.empty
+      val fresh = (listParts() -- seen).toSeq.sorted
+      if (fresh.nonEmpty) {
+        s.read.parquet(fresh: _*)
+          .write.mode("append").parquet(curated)
+        val w = new java.io.FileWriter(manifest, true)
+        try fresh.foreach(p => w.write(p + "\n")) finally w.close()
+      }
+    }
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("append").parquet(landing)
+    incrementalLoad()
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .write.mode("append").parquet(landing)
+    incrementalLoad()
+    s.read.parquet(curated)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "s17_corrupt_records" -> s17CorruptRecords,
+    "k12_bookmark" -> k12Bookmark,
     "s1_tsv_scan" -> s1TsvScan,
     "s2_gzip_scan" -> s2GzipScan,
     "s3_crawler_allstring" -> s3CrawlerAllstring,
@@ -542,6 +623,23 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s17_corrupt_records" ->
+      """SELECT 'dropmalformed' AS mode,
+        |  sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_good,
+        |  0::BIGINT AS n_corrupt,
+        |  sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END)::BIGINT AS sum_chars
+        |FROM documents
+        |UNION ALL
+        |SELECT 'permissive',
+        |  sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN doc_id % 10 = 0 THEN 1 ELSE 0 END)::BIGINT,
+        |  sum(CASE WHEN doc_id % 10 <> 0 THEN n_chars END)::BIGINT
+        |FROM documents
+        |ORDER BY mode""".stripMargin,
+    "k12_bookmark" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
     "s16_profile" ->
       """SELECT 'c_acctbal' AS column_name,
         |  sum(CASE WHEN c_acctbal IS NULL THEN 1 ELSE 0 END)::BIGINT AS n_nulls,

@@ -128,4 +128,20 @@ class LakeSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM with_classifier_name_basics")
       .head().getLong(0) == 1, "dots mangled, prefix applied")
   }
+
+  test("FAILFAST ingest throws on the first malformed record") {
+    val out = Lake.scratchDir("failfast") + "/raw"
+    Seq("1\ten\t100", "2\ten\txx9").toDF("value")
+      .coalesce(1).write.mode("overwrite").text(out)
+    // collect, not count: CSV count() short-circuits row parsing and
+    // would never hit the malformed field
+    val ex = intercept[org.apache.spark.SparkException] {
+      spark.read.schema("doc_id LONG, lang STRING, n_chars LONG")
+        .option("sep", "\t").option("mode", "FAILFAST")
+        .csv(out).collect()
+    }
+    assert(ex.getMessage.contains("Malformed") ||
+      Option(ex.getCause).exists(_.getMessage.contains("Malformed")),
+      s"unexpected failure: ${ex.getMessage}")
+  }
 }
