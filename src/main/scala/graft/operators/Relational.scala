@@ -441,6 +441,26 @@ object Relational {
     c.except(su).orderBy(col("nk"))
   }
 
+  /** U4: multiset EXCEPT ALL / INTERSECT ALL — duplicate-preserving
+    * bag semantics (result multiplicity = max(nₐ−n_b, 0) / min(nₐ, n_b)),
+    * aggregated to per-key counts so the gate pins the multiplicities,
+    * not just membership. */
+  private val u4ExceptAll: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem").select(col("l_suppkey").as("k"))
+    val su = t(s, dir, "supplier").select(col("s_suppkey").as("k"))
+    li.exceptAll(su).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+  }
+
+  private val u4IntersectAll: Q = (s, dir) => {
+    val lo = t(s, dir, "lineitem").filter(col("l_quantity") <= 25)
+      .select(col("l_suppkey").as("k"))
+    val hi = t(s, dir, "lineitem").filter(col("l_quantity") > 25)
+      .select(col("l_suppkey").as("k"))
+    lo.intersectAll(hi).groupBy(col("k")).agg(count(lit(1)).as("n"))
+      .orderBy(col("k"))
+  }
+
   /** U3: DISTINCT over a projection. */
   private val u3Distinct: Q = (s, dir) =>
     t(s, dir, "lineitem")
@@ -481,6 +501,8 @@ object Relational {
     "u2_intersect" -> u2Intersect,
     "u2_except" -> u2Except,
     "u3_distinct" -> u3Distinct,
+    "u4_except_all" -> u4ExceptAll,
+    "u4_intersect_all" -> u4IntersectAll,
   )
 
   val oracles: Map[String, String] = Map(
@@ -645,5 +667,19 @@ object Relational {
     "u3_distinct" ->
       """SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+    "u4_except_all" ->
+      """WITH r AS (
+        |  SELECT l_suppkey AS k FROM lineitem
+        |  EXCEPT ALL
+        |  SELECT s_suppkey FROM supplier)
+        |SELECT k, count(*)::BIGINT AS n FROM r
+        |GROUP BY k ORDER BY k""".stripMargin,
+    "u4_intersect_all" ->
+      """WITH r AS (
+        |  SELECT l_suppkey AS k FROM lineitem WHERE l_quantity <= 25
+        |  INTERSECT ALL
+        |  SELECT l_suppkey FROM lineitem WHERE l_quantity > 25)
+        |SELECT k, count(*)::BIGINT AS n FROM r
+        |GROUP BY k ORDER BY k""".stripMargin,
   )
 }
