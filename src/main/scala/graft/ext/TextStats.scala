@@ -101,6 +101,28 @@ object TextStats {
       .orderBy(col("doc_id"), col("rnk"))
   }
 
+  /** Unigram-LM negative log-likelihood per document — the cheap
+    * perplexity proxy quality pipelines use before any neural scorer:
+    * p(w) = corpus count(w) / total tokens, doc score = mean −ln p(w)
+    * over its words (high = unusual vocabulary). Same scale shape as
+    * TF-IDF: one corpus-keyed aggregation, a vocabulary equi-join back,
+    * a per-doc mean. */
+  def unigramLogprob(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+      explode(split(col(textCol), " ")).as("word"))
+    val freq = words.groupBy(col("word")).agg(count(lit(1)).as("c"))
+    val totAgg = words.agg(count(lit(1)).as("total"))
+    val lm = freq.crossJoin(totAgg)
+      .select(col("word"),
+        (-log(col("c").cast("double") / col("total"))).as("nll"))
+    words.join(lm, Seq("word"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -148,9 +170,14 @@ object TextStats {
   private val e4Tfidf: Q = (s, dir) =>
     tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
 
+  /** E4c: per-document unigram-LM score, full value-level oracle. */
+  private val e4Logprob: Q = (s, dir) =>
+    unigramLogprob(t(s, dir, "documents"), "doc_id", "text")
+
   val queries: Map[String, Q] = Map(
     "e4_text_stats" -> e4TextStats,
     "e4_tfidf" -> e4Tfidf,
+    "e4_logprob" -> e4Logprob,
     "e6_cms_heavyhitters" -> e6CmsHeavyHitters,
   )
 
@@ -189,6 +216,18 @@ object TextStats {
         |  FROM sc)
         |SELECT doc_id, rnk, word, round(tfidf, 6) AS tfidf
         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
+    "e4_logprob" ->
+      """WITH wds AS (
+        |  SELECT doc_id, unnest(string_split(text, ' ')) AS word
+        |  FROM documents),
+        |freq AS (SELECT word, count(*) AS c FROM wds GROUP BY word),
+        |tot AS (SELECT count(*) AS total FROM wds),
+        |lm AS (
+        |  SELECT word, -ln(c::DOUBLE / total) AS nll FROM freq, tot)
+        |SELECT w.doc_id, count(*)::BIGINT AS n_words,
+        |  round(avg(l.nll), 6) AS avg_nll
+        |FROM wds w JOIN lm l USING (word)
+        |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
     "e6_cms_heavyhitters" ->
       "SELECT true AS no_undercount, true AS overcount_bounded",
   )

@@ -34,6 +34,7 @@ class PlanAuditSpec extends SparkSpec {
     "e8_mixture" -> Set("BroadcastNestedLoop"),
     // one-row corpus count crossJoined onto the vocabulary table
     "e4_tfidf" -> Set("BroadcastNestedLoop"),
+    "e4_logprob" -> Set("BroadcastNestedLoop"),
     // min/max over STRING columns have immutable aggregation buffers,
     // which HashAggregate can't hold — Spark's canonical plan is
     // SortAggregate, and with ZERO grouping keys it performs no sort
