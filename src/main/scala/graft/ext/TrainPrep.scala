@@ -96,6 +96,35 @@ object TrainPrep {
       .drop("rk", "n_stratum")
   }
 
+  // ------------------------------------------------- chunking
+
+  /** Sliding-window document chunking — the universal pre-training/RAG
+    * splitter: windows of `size` words every `stride` words (overlap =
+    * size − stride). Map-only: chunk indices come from a computed
+    * `sequence` exploded per doc, the window itself is an array slice —
+    * no shuffle at all; output order is (doc, chunk). A short doc
+    * yields exactly one (possibly short) chunk. */
+  def chunkByWords(docs: DataFrame, idCol: String, textCol: String,
+      chunkSize: Int, stride: Int): DataFrame = {
+    require(stride > 0 && chunkSize >= stride, "need 0 < stride <= chunkSize")
+    val words = split(col(textCol), " ")
+    val n = size(words)
+    val nChunks = when(n <= chunkSize, lit(1L))
+      .otherwise(ceil((n - chunkSize).cast("double") / stride) + 1L)
+    docs.select(col(idCol).as("doc_id"), words.as("ws"), nChunks.as("nc"))
+      .select(col("doc_id"),
+        explode(sequence(lit(0L), col("nc") - 1L)).as("chunk_id"),
+        col("ws"))
+      .select(col("doc_id"), col("chunk_id"),
+        slice(col("ws"), (col("chunk_id") * stride + 1).cast("int"),
+          lit(chunkSize)).as("cw"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("cw")).cast("long").as("n_words"),
+        element_at(col("cw"), 1).as("first_word"),
+        element_at(col("cw"), -1).as("last_word"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+  }
+
   // ------------------------------------------------- mixture rebalance
 
   /** Per-source acceptance rates that rebalance the corpus to a target
@@ -227,12 +256,18 @@ object TrainPrep {
       .orderBy(col("source"))
   }
 
+  /** E8f: 32-word chunks every 24 words over the corpus. */
+  private val e8Chunk: Q = (s, dir) =>
+    chunkByWords(t(s, dir, "documents"), "doc_id", "text",
+      chunkSize = 32, stride = 24)
+
   val queries: Map[String, Q] = Map(
     "e8_hash_split" -> e8HashSplit,
     "e8_pack" -> e8Pack,
     "e8_contamination" -> e8Contamination,
     "e8_stratified" -> e8Stratified,
     "e8_mixture" -> e8Mixture,
+    "e8_chunk" -> e8Chunk,
   )
 
   val oracles: Map[String, String] = Map(
@@ -296,6 +331,25 @@ object TrainPrep {
         |    sum(doc_id)::BIGINT AS sum_kept_ids
         |  FROM k GROUP BY source) k2 USING (source)
         |ORDER BY source""".stripMargin,
+    "e8_chunk" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+        |c AS (
+        |  SELECT doc_id, ws,
+        |    CASE WHEN len(ws) <= 32 THEN 1
+        |         ELSE (ceil((len(ws) - 32)::DOUBLE / 24))::BIGINT + 1
+        |    END AS nc
+        |  FROM w),
+        |e AS (
+        |  SELECT doc_id, unnest(range(0, nc)) AS chunk_id, ws FROM c),
+        |s AS (
+        |  SELECT doc_id, chunk_id,
+        |    list_slice(ws, (chunk_id*24 + 1)::INT,
+        |               least((chunk_id*24 + 32)::INT, len(ws))) AS cw
+        |  FROM e)
+        |SELECT doc_id, chunk_id, len(cw)::BIGINT AS n_words,
+        |  cw[1] AS first_word, cw[len(cw)] AS last_word
+        |FROM s ORDER BY doc_id, chunk_id""".stripMargin,
     "e8_contamination" ->
       """WITH sh0 AS (
         |  SELECT doc_id, unnest(list_distinct(list_transform(
