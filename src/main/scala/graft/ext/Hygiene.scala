@@ -132,6 +132,57 @@ object Hygiene {
       .orderBy(col("doc_id"))
   }
 
+  // ---------------------------------------- source/term blocklist curation
+
+  /** Demo policy: three untrusted sources and a banned-term list (the
+    * domain-blocklist + keyword-filter stage every web-corpus pipeline
+    * runs first). Both constants are shared verbatim with the oracle —
+    * the source list interpolated into SQL `IN`, the regex Java∩RE2. */
+  val BlockedSources: Seq[String] = Seq("src3", "src7", "src12")
+  val BannedTermRe = "\\b(freecoins|darkmagic)\\b"
+
+  /** Plant banned terms so the gate exercises the term path on the
+    * letters-only synthetic corpus (same pattern as [[withPlantedPii]]). */
+  private[ext] def withPlantedSpam(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("source"),
+      concat(col("text"),
+        when(col("doc_id") % 9 === 0, lit(" get freecoins today"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0, lit(" cast darkmagic now"))
+          .otherwise(lit(""))).as("text"))
+
+  /** Classify each document against a source blocklist then a banned-term
+    * regex (source wins; a doc is counted once). Map-only verdict into
+    * one per-source aggregation — the linear shape; at 100 TB the
+    * blocklist is a broadcast set / compiled regex on the scan, and the
+    * audit is the same one partial-agg shuffle. `sum_kept_ids` pins exact
+    * kept membership, not just counts. */
+  def blocklistAudit(docs: DataFrame, idCol: String, textCol: String,
+      sourceCol: String, blockedSources: Seq[String],
+      bannedRe: String): DataFrame = {
+    val verdict = when(col(sourceCol).isin(blockedSources: _*),
+      "blocked_source")
+      .when(col(textCol).rlike(bannedRe), "blocked_term")
+      .otherwise("kept")
+    docs.withColumn("verdict", verdict)
+      .groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_in"),
+        sum(when(col("verdict") === "blocked_source", 1L).otherwise(0L))
+          .as("n_src_blocked"),
+        sum(when(col("verdict") === "blocked_term", 1L).otherwise(0L))
+          .as("n_term_blocked"),
+        sum(when(col("verdict") === "kept", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("verdict") === "kept", col(idCol)).otherwise(0L))
+          .as("sum_kept_ids"))
+      .orderBy(col(sourceCol))
+  }
+
+  /** The curation half: documents that survive both lists. */
+  def blocklistFilter(docs: DataFrame, textCol: String, sourceCol: String,
+      blockedSources: Seq[String], bannedRe: String): DataFrame =
+    docs.filter(!col(sourceCol).isin(blockedSources: _*) &&
+      !col(textCol).rlike(bannedRe))
+
   // ------------------------------------------------------------ queries
 
   /** E9: plant PII → detect per type → redact → prove nothing survives.
@@ -163,10 +214,16 @@ object Hygiene {
   private val e9Boilerplate: Q = (s, dir) =>
     boilerplateProfile(t(s, dir, "documents"), "doc_id", "text")
 
+  /** E9d: source+term blocklist audit over the planted corpus. */
+  private val e9Blocklist: Q = (s, dir) =>
+    blocklistAudit(withPlantedSpam(t(s, dir, "documents")),
+      "doc_id", "text", "source", BlockedSources, BannedTermRe)
+
   val queries: Map[String, Q] = Map(
     "e9_pii_redact" -> e9PiiRedact,
     "e9_repetition" -> e9Repetition,
     "e9_boilerplate" -> e9Boilerplate,
+    "e9_blocklist" -> e9Blocklist,
   )
 
   val oracles: Map[String, String] = Map(
@@ -214,6 +271,31 @@ object Hygiene {
         |  round(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 4) AS boiler_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "e9_blocklist" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, source, text ||
+         |    (CASE WHEN doc_id % 9 = 0 THEN ' get freecoins today'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 17 = 0 THEN ' cast darkmagic now'
+         |          ELSE '' END) AS text
+         |  FROM documents),
+         |v AS (
+         |  SELECT doc_id, source,
+         |    CASE WHEN source IN (${BlockedSources.map("'" + _ + "'").mkString(",")})
+         |           THEN 'blocked_source'
+         |         WHEN regexp_matches(text, '$BannedTermRe')
+         |           THEN 'blocked_term'
+         |         ELSE 'kept' END AS verdict
+         |  FROM planted)
+         |SELECT source, count(*)::BIGINT AS n_in,
+         |  sum(CASE WHEN verdict = 'blocked_source' THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_src_blocked,
+         |  sum(CASE WHEN verdict = 'blocked_term' THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_term_blocked,
+         |  sum(CASE WHEN verdict = 'kept' THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  sum(CASE WHEN verdict = 'kept' THEN doc_id ELSE 0 END)::BIGINT
+         |    AS sum_kept_ids
+         |FROM v GROUP BY source ORDER BY source""".stripMargin,
     "e9_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -20,13 +20,18 @@ object TextStats {
 
   private val StopWords = Seq("the", "a", "of", "and", "to")
 
+  /** BPE-ish tokenizer regex — letter runs, digit runs, single other
+    * non-space chars. ONE constant interpolated into both engines'
+    * programs (Java∩RE2 subset, per the engine-parity conventions). */
+  val TokenRe = "[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"
+
   /** Whitespace token count. */
   def tokenCount(text: Column): Column = size(split(text, " "))
 
   /** BPE-ish token count: letter runs, digit runs, and single other
     * non-space chars each count as one token. */
   def bpeishTokenCount(text: Column): Column =
-    regexp_count(text, lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]"))
+    regexp_count(text, lit(TokenRe))
 
   /** Stopword ratio — fraction of tokens in the stopword list. */
   def stopwordRatio(text: Column): Column = {
@@ -123,6 +128,35 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Vocabulary build + out-of-vocabulary coverage — the first question
+    * a tokenizer/data team asks of a new corpus slice: with a top-N
+    * frequency vocabulary, what fraction of each source's token stream
+    * falls outside it? One corpus-keyed aggregation builds the
+    * frequency table; the vocabulary is a bounded top-N
+    * (TakeOrderedAndProject — N rows cross the wire, never the table);
+    * coverage is a broadcast join of the token stream against the N-row
+    * vocabulary into a per-source aggregate. At 100 TB: token freq is
+    * the one big (partial-agg) shuffle; everything after is map-side.
+    * Ties at the vocabulary boundary break deterministically by
+    * (freq desc, token asc) in both engines. */
+  def vocabOovCoverage(docs: DataFrame, textCol: String,
+      sourceCol: String, vocabSize: Int): DataFrame = {
+    val toks = docs.select(col(sourceCol).as("source"),
+      explode(regexp_extract_all(col(textCol), lit(TokenRe), lit(0)))
+        .as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("tok")).limit(vocabSize)
+      .select(col("tok"), lit(1).as("in_v"))
+    toks.join(broadcast(vocab), Seq("tok"), "left")
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("in_v").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col("source"), col("n_tokens"), col("n_oov"),
+        round(col("n_oov").cast("double") / col("n_tokens"), 6)
+          .as("oov_rate"))
+      .orderBy(col("source"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -174,10 +208,15 @@ object TextStats {
   private val e4Logprob: Q = (s, dir) =>
     unigramLogprob(t(s, dir, "documents"), "doc_id", "text")
 
+  /** E4d: top-300 vocabulary, per-source OOV rates, value-level oracle. */
+  private val e4VocabOov: Q = (s, dir) =>
+    vocabOovCoverage(t(s, dir, "documents"), "text", "source", 300)
+
   val queries: Map[String, Q] = Map(
     "e4_text_stats" -> e4TextStats,
     "e4_tfidf" -> e4Tfidf,
     "e4_logprob" -> e4Logprob,
+    "e4_vocab_oov" -> e4VocabOov,
     "e6_cms_heavyhitters" -> e6CmsHeavyHitters,
   )
 
@@ -228,6 +267,22 @@ object TextStats {
         |  round(avg(l.nll), 6) AS avg_nll
         |FROM wds w JOIN lm l USING (word)
         |GROUP BY w.doc_id ORDER BY w.doc_id""".stripMargin,
+    "e4_vocab_oov" ->
+      s"""WITH toks AS (
+         |  SELECT source, unnest(regexp_extract_all(text, '$TokenRe')) AS tok
+         |  FROM documents),
+         |vocab AS (
+         |  SELECT tok FROM (
+         |    SELECT tok, count(*) AS cnt FROM toks GROUP BY tok)
+         |  ORDER BY cnt DESC, tok LIMIT 300),
+         |j AS (
+         |  SELECT t.source, count(*) AS n_tokens,
+         |    sum(CASE WHEN v.tok IS NULL THEN 1 ELSE 0 END) AS n_oov
+         |  FROM toks t LEFT JOIN vocab v ON t.tok = v.tok
+         |  GROUP BY t.source)
+         |SELECT source, n_tokens::BIGINT AS n_tokens, n_oov::BIGINT AS n_oov,
+         |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_rate
+         |FROM j ORDER BY source""".stripMargin,
     "e6_cms_heavyhitters" ->
       "SELECT true AS no_undercount, true AS overcount_bounded",
   )

@@ -54,6 +54,25 @@ class HygieneSpec extends SparkSpec {
     assert(Seq(1L, 2L, 3L).forall(id => got(id) > 0.0 && got(id) < 1.0), s"$got")
   }
 
+  test("blocklistAudit classifies source-block before term-block, once per doc") {
+    val docs = Seq(
+      (1L, "src3", "clean text but blocked source get freecoins"),
+      (2L, "src1", "get freecoins today"),
+      (3L, "src1", "perfectly fine prose"),
+      (4L, "src2", "cast darkmagic now"),
+    ).toDF("doc_id", "source", "text")
+    val got = Hygiene.blocklistAudit(docs, "doc_id", "text", "source",
+      Seq("src3"), Hygiene.BannedTermRe)
+      .as[(String, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      ("src1", 2L, 0L, 1L, 1L, 3L),   // doc 2 term-blocked, doc 3 kept
+      ("src2", 1L, 0L, 1L, 0L, 0L),   // doc 4 term-blocked
+      ("src3", 1L, 1L, 0L, 0L, 0L)))  // source wins even with banned term
+    val kept = Hygiene.blocklistFilter(docs, "text", "source",
+      Seq("src3"), Hygiene.BannedTermRe).select($"doc_id").as[Long].collect()
+    assert(kept.toSeq == Seq(3L))
+  }
+
   test("stratifiedSample keeps an exact per-stratum quota, deterministically") {
     val df = (0L until 100L).map(i => (i, if (i < 60) "a" else "b"))
       .toDF("id", "s")

@@ -52,4 +52,13 @@ class TextStatsSpec extends SparkSpec {
       (2L, 1, "c", math.rint(math.log(2.0) / 2 * 1e6) / 1e6),
       (2L, 2, "a", 0.0)), s"got $rows")
   }
+
+  test("vocabOovCoverage: top-N by freq with deterministic tie-break") {
+    // freqs: a=3, b=2, c=1, d=1 → vocab(3) = {a, b, c} (c beats d on the
+    // token tie-break); the only OOV occurrence is s2's 'd'.
+    val docs = Seq(("s1", "a a b"), ("s2", "a b c d")).toDF("source", "text")
+    val got = TextStats.vocabOovCoverage(docs, "text", "source", 3)
+      .as[(String, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(("s1", 3L, 0L, 0.0), ("s2", 4L, 1L, 0.25)), s"got $got")
+  }
 }
