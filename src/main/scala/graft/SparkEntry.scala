@@ -22,6 +22,7 @@ object SparkEntry {
       operators.AsOfJoin.queries ++
       functions.Scalars.queries ++
       lake.LakeQueries.queries ++
+      lake.Layout.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.TextStats.queries ++
@@ -41,6 +42,7 @@ object SparkEntry {
       operators.AsOfJoin.oracles ++
       functions.Scalars.oracles ++
       lake.LakeQueries.oracles ++
+      lake.Layout.oracles ++
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
       ext.TextStats.oracles ++
