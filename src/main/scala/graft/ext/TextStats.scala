@@ -157,6 +157,51 @@ object TextStats {
       .orderBy(col("source"))
   }
 
+  /** BM25 keyword retrieval (Robertson/Sparck-Jones, the lexical-search
+    * baseline every corpus tool ships): score docs against a bag of
+    * query terms, return the top-k.
+    *
+    *   idf(t)  = ln(1 + (N − df + 0.5)/(df + 0.5))
+    *   score(d)= Σ_t idf·tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl))
+    *
+    * Scale shape: the word stream filters to the query's terms BEFORE
+    * any shuffle (a Q-term isin on the scan), so the keyed aggregation
+    * carries only matching (doc, term) pairs; df and the two corpus
+    * scalars (N, avgdl) are one global agg crossJoined onto the Q-row
+    * term table (not the corpus); top-k is TakeOrderedAndProject.
+    * Docs matching no term score 0 and are ranked by id — included so
+    * k is honored even for absurd queries. */
+  def bm25TopK(docs: DataFrame, idCol: String, textCol: String,
+      terms: Seq[String], k: Int, k1: Double = 1.2,
+      b: Double = 0.75): DataFrame = {
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokenCount(col(textCol)).cast("double").as("dl"),
+      split(col(textCol), " ").as("ws"))
+    val stats = base.agg(count(lit(1)).cast("double").as("n_docs"),
+      avg(col("dl")).as("avgdl"))
+    val tf = base.select(col("doc_id"), col("dl"),
+      explode(col("ws")).as("term"))
+      .filter(col("term").isin(terms.distinct: _*))
+      .groupBy(col("doc_id"), col("dl"), col("term"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+    val dft = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+      .crossJoin(stats)
+      .select(col("term"),
+        log(lit(1.0) + (col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5)).as("idf"),
+        col("avgdl"))
+    val scored = tf.join(broadcast(dft), Seq("term"))
+      .withColumn("contrib",
+        col("idf") * col("tf") * (k1 + 1) /
+          (col("tf") +
+            lit(k1) * (lit(1.0) - b + lit(b) * col("dl") / col("avgdl"))))
+      .groupBy(col("doc_id")).agg(sum(col("contrib")).as("score"))
+    base.select(col("doc_id")).join(scored, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        round(coalesce(col("score"), lit(0.0)), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id")).limit(k)
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -212,11 +257,18 @@ object TextStats {
   private val e4VocabOov: Q = (s, dir) =>
     vocabOovCoverage(t(s, dir, "documents"), "text", "source", 300)
 
+  /** E4e: BM25 top-10 for a stopword query ('lottery' exercises the
+    * df=0 missing-term path), full value-level oracle. */
+  private val e4Bm25: Q = (s, dir) =>
+    bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+      Seq("the", "and", "of", "lottery"), k = 10)
+
   val queries: Map[String, Q] = Map(
     "e4_text_stats" -> e4TextStats,
     "e4_tfidf" -> e4Tfidf,
     "e4_logprob" -> e4Logprob,
     "e4_vocab_oov" -> e4VocabOov,
+    "e4_bm25" -> e4Bm25,
     "e6_cms_heavyhitters" -> e6CmsHeavyHitters,
   )
 
@@ -283,6 +335,32 @@ object TextStats {
          |SELECT source, n_tokens::BIGINT AS n_tokens, n_oov::BIGINT AS n_oov,
          |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_rate
          |FROM j ORDER BY source""".stripMargin,
+    // formula spelled textually parallel to the Scala (same constant
+    // spellings, same association) so both engines round identically
+    "e4_bm25" ->
+      """WITH base AS (
+        |  SELECT doc_id, len(string_split(text,' '))::DOUBLE AS dl,
+        |    string_split(text,' ') AS ws
+        |  FROM documents),
+        |stats AS (
+        |  SELECT count(*)::DOUBLE AS n_docs, avg(dl) AS avgdl FROM base),
+        |tf AS (
+        |  SELECT doc_id, dl, term, count(*)::DOUBLE AS tf
+        |  FROM (SELECT doc_id, dl, unnest(ws) AS term FROM base)
+        |  WHERE term IN ('the','and','of','lottery')
+        |  GROUP BY doc_id, dl, term),
+        |dft AS (
+        |  SELECT term,
+        |    ln(1.0 + (n_docs - df + 0.5) / (df + 0.5)) AS idf, avgdl
+        |  FROM (SELECT term, count(*) AS df FROM tf GROUP BY term), stats),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    sum(d.idf * t.tf * (1.2 + 1) /
+        |        (t.tf + 1.2 * (1.0 - 0.75 + 0.75 * t.dl / d.avgdl))) AS score
+        |  FROM tf t JOIN dft d USING (term) GROUP BY t.doc_id)
+        |SELECT b.doc_id, round(coalesce(s.score, 0.0), 6) AS score
+        |FROM base b LEFT JOIN sc s USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 10""".stripMargin,
     "e6_cms_heavyhitters" ->
       "SELECT true AS no_undercount, true AS overcount_bounded",
   )

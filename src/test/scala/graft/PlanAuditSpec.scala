@@ -35,6 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     // one-row corpus count crossJoined onto the vocabulary table
     "e4_tfidf" -> Set("BroadcastNestedLoop"),
     "e4_logprob" -> Set("BroadcastNestedLoop"),
+    // one-row (N, avgdl) scalars crossJoined onto the Q-row term table
+    "e4_bm25" -> Set("BroadcastNestedLoop"),
     // min/max over STRING columns have immutable aggregation buffers,
     // which HashAggregate can't hold — Spark's canonical plan is
     // SortAggregate, and with ZERO grouping keys it performs no sort

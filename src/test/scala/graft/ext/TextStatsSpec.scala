@@ -53,6 +53,21 @@ class TextStatsSpec extends SparkSpec {
       (2L, 2, "a", 0.0)), s"got $rows")
   }
 
+  test("bm25TopK matches the closed-form score and zero-fills non-matches") {
+    val docs = Seq((1L, "the the cat"), (2L, "the dog"), (3L, "fish swim"))
+      .toDF("doc_id", "text")
+    val got = TextStats.bm25TopK(docs, "doc_id", "text", Seq("the"), k = 3)
+      .as[(Long, Double)].collect().toSeq
+    // N=3, df=2, idf=ln(1+1.5/2.5), avgdl=7/3
+    val idf = math.log(1.0 + (3.0 - 2 + 0.5) / (2 + 0.5))
+    val avgdl = 7.0 / 3
+    def s(tf: Double, dl: Double) =
+      idf * tf * (1.2 + 1) / (tf + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+    def r6(x: Double) = math.rint(x * 1e6) / 1e6
+    assert(got == Seq((1L, r6(s(2, 3))), (2L, r6(s(1, 2))), (3L, 0.0)),
+      s"got $got")
+  }
+
   test("vocabOovCoverage: top-N by freq with deterministic tie-break") {
     // freqs: a=3, b=2, c=1, d=1 → vocab(3) = {a, b, c} (c beats d on the
     // token tie-break); the only OOV occurrence is s2's 'd'.
