@@ -118,6 +118,28 @@ object Lake {
       d.withColumn(s"${colName}_$t", expr(claim))
     }.drop(colName)
 
+  /** K14: MERGE-style upsert (the Delta/Hudi/Iceberg `MERGE INTO`
+    * shape, which plain parquet lakes lack): apply a change set —
+    * full-width rows tagged `op` ∈ I (insert) / U (update) / D
+    * (delete), keyed by `key` — to a base table in ONE full-outer
+    * equi-join on the key. Unmatched base rows pass through, I/U rows
+    * take the change's values wholesale (so an update CAN set a column
+    * NULL), D rows vanish. One key-partitioned shuffle, no collect; at
+    * 100 TB this is the copy-on-write merge job — bucketing both sides
+    * on the key makes it shuffle-free. */
+  def mergeChanges(base: DataFrame, changes: DataFrame, key: String,
+      opCol: String = "op"): DataFrame = {
+    val cols = base.columns.toSeq
+    val ch = changes.select(col(key).as("_k"), col(opCol).as("_op"),
+      struct(cols.map(col): _*).as("_new"))
+    base.join(ch, col(key) === col("_k"), "full_outer")
+      .filter(coalesce(col("_op"), lit("")) =!= "D")
+      .select(cols.map { c =>
+        when(col("_op").isin("I", "U"), col("_new")(c))
+          .otherwise(col(c)).as(c)
+      }: _*)
+  }
+
   // ------------------------------------------------------------ sinks
 
   /** K1 (partitionCols non-empty) / K2: parquet write, Hive-style

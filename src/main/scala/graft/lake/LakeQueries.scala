@@ -592,7 +592,38 @@ object LakeQueries {
       .orderBy(col("lang"))
   }
 
+  /** K14: MERGE upsert — a change set (updates that NULL a column,
+    * deletes, inserts) applied to `part` in one full-outer merge; the
+    * oracle reconstructs the merged table set-algebraically, so a lost
+    * unmatched row, a surviving delete, or a stale update value all
+    * hash-fail. */
+  private val k14Merge: Q = (s, dir) => {
+    val base = t(s, dir, "part")
+    val updates = base
+      .filter(col("p_partkey") % 7 === 0 && col("p_partkey") % 13 =!= 0)
+      .select(col("p_partkey"), col("p_name"), col("p_brand"),
+        lit(null).cast("string").as("p_type"), col("p_size"),
+        round(col("p_retailprice") + 100, 2).as("p_retailprice"),
+        lit("U").as("op"))
+    val deletes = base.filter(col("p_partkey") % 13 === 0)
+      .withColumn("op", lit("D"))
+    val inserts = base.filter(col("p_partkey") % 11 === 0)
+      .select((col("p_partkey") + 1000000L).as("p_partkey"),
+        concat(col("p_name"), lit("_v2")).as("p_name"), col("p_brand"),
+        col("p_type"), (col("p_size") + 1).as("p_size"),
+        col("p_retailprice"), lit("I").as("op"))
+    val merged = Lake.mergeChanges(base,
+      updates.unionByName(deletes).unionByName(inserts), "p_partkey")
+    merged.groupBy(col("p_brand")).agg(
+      count(lit(1)).as("n_parts"),
+      sum(col("p_size").cast("long")).as("sum_size"),
+      round(sum(col("p_retailprice")), 2).as("sum_price"),
+      sum(col("p_partkey")).as("sum_keys"))
+      .orderBy(col("p_brand"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k14_merge" -> k14Merge,
     "s17_corrupt_records" -> s17CorruptRecords,
     "k12_bookmark" -> k12Bookmark,
     "s1_tsv_scan" -> s1TsvScan,
@@ -623,6 +654,25 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "k14_merge" ->
+      """WITH upd AS (
+        |  SELECT p_partkey, p_name, p_brand, NULL AS p_type, p_size,
+        |    round(p_retailprice + 100, 2) AS p_retailprice
+        |  FROM part WHERE p_partkey % 7 = 0 AND p_partkey % 13 <> 0),
+        |ins AS (
+        |  SELECT p_partkey + 1000000 AS p_partkey, p_name || '_v2' AS p_name,
+        |    p_brand, p_type, p_size + 1 AS p_size, p_retailprice
+        |  FROM part WHERE p_partkey % 11 = 0),
+        |merged AS (
+        |  SELECT p_partkey, p_name, p_brand, p_type, p_size, p_retailprice
+        |  FROM part WHERE p_partkey % 13 <> 0 AND p_partkey % 7 <> 0
+        |  UNION ALL SELECT * FROM upd
+        |  UNION ALL SELECT * FROM ins)
+        |SELECT p_brand, count(*)::BIGINT AS n_parts,
+        |  sum(p_size)::BIGINT AS sum_size,
+        |  round(sum(p_retailprice), 2) AS sum_price,
+        |  sum(p_partkey)::BIGINT AS sum_keys
+        |FROM merged GROUP BY p_brand ORDER BY p_brand""".stripMargin,
     "s17_corrupt_records" ->
       """SELECT 'dropmalformed' AS mode,
         |  sum(CASE WHEN doc_id % 10 <> 0 THEN 1 ELSE 0 END)::BIGINT AS n_good,

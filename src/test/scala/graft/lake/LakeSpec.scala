@@ -57,6 +57,22 @@ class LakeSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("mergeChanges: insert, update (incl. set-NULL), delete, passthrough") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("k", "name", "v")
+    val changes = Seq(
+      (2L, Option("b2"), Option.empty[Int], "U"), // update, v set NULL
+      (3L, Option("c"), Option(30), "D"),         // delete
+      (9L, Option("i"), Option(90), "I"))         // insert
+      .toDF("k", "name", "v", "op")
+    val got = Lake.mergeChanges(base, changes, "k")
+      .orderBy($"k").as[(Long, String, Option[Int])].collect().toSeq
+    assert(got == Seq(
+      (1L, "a", Some(10)),      // untouched passthrough
+      (2L, "b2", None),         // update takes values wholesale
+      (9L, "i", Some(90))))     // insert lands
+  }
+
   test("gzip TSV: codec applied on disk, values survive") {
     val out = Lake.scratchDir("t_gz")
     Lake.writeTsv(Seq((1, "x"), (2, "y")).toDF("k", "v"), out, gzip = true)
