@@ -441,7 +441,120 @@ object Similarity {
       .orderBy(col("a"), col("b"))
   }
 
+  // --------------------------------------------------------- PCA projection
+
+  /** Covariance (centered Gram) matrix in ONE pass as a typed
+    * Aggregator: buffer = (flattened d×d running sum, count), reduce
+    * adds the outer product of the centered vector, merge is
+    * element-wise add — partial aggregation works like a built-in agg,
+    * so 100 TB of vectors reduce to d² doubles per partition and ONE
+    * d²-sized merge tree; no n×d² explode ever materializes. */
+  private def covarianceMatrix(vecs: DataFrame, vecCol: String,
+      mean: Seq[Double]): Array[Array[Double]] = {
+    import org.apache.spark.sql.expressions.Aggregator
+    val d = mean.length
+    val agg = new Aggregator[Seq[Float], (Array[Double], Long), Seq[Double]] {
+      def zero = (new Array[Double](d * d), 0L)
+      def reduce(b: (Array[Double], Long), x: Seq[Float]) = {
+        require(x.length == d, s"pca: dimension mismatch (${x.length} vs $d)")
+        val c = Array.tabulate(d)(i => x(i) - mean(i))
+        var i = 0
+        while (i < d) {
+          var j = 0
+          while (j < d) { b._1(i * d + j) += c(i) * c(j); j += 1 }
+          i += 1
+        }
+        (b._1, b._2 + 1)
+      }
+      def merge(a: (Array[Double], Long), b: (Array[Double], Long)) = {
+        var i = 0
+        while (i < d * d) { a._1(i) += b._1(i); i += 1 }
+        (a._1, a._2 + b._2)
+      }
+      def finish(b: (Array[Double], Long)): Seq[Double] =
+        b._1.map(_ / math.max(b._2, 1L)).toSeq
+      def bufferEncoder = org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.kryo[Array[Double]],
+        org.apache.spark.sql.Encoders.scalaLong)
+      def outputEncoder =
+        org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+    }
+    val flat = vecs.select(udaf(agg).apply(col(vecCol)).as("g"))
+      .head().getSeq[Double](0)
+    Array.tabulate(d)(i => Array.tabulate(d)(j => flat(i * d + j)))
+  }
+
+  /** Power iteration with deflation — top-`k` eigenpairs of a (tiny,
+    * driver-side) symmetric matrix. Deterministic: fixed ramp start
+    * vector, fixed iteration count. The d×d matrix is kilobytes; the
+    * distributed work stays in [[covarianceMatrix]]. */
+  private[ext] def topEigen(m0: Array[Array[Double]], k: Int,
+      iters: Int = 500): Seq[(Double, Array[Double])] = {
+    val d = m0.length
+    var m = m0.map(_.clone())
+    (0 until k).map { _ =>
+      var v = Array.tabulate(d)(i => 1.0 + i.toDouble / d)
+      var lambda = 0.0
+      for (_ <- 0 until iters) {
+        val mv = Array.tabulate(d)(i =>
+          (0 until d).foldLeft(0.0)((s, j) => s + m(i)(j) * v(j)))
+        val n = math.sqrt(mv.map(x => x * x).sum)
+        v = if (n > 0) mv.map(_ / n) else mv
+        lambda = (0 until d).foldLeft(0.0)((s, i) =>
+          s + v(i) * (0 until d).foldLeft(0.0)((t, j) => t + m(i)(j) * v(j)))
+      }
+      // deflate: m ← m − λ v vᵀ
+      m = Array.tabulate(d)(i => Array.tabulate(d)(j =>
+        m(i)(j) - lambda * v(i) * v(j)))
+      (lambda, v)
+    }
+  }
+
+  /** Project vectors onto literal principal axes — map-only (the
+    * centered dot products are codegen'd [[dot]] against literals). */
+  def pcaProject(vecs: DataFrame, vecCol: String, mean: Seq[Double],
+      axes: Seq[Array[Double]]): DataFrame = {
+    val centered = zip_with(asDouble(col(vecCol)), typedlit(mean),
+      (a, b) => a - b)
+    axes.zipWithIndex.foldLeft(vecs)( { case (df, (v, i)) =>
+      df.withColumn(s"pc${i + 1}", dot(centered, typedlit(v.toSeq)))
+    })
+  }
+
+  /** E3e ✱: PCA via the one-pass covariance aggregator + driver power
+    * iteration (d² doubles cross the driver, like IVF training), then
+    * a DISTRIBUTED spectral self-check: the projections' empirical
+    * variances must match the claimed eigenvalues (±5%), pc1/pc2 must
+    * be uncorrelated and centered, and λ₁ ≥ λ₂ — all computed in-plan
+    * over the full corpus vs a constant-true oracle, so a wrong
+    * eigenvector, a broken aggregator merge, or a bad projection all
+    * fail the gate. */
+  private val e3Pca: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val d = 64
+    val mean = emb.select(posexplode(col("embedding")))
+      .groupBy(col("pos")).agg(avg(col("col")).as("m"))
+      .orderBy(col("pos")).collect().map(_.getDouble(1)).toSeq
+    require(mean.length == d, s"expected $d dims, got ${mean.length}")
+    val cov = covarianceMatrix(emb, "embedding", mean)
+    val eig = topEigen(cov, 2)
+    val Seq((l1, v1), (l2, v2)) = eig
+    val proj = pcaProject(emb, "embedding", mean, Seq(v1, v2))
+    proj.agg(
+      var_pop(col("pc1")).as("var1"), var_pop(col("pc2")).as("var2"),
+      covar_pop(col("pc1"), col("pc2")).as("cov12"),
+      avg(col("pc1")).as("m1"), count(lit(1)).as("n"))
+      .select(
+        (abs(col("var1") - l1) <= lit(0.05) * l1).as("var1_matches_l1"),
+        (abs(col("var2") - l2) <= lit(0.05) * l2).as("var2_matches_l2"),
+        (abs(col("cov12")) <= lit(0.01) * l1).as("uncorrelated"),
+        (abs(col("m1")) <= lit(1e-6)).as("centered"),
+        lit(l1 >= l2).as("spectrum_ordered"),
+        (col("n") > 0).as("nonempty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e3_pca" -> e3Pca,
     "e3_cosine_topk" -> e3CosineTopk,
     "e3_ann_recall" -> e3AnnRecall,
     "e3_ivf_recall" -> e3IvfRecall,
@@ -452,6 +565,10 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "e3_pca" ->
+      """SELECT true AS var1_matches_l1, true AS var2_matches_l2,
+        |  true AS uncorrelated, true AS centered,
+        |  true AS spectrum_ordered, true AS nonempty""".stripMargin,
     "e3_cosine_topk" ->
       """WITH n AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v,

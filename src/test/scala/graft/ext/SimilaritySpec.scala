@@ -126,4 +126,16 @@ class SimilaritySpec extends SparkSpec {
       s"max err = ${rows.map(_._1).max}")
     assert(rows.forall { case (_, qsim) => qsim >= -1.0001 && qsim <= 1.0001 })
   }
+
+  test("topEigen recovers a known spectrum with deflation") {
+    // diag(3, 1) rotated by 45°: eigenvalues 3 and 1, eigenvectors
+    // (1,1)/√2 and (1,−1)/√2
+    val m = Array(Array(2.0, 1.0), Array(1.0, 2.0))
+    val Seq((l1, v1), (l2, v2)) = Similarity.topEigen(m, 2)
+    assert(math.abs(l1 - 3.0) < 1e-9 && math.abs(l2 - 1.0) < 1e-9,
+      s"lambdas $l1 $l2")
+    assert(math.abs(math.abs(v1(0)) - math.sqrt(0.5)) < 1e-6 &&
+      math.abs(v1(0) - v1(1)) < 1e-6, s"v1 ${v1.toSeq}")
+    assert(math.abs(v1(0) * v2(0) + v1(1) * v2(1)) < 1e-6, "axes orthogonal")
+  }
 }

@@ -154,6 +154,41 @@ class RelationalPlanSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("AQE splits a skewed join partition at runtime (skew=true)") {
+    // The runtime complement to j8's manual salting: one hot key holds
+    // ~90% of the big side; with skew thresholds scaled to test data,
+    // OptimizeSkewedJoin must split that partition in the FINAL
+    // adaptive plan rather than let one task carry the key.
+    val confs = Seq(
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "16KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "8KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // payload must survive column pruning into the shuffle (the agg
+      // consumes it) and resist shuffle compression (sha2, not lpad) —
+      // otherwise the hot partition shrinks under the skew threshold
+      val big = spark.range(0, 60000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+        sha2(col("id").cast("string").cast("binary"), 256).as("pad"))
+      val dim = spark.range(0, 2000).select(col("id").as("k"))
+      val joined = big.join(dim, "k")
+        .agg(count(lit(1)).as("n"), sum(length(col("pad"))).as("padlen"))
+      // collect() (not head(), which plans its own limited execution)
+      // so THIS DataFrame's adaptive plan is the one that ran.
+      // 54000 hot-key matches + the 200 distinct keys under 2000.
+      assert(joined.collect().map(_.getLong(0)).toSeq == Seq(54200L))
+      val finalPlan = joined.queryExecution.executedPlan.toString()
+      assert(finalPlan.contains("skew=true"),
+        s"AQE skew split missing in final plan:\n$finalPlan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("scans prune columns: q1 reads only the columns it needs") {
     val p = plan("q1_agg")
     assert(!p.contains("l_partkey"),
