@@ -470,7 +470,40 @@ object Relational {
 
   // ---------------------------------------------------------------- registry
 
+  /** A11 ✱: sketch-table distinct counting — the 100 TB pattern behind
+    * every "daily uniques" dashboard: per-group HLL sketches persist as
+    * a tiny MERGEABLE table; later queries estimate from the sketch
+    * table (per-group directly, corpus-wide by hll_union_agg) instead
+    * of rescanning the fact. Gate: every estimate sits within the HLL
+    * error bound (lgK=14 → 3σ ≈ 2.4%; asserted ≤ 5%) of the exact
+    * distinct counts, all computed in-plan. */
+  private val a11SketchTable: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val out = graft.lake.Lake.scratchDir("a11")
+    li.groupBy(col("l_returnflag"))
+      .agg(hll_sketch_agg(col("l_suppkey"), lit(14)).as("sk"))
+      .write.mode("overwrite").parquet(out)
+    val sketches = s.read.parquet(out)
+    val perGroup = sketches
+      .select(col("l_returnflag"), hll_sketch_estimate(col("sk")).as("est"))
+      .join(li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_suppkey")).as("exact")), Seq("l_returnflag"))
+    val globalEst = sketches
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"), lit(true))).as("gest"))
+    val globalExact = li.agg(countDistinct(col("l_suppkey")).as("gexact"))
+    perGroup.agg(
+      expr("bool_and(abs(est - exact) <= 0.05 * exact)")
+        .as("groups_within_bound"),
+      count(lit(1)).as("n_groups"))
+      .crossJoin(globalEst).crossJoin(globalExact)
+      .select(col("groups_within_bound"),
+        (col("n_groups") === 3).as("all_groups_present"),
+        (abs(col("gest") - col("gexact")) <= lit(0.05) * col("gexact"))
+          .as("global_within_bound"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "a11_sketch_table" -> a11SketchTable,
     "p3_select_star" -> p3SelectStar,
     "p5_filter" -> p5Filter,
     "l1_limit" -> l1Limit,
@@ -506,6 +539,9 @@ object Relational {
   )
 
   val oracles: Map[String, String] = Map(
+    "a11_sketch_table" ->
+      """SELECT true AS groups_within_bound, true AS all_groups_present,
+        |  true AS global_within_bound""".stripMargin,
     "p3_select_star" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "p5_filter" ->

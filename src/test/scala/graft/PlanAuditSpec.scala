@@ -37,6 +37,8 @@ class PlanAuditSpec extends SparkSpec {
     "e4_logprob" -> Set("BroadcastNestedLoop"),
     // one-row (N, avgdl) scalars crossJoined onto the Q-row term table
     "e4_bm25" -> Set("BroadcastNestedLoop"),
+    // two one-row global est/exact scalars crossJoined onto a one-row agg
+    "a11_sketch_table" -> Set("BroadcastNestedLoop"),
     // min/max over STRING columns have immutable aggregation buffers,
     // which HashAggregate can't hold — Spark's canonical plan is
     // SortAggregate, and with ZERO grouping keys it performs no sort
