@@ -39,7 +39,8 @@ object Bench {
     "x3_udaf_geomean", "ev2_session", "etl_imdb_join",
     "e1_dedup_exact", "e2_minhash_neardup", "e2_simhash_neardup",
     "e3_cosine_topk", "e4_text_stats", "e5_decode_batch", "e7_curation",
-    "e8_mixture", "e9_pii_redact", "j9_range")
+    "e8_mixture", "e9_pii_redact", "j9_range",
+    "k13_zorder_prune", "e4_bm25")
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is
     * now budget-bounded, so its cost is representative.) */

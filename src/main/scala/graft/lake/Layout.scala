@@ -48,7 +48,7 @@ object Layout {
       floor((c - lit(lo)).cast("double") * ((1L << Bits) - 1) / (hi - lo))))
 
   /** The same quantization, driver-side, for bucket enumeration. */
-  private def quantizeL(v: Long, lo: Long, hi: Long): Long =
+  private[lake] def quantizeL(v: Long, lo: Long, hi: Long): Long =
     math.min((1L << Bits) - 1, math.max(0L,
       math.floor((v - lo).toDouble * ((1L << Bits) - 1) / (hi - lo)).toLong))
 
@@ -60,7 +60,7 @@ object Layout {
         shiftright(y, i).bitwiseAND(lit(1L)) * lit(1L << (2 * i + 1))
     }.reduce(_ + _)
 
-  private def interleaveL(x: Long, y: Long, bits: Int): Long =
+  private[lake] def interleaveL(x: Long, y: Long, bits: Int): Long =
     (0 until bits).map { i =>
       (((x >> i) & 1L) << (2 * i)) | (((y >> i) & 1L) << (2 * i + 1))
     }.sum
