@@ -23,6 +23,7 @@ object SparkEntry {
       functions.Scalars.queries ++
       lake.LakeQueries.queries ++
       lake.Layout.queries ++
+      lake.Validate.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.TextStats.queries ++
@@ -43,6 +44,7 @@ object SparkEntry {
       functions.Scalars.oracles ++
       lake.LakeQueries.oracles ++
       lake.Layout.oracles ++
+      lake.Validate.oracles ++
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
       ext.TextStats.oracles ++
