@@ -48,13 +48,59 @@ object EventWindows {
       .select(col("w.start").as("ws"), col("n"), col("sum_value"))
       .orderBy(col("ws"))
 
+  /** Gap-filled per-user daily resample — the time-series op Spark has
+    * no built-in for (Flink/ksql interpolation, Pandas `resample`):
+    * every (user, day) cell of the first week of Jan 2024 exists in the
+    * output, zero-filled where no events landed. The dense grid comes
+    * from a map-side `explode(sequence(...))` over the DISTINCT-user
+    * frame (|users| × days rows, never |events| × days); actual daily
+    * aggregates join onto it keyed by (user, day). Low-cardinality
+    * users here; at 100 TB the grid frame stays dim-sized while the
+    * fact aggregates first. */
+  private val ev4Resample: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val days = ev.select(col("user_id")).distinct()
+      .select(col("user_id"), explode(sequence(
+        to_timestamp(lit("2024-01-01")), to_timestamp(lit("2024-01-07")),
+        expr("INTERVAL 1 DAY"))).as("day"))
+    val actual = ev
+      .filter(col("ts") >= to_timestamp(lit("2024-01-01")) &&
+        col("ts") < to_timestamp(lit("2024-01-08")))
+      .groupBy(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("sum_value"))
+    days.join(actual, Seq("user_id", "day"), "left")
+      .select(col("user_id"), col("day"),
+        coalesce(col("n"), lit(0L)).as("n"),
+        coalesce(col("sum_value"), lit(0.0)).as("sum_value"))
+      .orderBy(col("user_id"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev1_tumbling" -> ev1Tumbling,
     "ev2_session" -> ev2Session,
     "ev3_sliding" -> ev3Sliding,
+    "ev4_resample" -> ev4Resample,
   )
 
   val oracles: Map[String, String] = Map(
+    "ev4_resample" ->
+      """WITH grid AS (
+        |  SELECT u.user_id, d.day
+        |  FROM (SELECT DISTINCT user_id FROM events) u
+        |  CROSS JOIN (SELECT unnest(generate_series(
+        |    TIMESTAMP '2024-01-01', TIMESTAMP '2024-01-07',
+        |    INTERVAL 1 DAY)) AS day) d),
+        |actual AS (
+        |  SELECT user_id, date_trunc('day', ts) AS day,
+        |    count(*) AS n, round(sum(value), 4) AS sum_value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-01' AND ts < TIMESTAMP '2024-01-08'
+        |  GROUP BY user_id, day)
+        |SELECT g.user_id, g.day,
+        |  coalesce(a.n, 0)::BIGINT AS n,
+        |  coalesce(a.sum_value, 0.0) AS sum_value
+        |FROM grid g LEFT JOIN actual a USING (user_id, day)
+        |ORDER BY user_id, day""".stripMargin,
     "ev1_tumbling" ->
       """SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
         | count(*) AS n, round(sum(value), 2) AS sum_value
