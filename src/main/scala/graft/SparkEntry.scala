@@ -30,6 +30,7 @@ object SparkEntry {
       ext.Curation.queries ++
       ext.TrainPrep.queries ++
       ext.Hygiene.queries ++
+      ext.QualityModel.queries ++
       ext.Multimodal.queries ++
       streaming.EventWindows.queries ++
       sources.Federated.queries ++
@@ -51,6 +52,7 @@ object SparkEntry {
       ext.Curation.oracles ++
       ext.TrainPrep.oracles ++
       ext.Hygiene.oracles ++
+      ext.QualityModel.oracles ++
       ext.Multimodal.oracles ++
       streaming.EventWindows.oracles ++
       sources.Federated.oracles ++
