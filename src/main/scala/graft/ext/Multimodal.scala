@@ -298,7 +298,83 @@ object Multimodal {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // ------------------------------------------------ audio spectral features
+
+  final case class AudioFeatures(id: Long, n_samples: Int,
+      dominant_bin: Int, band_low: Double, band_high: Double,
+      parseval_err: Double)
+
+  private val AudioN = 256 // samples per synthetic clip
+
+  /** Deterministic PCM synth: a strong tone at bin (id % 100 + 3) plus
+    * a weaker second harmonic, float64 samples packed to a BINARY
+    * column — the audio-file stand-in (a real pipeline lands WAV/FLAC
+    * bytes here; the byte-column plumbing is identical). */
+  def synthPcm(df: DataFrame, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val k = (id % 100 + 3).toInt
+        val bb = java.nio.ByteBuffer.allocate(AudioN * 8)
+        (0 until AudioN).foreach { t =>
+          bb.putDouble(0.6 * math.sin(2 * math.Pi * k * t / AudioN) +
+            0.25 * math.sin(2 * math.Pi * (2 * k) * t / AudioN))
+        }
+        (id, bb.array())
+      }
+    }.toDF("id", "wav")
+  }
+
+  /** Partition-batched spectral feature extraction: decode the byte
+    * column back to samples, run an O(N²) DFT per clip (a real codec +
+    * FFT would init once per partition — same shape), emit dominant
+    * bin, low/high band energies, and the Parseval residual
+    * |Σx² − (1/N)Σ|X|²| / Σx². Map-only over partitions; no shuffle. */
+  def spectralFeatures(df: DataFrame, idCol: String,
+      wavCol: String): Dataset[AudioFeatures] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(wavCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val bb = java.nio.ByteBuffer.wrap(bytes)
+          val n = bytes.length / 8
+          val x = Array.fill(n)(bb.getDouble())
+          val power = Array.tabulate(n) { kk =>
+            var re = 0.0; var im = 0.0; var t = 0
+            while (t < n) {
+              val a = 2 * math.Pi * kk * t / n
+              re += x(t) * math.cos(a); im -= x(t) * math.sin(a); t += 1
+            }
+            re * re + im * im
+          }
+          val timeE = x.map(v => v * v).sum
+          val freqE = power.sum / n
+          val dominant = (1 until n / 2).maxBy(power)
+          val (lo, hi) = power.slice(1, n / 4).sum -> power.slice(n / 4, n / 2).sum
+          AudioFeatures(id, n, dominant,
+            math.rint(lo * 1e4) / 1e4, math.rint(hi * 1e4) / 1e4,
+            math.abs(timeE - freqE) / timeE)
+        }
+      }
+  }
+
+  /** E5f ✱: synth → byte column → partition-batched DFT, gated by
+    * physics: every clip's dominant bin equals the synthesized tone's
+    * bin and the Parseval identity holds to 1e-9 — a wrong pack/unpack,
+    * a broken DFT, or row mix-ups all fail in-plan. */
+  private val e5Spectral: Q = (s, dir) => {
+    val wav = synthPcm(t(s, dir, "embeddings"), "vec_id")
+    spectralFeatures(wav, "id", "wav").toDF()
+      .agg(
+        expr("bool_and(dominant_bin = (id % 100 + 3))").as("tones_located"),
+        expr("bool_and(parseval_err <= 1e-9)").as("parseval_holds"),
+        expr("bool_and(n_samples = 256)").as("full_clips"),
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e5_spectral" -> e5Spectral,
     "e5_binary_meta" -> e5BinaryMeta,
     "e5_vector_join" -> e5VectorJoin,
     "e5_decode_batch" -> e5DecodeBatch,
@@ -307,6 +383,9 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "e5_spectral" ->
+      """SELECT true AS tones_located, true AS parseval_holds,
+        |  true AS full_clips, true AS nonempty""".stripMargin,
     // Every oracle below computes over the same ASCII-stripped
     // projection as the Spark side (see asciiOnly) — char ops equal
     // byte ops only once non-ASCII is gone.
