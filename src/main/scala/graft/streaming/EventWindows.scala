@@ -75,14 +75,95 @@ object EventWindows {
       .orderBy(col("user_id"), col("day"))
   }
 
+  /** Ordered funnel (view → click → purchase): a user advances a stage
+    * only with an event strictly AFTER their previous stage's first
+    * event — the product-analytics primitive. Three conditional min-ts
+    * aggregations keyed by user (each a partial-agg shuffle of (user,
+    * ts) pairs — events never re-sort globally), stitched with
+    * user-keyed joins; per-stage membership pinned by id checksum. */
+  private val ev5Funnel: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    def first(tpe: String) = ev.filter(col("event_type") === tpe)
+      .groupBy(col("user_id")).agg(min(col("ts")).as(s"t_$tpe"))
+    val s1 = first("view")
+    val s2 = s1.join(ev.filter(col("event_type") === "click"), Seq("user_id"))
+      .filter(col("ts") > col("t_view"))
+      .groupBy(col("user_id"), col("t_view"))
+      .agg(min(col("ts")).as("t_click"))
+    val s3 = s2.join(ev.filter(col("event_type") === "purchase"), Seq("user_id"))
+      .filter(col("ts") > col("t_click"))
+      .groupBy(col("user_id")).agg(min(col("ts")).as("t_purchase"))
+    def stageRow(name: String, df: DataFrame) =
+      df.agg(count(lit(1)).as("n_users"), sum(col("user_id")).as("sum_users"))
+        .select(lit(name).as("stage"), col("n_users"), col("sum_users"))
+    stageRow("1_view", s1)
+      .unionByName(stageRow("2_click", s2))
+      .unionByName(stageRow("3_purchase", s3))
+      .orderBy(col("stage"))
+  }
+
+  /** Cohort retention: cohort = day of a user's first event, cell
+    * (cohort, offset) = users active `offset` days after joining. Two
+    * keyed aggregations (first day per user, distinct active days) and
+    * one user-keyed join — the standard retention matrix, linear. */
+  private val ev6Retention: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+    val cohort = ev.groupBy(col("user_id"))
+      .agg(date_trunc("DAY", min(col("ts"))).as("cohort_day"))
+    val active = ev.select(col("user_id"),
+      date_trunc("DAY", col("ts")).as("day")).distinct()
+    cohort.join(active, Seq("user_id"))
+      .withColumn("offset_days", datediff(col("day"), col("cohort_day")))
+      .filter(col("offset_days").between(0, 7))
+      .groupBy(col("cohort_day"), col("offset_days"))
+      .agg(count(lit(1)).as("n_active"))
+      .orderBy(col("cohort_day"), col("offset_days"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev1_tumbling" -> ev1Tumbling,
     "ev2_session" -> ev2Session,
     "ev3_sliding" -> ev3Sliding,
     "ev4_resample" -> ev4Resample,
+    "ev5_funnel" -> ev5Funnel,
+    "ev6_retention" -> ev6Retention,
   )
 
   val oracles: Map[String, String] = Map(
+    "ev5_funnel" ->
+      """WITH s1 AS (
+        |  SELECT user_id, min(ts) AS t_view FROM events
+        |  WHERE event_type = 'view' GROUP BY user_id),
+        |s2 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_click
+        |  FROM events e JOIN s1 USING (user_id)
+        |  WHERE e.event_type = 'click' AND e.ts > s1.t_view
+        |  GROUP BY e.user_id),
+        |s3 AS (
+        |  SELECT e.user_id, min(e.ts) AS t_purchase
+        |  FROM events e JOIN s2 USING (user_id)
+        |  WHERE e.event_type = 'purchase' AND e.ts > s2.t_click
+        |  GROUP BY e.user_id)
+        |SELECT * FROM (
+        |  SELECT '1_view' AS stage, count(*)::BIGINT AS n_users,
+        |    sum(user_id)::BIGINT AS sum_users FROM s1
+        |  UNION ALL SELECT '2_click', count(*)::BIGINT,
+        |    sum(user_id)::BIGINT FROM s2
+        |  UNION ALL SELECT '3_purchase', count(*)::BIGINT,
+        |    sum(user_id)::BIGINT FROM s3)
+        |ORDER BY stage""".stripMargin,
+    "ev6_retention" ->
+      """WITH cohort AS (
+        |  SELECT user_id, date_trunc('day', min(ts)) AS cohort_day
+        |  FROM events GROUP BY user_id),
+        |active AS (
+        |  SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+        |SELECT c.cohort_day,
+        |  date_diff('day', c.cohort_day, a.day) AS offset_days,
+        |  count(*)::BIGINT AS n_active
+        |FROM cohort c JOIN active a USING (user_id)
+        |WHERE date_diff('day', c.cohort_day, a.day) BETWEEN 0 AND 7
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "ev4_resample" ->
       """WITH grid AS (
         |  SELECT u.user_id, d.day
