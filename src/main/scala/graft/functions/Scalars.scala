@@ -164,7 +164,21 @@ object Scalars {
         to_json(struct(col("j.k").as("k"))).as("rt"))
       .orderBy(col("event_id"))
 
+  /** F15: equi-width histogram by explicit bucket arithmetic (the
+    * portable spelling — floor/least, no engine-specific width_bucket),
+    * the one-pass numeric-profile every column-stats tool emits. */
+  private val f15Histogram: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(least(floor(col("l_extendedprice") / 5000.0), lit(20L))
+        .cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        round(min(col("l_extendedprice")), 2).as("lo"),
+        round(max(col("l_extendedprice")), 2).as("hi"),
+        round(avg(col("l_extendedprice")), 4).as("mean"))
+      .orderBy(col("bucket"))
+
   val queries: Map[String, Q] = Map(
+    "f15_histogram" -> f15Histogram,
     "f13_from_json" -> f13FromJson,
     "f11_string_extra" -> f11StringExtra,
     "f12_datetime_extra" -> f12DatetimeExtra,
@@ -179,6 +193,13 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    "f15_histogram" ->
+      """SELECT least(floor(l_extendedprice / 5000.0), 20)::BIGINT AS bucket,
+        |  count(*)::BIGINT AS n,
+        |  round(min(l_extendedprice), 2) AS lo,
+        |  round(max(l_extendedprice), 2) AS hi,
+        |  round(avg(l_extendedprice), 4) AS mean
+        |FROM lineitem GROUP BY bucket ORDER BY bucket""".stripMargin,
     // rt mirrors Spark's to_json null-dropping: no parseable integer k
     // ⇒ '{}' (a bare string concat would emit NULL/quoted values and
     // diverge whenever a row lacks k). Remaining pinned assumption:

@@ -2,6 +2,7 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 
 /** Event-time windowing over the events table (SURVEY §2.10): the
@@ -120,6 +121,43 @@ object EventWindows {
       .orderBy(col("cohort_day"), col("offset_days"))
   }
 
+  /** Markov transition matrix over each user's event sequence: lag
+    * window keyed by user (ties broken by event_id in BOTH engines —
+    * determinism convention), then (prev → next) counts and row-
+    * normalized probabilities. One user-partitioned window + one keyed
+    * agg; the per-user window is bounded by that user's events. */
+  private val ev7Markov: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val pairs = t(s, dir, "events")
+      .select(col("user_id"), col("event_type").as("next"),
+        lag(col("event_type"), 1).over(w).as("prev"))
+      .filter(col("prev").isNotNull)
+      .groupBy(col("prev"), col("next")).agg(count(lit(1)).as("n"))
+    pairs.withColumn("p",
+      round(col("n").cast("double") /
+        sum(col("n")).over(Window.partitionBy(col("prev"))), 6))
+      .orderBy(col("prev"), col("next"))
+  }
+
+  /** Daily-volume anomaly flags: a (type, day) cell is anomalous when
+    * its count exceeds that type's mean + 2σ over the month. Two-level
+    * aggregation (events → daily counts → per-type moments via a
+    * type-partitioned window over the ~30-row daily frame). */
+  private val ev8Anomaly: Q = (s, dir) => {
+    val daily = t(s, dir, "events")
+      .groupBy(col("event_type"), date_trunc("DAY", col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val w = Window.partitionBy(col("event_type"))
+    daily
+      .withColumn("mu", avg(col("n")).over(w))
+      .withColumn("sigma", stddev_pop(col("n")).over(w))
+      .filter(col("n") > col("mu") + lit(2.0) * col("sigma"))
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("mu"), 4).as("mu"), round(col("sigma"), 4).as("sigma"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   val queries: Map[String, Q] = Map(
     "ev1_tumbling" -> ev1Tumbling,
     "ev2_session" -> ev2Session,
@@ -127,6 +165,8 @@ object EventWindows {
     "ev4_resample" -> ev4Resample,
     "ev5_funnel" -> ev5Funnel,
     "ev6_retention" -> ev6Retention,
+    "ev7_markov" -> ev7Markov,
+    "ev8_anomaly" -> ev8Anomaly,
   )
 
   val oracles: Map[String, String] = Map(
@@ -164,6 +204,31 @@ object EventWindows {
         |FROM cohort c JOIN active a USING (user_id)
         |WHERE date_diff('day', c.cohort_day, a.day) BETWEEN 0 AND 7
         |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "ev7_markov" ->
+      """WITH seq AS (
+        |  SELECT user_id, event_type AS next,
+        |    lag(event_type) OVER (PARTITION BY user_id
+        |                          ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |pairs AS (
+        |  SELECT prev, next, count(*) AS n FROM seq
+        |  WHERE prev IS NOT NULL GROUP BY prev, next)
+        |SELECT prev, next, n::BIGINT AS n,
+        |  round(n::DOUBLE / sum(n) OVER (PARTITION BY prev), 6) AS p
+        |FROM pairs ORDER BY prev, next""".stripMargin,
+    "ev8_anomaly" ->
+      """WITH daily AS (
+        |  SELECT event_type, date_trunc('day', ts) AS day, count(*) AS n
+        |  FROM events GROUP BY event_type, day),
+        |st AS (
+        |  SELECT event_type, day, n,
+        |    avg(n) OVER (PARTITION BY event_type) AS mu,
+        |    stddev_pop(n) OVER (PARTITION BY event_type) AS sigma
+        |  FROM daily)
+        |SELECT event_type, day, n::BIGINT AS n,
+        |  round(mu, 4) AS mu, round(sigma, 4) AS sigma
+        |FROM st WHERE n > mu + 2.0 * sigma
+        |ORDER BY event_type, day""".stripMargin,
     "ev4_resample" ->
       """WITH grid AS (
         |  SELECT u.user_id, d.day
