@@ -500,7 +500,48 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** Canonicalization regexes, shared verbatim with the oracle
+    * (Java∩RE2: classes + quantifiers only). */
+  val StripRe = "[^a-z0-9 ]"
+  val SpaceRe = " +"
+
+  /** Text canonicalization for dedup — lowercase, strip non-alnum,
+    * collapse runs of spaces, trim: the normalization pass every
+    * web-corpus dedup runs BEFORE hashing, so casing/punctuation
+    * variants of one document collapse to one digest. Map-only. */
+  def normalizeText(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(text), StripRe, ""), SpaceRe, " "))
+
+  /** E1b: normalized dedup over a corpus with planted case/punctuation
+    * variants (an UPPERCASED copy of every 8th doc, a punctuated copy
+    * of every 12th). Raw distinct treats the variants as new documents;
+    * normalized dedup collapses them — both counts plus the kept-id
+    * checksum are value-gated, so a normalization bug (missed variant,
+    * over-collapse) hash-fails. */
+  private val e1bNormalizedDedup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("lang"), col("text"))
+    val planted = docs
+      .unionByName(docs.filter(col("doc_id") % 8 === 0)
+        .select((col("doc_id") + 300000).as("doc_id"), col("lang"),
+          upper(col("text")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 12 === 0)
+        .select((col("doc_id") + 400000).as("doc_id"), col("lang"),
+          concat(lit("  "), col("text"), lit("!!  ")).as("text")))
+    val kept = exactDedup(
+      planted.withColumn("norm", normalizeText(col("text"))),
+      "norm", "doc_id")
+    planted.groupBy(col("lang")).agg(
+      count(lit(1)).as("n_in"),
+      countDistinct(col("text")).as("n_raw_distinct"))
+      .join(kept.groupBy(col("lang")).agg(
+        count(lit(1)).as("n_norm_kept"),
+        sum(col("doc_id")).as("sum_kept_ids")), Seq("lang"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e1b_normalized_dedup" -> e1bNormalizedDedup,
     "e1_dedup_exact" -> e1DedupExact,
     "e2_minhash_neardup" -> e2MinhashNearDup,
     "e2_ngram_jaccard" -> e2NgramJaccard,
@@ -511,6 +552,35 @@ object Dedup {
 
   /** The planted-pair ground truth, written directly in SQL. */
   val oracles: Map[String, String] = Map(
+    "e1b_normalized_dedup" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id, lang, text FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 300000, lang, upper(text) FROM documents
+         |  WHERE doc_id % 8 = 0
+         |  UNION ALL
+         |  SELECT doc_id + 400000, lang, '  ' || text || '!!  '
+         |  FROM documents WHERE doc_id % 12 = 0),
+         |norm AS (
+         |  SELECT doc_id, lang,
+         |    trim(regexp_replace(regexp_replace(lower(text),
+         |      '$StripRe', '', 'g'), '$SpaceRe', ' ', 'g')) AS n
+         |  FROM planted),
+         |kept AS (
+         |  SELECT lang, doc_id FROM (
+         |    SELECT lang, doc_id,
+         |      row_number() OVER (PARTITION BY n ORDER BY doc_id) AS rn
+         |    FROM norm)
+         |  WHERE rn = 1)
+         |SELECT p.lang, p.n_in, p.n_raw_distinct, k.n_norm_kept,
+         |  k.sum_kept_ids
+         |FROM (SELECT lang, count(*)::BIGINT AS n_in,
+         |        count(DISTINCT text)::BIGINT AS n_raw_distinct
+         |      FROM planted GROUP BY lang) p
+         |JOIN (SELECT lang, count(*)::BIGINT AS n_norm_kept,
+         |        sum(doc_id)::BIGINT AS sum_kept_ids
+         |      FROM kept GROUP BY lang) k USING (lang)
+         |ORDER BY lang""".stripMargin,
     "e1_dedup_exact" ->
       """SELECT min(doc_id) AS doc_id, count(*) AS n_copies FROM (
         |  SELECT doc_id, text FROM documents
