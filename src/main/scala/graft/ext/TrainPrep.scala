@@ -162,6 +162,41 @@ object TrainPrep {
       Seq(sourceCol))
       .filter(splitBucket(col(idCol)) < col("rate"))
 
+  /** Mixture rates WITHOUT the no-upsampling cap: rate_s =
+    * target_s · totalOut / n_s may exceed 1 — hot target sources
+    * replicate. Same S-row scale shape as [[mixtureRates]]. */
+  def mixtureRatesUnbounded(df: DataFrame, sourceCol: String,
+      weight: Column): DataFrame = {
+    val counts = df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n_s"))
+      .withColumn("w", weight)
+    val tot = counts.agg(sum(col("w")).as("w_tot"),
+      sum(col("n_s")).as("total"))
+    counts.crossJoin(tot)
+      .select(col(sourceCol), col("n_s"),
+        ((col("w") / col("w_tot")) * col("total") / col("n_s")).as("rate"))
+  }
+
+  /** Apply a mixture WITH replacement — deterministic: every row gets
+    * ⌊rate⌋ copies plus one more when its hash bucket falls under the
+    * fractional part (no RNG, reproducible across engines/partitions/
+    * reruns). Replication is a map-side `explode(sequence(...))` after
+    * the S-row rate table broadcasts — the corpus never shuffles; rows
+    * with zero copies are filtered BEFORE the explode (Spark's
+    * `sequence(1, 0)` would count DOWN, not emit empty). */
+  def applyMixtureWithReplacement(df: DataFrame, idCol: String,
+      sourceCol: String, weight: Column): DataFrame = {
+    val rates = mixtureRatesUnbounded(df, sourceCol, weight)
+      .select(col(sourceCol), col("rate"))
+    val withCopies = df.join(broadcast(rates), Seq(sourceCol))
+      .withColumn("copies",
+        (floor(col("rate")) +
+          when(splitBucket(col(idCol)) < col("rate") - floor(col("rate")), 1L)
+            .otherwise(0L)).cast("int"))
+      .filter(col("copies") >= 1)
+    withCopies.withColumn("copy_n",
+      explode(sequence(lit(1), col("copies"))))
+  }
+
   // ------------------------------------------------- contamination
 
   /** Train/test contamination: for each holdout document, the maximum
@@ -261,7 +296,26 @@ object TrainPrep {
     chunkByWords(t(s, dir, "documents"), "doc_id", "text",
       chunkSize = 32, stride = 24)
 
+  /** E8g: rebalance WITH replacement to the same corpus size — sources
+    * 0-4 weighted 4× replicate (rate ≈ 2.3), the rest downsample
+    * (rate ≈ 0.57); replica counts, kept-doc counts, and a
+    * replication-weighted id checksum all value-gated against the
+    * oracle's closed-form copy arithmetic. */
+  private val e8Upsample: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    def weight = when(
+      col("source").substr(lit(4), lit(10)).cast("int") < 5, 4.0)
+      .otherwise(1.0)
+    applyMixtureWithReplacement(docs, "doc_id", "source", weight)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_out"),
+        countDistinct(col("doc_id")).as("n_docs_kept"),
+        sum(col("doc_id")).as("sum_weighted_ids"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e8_upsample" -> e8Upsample,
     "e8_hash_split" -> e8HashSplit,
     "e8_pack" -> e8Pack,
     "e8_contamination" -> e8Contamination,
@@ -271,6 +325,25 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_upsample" ->
+      """WITH c AS (
+        |  SELECT source, count(*) AS n_s,
+        |    CASE WHEN substr(source, 4)::INT < 5 THEN 4.0 ELSE 1.0 END AS w
+        |  FROM documents GROUP BY source),
+        |t AS (SELECT sum(w) AS w_tot, sum(n_s) AS total FROM c),
+        |r AS (
+        |  SELECT source, (w / w_tot) * total / n_s AS rate FROM c, t),
+        |x AS (
+        |  SELECT d.source, d.doc_id,
+        |    floor(r.rate)::BIGINT +
+        |    (CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+        |               < r.rate - floor(r.rate)
+        |          THEN 1 ELSE 0 END) AS copies
+        |  FROM documents d JOIN r USING (source))
+        |SELECT source, sum(copies)::BIGINT AS n_out,
+        |  sum(CASE WHEN copies > 0 THEN 1 ELSE 0 END)::BIGINT AS n_docs_kept,
+        |  sum(doc_id * copies)::BIGINT AS sum_weighted_ids
+        |FROM x GROUP BY source ORDER BY source""".stripMargin,
     "e8_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,

@@ -32,6 +32,7 @@ class PlanAuditSpec extends SparkSpec {
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
     // one-row crossJoins assembling the S-row rate table's scalars
     "e8_mixture" -> Set("BroadcastNestedLoop"),
+    "e8_upsample" -> Set("BroadcastNestedLoop"),
     // one-row corpus count crossJoined onto the vocabulary table
     "e4_tfidf" -> Set("BroadcastNestedLoop"),
     "e4_logprob" -> Set("BroadcastNestedLoop"),
