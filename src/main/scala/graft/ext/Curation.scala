@@ -95,9 +95,48 @@ object Curation {
     curate(withPlantedLang(Tables.load(s, dir, "documents")),
       exactNearDup = true)
 
+  /** E11: dataset card — the one-page corpus profile a data team
+    * publishes with a training set: sizes, language/source fanout,
+    * token totals, quality and length stats, embedding norms, event
+    * volume. Three independent global aggregates (one per table)
+    * UNIONed as (metric, value) rows — no crossJoin, no shuffle beyond
+    * the partial-agg trees; each table is scanned exactly once. */
+  private val e11DatasetCard: Q = (s, dir) => {
+    def kv(m: String, v: org.apache.spark.sql.Column) =
+      struct(lit(m).as("metric"), v.cast("double").as("value"))
+    val docs = Tables.load(s, dir, "documents").agg(
+      kv("docs.n", count(lit(1))).as("a"),
+      kv("docs.n_langs", countDistinct(col("lang"))).as("b"),
+      kv("docs.n_sources", countDistinct(col("source"))).as("c"),
+      kv("docs.total_tokens",
+        sum(TextStats.bpeishTokenCount(col("text")))).as("d"),
+      kv("docs.avg_quality",
+        round(avg(TextStats.qualityScore(col("text"))), 4)).as("e"),
+      kv("docs.pct_short",
+        round(avg(when(col("n_chars") < 100, 1.0).otherwise(0.0)), 4)).as("f"))
+    val vecs = Tables.load(s, dir, "embeddings").agg(
+      kv("vecs.n", count(lit(1))).as("a"),
+      kv("vecs.n_labels", countDistinct(col("label"))).as("b"),
+      kv("vecs.avg_norm_sq", {
+        // VecDot is double-typed — cast the float embedding first
+        val v = transform(col("embedding"), _.cast("double"))
+        round(avg(graft.functions.VecDot.vecDot(v, v)), 4)
+      }).as("c"))
+    val evs = Tables.load(s, dir, "events").agg(
+      kv("events.n", count(lit(1))).as("a"),
+      kv("events.n_users", countDistinct(col("user_id"))).as("b"),
+      kv("events.n_types", countDistinct(col("event_type"))).as("c"))
+    def rows(df: DataFrame) = df.select(explode(array(
+      df.columns.map(col): _*)).as("r"))
+      .select(col("r.metric"), col("r.value"))
+    rows(docs).unionByName(rows(vecs)).unionByName(rows(evs))
+      .orderBy(col("metric"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e7_curation" -> e7Curation,
     "e7_curation_exact" -> e7CurationExact,
+    "e11_dataset_card" -> e11DatasetCard,
   )
 
   /** The oracle recomputes the pipeline with EXACT all-pairs Jaccard
@@ -156,5 +195,38 @@ object Curation {
   val oracles: Map[String, String] = Map(
     "e7_curation" -> curationOracle,
     "e7_curation_exact" -> curationOracle,
+    "e11_dataset_card" ->
+      """SELECT * FROM (
+        |  SELECT 'docs.n' AS metric, count(*)::DOUBLE AS value FROM documents
+        |  UNION ALL SELECT 'docs.n_langs', count(DISTINCT lang)::DOUBLE
+        |    FROM documents
+        |  UNION ALL SELECT 'docs.n_sources', count(DISTINCT source)::DOUBLE
+        |    FROM documents
+        |  UNION ALL SELECT 'docs.total_tokens',
+        |    sum(len(regexp_extract_all(text,
+        |      '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]')))::DOUBLE FROM documents
+        |  UNION ALL SELECT 'docs.avg_quality', round(avg(round(
+        |    ((CASE WHEN len(text) BETWEEN 50 AND 10000 THEN 1.0 ELSE 0.0 END)
+        |     + (CASE WHEN len(text)::DOUBLE
+        |             / greatest(len(string_split(text,' ')), 1)
+        |             BETWEEN 2.0 AND 12.0 THEN 1.0 ELSE 0.0 END)
+        |     + (CASE WHEN len(list_filter(string_split(text,' '),
+        |              w -> w IN ('the','a','of','and','to')))::DOUBLE
+        |              / greatest(len(string_split(text,' ')), 1) <= 0.6
+        |         THEN 1.0 ELSE 0.0 END)) / 3.0, 4)), 4) FROM documents
+        |  UNION ALL SELECT 'docs.pct_short', round(avg(
+        |    CASE WHEN n_chars < 100 THEN 1.0 ELSE 0.0 END), 4) FROM documents
+        |  UNION ALL SELECT 'vecs.n', count(*)::DOUBLE FROM embeddings
+        |  UNION ALL SELECT 'vecs.n_labels', count(DISTINCT label)::DOUBLE
+        |    FROM embeddings
+        |  UNION ALL SELECT 'vecs.avg_norm_sq', round(avg(
+        |    list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 4)
+        |    FROM embeddings
+        |  UNION ALL SELECT 'events.n', count(*)::DOUBLE FROM events
+        |  UNION ALL SELECT 'events.n_users', count(DISTINCT user_id)::DOUBLE
+        |    FROM events
+        |  UNION ALL SELECT 'events.n_types', count(DISTINCT event_type)::DOUBLE
+        |    FROM events
+        |) ORDER BY metric""".stripMargin,
   )
 }
