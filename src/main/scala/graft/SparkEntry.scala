@@ -24,6 +24,7 @@ object SparkEntry {
       lake.LakeQueries.queries ++
       lake.Layout.queries ++
       lake.Validate.queries ++
+      lake.Snapshots.queries ++
       ext.Dedup.queries ++
       ext.Similarity.queries ++
       ext.TextStats.queries ++
@@ -46,6 +47,7 @@ object SparkEntry {
       lake.LakeQueries.oracles ++
       lake.Layout.oracles ++
       lake.Validate.oracles ++
+      lake.Snapshots.oracles ++
       ext.Dedup.oracles ++
       ext.Similarity.oracles ++
       ext.TextStats.oracles ++
