@@ -66,11 +66,84 @@ object Snapshots {
       .orderBy(col("snap"))
   }
 
+  /** K16: right-to-be-forgotten cascade purge — the compliance delete
+    * every lake must support: a subject list (customers with
+    * c_custkey % 97 = 0 stands in for the real request queue) removes
+    * the customers, THEIR orders, and those orders' lineitems — the
+    * referential cascade done with broadcast-able anti-joins (subject
+    * and removed-order key sets are request-sized, never fact-sized).
+    * The audit artifact is per-table before/removed/after counts plus
+    * a surviving-key checksum; the oracle reconstructs the cascade
+    * set-algebraically, so an under-purge (orphan lineitems) or
+    * over-purge both hash-fail. */
+  private val k16Forget: Q = (s, dir) => {
+    val subjects = Tables.load(s, dir, "customer")
+      .filter(col("c_custkey") % 97 === 0).select(col("c_custkey"))
+    val cust = Tables.load(s, dir, "customer")
+    val orders = Tables.load(s, dir, "orders")
+    val li = Tables.load(s, dir, "lineitem")
+    val custKept = cust.join(broadcast(subjects), Seq("c_custkey"), "left_anti")
+    val removedOrders = orders.join(broadcast(subjects),
+      orders("o_custkey") === subjects("c_custkey"), "left_semi")
+      .select(col("o_orderkey"))
+    val ordersKept = orders.join(broadcast(subjects),
+      orders("o_custkey") === subjects("c_custkey"), "left_anti")
+    val liKept = li.join(broadcast(removedOrders),
+      li("l_orderkey") === removedOrders("o_orderkey"), "left_anti")
+    def audit(label: String, before: DataFrame, after: DataFrame,
+        key: String) =
+      before.agg(count(lit(1)).as("n_before")).crossJoin(
+        after.agg(count(lit(1)).as("n_after"),
+          sum(col(key)).as("sum_keys_after")))
+        .select(lit(label).as("tbl"), col("n_before"),
+          (col("n_before") - col("n_after")).as("n_removed"),
+          col("n_after"), col("sum_keys_after"))
+    audit("1_customer", cust, custKept, "c_custkey")
+      .unionByName(audit("2_orders", orders, ordersKept, "o_orderkey"))
+      .unionByName(audit("3_lineitem", li, liKept, "l_orderkey"))
+      .orderBy(col("tbl"))
+  }
+
   val queries: Map[String, Q] = Map(
     "k15_timetravel" -> k15Timetravel,
+    "k16_forget" -> k16Forget,
   )
 
   val oracles: Map[String, String] = Map(
+    "k16_forget" ->
+      """WITH subj AS (
+        |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),
+        |ro AS (
+        |  SELECT o_orderkey FROM orders
+        |  WHERE o_custkey IN (SELECT c_custkey FROM subj))
+        |SELECT * FROM (
+        |  SELECT '1_customer' AS tbl,
+        |    (SELECT count(*) FROM customer)::BIGINT AS n_before,
+        |    (SELECT count(*) FROM subj)::BIGINT AS n_removed,
+        |    (SELECT count(*) FROM customer
+        |     WHERE c_custkey NOT IN (SELECT c_custkey FROM subj))::BIGINT
+        |      AS n_after,
+        |    (SELECT sum(c_custkey) FROM customer
+        |     WHERE c_custkey NOT IN (SELECT c_custkey FROM subj))::BIGINT
+        |      AS sum_keys_after
+        |  UNION ALL
+        |  SELECT '2_orders',
+        |    (SELECT count(*) FROM orders)::BIGINT,
+        |    (SELECT count(*) FROM ro)::BIGINT,
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ro))::BIGINT,
+        |    (SELECT sum(o_orderkey) FROM orders
+        |     WHERE o_orderkey NOT IN (SELECT o_orderkey FROM ro))::BIGINT
+        |  UNION ALL
+        |  SELECT '3_lineitem',
+        |    (SELECT count(*) FROM lineitem)::BIGINT,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey IN (SELECT o_orderkey FROM ro))::BIGINT,
+        |    (SELECT count(*) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ro))::BIGINT,
+        |    (SELECT sum(l_orderkey) FROM lineitem
+        |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ro))::BIGINT
+        |) ORDER BY tbl""".stripMargin,
     "k15_timetravel" ->
       """SELECT * FROM (
         |  SELECT 'v1_travel' AS snap, count(*)::BIGINT AS n,

@@ -40,6 +40,8 @@ class PlanAuditSpec extends SparkSpec {
     "e4_bm25" -> Set("BroadcastNestedLoop"),
     // two one-row global est/exact scalars crossJoined onto a one-row agg
     "a11_sketch_table" -> Set("BroadcastNestedLoop"),
+    // per-table one-row before/after audit scalars crossJoined pairwise
+    "k16_forget" -> Set("BroadcastNestedLoop"),
     // min/max over STRING columns have immutable aggregation buffers,
     // which HashAggregate can't hold — Spark's canonical plan is
     // SortAggregate, and with ZERO grouping keys it performs no sort
