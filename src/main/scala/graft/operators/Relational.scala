@@ -502,8 +502,39 @@ object Relational {
           .as("global_within_bound"))
   }
 
+  /** A12 ✱: rolling 7-day distinct users from MERGEABLE daily HLL
+    * sketches — the pattern behind every "rolling uniques" dashboard at
+    * scale: daily distincts can't be summed (users repeat), so the fact
+    * table pre-aggregates to one small sketch per day and the rolling
+    * window UNIONs sketches instead of rescanning events. The exact
+    * side (for the in-plan bound) expands each active (user, day) into
+    * the ≤7 window-ends it contributes to — an equi-keyed explode, no
+    * range join. Gate: every day's estimate within 5% of exact. */
+  private val a12RollingUniques: Q = (s, dir) => {
+    val ev = graft.Tables.load(s, dir, "events")
+      .select(col("user_id"), date_trunc("DAY", col("ts")).as("day"))
+    val daily = ev.groupBy(col("day"))
+      .agg(hll_sketch_agg(col("user_id"), lit(14)).as("sk"))
+    val w = Window.orderBy(col("day")).rowsBetween(-6, 0)
+    val est = daily.select(to_date(col("day")).as("day"),
+      hll_sketch_estimate(hll_union_agg(col("sk"), lit(true)).over(w))
+        .as("est"))
+    val exact = ev.distinct()
+      .select(col("user_id"), explode(sequence(lit(0), lit(6))).as("i"),
+        to_date(col("day")).as("day"))
+      .select(col("user_id"), date_add(col("day"), col("i")).as("day_end"))
+      .groupBy(col("day_end"))
+      .agg(countDistinct(col("user_id")).as("exact"))
+    est.join(exact, est("day") === exact("day_end"))
+      .agg(
+        expr("bool_and(abs(est - exact) <= 0.05 * exact)")
+          .as("rolling_within_bound"),
+        (count(lit(1)) >= 28).as("month_covered"))
+  }
+
   val queries: Map[String, Q] = Map(
     "a11_sketch_table" -> a11SketchTable,
+    "a12_rolling_uniques" -> a12RollingUniques,
     "p3_select_star" -> p3SelectStar,
     "p5_filter" -> p5Filter,
     "l1_limit" -> l1Limit,
@@ -542,6 +573,8 @@ object Relational {
     "a11_sketch_table" ->
       """SELECT true AS groups_within_bound, true AS all_groups_present,
         |  true AS global_within_bound""".stripMargin,
+    "a12_rolling_uniques" ->
+      "SELECT true AS rolling_within_bound, true AS month_covered",
     "p3_select_star" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "p5_filter" ->
