@@ -113,12 +113,70 @@ object AsOfJoin {
       .orderBy(col("window_id"))
   }
 
+  /** Interval×interval overlap join without equi keys — same bucket-
+    * quantization family as [[rangeJoinBucketed]]: each interval
+    * explodes to its covered buckets (bounded by len/bucketW + 1), the
+    * overlap candidates meet in a plain hash equi-join on the bucket,
+    * and each overlapping PAIR is kept exactly once — only in the
+    * bucket containing max(a.s, b.s), which both sides of a true
+    * overlap always cover. Exact overlap recheck after the join; no
+    * BNLJ anywhere. */
+  def intervalOverlapBucketed(a: DataFrame, b: DataFrame,
+      bucketW: Long): DataFrame = {
+    def expand(df: DataFrame, p: String) = df
+      .select(col("id").as(s"${p}_id"), col("s").as(s"${p}_s"),
+        col("e").as(s"${p}_e"))
+      .withColumn("bk", explode(sequence(
+        expr(s"${p}_s DIV $bucketW"), expr(s"(${p}_e - 1) DIV $bucketW"))))
+    expand(a, "a").join(expand(b, "b"), Seq("bk"))
+      .filter(col("a_s") < col("b_e") && col("b_s") < col("a_e"))
+      .filter(col("bk") === expr(s"greatest(a_s, b_s) DIV $bucketW"))
+      .drop("bk")
+  }
+
+  /** J10: overlap pairs between even- and odd-keyed order "activity
+    * windows" ([orderdate, +1..30 days]); per-month pair counts +
+    * key checksums, DuckDB oracle is the naive inequality join (its
+    * IEJoin handles it) over the same bounded interval sets. */
+  private val j10Overlap: Q = (s, dir) => {
+    val base = Tables.load(s, dir, "orders").filter(col("o_orderkey") < 1000)
+      .select(col("o_orderkey").as("id"),
+        // o_orderdate is TIMESTAMP_NTZ; UTC session makes the cast exact
+        unix_micros(col("o_orderdate").cast("timestamp")).as("s"))
+      .withColumn("e",
+        col("s") + (col("id") % 30 + 1) * 86400000000L)
+    val a = base.filter(col("id") % 2 === 0)
+    val b = base.filter(col("id") % 2 === 1)
+    intervalOverlapBucketed(a, b, bucketW = 86400000000L * 31)
+      .groupBy(date_trunc("MONTH",
+        timestamp_micros(col("a_s"))).as("month"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("a_id") + col("b_id")).as("sum_pair_keys"))
+      .orderBy(col("month"))
+  }
+
   val queries: Map[String, Q] = Map(
     "j7_asof" -> j7Asof,
     "j9_range" -> j9Range,
+    "j10_interval_overlap" -> j10Overlap,
   )
 
   val oracles: Map[String, String] = Map(
+    "j10_interval_overlap" ->
+      """WITH base AS (
+        |  SELECT o_orderkey AS id, epoch_us(o_orderdate) AS s,
+        |    epoch_us(o_orderdate)
+        |      + (o_orderkey % 30 + 1) * 86400000000 AS e
+        |  FROM orders WHERE o_orderkey < 1000),
+        |a AS (SELECT * FROM base WHERE id % 2 = 0),
+        |b AS (SELECT * FROM base WHERE id % 2 = 1),
+        |j AS (
+        |  SELECT a.id AS a_id, b.id AS b_id, a.s AS a_s
+        |  FROM a JOIN b ON a.s < b.e AND b.s < a.e)
+        |SELECT date_trunc('month', make_timestamp(a_s)) AS month,
+        |  count(*)::BIGINT AS n_pairs,
+        |  sum(a_id + b_id)::BIGINT AS sum_pair_keys
+        |FROM j GROUP BY month ORDER BY month""".stripMargin,
     "j9_range" ->
       """WITH w AS (
         |  SELECT event_id AS window_id, epoch_us(ts) AS s,
