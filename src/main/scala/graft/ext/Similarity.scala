@@ -553,7 +553,38 @@ object Similarity {
         (col("n") > 0).as("nonempty"))
   }
 
+  /** E3f: embedding label coherence — nearest-centroid classification
+    * of every vector against its own label set, the standard "are these
+    * embeddings any good" diagnostic. Per-label centroids reduce to
+    * L×d doubles (driver-bounded, IVF-style), assignment is a map-side
+    * argmax against literal centroids (ties → rounded dot then lower
+    * label, mirrored in the oracle's ORDER BY), and the per-label
+    * accuracy report is one aggregation. Full value-level oracle. */
+  private val e3LabelCoherence: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    val cents: Seq[(Int, Seq[Double])] = emb
+      .select(col("label"), posexplode(col("v")))
+      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
+      .collect().map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(_._2).toSeq)
+      .toSeq.map { case (l, v) => (l, v) }
+    val scored = array(cents.sortBy(_._1).map { case (l, cv) =>
+      struct(round(dot(col("v"), typedlit(cv)), 6).as("d"),
+        lit(-l).as("neg_label"))
+    }: _*)
+    emb.withColumn("best", -array_max(scored).getField("neg_label"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("best") === col("label"), 1L).otherwise(0L))
+          .as("n_correct"))
+      .select(col("label"), col("n"), col("n_correct"),
+        round(col("n_correct").cast("double") / col("n"), 4).as("acc"))
+      .orderBy(col("label"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e3_label_coherence" -> e3LabelCoherence,
     "e3_pca" -> e3Pca,
     "e3_cosine_topk" -> e3CosineTopk,
     "e3_ann_recall" -> e3AnnRecall,
@@ -565,6 +596,31 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "e3_label_coherence" ->
+      """WITH e AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        |c AS (
+        |  SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM (
+        |    SELECT label, pos, avg(x) AS m FROM (
+        |      SELECT label, unnest(v) AS x,
+        |        generate_subscripts(v, 1) AS pos FROM e)
+        |    GROUP BY label, pos)
+        |  GROUP BY label),
+        |a AS (
+        |  SELECT e.vec_id, e.label, c.clabel,
+        |    round(list_dot_product(e.v, c.cv), 6) AS d
+        |  FROM e CROSS JOIN c),
+        |r AS (
+        |  SELECT vec_id, label, clabel,
+        |    row_number() OVER (PARTITION BY vec_id
+        |                       ORDER BY d DESC, clabel) AS rn
+        |  FROM a)
+        |SELECT label, count(*)::BIGINT AS n,
+        |  sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)::BIGINT
+        |    AS n_correct,
+        |  round(sum(CASE WHEN clabel = label THEN 1 ELSE 0 END)::DOUBLE
+        |    / count(*), 4) AS acc
+        |FROM r WHERE rn = 1 GROUP BY label ORDER BY label""".stripMargin,
     "e3_pca" ->
       """SELECT true AS var1_matches_l1, true AS var2_matches_l2,
         |  true AS uncorrelated, true AS centered,
