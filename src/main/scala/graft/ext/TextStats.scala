@@ -202,6 +202,50 @@ object TextStats {
       .orderBy(col("score").desc, col("doc_id")).limit(k)
   }
 
+  /** χ² independence statistic for two categorical columns — the
+    * "is language correlated with source?" bias probe a corpus audit
+    * runs. Observed cells + both marginals come from ONE pass over the
+    * observed-cell table (window sums over the C-row cell frame — the
+    * fact table aggregates first, the window never sees data rows);
+    * χ² = Σ (O−E)²/E with E = rowTot·colTot/N. Value-level oracle on
+    * the identical closed form. */
+  def chiSquare(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df.groupBy(col(aCol), col(bCol))
+      .agg(count(lit(1)).cast("double").as("o"))
+    val withMarg = cells
+      .withColumn("ra", sum(col("o")).over(Window.partitionBy(col(aCol))))
+      .withColumn("cb", sum(col("o")).over(Window.partitionBy(col(bCol))))
+      .withColumn("n", sum(col("o")).over(Window.partitionBy()))
+    withMarg
+      .withColumn("e", col("ra") * col("cb") / col("n"))
+      .agg(round(sum(pow(col("o") - col("e"), 2) / col("e")), 6)
+        .as("chi2"),
+        count(lit(1)).as("n_cells"))
+  }
+
+  /** Zipf fit of the token-frequency distribution: least-squares slope
+    * of ln(freq) on ln(rank) — natural text sits near −1; templated or
+    * synthetic text drifts. Frequency table + rank window + one
+    * closed-form aggregation; the vocabulary frame (not the corpus)
+    * carries the window. */
+  def zipfFit(docs: DataFrame, textCol: String): DataFrame = {
+    val freq = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).cast("double").as("f"))
+    val ranked = freq.withColumn("r",
+      row_number().over(Window.orderBy(col("f").desc, col("w")))
+        .cast("double"))
+      .select(log(col("r")).as("x"), log(col("f")).as("y"))
+    ranked.agg(count(lit(1)).cast("double").as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("y")).as("sxy"),
+      sum(col("x") * col("x")).as("sxx"))
+      .select(col("n").cast("long").as("n_types"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -263,7 +307,17 @@ object TextStats {
     bm25TopK(t(s, dir, "documents"), "doc_id", "text",
       Seq("the", "and", "of", "lottery"), k = 10)
 
+  /** E4f: lang×source independence probe. */
+  private val e4Chi2: Q = (s, dir) =>
+    chiSquare(t(s, dir, "documents"), "lang", "source")
+
+  /** E4g: Zipf slope of the corpus token distribution. */
+  private val e4Zipf: Q = (s, dir) =>
+    zipfFit(t(s, dir, "documents"), "text")
+
   val queries: Map[String, Q] = Map(
+    "e4_chi2" -> e4Chi2,
+    "e4_zipf" -> e4Zipf,
     "e4_text_stats" -> e4TextStats,
     "e4_tfidf" -> e4Tfidf,
     "e4_logprob" -> e4Logprob,
@@ -335,6 +389,35 @@ object TextStats {
          |SELECT source, n_tokens::BIGINT AS n_tokens, n_oov::BIGINT AS n_oov,
          |  round(n_oov::DOUBLE / n_tokens, 6) AS oov_rate
          |FROM j ORDER BY source""".stripMargin,
+    "e4_chi2" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*)::DOUBLE AS o
+        |  FROM documents GROUP BY lang, source),
+        |m AS (
+        |  SELECT o,
+        |    sum(o) OVER (PARTITION BY lang) AS ra,
+        |    sum(o) OVER (PARTITION BY source) AS cb,
+        |    sum(o) OVER () AS n
+        |  FROM cells)
+        |SELECT round(sum(pow(o - ra * cb / n, 2) / (ra * cb / n)), 6)
+        |  AS chi2, count(*)::BIGINT AS n_cells
+        |FROM m""".stripMargin,
+    "e4_zipf" ->
+      """WITH freq AS (
+        |  SELECT w, count(*)::DOUBLE AS f FROM (
+        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |ranked AS (
+        |  SELECT ln(row_number() OVER (ORDER BY f DESC, w)::DOUBLE) AS x,
+        |    ln(f) AS y
+        |  FROM freq),
+        |s AS (
+        |  SELECT count(*)::DOUBLE AS n, sum(x) AS sx, sum(y) AS sy,
+        |    sum(x * y) AS sxy, sum(x * x) AS sxx
+        |  FROM ranked)
+        |SELECT n::BIGINT AS n_types,
+        |  round((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS slope
+        |FROM s""".stripMargin,
     // formula spelled textually parallel to the Scala (same constant
     // spellings, same association) so both engines round identically
     "e4_bm25" ->
