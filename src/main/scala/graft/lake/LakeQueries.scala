@@ -622,7 +622,33 @@ object LakeQueries {
       .orderBy(col("p_brand"))
   }
 
+  /** S19: ANALYZE TABLE statistics — the cost-based-optimizer input
+    * surface (Glue crawlers and Athena both persist table/column stats;
+    * Catalyst's CBO joins re-order from exactly these numbers). Save a
+    * catalog table, compute table + column statistics, read them BACK
+    * from the catalog: exact rowCount and per-column NDV are value-
+    * gated against the source (NDV is HLL-backed but exact at this
+    * cardinality); sizeInBytes is storage-specific so only its
+    * positivity is asserted. */
+  private val s19AnalyzeStats: Q = (s, dir) => {
+    val tbl = s"graft_stats_nation_${Lake.sessionSuffix(s, dir)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Lake.deleteRecursively(new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))
+    t(s, dir, "nation").write.mode("overwrite").saveAsTable(tbl)
+    s.sql(s"ANALYZE TABLE $tbl COMPUTE STATISTICS " +
+      "FOR COLUMNS n_nationkey, n_regionkey")
+    val st = s.sessionState.catalog.getTableMetadata(
+      org.apache.spark.sql.catalyst.TableIdentifier(tbl)).stats.get
+    import s.implicits._
+    Seq((st.rowCount.get.toLong, st.sizeInBytes > 0,
+      st.colStats("n_nationkey").distinctCount.get.toLong,
+      st.colStats("n_regionkey").distinctCount.get.toLong))
+      .toDF("n_rows", "size_positive", "ndv_nationkey", "ndv_regionkey")
+  }
+
   val queries: Map[String, Q] = Map(
+    "s19_analyze_stats" -> s19AnalyzeStats,
     "k14_merge" -> k14Merge,
     "s17_corrupt_records" -> s17CorruptRecords,
     "k12_bookmark" -> k12Bookmark,
@@ -654,6 +680,11 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "s19_analyze_stats" ->
+      """SELECT count(*)::BIGINT AS n_rows, true AS size_positive,
+        |  count(DISTINCT n_nationkey)::BIGINT AS ndv_nationkey,
+        |  count(DISTINCT n_regionkey)::BIGINT AS ndv_regionkey
+        |FROM nation""".stripMargin,
     "k14_merge" ->
       """WITH upd AS (
         |  SELECT p_partkey, p_name, p_brand, NULL AS p_type, p_size,
