@@ -271,6 +271,51 @@ object Advanced {
           .as("revenue"))
       .orderBy(col("s_nationkey"))
 
+  /** Confs that let Catalyst's InjectRuntimeFilter fire at test scale:
+    * its heuristics are sized for clusters (app-side scan must exceed
+    * 10 GB by default), and the join must be a shuffle join (a
+    * broadcast join already sees only matching rows). */
+  private val bloomConfs = Seq(
+    "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+    "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+    "spark.sql.optimizer.runtime.bloomFilter.creationSideThreshold" -> "100MB",
+    "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+    "spark.sql.adaptive.autoBroadcastJoinThreshold" -> "-1")
+
+  /** The join under the bloom confs (shared with RelationalPlanSpec,
+    * which pins `bloom_filter_might_contain` on the probe side). */
+  def bloomJoinAgg(s: SparkSession, dir: String): DataFrame = {
+    val dim = t(s, dir, "orders")
+      .filter(col("o_orderpriority") === "1-URGENT" &&
+        col("o_totalprice") > lit(200000.0))
+    t(s, dir, "lineitem")
+      .join(dim, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("o_orderstatus"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_quantity")), 2).as("qty"))
+  }
+
+  /** J11: runtime Bloom-filter join pruning. Catalyst builds a Bloom
+    * filter from the selectively-filtered dimension side of a shuffle
+    * equi-join and applies `bloom_filter_might_contain` on the fact
+    * side BEFORE its shuffle — at 100 TB the fact-table shuffle then
+    * carries only rows that can possibly match, so shuffle volume
+    * tracks the dimension filter's selectivity instead of the fact
+    * table's size. The aggregate is materialized eagerly so the plan
+    * compiles (and the filter injects) while the in-scope confs are
+    * set; the session confs are restored before returning. */
+  private val j11BloomJoin: Q = (s, dir) => {
+    val saved = bloomConfs.map { case (k, _) => k -> s.conf.getOption(k) }
+    bloomConfs.foreach { case (k, v) => s.conf.set(k, v) }
+    val agg =
+      try bloomJoinAgg(s, dir).localCheckpoint(true)
+      finally saved.foreach {
+        case (k, Some(v)) => s.conf.set(k, v)
+        case (k, None)    => s.conf.unset(k)
+      }
+    agg.orderBy(col("o_orderstatus"))
+  }
+
   /** Q3-shaped analytics: 3-way join + filter + agg + top-k — the full
     * interactive-SQL workload shape, identical SQL text on both engines.
     * Catalyst broadcasts the filtered customer dimension and plans
@@ -328,6 +373,7 @@ object Advanced {
     "f10_map_rt" -> f10MapRt,
     "k6_bucketed_join" -> k6BucketedJoin,
     "j8_salted_skew" -> j8SaltedSkew,
+    "j11_bloom_join" -> j11BloomJoin,
   )
 
   val oracles: Map[String, String] = Map(
@@ -444,5 +490,11 @@ object Advanced {
         | round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue
         |FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         |GROUP BY s_nationkey ORDER BY s_nationkey""".stripMargin,
+    "j11_bloom_join" ->
+      """SELECT o_orderstatus, count(*) AS n_items,
+        | round(sum(l_quantity), 2) AS qty
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+        |GROUP BY o_orderstatus ORDER BY o_orderstatus""".stripMargin,
   )
 }

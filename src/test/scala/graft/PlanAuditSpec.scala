@@ -47,6 +47,9 @@ class PlanAuditSpec extends SparkSpec {
     // SortAggregate, and with ZERO grouping keys it performs no sort
     // (one partial row per partition, one merge). Not creep.
     "s16_profile" -> Set("SortAggregate"),
+    // one stats row read back from the catalog after ANALYZE TABLE —
+    // a driver-local LocalTableScan has no codegen stage to span
+    "s19_analyze_stats" -> Set("NoCodegen"),
     "j5_cross" -> Set("BroadcastNestedLoop"),
     "j5_theta" -> Set("BroadcastNestedLoop"),
   )
