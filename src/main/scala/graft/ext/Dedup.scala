@@ -247,6 +247,61 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Deletion-neighborhood (SymSpell-family) edit-distance similarity
+    * join: the EXACT set of pairs with Levenshtein(a,b) ≤ maxDist inside
+    * a blocking key, without comparing all pairs.
+    *
+    * Pigeonhole: an optimal alignment witnessing lev(a,b) ≤ d touches at
+    * most d character positions on each side, so deleting the touched
+    * characters from each string leaves the SAME subsequence — the
+    * ≤d-deletion neighborhoods of a and b must intersect. Candidate
+    * generation is therefore a plain equi-join on
+    * (block, xxhash64(variant)): a linear explode of 1 + L + L·(L−1)/2
+    * variants per row (short entity strings — names, titles — are the
+    * domain), 8-byte join keys so no variant text is shuffled, then
+    * exact `levenshtein` verification. Hash collisions and alignment-
+    * free variant coincidences only ADD candidates, which verification
+    * discards — recall is structural. At 100 TB: two narrow shuffles,
+    * candidate volume tracks true-duplicate density + collision noise,
+    * never n². */
+  def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
+      blockCol: String, maxDist: Int = 2): DataFrame = {
+    require(maxDist == 1 || maxDist == 2,
+      "deletion neighborhoods enumerated for maxDist in {1, 2}")
+    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(strCol).as("s")).filter(col("s").isNotNull)
+    // One-deletion variants; guarded so sequence() never runs backwards
+    // (Spark's sequence(1, 0) DESCENDS instead of yielding empty).
+    val del1 = "transform(sequence(1, length(s)), i -> " +
+      "concat(substring(s, 1, i-1), substring(s, i+1, length(s))))"
+    val del2 = "flatten(transform(sequence(1, length(s)-1), i -> " +
+      "transform(sequence(i+1, length(s)), j -> " +
+      "concat(substring(s, 1, i-1), substring(s, i+1, j-i-1), " +
+      "substring(s, j+1, length(s))))))"
+    val variants =
+      if (maxDist == 1)
+        s"""CASE WHEN length(s) = 0 THEN array(s)
+           |ELSE array_distinct(concat(array(s), $del1)) END""".stripMargin
+      else
+        s"""CASE WHEN length(s) = 0 THEN array(s)
+           |WHEN length(s) = 1 THEN array_distinct(concat(array(s), $del1))
+           |ELSE array_distinct(concat(array(s), $del1, $del2)) END""".stripMargin
+    val keyed = base
+      .select(col("id"), col("blk"), col("s"),
+        explode(expr(variants)).as("v"))
+      .select(col("id"), col("blk"), col("s"), xxhash64(col("v")).as("h"))
+    keyed.as("a")
+      .join(keyed.as("b"),
+        col("a.blk") === col("b.blk") && col("a.h") === col("b.h") &&
+          col("a.id") < col("b.id"))
+      .select(col("a.id").as("key_a"), col("b.id").as("key_b"),
+        col("a.s").as("sa"), col("b.s").as("sb"))
+      .distinct()
+      .filter(levenshtein(col("sa"), col("sb")) <= maxDist)
+      .select(col("key_a"), col("key_b"),
+        levenshtein(col("sa"), col("sb")).as("dist"))
+  }
+
   /** E2b: SimHash LSH candidate pairs with exact Hamming refinement
     * values, BEFORE the maxHamming filter (exposed so the self-check can
     * assert an absolute candidate budget).
@@ -414,6 +469,15 @@ object Dedup {
       shingleN = 3, threshold = 0.75)
       .orderBy(col("a"), col("b"))
 
+  /** E2e: exact edit-distance join over part names, blocked by brand —
+    * the entity-resolution shape (short strings, coarse blocking key,
+    * lev ≤ 2). The oracle is the naive all-pairs-within-block answer;
+    * any pair the deletion-neighborhood join loses is a hash mismatch. */
+  private val e2EditJoin: Q = (s, dir) =>
+    editDistancePairs(t(s, dir, "part"), "p_partkey", "p_name",
+      "p_brand", maxDist = 2)
+      .orderBy(col("key_a"), col("key_b"))
+
   /** E2d: transitive near-dup clusters — exact pair set (so the edge
     * list is engine-independent) → connected components; the DuckDB
     * oracle recomputes the closure with a recursive CTE. */
@@ -545,6 +609,7 @@ object Dedup {
     "e1_dedup_exact" -> e1DedupExact,
     "e2_minhash_neardup" -> e2MinhashNearDup,
     "e2_ngram_jaccard" -> e2NgramJaccard,
+    "e2_edit_join" -> e2EditJoin,
     "e2_cluster_cc" -> e2ClusterCc,
     "e2_simhash_neardup" -> e2SimhashNearDup,
     "e2_incremental" -> e2Incremental,
@@ -631,6 +696,16 @@ object Dedup {
         |ORDER BY a, b""".stripMargin,
     "e2_simhash_neardup" ->
       "SELECT true AS recall_ok, true AS precision_ok, true AS cand_budget_ok",
+    // Naive all-pairs-within-block Levenshtein — the deletion-
+    // neighborhood join must reproduce it exactly (any lost pair is a
+    // hash mismatch). DuckDB levenshtein returns BIGINT; Spark's is INT.
+    "e2_edit_join" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  levenshtein(a.p_name, b.p_name)::INTEGER AS dist
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE levenshtein(a.p_name, b.p_name) <= 2
+        |ORDER BY key_a, key_b""".stripMargin,
     // Whole admission recomputed with exact all-pairs Jaccard over
     // old ∪ exact-kept fresh, restricted to fresh b-sides (ids ≥
     // 100000) — exactly the pair population the asymmetric band join

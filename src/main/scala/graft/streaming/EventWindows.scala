@@ -158,7 +158,32 @@ object EventWindows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** First/last-touch attribution: each purchase is attributed to the
+    * first and the most recent PRECEDING touch event (view/click/
+    * signup) of the same user; purchases and revenue roll up per
+    * (first, last) channel pair. One user-partitioned window pass
+    * (rows-frame first/last with ignoreNulls — no self-join per
+    * purchase) + one keyed agg; the window sort is bounded per user,
+    * events never sort globally. */
+  private val ev9Attribution: Q = (s, dir) => {
+    val touch = when(col("event_type").isin("view", "click", "signup"),
+      col("event_type"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    t(s, dir, "events")
+      .select(col("user_id"), col("event_type"), col("value"),
+        first(touch, ignoreNulls = true).over(w).as("first_touch"),
+        last(touch, ignoreNulls = true).over(w).as("last_touch"))
+      .filter(col("event_type") === "purchase" && col("last_touch").isNotNull)
+      .groupBy(col("first_touch"), col("last_touch"))
+      .agg(count(lit(1)).as("n_purchases"),
+        round(sum(col("value")), 4).as("revenue"))
+      .orderBy(col("first_touch"), col("last_touch"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev9_attribution" -> ev9Attribution,
     "ev1_tumbling" -> ev1Tumbling,
     "ev2_session" -> ev2Session,
     "ev3_sliding" -> ev3Sliding,
@@ -170,6 +195,25 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev9_attribution" ->
+      """WITH t AS (
+        |  SELECT event_type, value,
+        |    first_value(CASE WHEN event_type IN ('view','click','signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS first_touch,
+        |    last_value(CASE WHEN event_type IN ('view','click','signup')
+        |        THEN event_type END IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |      AS last_touch
+        |  FROM events)
+        |SELECT first_touch, last_touch, count(*) AS n_purchases,
+        |  round(sum(value), 4) AS revenue
+        |FROM t WHERE event_type = 'purchase' AND last_touch IS NOT NULL
+        |GROUP BY first_touch, last_touch
+        |ORDER BY first_touch, last_touch""".stripMargin,
     "ev5_funnel" ->
       """WITH s1 AS (
         |  SELECT user_id, min(ts) AS t_view FROM events

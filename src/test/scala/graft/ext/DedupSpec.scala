@@ -195,6 +195,35 @@ class DedupSpec extends SparkSpec {
     assert(pairs.nonEmpty)
   }
 
+  test("editDistancePairs equals brute force, incl. edge-case strings") {
+    val rows = Seq(
+      (1L, "red bolt", "B1"), (2L, "red bolts", "B1"),   // dist 1
+      (3L, "rad bolts", "B1"),                           // 2↔3 dist 1, 1↔3 dist 2
+      (4L, "red bolt", "B2"),                            // other block: no cross pair
+      (5L, "", "B1"), (6L, "a", "B1"), (7L, "ab", "B1"), // short strings
+      (8L, "naïve café", "B1"), (9L, "naive cafe", "B1"),// unicode, dist 2
+      (10L, "completely different", "B1"))
+    val df = rows.toDF("id", "name", "blk")
+    val got = Dedup.editDistancePairs(df, "id", "name", "blk", maxDist = 2)
+      .select("key_a", "key_b", "dist").as[(Long, Long, Int)]
+      .collect().toSet
+    val brute = (for {
+      (ia, sa, ba) <- rows; (ib, sb, bb) <- rows
+      if ia < ib && ba == bb
+      d = {
+        val (x, y) = (sa, sb)
+        val dp = Array.tabulate(x.length + 1)(i => Array.tabulate(y.length + 1)(j =>
+          if (i == 0) j else if (j == 0) i else 0))
+        for (i <- 1 to x.length; j <- 1 to y.length)
+          dp(i)(j) = math.min(math.min(dp(i - 1)(j) + 1, dp(i)(j - 1) + 1),
+            dp(i - 1)(j - 1) + (if (x(i - 1) == y(j - 1)) 0 else 1))
+        dp(x.length)(y.length)
+      }
+      if d <= 2
+    } yield (ia, ib, d)).toSet
+    assert(got == brute, s"got $got\nbrute $brute")
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))
