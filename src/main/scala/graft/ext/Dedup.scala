@@ -302,6 +302,28 @@ object Dedup {
         levenshtein(col("sa"), col("sb")).as("dist"))
   }
 
+  /** E12: Jaro-Winkler entity resolution — score all within-block name
+    * pairs with the native codegen'd [[graft.functions.JaroWinkler]]
+    * expression (Spark has no built-in; semantics pinned byte-for-byte
+    * to DuckDB's `jaro_winkler_similarity`, which is the oracle). The
+    * blocking key makes candidate generation an EQUI-join on brand —
+    * quadratic only within a block, the standard ER blocking shape; at
+    * scale the block key is whatever bounds group size (phonetic key,
+    * sorted-neighborhood window, LSH bucket). */
+  def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
+      blockCol: String, threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+      col(strCol).as("s")).filter(col("s").isNotNull)
+    base.as("a")
+      .join(base.as("b"),
+        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("key_a"), col("b.id").as("key_b"),
+        graft.functions.JaroWinkler.jaroWinkler(col("a.s"), col("b.s"))
+          .as("jw"))
+      .filter(col("jw") >= threshold)
+      .select(col("key_a"), col("key_b"), round(col("jw"), 6).as("jw"))
+  }
+
   /** E2b: SimHash LSH candidate pairs with exact Hamming refinement
     * values, BEFORE the maxHamming filter (exposed so the self-check can
     * assert an absolute candidate budget).
@@ -469,6 +491,11 @@ object Dedup {
       shingleN = 3, threshold = 0.75)
       .orderBy(col("a"), col("b"))
 
+  private val e12JaroEr: Q = (s, dir) =>
+    jaroWinklerPairs(t(s, dir, "part"), "p_partkey", "p_name",
+      "p_brand", threshold = 0.88)
+      .orderBy(col("key_a"), col("key_b"))
+
   /** E2e: exact edit-distance join over part names, blocked by brand —
     * the entity-resolution shape (short strings, coarse blocking key,
     * lev ≤ 2). The oracle is the naive all-pairs-within-block answer;
@@ -610,6 +637,7 @@ object Dedup {
     "e2_minhash_neardup" -> e2MinhashNearDup,
     "e2_ngram_jaccard" -> e2NgramJaccard,
     "e2_edit_join" -> e2EditJoin,
+    "e12_jaro_er" -> e12JaroEr,
     "e2_cluster_cc" -> e2ClusterCc,
     "e2_simhash_neardup" -> e2SimhashNearDup,
     "e2_incremental" -> e2Incremental,
@@ -696,6 +724,15 @@ object Dedup {
         |ORDER BY a, b""".stripMargin,
     "e2_simhash_neardup" ->
       "SELECT true AS recall_ok, true AS precision_ok, true AS cand_budget_ok",
+    // The native expression must agree with DuckDB's implementation
+    // bit-for-bit (both score raw UTF-8 bytes, same boost rule).
+    "e12_jaro_er" ->
+      """SELECT a.p_partkey AS key_a, b.p_partkey AS key_b,
+        |  round(jaro_winkler_similarity(a.p_name, b.p_name), 6) AS jw
+        |FROM part a JOIN part b
+        |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
+        |WHERE jaro_winkler_similarity(a.p_name, b.p_name) >= 0.88
+        |ORDER BY key_a, key_b""".stripMargin,
     // Naive all-pairs-within-block Levenshtein — the deletion-
     // neighborhood join must reproduce it exactly (any lost pair is a
     // hash mismatch). DuckDB levenshtein returns BIGINT; Spark's is INT.
