@@ -19,6 +19,7 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     operators.Relational.queries ++
       operators.Advanced.queries ++
+      operators.Graph.queries ++
       operators.AsOfJoin.queries ++
       functions.Scalars.queries ++
       lake.LakeQueries.queries ++
@@ -42,6 +43,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     operators.Relational.oracles ++
       operators.Advanced.oracles ++
+      operators.Graph.oracles ++
       operators.AsOfJoin.oracles ++
       functions.Scalars.oracles ++
       lake.LakeQueries.oracles ++

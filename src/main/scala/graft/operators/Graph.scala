@@ -1,0 +1,115 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Iterative graph analytics expressed as relational passes — the
+  * PageRank family (the other graph op, connected components, lives
+  * with dedup clustering in `ext.Dedup.connectedComponents`).
+  *
+  * Scale posture: one PageRank iteration = one rank×edge equi-join +
+  * one dst-keyed aggregation — linear in |E| per iteration, the
+  * textbook distributed formulation (Pregel/GraphX compute exactly
+  * this dataflow). Ranks stay (node, double) narrow; the edge table
+  * never re-materializes. Determinism across engines: every iteration
+  * rounds to 10 decimals (both engines sum doubles in unspecified
+  * order; the per-iteration rounding grid absorbs ulp-level drift so
+  * 10 iterations can't compound it), mirrored exactly in the oracle's
+  * unrolled-CTE SQL.
+  */
+object Graph {
+
+  private def t(s: SparkSession, dir: String, name: String): DataFrame =
+    Tables.load(s, dir, name)
+
+  type Q = (SparkSession, String) => DataFrame
+
+  /** Weighted PageRank over `edges` (src, dst, w) with `w` normalized
+    * per src; `nodes` (node) fixes the universe so sinks and isolated
+    * nodes keep receiving the teleport term. `n` is the node count
+    * (bounded driver scalar, like the IVF centroid count). */
+  def pageRank(nodes: DataFrame, edges: DataFrame, n: Long,
+      iters: Int, damping: Double = 0.85): DataFrame = {
+    val teleport = (1.0 - damping) / n
+    var ranks = nodes.select(col("node"),
+      round(lit(1.0 / n), 12).as("r"))
+    for (_ <- 1 to iters) {
+      val contrib = ranks.join(edges, col("node") === col("src"))
+        .select(col("dst"), (col("r") * col("w")).as("c"))
+        .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
+      ranks = nodes.join(contrib, col("node") === col("dst"), "left")
+        .select(col("node"),
+          round(lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0)),
+            10).as("r"))
+    }
+    ranks
+  }
+
+  /** G1: PageRank over the nation-level trade graph — supplier nation →
+    * customer nation, edge weight = revenue share of the source
+    * nation's total (the "who funds whom" centrality). Edge build is
+    * the q5-style star join; 10 iterations; output rounded to 8. */
+  private val g1PageRank: Q = (s, dir) => {
+    Tables.register(s, dir)
+    val rev = s.sql(
+      """SELECT s_nationkey AS src, c_nationkey AS dst,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS rv
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey, c_nationkey""".stripMargin)
+    val edges = rev.select(col("src"), col("dst"),
+      round(col("rv") / sum(col("rv")).over(Window.partitionBy(col("src"))),
+        12).as("w"))
+    val nodes = t(s, dir, "nation")
+      .select(col("n_nationkey").as("node")).distinct()
+    val n = nodes.count() // bounded: |nation| = 25
+    pageRank(nodes, edges, n, iters = 10)
+      .select(col("node"), round(col("r"), 8).as("rank"))
+      .orderBy(col("node"))
+  }
+
+  val queries: Map[String, Q] = Map(
+    "g1_pagerank" -> g1PageRank,
+  )
+
+  private def oracleIter(k: Int): String = {
+    val prev = if (k == 1) "r0" else s"r${k - 1}"
+    s"""r$k AS (
+       |  SELECT n.node,
+       |    round(0.15 / (SELECT count(*) FROM nodes) +
+       |      0.85 * coalesce(sum(x.c), 0), 10) AS r
+       |  FROM nodes n LEFT JOIN (
+       |    SELECT e.dst, p.r * e.w AS c
+       |    FROM $prev p JOIN edges e ON p.node = e.src) x
+       |    ON n.node = x.dst
+       |  GROUP BY n.node)""".stripMargin
+  }
+
+  val oracles: Map[String, String] = Map(
+    "g1_pagerank" ->
+      s"""WITH rev AS (
+         |  SELECT s_nationkey AS src, c_nationkey AS dst,
+         |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS rv
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY s_nationkey, c_nationkey),
+         |edges AS (
+         |  SELECT src, dst,
+         |    round(rv / sum(rv) OVER (PARTITION BY src), 12) AS w
+         |  FROM rev),
+         |nodes AS (SELECT DISTINCT n_nationkey AS node FROM nation),
+         |r0 AS (
+         |  SELECT node,
+         |    round(1.0 / (SELECT count(*) FROM nodes), 12) AS r
+         |  FROM nodes),
+         |${(1 to 10).map(oracleIter).mkString(",\n")}
+         |SELECT node, round(r, 8) AS rank FROM r10
+         |ORDER BY node""".stripMargin,
+  )
+}

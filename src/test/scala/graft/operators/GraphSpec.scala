@@ -1,0 +1,40 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+/** PageRank invariants on small hand-built graphs. */
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def rankMap(rows: Array[Row]): Map[Long, Double] =
+    rows.map(r => r.getLong(0) -> r.getDouble(1)).toMap
+
+  test("pageRank sums to 1 and favors the popular node") {
+    // 3-node graph: 1→3, 2→3, 3→1 (all weight 1).
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 3L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val r = rankMap(Graph.pageRank(nodes, edges, 3, iters = 20).collect())
+    assert(math.abs(r.values.sum - 1.0) < 1e-6)
+    assert(r(3L) > r(1L) && r(1L) > r(2L)) // 3 gets two inflows; 1 gets 3's mass; 2 only teleport
+  }
+
+  test("pageRank keeps isolated nodes at the sink-free floor") {
+    // node 4 has no edges at all: rank converges to teleport-only mass.
+    val nodes = Seq(1L, 2L, 4L).toDF("node")
+    val edges = Seq((1L, 2L, 1.0), (2L, 1L, 1.0)).toDF("src", "dst", "w")
+    val r = rankMap(Graph.pageRank(nodes, edges, 3, iters = 25).collect())
+    assert(math.abs(r(4L) - 0.05) < 1e-9) // (1-0.85)/3 = 0.05 exactly
+    assert(math.abs(r(1L) - r(2L)) < 1e-9) // symmetric cycle
+  }
+
+  test("uniform complete graph stays uniform") {
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = (for { a <- 1L to 3L; b <- 1L to 3L if a != b }
+      yield (a, b, 0.5)).toDF("src", "dst", "w")
+    val r = rankMap(Graph.pageRank(nodes, edges, 3, iters = 10).collect())
+    r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
+  }
+}
