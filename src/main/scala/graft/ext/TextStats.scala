@@ -246,6 +246,42 @@ object TextStats {
           (col("n") * col("sxx") - col("sx") * col("sx")), 4).as("slope"))
   }
 
+  /** PMI collocation mining — the corpus-linguistics signal for
+    * multiword expressions ("new york" vs chance co-occurrence):
+    *   pmi(w1,w2) = ln( p(w1,w2) / (p(w1)·p(w2)) )
+    * with p(w1,w2) over adjacent bigrams and p(w) over the unigram
+    * stream. Scale shape: one unigram groupBy and one bigram groupBy
+    * (both partial-agg shuffles over narrow keys); the min-count filter
+    * shrinks the bigram table BEFORE its two vocabulary equi-joins; the
+    * two corpus totals are 1-row aggregates crossJoined on. Top-k is
+    * TakeOrderedAndProject on (pmi desc, w1, w2) — ordering on the
+    * ROUNDED value so the boundary is engine-stable. */
+  def pmiCollocations(docs: DataFrame, textCol: String, minCount: Int,
+      k: Int): DataFrame = {
+    val ws = docs.select(split(col(textCol), " ").as("l"))
+    val uni = ws.select(explode(col("l")).as("w"))
+    val uc = uni.groupBy(col("w")).agg(count(lit(1)).cast("double").as("c"))
+    val n1 = uni.agg(count(lit(1)).cast("double").as("n1"))
+    // sequence() reverses when start > stop, so a 1-word doc must be
+    // filtered out rather than guarded with greatest().
+    val pairs = ws.filter(size(col("l")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(l)-2), i -> struct(l[i] AS w1, l[i+1] AS w2))"))
+        .as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val n2 = pairs.agg(count(lit(1)).cast("double").as("n2"))
+    val bc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).cast("double").as("c12"))
+      .filter(col("c12") >= minCount)
+    bc.crossJoin(n1).crossJoin(n2)
+      .join(uc.select(col("w").as("w1"), col("c").as("c1")), Seq("w1"))
+      .join(uc.select(col("w").as("w2"), col("c").as("c2")), Seq("w2"))
+      .select(col("w1"), col("w2"), col("c12").cast("long").as("pair_count"),
+        round(log(col("c12") * col("n1") * col("n1") /
+          (col("n2") * col("c1") * col("c2"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -315,7 +351,12 @@ object TextStats {
   private val e4Zipf: Q = (s, dir) =>
     zipfFit(t(s, dir, "documents"), "text")
 
+  /** E4h: top-40 PMI collocations with pair count ≥ 5. */
+  private val e4Pmi: Q = (s, dir) =>
+    pmiCollocations(t(s, dir, "documents"), "text", minCount = 5, k = 40)
+
   val queries: Map[String, Q] = Map(
+    "e4_pmi" -> e4Pmi,
     "e4_chi2" -> e4Chi2,
     "e4_zipf" -> e4Zipf,
     "e4_text_stats" -> e4TextStats,
@@ -327,6 +368,27 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "e4_pmi" ->
+      """WITH ws AS (SELECT string_split(text, ' ') AS l FROM documents),
+        |uni AS (SELECT unnest(l) AS w FROM ws),
+        |uc AS (SELECT w, count(*)::DOUBLE AS c FROM uni GROUP BY w),
+        |n1 AS (SELECT count(*)::DOUBLE AS n1 FROM uni),
+        |bg AS (
+        |  SELECT unnest(list_transform(
+        |    range(1, greatest(len(l) - 1, 0) + 1),
+        |    i -> l[i] || ' ' || l[i+1])) AS b
+        |  FROM ws),
+        |n2 AS (SELECT count(*)::DOUBLE AS n2 FROM bg),
+        |bc AS (
+        |  SELECT split_part(b, ' ', 1) AS w1, split_part(b, ' ', 2) AS w2,
+        |    count(*)::DOUBLE AS c12
+        |  FROM bg GROUP BY b HAVING count(*) >= 5)
+        |SELECT w1, w2, c12::BIGINT AS pair_count,
+        |  round(ln(c12 * n1 * n1 / (n2 * u1.c * u2.c)), 6) AS pmi
+        |FROM bc CROSS JOIN n1 CROSS JOIN n2
+        |JOIN uc u1 ON bc.w1 = u1.w
+        |JOIN uc u2 ON bc.w2 = u2.w
+        |ORDER BY pmi DESC, w1, w2 LIMIT 40""".stripMargin,
     "e4_text_stats" ->
       """SELECT lang, count(*) AS n_docs,
         | round(avg(n_chars), 4) AS avg_chars,

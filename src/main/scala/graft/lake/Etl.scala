@@ -41,4 +41,40 @@ object Etl {
     Lake.writeParquet(mapped, outFlat)
     mapped
   }
+
+  /** Slowly-changing-dimension Type-2 build — the warehouse pattern
+    * for "what was this entity's attribute at time T": collapse an
+    * append-only change feed into validity intervals per key, runs of
+    * identical consecutive values becoming one row with
+    * [effective_from, effective_to) and an is_current flag on the open
+    * interval.
+    *
+    * Gaps-and-islands in two key-partitioned window passes over the
+    * feed (change flag via lag, run id via running sum) plus one more
+    * over the ~run-sized result (lead for the closing timestamp) — no
+    * self-joins, nothing leaves its key partition, linear at any
+    * scale. `orderCols` must totally order each key's feed (include a
+    * tie-break id); `attrCol` must be non-null (lag's null marks
+    * run starts). */
+  def scd2(feed: DataFrame, keyCol: String, attrCol: String,
+      tsCol: String, tieCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val flagged = feed.withColumn("chg",
+      when(lag(col(attrCol), 1).over(w).isNull ||
+        lag(col(attrCol), 1).over(w) =!= col(attrCol), 1L).otherwise(0L))
+    val grouped = flagged.withColumn("version",
+      sum(col("chg")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val runs = grouped.groupBy(col(keyCol), col("version"))
+      .agg(min(col(attrCol)).as("attr_value"),
+        min(col(tsCol)).as("effective_from"))
+    val wv = Window.partitionBy(col(keyCol)).orderBy(col("version"))
+    runs
+      .withColumn("effective_to", lead(col("effective_from"), 1).over(wv))
+      .withColumn("is_current",
+        when(col("effective_to").isNull, 1L).otherwise(0L))
+  }
 }

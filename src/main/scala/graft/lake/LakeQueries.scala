@@ -647,7 +647,25 @@ object LakeQueries {
       .toDF("n_rows", "size_positive", "ndv_nationkey", "ndv_regionkey")
   }
 
+  /** K17: SCD Type-2 dimension build — each customer's order-priority
+    * history collapsed to validity intervals ordered by
+    * (o_orderdate, o_orderkey). The oracle recomputes the identical
+    * gaps-and-islands windows, so a merged run, wrong interval
+    * boundary, or misplaced is_current all hash-fail. */
+  private val k17Scd2: Q = (s, dir) => {
+    val feed = t(s, dir, "orders").select(
+      col("o_custkey"), col("o_orderpriority"),
+      col("o_orderdate"), col("o_orderkey"))
+    Etl.scd2(feed, "o_custkey", "o_orderpriority",
+        "o_orderdate", "o_orderkey")
+      .select(col("o_custkey").as("custkey"), col("version"),
+        col("attr_value").as("priority"),
+        col("effective_from"), col("effective_to"), col("is_current"))
+      .orderBy(col("custkey"), col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k17_scd2" -> k17Scd2,
     "s19_analyze_stats" -> s19AnalyzeStats,
     "k14_merge" -> k14Merge,
     "s17_corrupt_records" -> s17CorruptRecords,
@@ -680,6 +698,35 @@ object LakeQueries {
   )
 
   val oracles: Map[String, String] = Map(
+    "k17_scd2" ->
+      """WITH f AS (
+        |  SELECT o_custkey AS k, o_orderpriority AS a,
+        |    o_orderdate AS ts, o_orderkey AS tb,
+        |    CASE WHEN lag(o_orderpriority) OVER w IS NULL
+        |           OR lag(o_orderpriority) OVER w <> o_orderpriority
+        |         THEN 1 ELSE 0 END AS chg
+        |  FROM orders
+        |  WINDOW w AS (PARTITION BY o_custkey
+        |               ORDER BY o_orderdate, o_orderkey)),
+        |g AS (
+        |  SELECT k, a, ts,
+        |    sum(chg) OVER (PARTITION BY k ORDER BY ts, tb
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS version
+        |  FROM f),
+        |runs AS (
+        |  SELECT k, version, min(a) AS priority,
+        |    min(ts) AS effective_from
+        |  FROM g GROUP BY k, version),
+        |fin AS (
+        |  SELECT k, version, priority, effective_from,
+        |    lead(effective_from) OVER (PARTITION BY k ORDER BY version)
+        |      AS effective_to
+        |  FROM runs)
+        |SELECT k AS custkey, version::BIGINT AS version, priority,
+        |  effective_from, effective_to,
+        |  (CASE WHEN effective_to IS NULL THEN 1 ELSE 0 END)::BIGINT
+        |    AS is_current
+        |FROM fin ORDER BY custkey, version""".stripMargin,
     "s19_analyze_stats" ->
       """SELECT count(*)::BIGINT AS n_rows, true AS size_positive,
         |  count(DISTINCT n_nationkey)::BIGINT AS ndv_nationkey,

@@ -72,8 +72,58 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Triangle counting by degree orientation (the MapReduce-era
+    * Cohen/Suri-Vassilvitskii trick, what GraphFrames' triangleCount
+    * compiles to): orient each undirected edge from its lower-(degree,
+    * id) endpoint to the higher, so every triangle is counted exactly
+    * once and per-node wedge fanout is bounded by O(√|E|) on skewed
+    * graphs instead of the max degree. Wedges form via a src-keyed
+    * self-equi-join (the orientation comparison is a residual
+    * predicate, not a join condition); closing is a (v,w) equi-join
+    * back to the oriented edge set. Input edges must be canonical
+    * (u < v, distinct). */
+  def triangleCounts(edges: DataFrame): DataFrame = {
+    val deg = edges.select(col("u").as("n"))
+      .union(edges.select(col("v").as("n")))
+      .groupBy(col("n")).agg(count(lit(1)).as("d"))
+    val ew = edges
+      .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
+      .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
+    val fwd = col("du") < col("dv") ||
+      (col("du") === col("dv") && col("u") < col("v"))
+    val oriented = ew.select(
+      when(fwd, col("u")).otherwise(col("v")).as("src"),
+      when(fwd, col("v")).otherwise(col("u")).as("dst"),
+      when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+    val x = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
+    val y = oriented.select(col("src"), col("dst").as("c"), col("dd").as("dc"))
+    val wedges = x.join(y, Seq("src"))
+      .filter(col("db") < col("dc") ||
+        (col("db") === col("dc") && col("b") < col("c")))
+      .select(col("src").as("a"), col("b"), col("c"))
+    val tri = wedges.join(
+      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+    tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
+      .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
+      .orderBy(col("node"))
+  }
+
+  /** G2: per-node triangle counts over the part co-purchase graph
+    * (parts appearing in the same order are linked). The oracle is the
+    * naive id-ordered 3-way join — same exact counts, so any triangle
+    * the oriented plan loses or double-counts is a hash fail. */
+  private val g2Triangles: Q = (s, dir) => {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = lp.as("a").join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    triangleCounts(edges)
+  }
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1PageRank,
+    "g2_triangles" -> g2Triangles,
   )
 
   private def oracleIter(k: Int): String = {
@@ -90,6 +140,23 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "g2_triangles" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |tri AS (
+        |  SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        |  FROM e e1
+        |  JOIN e e2 ON e2.u = e1.v
+        |  JOIN e e3 ON e3.u = e1.u AND e3.v = e2.v),
+        |corners AS (
+        |  SELECT a AS node FROM tri
+        |  UNION ALL SELECT b FROM tri
+        |  UNION ALL SELECT c FROM tri)
+        |SELECT node, count(*)::BIGINT AS n_tri
+        |FROM corners GROUP BY node ORDER BY node""".stripMargin,
     "g1_pagerank" ->
       s"""WITH rev AS (
          |  SELECT s_nationkey AS src, c_nationkey AS dst,

@@ -76,4 +76,22 @@ class TextStatsSpec extends SparkSpec {
       .as[(String, Long, Long, Double)].collect().toSeq
     assert(got == Seq(("s1", 3L, 0L, 0.0), ("s2", 4L, 1L, 0.25)), s"got $got")
   }
+
+  test("pmiCollocations matches the closed-form score and min-count gate") {
+    // unigrams: x=2 y=2 z=2 w=1, n1=7; bigrams: (x,y)=2 (y,z)=1 (z,w)=1, n2=4.
+    val docs = Seq((1L, "x y"), (2L, "x y z"), (3L, "z w")).toDF("doc_id", "text")
+    def pmi(c12: Double, c1: Double, c2: Double) =
+      math.rint(math.log(c12 * 7.0 * 7.0 / (4.0 * c1 * c2)) * 1e6) / 1e6
+    val all = TextStats.pmiCollocations(docs, "text", minCount = 1, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(all == Seq(
+      ("x", "y", 2L, pmi(2, 2, 2)),   // ln(98/16) = ln(6.125) — tied, w1 breaks
+      ("z", "w", 1L, pmi(1, 2, 1)),   // ln(49/8)  = ln(6.125)
+      ("y", "z", 1L, pmi(1, 2, 2))),  // ln(49/16) ≈ 1.119232
+      s"got $all")
+    // the min-count filter prunes singleton bigrams BEFORE the joins
+    val freq = TextStats.pmiCollocations(docs, "text", minCount = 2, k = 10)
+      .as[(String, String, Long, Double)].collect().toSeq
+    assert(freq == Seq(("x", "y", 2L, pmi(2, 2, 2))), s"got $freq")
+  }
 }

@@ -81,4 +81,25 @@ class EtlSpec extends SparkSpec {
       .count()
     assert(fanout == 5)
   }
+
+  test("scd2 collapses runs into validity intervals with one open row per key") {
+    // key 1: A,A,B,A — the repeated A at t2 merges into run 1; the A at
+    // t4 is a NEW run (version 3). key 2: a single run stays current.
+    val feed = Seq(
+      (1L, "A", 1, 10L), (1L, "A", 2, 11L), (1L, "B", 3, 12L),
+      (1L, "A", 4, 13L), (2L, "X", 1, 20L))
+      .toDF("k", "attr", "ts", "id")
+    val got = Etl.scd2(feed, "k", "attr", "ts", "id")
+      .orderBy($"k", $"version")
+      .select($"k", $"version", $"attr_value", $"effective_from",
+        $"effective_to", $"is_current")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        r.getInt(3), if (r.isNullAt(4)) -1 else r.getInt(4), r.getLong(5)))
+      .toSeq
+    assert(got == Seq(
+      (1L, 1L, "A", 1, 3, 0L),
+      (1L, 2L, "B", 3, 4, 0L),
+      (1L, 3L, "A", 4, -1, 1L),
+      (2L, 1L, "X", 1, -1, 1L)), s"got $got")
+  }
 }

@@ -37,4 +37,26 @@ class GraphSpec extends SparkSpec {
     val r = rankMap(Graph.pageRank(nodes, edges, 3, iters = 10).collect())
     r.values.foreach(v => assert(math.abs(v - 1.0 / 3) < 1e-9))
   }
+
+  private def triMap(rows: Array[Row]): Map[Long, Long] =
+    rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+  test("triangleCounts on K4: every node closes 3 triangles") {
+    val edges = (for { a <- 1L to 4L; b <- 1L to 4L if a < b }
+      yield (a, b)).toDF("u", "v")
+    val got = triMap(Graph.triangleCounts(edges).collect())
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"got $got")
+  }
+
+  test("triangleCounts: triangle-free path yields no rows") {
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    assert(Graph.triangleCounts(edges).count() == 0L)
+  }
+
+  test("triangleCounts: pendant node is excluded, corners count once") {
+    // triangle {1,2,3} plus pendant edge 3-4.
+    val edges = Seq((1L, 2L), (1L, 3L), (2L, 3L), (3L, 4L)).toDF("u", "v")
+    val got = triMap(Graph.triangleCounts(edges).collect())
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got")
+  }
 }
