@@ -320,6 +320,50 @@ object Advanced {
     * interactive-SQL workload shape, identical SQL text on both engines.
     * Catalyst broadcasts the filtered customer dimension and plans
     * TakeOrderedAndProject for the top-10. */
+  /** A15: association-rule mining (support / confidence / lift) over
+    * order baskets — the a-priori shape: the item-support filter prunes
+    * the basket table BEFORE the pair self-join, so pair fanout is
+    * C(basket,2) over frequent items only, never |items|². Everything
+    * is equi-joins on narrow (order, item) rows; the two totals are
+    * 1-row crossJoins. Ordered on the ROUNDED lift so the boundary is
+    * engine-stable. */
+  private val a15AssocRules: Q = (s, dir) => {
+    val ob = t(s, dir, "lineitem")
+      .join(t(s, dir, "part"),
+        col("l_partkey") === col("p_partkey"))
+      .select(col("l_orderkey").as("o"), col("p_brand").as("b"))
+      .distinct()
+    associationRules(ob, minSup = 20, k = 50)
+  }
+
+  /** Rule mining over a deduplicated (o, b) basket-membership table;
+    * see [[a15AssocRules]] for the shape discussion. */
+  def associationRules(ob: DataFrame, minSup: Int, k: Int): DataFrame = {
+    val tot = ob.agg(countDistinct(col("o")).cast("double").as("n_orders"))
+    val sup = ob.groupBy(col("b"))
+      .agg(count(lit(1)).cast("double").as("supp"))
+      .filter(col("supp") >= minSup)
+    // a-priori prune: only frequent items enter the pair join
+    val freq = ob.join(sup.select(col("b")), Seq("b"))
+    val pairs = freq.select(col("o"), col("b").as("b1"))
+      .join(freq.select(col("o"), col("b").as("b2")), Seq("o"))
+      .filter(col("b1") < col("b2"))
+      .groupBy(col("b1"), col("b2"))
+      .agg(count(lit(1)).cast("double").as("sup12"))
+      .filter(col("sup12") >= minSup)
+    pairs
+      .join(sup.select(col("b").as("b1"), col("supp").as("sup1")), Seq("b1"))
+      .join(sup.select(col("b").as("b2"), col("supp").as("sup2")), Seq("b2"))
+      .crossJoin(tot)
+      .select(col("b1"), col("b2"), col("sup12").cast("long").as("pair_n"),
+        round(col("sup12") / col("sup1"), 4).as("conf_fwd"),
+        round(col("sup12") / col("sup2"), 4).as("conf_rev"),
+        round(col("sup12") * col("n_orders") / (col("sup1") * col("sup2")),
+          4).as("lift"))
+      .orderBy(col("lift").desc, col("b1"), col("b2"))
+      .limit(k)
+  }
+
   private val q3Shipping: Q = (s, dir) => {
     Tables.register(s, dir)
     s.sql(
@@ -374,9 +418,31 @@ object Advanced {
     "k6_bucketed_join" -> k6BucketedJoin,
     "j8_salted_skew" -> j8SaltedSkew,
     "j11_bloom_join" -> j11BloomJoin,
+    "a15_assoc_rules" -> a15AssocRules,
   )
 
   val oracles: Map[String, String] = Map(
+    "a15_assoc_rules" ->
+      """WITH ob AS (
+        |  SELECT DISTINCT l_orderkey AS o, p_brand AS b
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey),
+        |tot AS (SELECT count(DISTINCT o)::DOUBLE AS n_orders FROM ob),
+        |sup AS (
+        |  SELECT b, count(*)::DOUBLE AS supp FROM ob GROUP BY b
+        |  HAVING count(*) >= 20),
+        |freq AS (SELECT ob.o, ob.b FROM ob JOIN sup ON ob.b = sup.b),
+        |pairs AS (
+        |  SELECT x.b AS b1, y.b AS b2, count(*)::DOUBLE AS sup12
+        |  FROM freq x JOIN freq y ON x.o = y.o AND x.b < y.b
+        |  GROUP BY x.b, y.b HAVING count(*) >= 20)
+        |SELECT b1, b2, sup12::BIGINT AS pair_n,
+        |  round(sup12 / s1.supp, 4) AS conf_fwd,
+        |  round(sup12 / s2.supp, 4) AS conf_rev,
+        |  round(sup12 * n_orders / (s1.supp * s2.supp), 4) AS lift
+        |FROM pairs CROSS JOIN tot
+        |JOIN sup s1 ON pairs.b1 = s1.b
+        |JOIN sup s2 ON pairs.b2 = s2.b
+        |ORDER BY lift DESC, b1, b2 LIMIT 50""".stripMargin,
     "q3_shipping" ->
       """SELECT l_orderkey,
         |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS revenue,

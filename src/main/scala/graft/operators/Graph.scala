@@ -108,6 +108,40 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** Bounded-hop BFS shortest paths from `src` over canonical
+    * undirected edges (u < v): each hop is one frontier×adjacency
+    * equi-join + one node-keyed min — linear in |E| per hop, the
+    * Pregel dataflow (same shape as [[pageRank]]); distances stay
+    * (node, long) narrow. Hop count is a constant, so the plan is a
+    * fixed k-deep tree — no driver-side convergence checks. */
+  def bfsDistances(edges: DataFrame, src: Long, maxHops: Int): DataFrame = {
+    val adj = edges.select(col("u").as("s"), col("v").as("d"))
+      .union(edges.select(col("v").as("s"), col("u").as("d")))
+    var dist = edges.sparkSession.range(1)
+      .select(lit(src).as("node"), lit(0L).as("dist"))
+    for (_ <- 1 to maxHops) {
+      val next = dist.join(adj, col("node") === col("s"))
+        .select(col("d").as("node"), (col("dist") + 1L).as("dist"))
+      dist = dist.union(next)
+        .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+    }
+    dist
+  }
+
+  /** G3: 3-hop BFS distances from part 1 over the part co-purchase
+    * graph. The oracle unrolls the same three relaxation rounds as
+    * CTEs — a lost frontier edge or an off-by-one hop is a hash
+    * fail. */
+  private val g3Bfs: Q = (s, dir) => {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = lp.as("a").join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    bfsDistances(edges, src = 1L, maxHops = 3)
+      .orderBy(col("node"))
+  }
+
   /** G2: per-node triangle counts over the part co-purchase graph
     * (parts appearing in the same order are linked). The oracle is the
     * naive id-ordered 3-way join — same exact counts, so any triangle
@@ -124,6 +158,7 @@ object Graph {
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1PageRank,
     "g2_triangles" -> g2Triangles,
+    "g3_bfs" -> g3Bfs,
   )
 
   private def oracleIter(k: Int): String = {
@@ -140,6 +175,31 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "g3_bfs" ->
+      """WITH lp AS (
+        |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e0 AS (
+        |  SELECT DISTINCT a.p AS u, b.p AS v
+        |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+        |adj AS (SELECT u AS s, v AS d FROM e0
+        |        UNION ALL SELECT v AS s, u AS d FROM e0),
+        |d0 AS (SELECT 1::BIGINT AS node, 0::BIGINT AS dist),
+        |d1 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d0
+        |  UNION ALL
+        |  SELECT adj.d AS node, d0.dist + 1 AS dist
+        |  FROM d0 JOIN adj ON adj.s = d0.node) GROUP BY node),
+        |d2 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d1
+        |  UNION ALL
+        |  SELECT adj.d AS node, d1.dist + 1 AS dist
+        |  FROM d1 JOIN adj ON adj.s = d1.node) GROUP BY node),
+        |d3 AS (SELECT node, min(dist) AS dist FROM (
+        |  SELECT node, dist FROM d2
+        |  UNION ALL
+        |  SELECT adj.d AS node, d2.dist + 1 AS dist
+        |  FROM d2 JOIN adj ON adj.s = d2.node) GROUP BY node)
+        |SELECT node, dist::BIGINT AS dist FROM d3 ORDER BY node""".stripMargin,
     "g2_triangles" ->
       """WITH lp AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

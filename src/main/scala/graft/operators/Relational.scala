@@ -468,6 +468,45 @@ object Relational {
       .distinct()
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** A13: arg-max / arg-min aggregates (`max_by`/`min_by`; DuckDB
+    * `arg_max`/`arg_min`) — "which customer holds the extreme value"
+    * without a rank-window or self-join: single partial-aggregable
+    * pass, constant state per group. Both engines order on ONE
+    * composite bigint (balance cents ⊕ custkey) so double-precision
+    * acctbal ties break identically. */
+  private val a13ArgMax: Q = (s, dir) => {
+    val ord = round(col("c_acctbal") * 100).cast("long") * 10000000L +
+      col("c_custkey")
+    t(s, dir, "customer")
+      .groupBy(col("c_nationkey"))
+      .agg(
+        max_by(col("c_name"), ord).as("richest"),
+        round(max(col("c_acctbal")), 2).as("top_bal"),
+        min_by(col("c_name"), ord).as("poorest"),
+        round(min(col("c_acctbal")), 2).as("bottom_bal"),
+        count(lit(1)).as("n"))
+      .orderBy(col("c_nationkey"))
+  }
+
+  /** A14: linear-regression aggregates (`regr_slope`/`regr_intercept`/
+    * `regr_r2`/`corr`) — one-pass Welford-style moment state, partial-
+    * aggregable, no second scan; the SQL-standard fit surface both
+    * engines share. Rounded to 6: the moment sums differ only in
+    * summation order (~1e-10 relative). */
+  private val a14Regr: Q = (s, dir) =>
+    t(s, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(expr("regr_slope(l_extendedprice, l_quantity)"), 6)
+          .as("slope"),
+        round(expr("regr_intercept(l_extendedprice, l_quantity)"), 6)
+          .as("intercept"),
+        round(expr("regr_r2(l_extendedprice, l_quantity)"), 6).as("r2"),
+        round(corr(col("l_extendedprice"), col("l_quantity")), 6)
+          .as("pearson"),
+        count(lit(1)).as("n"))
+      .orderBy(col("l_returnflag"))
+
   // ---------------------------------------------------------------- registry
 
   /** A11 ✱: sketch-table distinct counting — the 100 TB pattern behind
@@ -535,6 +574,8 @@ object Relational {
   val queries: Map[String, Q] = Map(
     "a11_sketch_table" -> a11SketchTable,
     "a12_rolling_uniques" -> a12RollingUniques,
+    "a13_argmax" -> a13ArgMax,
+    "a14_regr" -> a14Regr,
     "p3_select_star" -> p3SelectStar,
     "p5_filter" -> p5Filter,
     "l1_limit" -> l1Limit,
@@ -575,6 +616,25 @@ object Relational {
         |  true AS global_within_bound""".stripMargin,
     "a12_rolling_uniques" ->
       "SELECT true AS rolling_within_bound, true AS month_covered",
+    "a13_argmax" ->
+      """SELECT c_nationkey,
+        |  arg_max(c_name, round(c_acctbal * 100)::BIGINT * 10000000
+        |    + c_custkey) AS richest,
+        |  round(max(c_acctbal), 2) AS top_bal,
+        |  arg_min(c_name, round(c_acctbal * 100)::BIGINT * 10000000
+        |    + c_custkey) AS poorest,
+        |  round(min(c_acctbal), 2) AS bottom_bal,
+        |  count(*)::BIGINT AS n
+        |FROM customer GROUP BY c_nationkey ORDER BY c_nationkey""".stripMargin,
+    "a14_regr" ->
+      """SELECT l_returnflag,
+        |  round(regr_slope(l_extendedprice, l_quantity), 6) AS slope,
+        |  round(regr_intercept(l_extendedprice, l_quantity), 6)
+        |    AS intercept,
+        |  round(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+        |  round(corr(l_extendedprice, l_quantity), 6) AS pearson,
+        |  count(*)::BIGINT AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
     "p3_select_star" ->
       "SELECT * FROM region ORDER BY r_regionkey",
     "p5_filter" ->

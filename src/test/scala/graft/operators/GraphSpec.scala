@@ -59,4 +59,21 @@ class GraphSpec extends SparkSpec {
     val got = triMap(Graph.triangleCounts(edges).collect())
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L), s"got $got")
   }
+
+  test("bfsDistances stops at the hop budget") {
+    // path 1-2-3-4-5: node 5 is 4 hops out, beyond maxHops=3.
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("u", "v")
+    val got = triMap(Graph.bfsDistances(edges, src = 1L, maxHops = 3).collect())
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L), s"got $got")
+  }
+
+  test("bfsDistances takes the shortcut, not the first path found") {
+    // same path plus shortcut 1-4: 4 drops to 1 hop, 5 to 2, 3 stays 2
+    // (reached both via 2 and back from 4).
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (1L, 4L))
+      .toDF("u", "v")
+    val got = triMap(Graph.bfsDistances(edges, src = 1L, maxHops = 3).collect())
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L),
+      s"got $got")
+  }
 }
