@@ -227,6 +227,30 @@ object Similarity {
         round(col("cos"), 6).as("sim"))
   }
 
+  /** k-NN label classification by majority vote over the exact top-k
+    * cosine neighbors (leave-one-out: a query never votes for itself).
+    * Vote ties break on the smaller label; the expensive part is
+    * [[bruteForceTopK]] (queries broadcast, corpus never shuffles), the
+    * vote itself is a |q|·k-row groupBy. Returns one row per query:
+    * (q_id, true_label, pred_label, correct). */
+  def knnClassify(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val labels = corpus.select(col("vec_id").as("c_id"),
+      col("label").as("n_label"))
+    val votes = bruteForceTopK(queries, corpus, k)
+      .join(labels, Seq("c_id"))
+      .groupBy(col("q_id"), col("n_label"))
+      .agg(count(lit(1)).as("votes"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("votes").desc, col("n_label"))
+    val pred = votes.withColumn("_r", row_number().over(w))
+      .filter(col("_r") === 1)
+      .select(col("q_id"), col("n_label").as("pred_label"))
+    queries.select(col("vec_id").as("q_id"), col("label").as("true_label"))
+      .join(pred, Seq("q_id"))
+      .select(col("q_id"), col("true_label"), col("pred_label"),
+        (col("true_label") === col("pred_label")).as("correct"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E3: exact cosine top-5 for the first 5 vectors, against the full
@@ -235,6 +259,16 @@ object Similarity {
     val emb = t(s, dir, "embeddings")
     bruteForceTopK(emb.filter(col("vec_id") < 5), emb, k = 5)
       .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** E3g: leave-one-out 5-NN classification over a 2%-sampled query
+    * set (`vec_id % 50 = 0` — deterministic, scale-proportional). The
+    * oracle recomputes the identical vote in SQL, so a wrong neighbor
+    * set, a lost vote, or a tie broken the other way all hash-fail. */
+  private val e3KnnClassify: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    knnClassify(emb, emb.filter(col("vec_id") % 50 === 0), k = 5)
+      .orderBy(col("q_id"))
   }
 
   /** E3b: ANN self-check — candidate recall of the exact top-5 must
@@ -587,6 +621,7 @@ object Similarity {
     "e3_label_coherence" -> e3LabelCoherence,
     "e3_pca" -> e3Pca,
     "e3_cosine_topk" -> e3CosineTopk,
+    "e3_knn_classify" -> e3KnnClassify,
     "e3_ann_recall" -> e3AnnRecall,
     "e3_ivf_recall" -> e3IvfRecall,
     "e3_ivf_indexed" -> e3IvfIndexed,
@@ -640,6 +675,33 @@ object Similarity {
         |  FROM p)
         |SELECT q_id, rnk, c_id, round(cos, 6) AS sim FROM r
         |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
+    "e3_knn_classify" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id, c.label AS n_label,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c WHERE q.vec_id % 50 = 0 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT q_id, n_label,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, c_id)
+        |      AS rnk
+        |  FROM p),
+        |votes AS (
+        |  SELECT q_id, n_label, count(*) AS votes
+        |  FROM r WHERE rnk <= 5 GROUP BY q_id, n_label),
+        |pred AS (
+        |  SELECT q_id, n_label AS pred_label,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY votes DESC, n_label) AS pr
+        |  FROM votes)
+        |SELECT e.vec_id AS q_id, e.label AS true_label, p.pred_label,
+        |  e.label = p.pred_label AS correct
+        |FROM n e JOIN pred p ON p.q_id = e.vec_id AND p.pr = 1
+        |ORDER BY q_id""".stripMargin,
     "e3_ann_recall" ->
       "SELECT true AS recall_ok, true AS cand_budget_ok",
     "e3_ann_neardup" ->

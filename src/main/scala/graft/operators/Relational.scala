@@ -468,6 +468,32 @@ object Relational {
       .distinct()
       .orderBy(col("l_returnflag"), col("l_linestatus"))
 
+  /** X6 ✱: the opt-in `ApproxDistinctRewrite` optimizer rule
+    * (`plans/ApproxDistinctRewrite.scala`, injected via
+    * `GraftExtensions`) — with `spark.graft.approxDistinct=true` the
+    * exact `COUNT(DISTINCT)` below is rewritten by CATALYST to
+    * HyperLogLog++ before planning; the exact side goes through a
+    * distinct-then-count shape the rule leaves alone. Executed eagerly
+    * (scratch-parquet write) while the flag is on so the flag can't
+    * leak into later queries' plans. Gate: every group's estimate
+    * within the 3σ HLL bound of exact. */
+  private val x6ApproxRewrite: Q = (s, dir) => {
+    val li = t(s, dir, "lineitem")
+    val out = graft.lake.Lake.scratchDir("x6")
+    s.conf.set("spark.graft.approxDistinct", "true")
+    try {
+      val approx = li.groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("ad")) // rule rewrites this
+      val exact = li.select(col("l_returnflag"), col("l_partkey")).distinct()
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("ed"))
+      approx.join(exact, Seq("l_returnflag"))
+        .write.mode("overwrite").parquet(out)
+    } finally s.conf.set("spark.graft.approxDistinct", "false")
+    s.read.parquet(out).agg(
+      expr("bool_and(abs(ad - ed) <= 0.15 * ed)").as("approx_within_bound"),
+      (count(lit(1)) === 3).as("all_groups"))
+  }
+
   /** A13: arg-max / arg-min aggregates (`max_by`/`min_by`; DuckDB
     * `arg_max`/`arg_min`) — "which customer holds the extreme value"
     * without a rank-window or self-join: single partial-aggregable
@@ -576,6 +602,7 @@ object Relational {
     "a12_rolling_uniques" -> a12RollingUniques,
     "a13_argmax" -> a13ArgMax,
     "a14_regr" -> a14Regr,
+    "x6_approx_rewrite" -> x6ApproxRewrite,
     "p3_select_star" -> p3SelectStar,
     "p5_filter" -> p5Filter,
     "l1_limit" -> l1Limit,
@@ -616,6 +643,8 @@ object Relational {
         |  true AS global_within_bound""".stripMargin,
     "a12_rolling_uniques" ->
       "SELECT true AS rolling_within_bound, true AS month_covered",
+    "x6_approx_rewrite" ->
+      "SELECT true AS approx_within_bound, true AS all_groups",
     "a13_argmax" ->
       """SELECT c_nationkey,
         |  arg_max(c_name, round(c_acctbal * 100)::BIGINT * 10000000

@@ -161,6 +161,27 @@ object Federated {
       .orderBy(col("s_suppkey"))
   }
 
+  /** S8b: DSv2 SINK round trip — suppliers written through the KV
+    * connector's write path (`.write.format(...).mode("overwrite")`,
+    * task-parallel idempotent puts, truncate-then-load) and read back
+    * through its scan; the oracle recomputes the projection from the
+    * lake table directly, so a dropped row, clobbered attribute, or
+    * leftover pre-truncate item all hash-fail. */
+  private val s8bKvSinkRt: Q = (s, dir) => {
+    val name = s"supplier_sink_${math.abs(dir.hashCode)}"
+    t(s, dir, "supplier")
+      .select(col("s_suppkey").cast("long").as("kv_key"),
+        map(lit("name"), col("s_name"),
+          lit("nationkey"), col("s_nationkey").cast("string")).as("attrs"))
+      .write.format(classOf[kv.KvSource].getName)
+      .option("store", name).mode("overwrite").save()
+    s.read.format(classOf[kv.KvSource].getName)
+      .option("store", name).load()
+      .select(col("kv_key"), col("attrs")("name").as("name"),
+        col("attrs")("nationkey").cast("int").as("nationkey"))
+      .orderBy(col("kv_key"))
+  }
+
   /** S9: relational source round trip — region through embedded Derby
     * over real JDBC, read back as a 4-partition parallel range scan. */
   private val s9Jdbc: Q = (s, dir) => {
@@ -234,6 +255,7 @@ object Federated {
 
   val queries: Map[String, Q] = Map(
     "s8_kv_join" -> s8KvJoin,
+    "s8b_kv_sink_rt" -> s8bKvSinkRt,
     "s9_jdbc" -> s9Jdbc,
     "s9b_jdbc_agg_push" -> s9bJdbcAggPush,
     "s9c_jdbc_join_push" -> s9cJdbcJoinPush,
@@ -245,6 +267,10 @@ object Federated {
       """SELECT s_suppkey, s_name, n_name AS nation_name
         |FROM supplier JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY s_suppkey""".stripMargin,
+    "s8b_kv_sink_rt" ->
+      """SELECT s_suppkey AS kv_key, s_name AS name,
+        |  s_nationkey AS nationkey
+        |FROM supplier ORDER BY kv_key""".stripMargin,
     "s9_jdbc" ->
       "SELECT r_regionkey, r_name FROM region ORDER BY r_regionkey",
     "s9b_jdbc_agg_push" ->

@@ -7,9 +7,10 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.{ArrayBasedMapData, GenericArrayData}
-import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.catalog.{SupportsRead, SupportsWrite, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read._
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, SupportsTruncate, Write, WriteBuilder, WriterCommitMessage}
 import org.apache.spark.sql.sources.{EqualTo, Filter, In}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -63,6 +64,9 @@ object KvStore {
           keys.forall(_.contains(k))
       }
       .sortBy(_._1)
+
+  /** Drop every item in a store (the service's truncate API). */
+  def clear(name: String): Unit = store(name).clear()
 }
 
 /** DataSource V2 provider: `spark.read.format(classOf[KvSource].getName)
@@ -90,14 +94,75 @@ object KvSource {
 }
 
 private[kv] class KvTable(storeName: String, segments: Int)
-    extends Table with SupportsRead {
+    extends Table with SupportsRead with SupportsWrite {
   override def name(): String = s"kv:$storeName"
   override def schema(): StructType = KvSource.Schema
   override def capabilities(): java.util.Set[TableCapability] =
-    java.util.EnumSet.of(TableCapability.BATCH_READ)
+    java.util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.TRUNCATE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new KvScanBuilder(storeName, segments)
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new KvWriteBuilder(storeName, info.schema())
 }
+
+/** DSv2 write path (`df.write.format(...).option("store", n)
+  * .mode("append"|"overwrite").save()`): each task writes its own rows
+  * through the service client — puts are key-idempotent, so task
+  * retries are safe without a commit protocol and nothing funnels
+  * through the driver. `overwrite` maps to `SupportsTruncate`: the
+  * store is cleared once at job start (driver side, before any task
+  * runs), mirroring a real KV sink's truncate-then-load. */
+private[kv] class KvWriteBuilder(storeName: String, schema: StructType)
+    extends WriteBuilder with SupportsTruncate {
+  private var doTruncate = false
+
+  override def truncate(): WriteBuilder = { doTruncate = true; this }
+
+  override def build(): Write = {
+    require(schema.fieldNames.contains("kv_key") &&
+      schema.fieldNames.contains("attrs"),
+      s"the graft KV sink needs (kv_key long, attrs map<string,string>); got ${schema.simpleString}")
+    new Write {
+      override def toBatch: BatchWrite = new KvBatchWrite(storeName, schema, doTruncate)
+    }
+  }
+}
+
+private[kv] class KvBatchWrite(storeName: String, schema: StructType,
+    doTruncate: Boolean) extends BatchWrite {
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    if (doTruncate) KvStore.clear(storeName) // once, before tasks launch
+    new KvWriterFactory(storeName, schema)
+  }
+  override def commit(messages: Array[WriterCommitMessage]): Unit = ()
+  override def abort(messages: Array[WriterCommitMessage]): Unit = ()
+}
+
+private[kv] class KvWriterFactory(storeName: String, schema: StructType)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] = {
+    val keyIdx = schema.fieldIndex("kv_key")
+    val attrsIdx = schema.fieldIndex("attrs")
+    new DataWriter[InternalRow] {
+      override def write(row: InternalRow): Unit = {
+        val m = row.getMap(attrsIdx)
+        val ks = m.keyArray()
+        val vs = m.valueArray()
+        val attrs = (0 until m.numElements()).map { i =>
+          ks.getUTF8String(i).toString ->
+            (if (vs.isNullAt(i)) null else vs.getUTF8String(i).toString)
+        }.toMap
+        KvStore.put(storeName, Seq(row.getLong(keyIdx) -> attrs))
+      }
+      override def commit(): WriterCommitMessage = KvCommitDone
+      override def abort(): Unit = () // idempotent puts: retry overwrites
+      override def close(): Unit = ()
+    }
+  }
+}
+
+private[kv] case object KvCommitDone extends WriterCommitMessage
 
 /** Pushdown happens here: key-equality filters (EqualTo/In on kv_key)
   * are accepted and turn the scan into point lookups — only matching

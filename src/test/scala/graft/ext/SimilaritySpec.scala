@@ -127,6 +127,33 @@ class SimilaritySpec extends SparkSpec {
     assert(rows.forall { case (_, qsim) => qsim >= -1.0001 && qsim <= 1.0001 })
   }
 
+  test("knnClassify: leave-one-out majority vote, ties to smaller label") {
+    val corpus = Seq(
+      (10L, Array(1.0f, 0.0f), 1),    // query; true label deliberately odd-one-out
+      (1L, Array(0.99f, 0.01f), 0),
+      (2L, Array(0.98f, 0.02f), 0),
+      (3L, Array(0.97f, 0.03f), 2),
+      (4L, Array(0.0f, 1.0f), 2),
+      (5L, Array(0.01f, 0.99f), 2),
+      (20L, Array(0.0f, 1.0f), 2))    // query; its cluster agrees
+      .toDF("vec_id", "embedding", "label")
+    val got = Similarity.knnClassify(corpus,
+        corpus.filter($"vec_id" isin (10L, 20L)), k = 3)
+      .orderBy($"q_id").as[(Long, Int, Int, Boolean)].collect().toSeq
+    // 10's 3-NN = {1, 2, 3} → votes {0:2, 2:1} → pred 0 ≠ 1
+    // 20's 3-NN = {4, 5, 3} → all label 2 → pred 2 = 2
+    assert(got == Seq((10L, 1, 0, false), (20L, 2, 2, true)), s"got $got")
+
+    val tie = Seq(
+      (30L, Array(1.0f, 0.0f), 9),
+      (31L, Array(0.99f, 0.01f), 5),
+      (32L, Array(0.98f, 0.02f), 3))
+      .toDF("vec_id", "embedding", "label")
+    val t = Similarity.knnClassify(tie, tie.filter($"vec_id" === 30L), k = 2)
+      .as[(Long, Int, Int, Boolean)].collect().toSeq
+    assert(t == Seq((30L, 9, 3, false)), s"1-1 vote must break low: $t")
+  }
+
   test("topEigen recovers a known spectrum with deflation") {
     // diag(3, 1) rotated by 45°: eigenvalues 3 and 1, eigenvectors
     // (1,1)/√2 and (1,−1)/√2

@@ -123,6 +123,37 @@ class FederatedSpec extends SparkSpec {
     assert(df.count() > 0)
   }
 
+  test("KV DSv2 sink: append upserts by key, overwrite truncates first") {
+    import graft.sources.kv.{KvSource, KvStore}
+    import org.apache.spark.sql.functions.{col, lit, map}
+    val store = s"sink_spec_${System.nanoTime()}"
+    def write(df: org.apache.spark.sql.DataFrame, mode: String): Unit =
+      df.write.format(classOf[KvSource].getName)
+        .option("store", store).mode(mode).save()
+    def readBack() = spark.read.format(classOf[KvSource].getName)
+      .option("store", store).load()
+      .select(col("kv_key"), col("attrs")("v").as("v"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+
+    val a = Seq(1L -> "one", 2L -> "two").toDF("kv_key", "v")
+      .select(col("kv_key"), map(lit("v"), col("v")).as("attrs"))
+    write(a, "append")
+    assert(readBack() == Map(1L -> "one", 2L -> "two"))
+
+    // append: same key overwrites (idempotent put), new key lands
+    val b = Seq(2L -> "TWO", 3L -> "three").toDF("kv_key", "v")
+      .select(col("kv_key"), map(lit("v"), col("v")).as("attrs"))
+    write(b, "append")
+    assert(readBack() == Map(1L -> "one", 2L -> "TWO", 3L -> "three"))
+
+    // overwrite: pre-existing keys 1 and 2 must vanish
+    val c = Seq(9L -> "nine").toDF("kv_key", "v")
+      .select(col("kv_key"), map(lit("v"), col("v")).as("attrs"))
+    write(c, "overwrite")
+    assert(readBack() == Map(9L -> "nine"))
+    KvStore.clear(store)
+  }
+
   test("SourceRegistry unifies sources under names") {
     val reg = new Federated.SourceRegistry
     reg.register("a", () => Seq(1).toDF("x"))
