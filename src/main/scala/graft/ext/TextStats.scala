@@ -355,7 +355,33 @@ object TextStats {
   private val e4Pmi: Q = (s, dir) =>
     pmiCollocations(t(s, dir, "documents"), "text", minCount = 5, k = 40)
 
+  /** E4i: per-document word-level Shannon entropy, rolled up per
+    * language. Low-entropy docs are boilerplate/spam (a handful of
+    * words repeated); the filter signal every curation stack computes.
+    * H = ln N − (Σ c·ln c)/N over the doc's word counts — two
+    * hash aggregations, no window, no shuffle wider than (doc, word).
+    * Per CLAUDE.md rounding-parity: the per-DOC entropy rounds to 4
+    * first, then the per-language avg/min/max round the rounded rows. */
+  private val e4Entropy: Q = (s, dir) => {
+    val words = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val wc = words.groupBy(col("doc_id"), col("lang"), col("w"))
+      .agg(count(lit(1)).cast("double").as("c"))
+    val ent = wc.groupBy(col("doc_id"), col("lang"))
+      .agg(round(log(sum(col("c"))) -
+        sum(col("c") * log(col("c"))) / sum(col("c")), 4).as("h"))
+    ent.groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("h")), 4).as("avg_entropy"),
+        round(min(col("h")), 4).as("min_entropy"),
+        round(max(col("h")), 4).as("max_entropy"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e4_entropy" -> e4Entropy,
     "e4_pmi" -> e4Pmi,
     "e4_chi2" -> e4Chi2,
     "e4_zipf" -> e4Zipf,
@@ -368,6 +394,22 @@ object TextStats {
   )
 
   val oracles: Map[String, String] = Map(
+    "e4_entropy" ->
+      """WITH w AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |c AS (
+        |  SELECT doc_id, lang, w, count(*)::DOUBLE AS c
+        |  FROM w WHERE w <> '' GROUP BY doc_id, lang, w),
+        |e AS (
+        |  SELECT doc_id, lang,
+        |    round(ln(sum(c)) - sum(c * ln(c)) / sum(c), 4) AS h
+        |  FROM c GROUP BY doc_id, lang)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  round(avg(h), 4) AS avg_entropy,
+        |  round(min(h), 4) AS min_entropy,
+        |  round(max(h), 4) AS max_entropy
+        |FROM e GROUP BY lang ORDER BY lang""".stripMargin,
     "e4_pmi" ->
       """WITH ws AS (SELECT string_split(text, ' ') AS l FROM documents),
         |uni AS (SELECT unnest(l) AS w FROM ws),

@@ -96,6 +96,30 @@ object TrainPrep {
       .drop("rk", "n_stratum")
   }
 
+  // ------------------------------- weighted sampling (A-ES top-k)
+
+  /** Deterministic weighted sampling WITHOUT replacement via the
+    * Efraimidis–Spirakis A-ES scheme: each row gets key = u^(1/w) for
+    * a uniform u and weight w, and the global k largest keys are the
+    * sample — inclusion probability proportional to weight, no
+    * sequential state. The uniform comes from the same multiplicative
+    * hash as [[splitBucket]] shifted to the bin CENTER ((h+0.5)/2³²,
+    * exactly representable, never 0 — so u^(1/w) is always defined and
+    * bit-identical across engines).
+    *
+    * Scale shape: key assignment is map-only; selection is a
+    * distributed top-k (TakeOrderedAndProject — per-partition heaps of
+    * k, never a global sort), so the corpus is never shuffled. This is
+    * THE cluster-scale weighted sampler: quality-weighted corpus
+    * selection in one pass. */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    val u = splitBucket(col(idCol)) + lit(0.5 / 4294967296.0)
+    df.withColumn("aes_key", pow(u, lit(1.0) / weight))
+      .orderBy(col("aes_key").desc, col(idCol))
+      .limit(k)
+  }
+
   // ------------------------------------------------- chunking
 
   /** Sliding-window document chunking — the universal pre-training/RAG
@@ -291,6 +315,19 @@ object TrainPrep {
       .orderBy(col("source"))
   }
 
+  /** E8h: A-ES weighted sample of 200 docs, sources 0-4 weighted 4× —
+    * per-source counts plus an id checksum pin the exact membership
+    * (the oracle computes the identical keys and top-200 cut). */
+  private val e8Weighted: Q = (s, dir) => {
+    val weight = when(
+      col("source").substr(lit(4), lit(10)).cast("int") < 5, 4.0)
+      .otherwise(1.0)
+    weightedSample(t(s, dir, "documents"), "doc_id", weight, k = 200)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("source"))
+  }
+
   /** E8f: 32-word chunks every 24 words over the corpus. */
   private val e8Chunk: Q = (s, dir) =>
     chunkByWords(t(s, dir, "documents"), "doc_id", "text",
@@ -315,6 +352,7 @@ object TrainPrep {
   }
 
   val queries: Map[String, Q] = Map(
+    "e8_weighted" -> e8Weighted,
     "e8_upsample" -> e8Upsample,
     "e8_hash_split" -> e8HashSplit,
     "e8_pack" -> e8Pack,
@@ -325,6 +363,19 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_weighted" ->
+      """WITH b AS (
+        |  SELECT doc_id, source,
+        |    ((((doc_id % 2147483648) * 2654435761) % 4294967296) + 0.5)
+        |      / 4294967296.0 AS u,
+        |    CASE WHEN substr(source, 4)::INT < 5 THEN 4.0 ELSE 1.0 END AS w
+        |  FROM documents),
+        |k AS (
+        |  SELECT doc_id, source FROM b
+        |  ORDER BY pow(u, 1.0 / w) DESC, doc_id LIMIT 200)
+        |SELECT source, count(*)::BIGINT AS n_sampled,
+        |  sum(doc_id)::BIGINT AS sum_ids
+        |FROM k GROUP BY source ORDER BY source""".stripMargin,
     "e8_upsample" ->
       """WITH c AS (
         |  SELECT source, count(*) AS n_s,

@@ -155,10 +155,68 @@ object Graph {
     triangleCounts(edges)
   }
 
+  /** Synchronous label propagation (community detection): every node
+    * starts labeled with its own id; each round every node adopts the
+    * most frequent label among its neighbors (self-loops keep isolated
+    * or weakly-connected nodes voting for themselves), ties broken by
+    * the smallest label. One round = one adjacency×label equi-join +
+    * one (node, label) count + one per-node top-1 window — linear in
+    * |E| per round, the Pregel dataflow again. All-integer vote
+    * arithmetic, so cross-engine determinism needs no rounding grid at
+    * all. `adj` is a directed neighbor list (both directions of each
+    * undirected edge, plus self-loops). */
+  def labelPropagation(nodes: DataFrame, adj: DataFrame,
+      iters: Int): DataFrame = {
+    var labels = nodes.select(col("node"), col("node").as("lbl"))
+    for (_ <- 1 to iters) {
+      val votes = adj.join(labels, col("s") === col("node"))
+        .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("c"))
+      val top = Window.partitionBy(col("d"))
+        .orderBy(col("c").desc, col("lbl"))
+      labels = votes.withColumn("rk", row_number().over(top))
+        .filter(col("rk") === 1)
+        .select(col("d").as("node"), col("lbl"))
+    }
+    labels
+  }
+
+  /** G4: label-propagation communities over the SPARSIFIED nation
+    * trade graph — each supplier nation keeps only its top-3 customer
+    * nations by revenue (the dense 25×25 graph collapses to one
+    * community in a single round; top-k sparsification is the standard
+    * preprocessing). Edge build reuses the g1 revenue star join; the
+    * oracle unrolls the same 4 synchronous rounds as CTEs, so a lost
+    * vote or a wrong tie-break is a hash fail. */
+  private val g4LabelProp: Q = (s, dir) => {
+    Tables.register(s, dir)
+    val rev = s.sql(
+      """SELECT s_nationkey AS src, c_nationkey AS dst,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS rv
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey, c_nationkey""".stripMargin)
+    val byRev = Window.partitionBy(col("src"))
+      .orderBy(col("rv").desc, col("dst"))
+    val top3 = rev.withColumn("rk", row_number().over(byRev))
+      .filter(col("rk") <= 3).select(col("src"), col("dst"))
+    val nodes = t(s, dir, "nation")
+      .select(col("n_nationkey").as("node")).distinct()
+    val adj = top3.select(col("src").as("s"), col("dst").as("d"))
+      .union(top3.select(col("dst").as("s"), col("src").as("d")))
+      .union(nodes.select(col("node").as("s"), col("node").as("d")))
+      .distinct()
+    labelPropagation(nodes, adj, iters = 4)
+      .select(col("node"), col("lbl").as("community"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1PageRank,
     "g2_triangles" -> g2Triangles,
     "g3_bfs" -> g3Bfs,
+    "g4_labelprop" -> g4LabelProp,
   )
 
   private def oracleIter(k: Int): String = {
@@ -174,7 +232,42 @@ object Graph {
        |  GROUP BY n.node)""".stripMargin
   }
 
+  private def lpIter(k: Int): String = {
+    val prev = s"l${k - 1}"
+    s"""l$k AS (
+       |  SELECT d AS node, lbl FROM (
+       |    SELECT a.d, l.lbl, count(*) AS c,
+       |      row_number() OVER (PARTITION BY a.d
+       |        ORDER BY count(*) DESC, l.lbl) AS rk
+       |    FROM adj a JOIN $prev l ON a.s = l.node
+       |    GROUP BY a.d, l.lbl)
+       |  WHERE rk = 1)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "g4_labelprop" ->
+      s"""WITH rev AS (
+         |  SELECT s_nationkey AS src, c_nationkey AS dst,
+         |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS rv
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY s_nationkey, c_nationkey),
+         |top3 AS (
+         |  SELECT src, dst FROM (
+         |    SELECT src, dst,
+         |      row_number() OVER (PARTITION BY src
+         |        ORDER BY rv DESC, dst) AS rk
+         |    FROM rev) WHERE rk <= 3),
+         |adj AS (
+         |  SELECT DISTINCT s, d FROM (
+         |    SELECT src AS s, dst AS d FROM top3
+         |    UNION ALL SELECT dst, src FROM top3
+         |    UNION ALL SELECT n_nationkey, n_nationkey FROM nation)),
+         |l0 AS (SELECT n_nationkey AS node, n_nationkey AS lbl FROM nation),
+         |${(1 to 4).map(lpIter).mkString(",\n")}
+         |SELECT node, lbl AS community FROM l4 ORDER BY node""".stripMargin,
     "g3_bfs" ->
       """WITH lp AS (
         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),

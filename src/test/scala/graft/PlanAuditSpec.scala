@@ -47,6 +47,21 @@ class PlanAuditSpec extends SparkSpec {
     // SortAggregate, and with ZERO grouping keys it performs no sort
     // (one partial row per partition, one merge). Not creep.
     "s16_profile" -> Set("SortAggregate"),
+    // max_by/min_by carrying a STRING value — same immutable-buffer
+    // rule; the sort is per-group partial, still partial-aggregable
+    "a13_argmax" -> Set("SortAggregate"),
+    // min(string attr) per (key, version) run — same immutable-buffer
+    // rule, input already key-clustered by the preceding window
+    "k17_scd2" -> Set("SortAggregate"),
+    // 1-row totals (order count) crossJoined onto the rule table
+    "a15_assoc_rules" -> Set("BroadcastNestedLoop"),
+    // 1-row unigram/bigram totals crossJoined onto the pair table
+    "e4_pmi" -> Set("BroadcastNestedLoop"),
+    // broadcast-query non-equi scan — the designed map-side kNN shape
+    "e3_knn_classify" -> Set("BroadcastNestedLoop"),
+    // the 1-row BFS seed frontier: its literal join key constant-folds
+    // away, leaving a broadcast of one row — the frontier IS one row
+    "g3_bfs" -> Set("BroadcastNestedLoop"),
     // one stats row read back from the catalog after ANALYZE TABLE —
     // a driver-local LocalTableScan has no codegen stage to span
     "s19_analyze_stats" -> Set("NoCodegen"),

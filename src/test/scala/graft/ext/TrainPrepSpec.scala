@@ -82,4 +82,32 @@ class TrainPrepSpec extends SparkSpec {
     // deterministic hash sampling at rate .25 over 80 uniform-hash ids
     assert(kept("a") >= 10L && kept("a") <= 30L, s"got $kept")
   }
+
+  test("weightedSample with k >= n keeps every row") {
+    val df = (1L to 5L).map(i => (i, "x")).toDF("id", "source")
+    assert(TrainPrep.weightedSample(df, "id", lit(1.0), 10).count() == 5)
+  }
+
+  test("weightedSample with equal weights is top-k by the hash uniform") {
+    // golden-ratio hash of 1..10: ids 8 (.944), 3 (.854), 6 (.708)
+    // carry the three largest uniforms.
+    val df = (1L to 10L).map(i => (i, "x")).toDF("id", "source")
+    val got = TrainPrep.weightedSample(df, "id", lit(1.0), 3)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(8L, 3L, 6L), s"got $got")
+  }
+
+  test("weightedSample favors the heavy row over every light uniform") {
+    // id 5 has the SMALLEST uniform (.090) but weight 1000 lifts its
+    // key to .090^.001 ≈ .9976, above the best light key (.944): A-ES
+    // inclusion follows weight, not raw hash luck.
+    val df = (1L to 10L).map(i => (i, "x")).toDF("id", "source")
+    val heavy = when($"id" === 5L, 1000.0).otherwise(1.0)
+    val got = TrainPrep.weightedSample(df, "id", heavy, 1)
+      .select($"id").as[Long].collect().toSet
+    assert(got == Set(5L), s"got $got")
+    val unweighted = TrainPrep.weightedSample(df, "id", lit(1.0), 3)
+      .select($"id").as[Long].collect().toSet
+    assert(!unweighted.contains(5L), "without weight, id 5 is nowhere near top-3")
+  }
 }

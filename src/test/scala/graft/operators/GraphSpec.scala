@@ -76,4 +76,31 @@ class GraphSpec extends SparkSpec {
     assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 1L, 5L -> 2L),
       s"got $got")
   }
+
+  private def lpAdj(undirected: Seq[(Long, Long)], nodes: Seq[Long]) =
+    (undirected ++ undirected.map(_.swap) ++ nodes.map(n => (n, n)))
+      .toDF("s", "d").distinct()
+
+  test("labelPropagation splits two triangles across a bridge") {
+    // triangles {1,2,3} and {4,5,6} joined by edge 3-4: each triangle
+    // converges to its own min label; the bridge never overwhelms the
+    // 2-vote triangle majority.
+    val ns = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+    val es = Seq((1L, 2L), (1L, 3L), (2L, 3L),
+      (4L, 5L), (4L, 6L), (5L, 6L), (3L, 4L))
+    val got = Graph.labelPropagation(ns.toDF("node"), lpAdj(es, ns), 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L,
+      4L -> 4L, 5L -> 4L, 6L -> 4L), s"got $got")
+  }
+
+  test("labelPropagation star collapses to the min label") {
+    // star centered at 1: every leaf ties (own label vs center's) and
+    // the min tie-break pulls the whole star to label 1.
+    val ns = Seq(1L, 2L, 3L, 4L)
+    val es = Seq((1L, 2L), (1L, 3L), (1L, 4L))
+    val got = Graph.labelPropagation(ns.toDF("node"), lpAdj(es, ns), 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), s"got $got")
+  }
 }
