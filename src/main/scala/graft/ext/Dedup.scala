@@ -631,7 +631,62 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** Cross-document repeated n-gram spans — the substring-level dedup
+    * primitive (Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better": repeated spans, not whole-document dups,
+    * are what the model memorizes). Explodes every word `n`-gram with
+    * a computed start index (map-only, like [[TrainPrep.chunkByWords]])
+    * and aggregates ON THE GRAM'S sha-256 DIGEST, so the shuffle key is
+    * a fixed 32-byte hash however long the span text is — the only
+    * per-gram text that moves is one min() exemplar. Output: grams in
+    * ≥ `minDocs` distinct docs, heaviest first.
+    *
+    * At 100 TB this exact shape holds: explode → digest-keyed partial
+    * agg (map-side combine collapses each doc's internal repeats) →
+    * one shuffle of (digest, counts) pairs. */
+  def repeatedNgramSpans(docs: DataFrame, idCol: String, textCol: String,
+      n: Int, minDocs: Int, k: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    def grams = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"),
+        col("ws"))
+      .select(col("doc_id"),
+        array_join(slice(col("ws"), col("i"), lit(n)), " ").as("gram"))
+      .select(col("doc_id"), sha2(col("gram"), 256).as("gram_sha"),
+        col("gram"))
+    // Counting carries NO text — a pure hash aggregation on the digest
+    // (a min(gram) exemplar here would force a global string
+    // SortAggregate over every gram in the corpus). The k winning
+    // digests then broadcast back onto a regenerated gram stream
+    // (map-only rescan) and distinct() recovers each winner's text:
+    // sha-equal grams are textually identical, so the exemplar is a
+    // grouping key, never an aggregation buffer.
+    val winners = grams
+      .groupBy(col("gram_sha"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= minDocs)
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_sha"))
+      .limit(k)
+    grams.select(col("gram_sha"), col("gram"))
+      .join(broadcast(winners), Seq("gram_sha"))
+      .select(col("gram_sha"), col("n_docs"), col("n_occ"), col("gram"))
+      .distinct()
+      .orderBy(col("n_docs").desc, col("n_occ").desc, col("gram_sha"))
+  }
+
+  /** E2g: top-40 word 8-grams shared by ≥2 documents — the memorized-
+    * span report. Full value-level oracle (DuckDB regenerates every
+    * gram and its sha256, so a lost span, wrong window arithmetic, or
+    * an off-by-one start index all hash-fail). */
+  private val e2RepeatedNgrams: Q = (s, dir) =>
+    repeatedNgramSpans(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, minDocs = 2, k = 40)
+
   val queries: Map[String, Q] = Map(
+    "e2_repeated_ngrams" -> e2RepeatedNgrams,
     "e1b_normalized_dedup" -> e1bNormalizedDedup,
     "e1_dedup_exact" -> e1DedupExact,
     "e2_minhash_neardup" -> e2MinhashNearDup,
@@ -645,6 +700,22 @@ object Dedup {
 
   /** The planted-pair ground truth, written directly in SQL. */
   val oracles: Map[String, String] = Map(
+    "e2_repeated_ngrams" ->
+      """WITH w AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+        |  WHERE len(string_split(text, ' ')) >= 8),
+        |g AS (
+        |  SELECT doc_id,
+        |    array_to_string(list_slice(ws, i, i + 7), ' ') AS gram
+        |  FROM w, unnest(range(1, len(ws) - 6)) AS t(i)),
+        |c AS (
+        |  SELECT sha256(gram) AS gram_sha,
+        |    count(DISTINCT doc_id)::BIGINT AS n_docs,
+        |    count(*)::BIGINT AS n_occ, min(gram) AS gram
+        |  FROM g GROUP BY sha256(gram))
+        |SELECT gram_sha, n_docs, n_occ, gram FROM c
+        |WHERE n_docs >= 2
+        |ORDER BY n_docs DESC, n_occ DESC, gram_sha LIMIT 40""".stripMargin,
     "e1b_normalized_dedup" ->
       s"""WITH planted AS (
          |  SELECT doc_id, lang, text FROM documents

@@ -219,7 +219,52 @@ object Hygiene {
     blocklistAudit(withPlantedSpam(t(s, dir, "documents")),
       "doc_id", "text", "source", BlockedSources, BannedTermRe)
 
+  /** Gopher-family rule filter (Rae et al. 2021 §A1.1, the C4/Gopher
+    * heuristic battery every pre-training corpus passes through),
+    * restricted to the rules this corpus can express (it has no line
+    * structure): word count within [minWords, maxWords], mean word
+    * length within [3, 10] chars, and ≥2 distinct common stopwords
+    * (the "is this prose at all" test). Entirely map-only closed-form
+    * arithmetic: mean word length = non-space chars / words — no word
+    * explode, no shuffle before the rollup; integer comparisons on
+    * exactly-computed doubles, so no rounding grid is needed. */
+  val GopherStopwords: Seq[String] = Seq("the", "a", "of", "and", "to")
+
+  def gopherRules(docs: DataFrame, textCol: String,
+      minWords: Int, maxWords: Int): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val nWords = size(ws).cast("double")
+    val mwl = length(translate(col(textCol), " ", ""))
+      .cast("double") / nWords
+    val nStop = GopherStopwords
+      .map(w => array_contains(ws, w).cast("long"))
+      .reduce(_ + _)
+    docs
+      .withColumn("ok_words",
+        nWords >= minWords && nWords <= maxWords)
+      .withColumn("ok_mwl", mwl >= 3.0 && mwl <= 10.0)
+      .withColumn("ok_stop", nStop >= 2L)
+      .withColumn("keep",
+        col("ok_words") && col("ok_mwl") && col("ok_stop"))
+  }
+
+  /** E9e: Gopher rule-filter audit — per language, how many documents
+    * fail each rule and which survive, membership pinned by the kept-id
+    * checksum. Word bounds tightened to [20, 200] so the synthetic
+    * corpus actually exercises both sides of the cut. */
+  private val e9Gopher: Q = (s, dir) =>
+    gopherRules(t(s, dir, "documents"), "text", 20, 200)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(!col("ok_words"), 1L).otherwise(0L)).as("n_fail_words"),
+        sum(when(!col("ok_mwl"), 1L).otherwise(0L)).as("n_fail_mwl"),
+        sum(when(!col("ok_stop"), 1L).otherwise(0L)).as("n_fail_stop"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("sum_kept_ids"))
+      .orderBy(col("lang"))
+
   val queries: Map[String, Q] = Map(
+    "e9_gopher" -> e9Gopher,
     "e9_pii_redact" -> e9PiiRedact,
     "e9_repetition" -> e9Repetition,
     "e9_boilerplate" -> e9Boilerplate,
@@ -227,6 +272,33 @@ object Hygiene {
   )
 
   val oracles: Map[String, String] = Map(
+    "e9_gopher" ->
+      """WITH r AS (
+        |  SELECT doc_id, lang,
+        |    len(string_split(text, ' '))::DOUBLE AS nw,
+        |    length(replace(text, ' ', ''))::DOUBLE
+        |      / len(string_split(text, ' ')) AS mwl,
+        |    (list_contains(string_split(text, ' '), 'the')::INT
+        |     + list_contains(string_split(text, ' '), 'a')::INT
+        |     + list_contains(string_split(text, ' '), 'of')::INT
+        |     + list_contains(string_split(text, ' '), 'and')::INT
+        |     + list_contains(string_split(text, ' '), 'to')::INT) AS nstop
+        |  FROM documents),
+        |v AS (
+        |  SELECT doc_id, lang,
+        |    (nw >= 20 AND nw <= 200) AS ok_words,
+        |    (mwl >= 3.0 AND mwl <= 10.0) AS ok_mwl,
+        |    (nstop >= 2) AS ok_stop
+        |  FROM r)
+        |SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(CASE WHEN NOT ok_words THEN 1 ELSE 0 END)::BIGINT AS n_fail_words,
+        |  sum(CASE WHEN NOT ok_mwl THEN 1 ELSE 0 END)::BIGINT AS n_fail_mwl,
+        |  sum(CASE WHEN NOT ok_stop THEN 1 ELSE 0 END)::BIGINT AS n_fail_stop,
+        |  sum(CASE WHEN ok_words AND ok_mwl AND ok_stop
+        |      THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+        |  sum(CASE WHEN ok_words AND ok_mwl AND ok_stop
+        |      THEN doc_id ELSE 0 END)::BIGINT AS sum_kept_ids
+        |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
     "e9_pii_redact" ->
       s"""WITH planted AS (
          |  SELECT lang, text ||

@@ -182,7 +182,36 @@ object EventWindows {
       .orderBy(col("first_touch"), col("last_touch"))
   }
 
+  /** Inter-arrival burstiness per user — the Goh–Barabási B =
+    * (σ−μ)/(σ+μ) coefficient over event gaps (B→1 bursty, B→−1
+    * metronome, B≈0 Poisson); the signal behind bot/scraper detection
+    * in event pipelines. One user-partitioned window pass (lag) + one
+    * keyed agg; gap arithmetic is exact integer micros divided by 10⁶,
+    * and B recomputes from the ROUNDED μ/σ columns on both engines per
+    * the rounding-parity convention. */
+  private val ev10Burstiness: Q = (s, dir) => {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+    val gaps = t(s, dir, "events")
+      .select(col("user_id"),
+        ((unix_micros(col("ts").cast("timestamp")) -
+          unix_micros(lag(col("ts"), 1).over(w).cast("timestamp")))
+          .cast("double") / 1000000.0).as("gap_s"))
+      .filter(col("gap_s").isNotNull)
+    val stats = gaps.groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_gaps"),
+        round(avg(col("gap_s")), 4).as("mean_gap_s"),
+        round(stddev_samp(col("gap_s")), 4).as("sd_gap_s"))
+      .filter(col("n_gaps") >= 2)
+    stats.select(col("user_id"), col("n_gaps"), col("mean_gap_s"),
+      col("sd_gap_s"),
+      round((col("sd_gap_s") - col("mean_gap_s")) /
+        (col("sd_gap_s") + col("mean_gap_s")), 4).as("burstiness"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
     "ev1_tumbling" -> ev1Tumbling,
     "ev2_session" -> ev2Session,
@@ -195,6 +224,23 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    "ev10_burstiness" ->
+      """WITH g AS (
+        |  SELECT user_id,
+        |    (epoch_us(ts) - epoch_us(lag(ts, 1) OVER (
+        |       PARTITION BY user_id ORDER BY ts, event_id)))
+        |      / 1000000.0 AS gap_s
+        |  FROM events),
+        |st AS (
+        |  SELECT user_id, count(*)::BIGINT AS n_gaps,
+        |    round(avg(gap_s), 4) AS mean_gap_s,
+        |    round(stddev_samp(gap_s), 4) AS sd_gap_s
+        |  FROM g WHERE gap_s IS NOT NULL
+        |  GROUP BY user_id HAVING count(*) >= 2)
+        |SELECT user_id, n_gaps, mean_gap_s, sd_gap_s,
+        |  round((sd_gap_s - mean_gap_s) / (sd_gap_s + mean_gap_s), 4)
+        |    AS burstiness
+        |FROM st ORDER BY user_id""".stripMargin,
     "ev9_attribution" ->
       """WITH t AS (
         |  SELECT event_type, value,

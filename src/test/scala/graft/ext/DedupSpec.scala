@@ -224,6 +224,23 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"got $got\nbrute $brute")
   }
 
+  test("repeatedNgramSpans finds cross-doc spans and counts internal repeats") {
+    val docs = Seq(
+      (1L, "a b c d e f g h x"),          // span at start
+      (2L, "z a b c d e f g h"),          // same span shifted
+      (3L, "q w e r t y u i"),            // unique 8-gram, must not appear
+      (4L, "a b c d e f g h a b c d e f g h"), // span twice internally
+      (5L, "short doc")                   // < 8 words, no grams at all
+    ).toDF("doc_id", "text")
+    val got = Dedup.repeatedNgramSpans(docs, "doc_id", "text",
+      n = 8, minDocs = 2, k = 10).collect()
+    assert(got.length == 1, s"only one shared span, got ${got.length}")
+    val r = got.head
+    assert(r.getAs[String]("gram") == "a b c d e f g h")
+    assert(r.getAs[Long]("n_docs") == 3L, "docs 1, 2, 4 share it")
+    assert(r.getAs[Long]("n_occ") == 4L, "doc 4 holds it twice")
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))

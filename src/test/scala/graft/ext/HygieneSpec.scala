@@ -84,4 +84,23 @@ class HygieneSpec extends SparkSpec {
     assert(kept.select("id").as[Long].collect().sorted.toSeq ==
       again.select("id").as[Long].collect().sorted.toSeq)
   }
+
+  test("gopherRules flags each rule independently") {
+    val prose = "the quick brown fox jumps over a lazy dog near " +
+      "the quiet river bank and rests there until dusk falls again"  // 21 words
+    val docs = Seq(
+      (1L, prose),                                   // passes all three
+      (2L, "the cat and dog"),                       // < 20 words, else fine
+      (3L, Seq.fill(21)("xylophonewordlengthy").mkString(" ")), // mwl > 10
+      (4L, Seq.fill(21)("word").mkString(" "))       // no stopwords
+    ).toDF("doc_id", "text")
+    val got = Hygiene.gopherRules(docs, "text", 20, 200)
+      .select($"doc_id", $"ok_words", $"ok_mwl", $"ok_stop", $"keep")
+      .as[(Long, Boolean, Boolean, Boolean, Boolean)]
+      .collect().map(r => r._1 -> (r._2, r._3, r._4, r._5)).toMap
+    assert(got(1L) == ((true, true, true, true)), s"got ${got(1L)}")
+    assert(got(2L) == ((false, true, true, false)))
+    assert(got(3L) == ((true, false, false, false)))
+    assert(got(4L) == ((true, true, false, false)))
+  }
 }
