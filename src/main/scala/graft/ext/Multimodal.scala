@@ -187,6 +187,50 @@ object Multimodal {
       }
   }
 
+  /** Typed record for the perceptual-hash path. */
+  final case class PhashRow(doc_id: Long, phash: Long)
+
+  /** REAL perceptual average-hash (aHash) over decoded P6 pixels. The
+    * classic recipe downscales to 8×8 then thresholds each cell
+    * against the mean — these images ARE 8×8, so the grid is the
+    * image: bit i = (64·sᵢ > Σs) where sᵢ is pixel i's integer
+    * r+g+b sum. Pure integer arithmetic end to end, so the 64-bit
+    * fingerprint is engine- and partitioning-deterministic. Same
+    * mapPartitions batching as the other decoders (codec init
+    * amortizes per partition). */
+  def ppmAHash(df: DataFrame, idCol: String,
+      binCol: String): Dataset[PhashRow] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (w, h, off) = PpmParser.header(bytes)
+          val n = w * h
+          require(n == 64, s"aHash grid expects 8x8, got ${w}x$h")
+          require(bytes.length == off + 3 * n,
+            s"pixel payload ${bytes.length - off} bytes, expected ${3 * n}")
+          val s = new Array[Long](n)
+          var tot = 0L
+          var i = 0
+          while (i < n) {
+            s(i) = (bytes(off + 3 * i) & 0xff) +
+              (bytes(off + 3 * i + 1) & 0xff) +
+              (bytes(off + 3 * i + 2) & 0xff)
+            tot += s(i)
+            i += 1
+          }
+          var hash = 0L
+          i = 0
+          while (i < n) {
+            if (64L * s(i) > tot) hash |= (1L << i)
+            i += 1
+          }
+          PhashRow(id, hash)
+        }
+      }
+  }
+
   /** STUB media resize: binary → binary (a real one re-encodes pixels;
     * the fake truncates deterministically, preserving the shape of the
     * transform: binary in, smaller binary out, map-only). */
@@ -373,7 +417,58 @@ object Multimodal {
         (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** E5g: perceptual-hash image near-dup — the multimodal counterpart
+    * of text MinHash dedup: decode → 64-bit aHash → banded LSH join
+    * (4×16-bit bands, pigeonhole-exact for Hamming ≤ 3) → exact
+    * Hamming refine. Planted near-identical images (one character of
+    * every 10th doc's pixel window flipped — measured Hamming ≤ 2 at
+    * both gate SFs) must ALL be recovered, and the candidate volume
+    * stays under an ABSOLUTE 512·n budget (measured 29/img at sf0.01,
+    * 316/img at sf0.1 — text-derived images cluster far more than
+    * photographs; at corpus scale the band width grows ~log₂(n) bits
+    * over a wider pHash, exactly as MinHash banding re-tunes). All
+    * arithmetic downstream of the decoder is integer, so the gate is
+    * deterministic. */
+  private val e5PhashNearDup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val perturbed = when(length(col("text")) > 100,
+      concat(substring(col("text"), 1, 99), lit("z"),
+        expr("substring(text, 101)"))).otherwise(col("text"))
+    val planted = docs.unionByName(
+      docs.filter(col("doc_id") % 10 === 0)
+        .select((col("doc_id") + 500000L).as("doc_id"),
+          perturbed.as("text")))
+    val hashes = ppmAHash(
+      planted.withColumn("img", ppmImage), "doc_id", "img").toDF()
+    val bands = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(3))).as("band"))
+      .withColumn("key",
+        expr("shiftrightunsigned(phash, band * 16) & 65535"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+    val pairs = cand
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 3)
+    val plantedPairs = docs.filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("a"), (col("doc_id") + 500000L).as("b"))
+    pairs.agg(count(lit(1)).as("n_pairs"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hashes.agg(count(lit(1)).as("n_imgs")))
+      .crossJoin(pairs.join(plantedPairs, Seq("a", "b"))
+        .agg(count(lit(1)).as("n_rec")))
+      .crossJoin(plantedPairs.agg(count(lit(1)).as("n_planted")))
+      .select(
+        (col("n_rec") === col("n_planted")).as("recall_ok"),
+        (col("n_cand") <= lit(512L) * col("n_imgs")).as("pair_budget_ok"),
+        (col("n_pairs") >= col("n_planted")).as("pairs_cover_planted"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e5_phash_neardup" -> e5PhashNearDup,
     "e5_spectral" -> e5Spectral,
     "e5_binary_meta" -> e5BinaryMeta,
     "e5_vector_join" -> e5VectorJoin,
@@ -383,6 +478,9 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    "e5_phash_neardup" ->
+      """SELECT true AS recall_ok, true AS pair_budget_ok,
+        |  true AS pairs_cover_planted""".stripMargin,
     "e5_spectral" ->
       """SELECT true AS tones_located, true AS parseval_holds,
         |  true AS full_clips, true AS nonempty""".stripMargin,

@@ -65,6 +65,8 @@ class PlanAuditSpec extends SparkSpec {
     // one stats row read back from the catalog after ANALYZE TABLE —
     // a driver-local LocalTableScan has no codegen stage to span
     "s19_analyze_stats" -> Set("NoCodegen"),
+    // five one-row self-check scalars crossJoined into the gate row
+    "e5_phash_neardup" -> Set("BroadcastNestedLoop"),
     "j5_cross" -> Set("BroadcastNestedLoop"),
     "j5_theta" -> Set("BroadcastNestedLoop"),
   )

@@ -87,4 +87,26 @@ class MultimodalSpec extends SparkSpec {
       .orderBy("tag").as[(String, Seq[Float])].collect()
     assert(out.toSeq == Seq(("x", Seq(1f, 2f)), ("y", Seq(3f, 4f))))
   }
+
+  test("ppmAHash thresholds each pixel against the image mean") {
+    // 8×8 image, rows alternate bright (200,200,200) and dark (10,10,10):
+    // bright pixels sit above the mean → bits set for rows 0,2,4,6.
+    def img(bright: Int): Array[Byte] = {
+      val px = Array.tabulate(64 * 3) { j =>
+        val row = (j / 3) / 8
+        (if (row % 2 == 0) bright else 10).toByte
+      }
+      "P6\n8 8\n255\n".getBytes("UTF-8") ++ px
+    }
+    val df = Seq((1L, img(200)), (2L, img(200)), (3L, img(201)))
+      .toDF("doc_id", "img")
+    val got = Multimodal.ppmAHash(df, "doc_id", "img")
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    val expected = (0 until 64)
+      .filter(i => (i / 8) % 2 == 0).map(1L << _).reduce(_ | _)
+    assert(got(1L) == expected, f"got ${got(1L)}%016x want $expected%016x")
+    assert(got(1L) == got(2L), "identical images hash identically")
+    assert(java.lang.Long.bitCount(got(1L) ^ got(3L)) == 0,
+      "a 1-unit brightness change flips no bit in this clear-margin image")
+  }
 }
