@@ -282,6 +282,49 @@ object TextStats {
       .orderBy(col("pmi").desc, col("w1"), col("w2")).limit(k)
   }
 
+  // --------------------------------------------- BPE merge training
+
+  /** Distributed BPE tokenizer training — the Sennrich merge loop,
+    * Spark-shaped: ONE corpus-wide shuffle builds the word-frequency
+    * table, then every merge round runs over that vocab-sized table
+    * only (exactly how cluster BPE trainers work — the corpus is
+    * touched once, the iterations are cheap): adjacent symbol-pair
+    * counts weighted by word frequency → arg-max pair ((count desc,
+    * pair asc) tie-break, pure integers) → left-to-right non-
+    * overlapping `replace` merge, applied in-plan via a one-row
+    * crossJoin (no driver round-trip; both engines' `replace` share
+    * leftmost-non-overlap semantics). `localCheckpoint` per round cuts
+    * the doubled lineage (seqs feed both the next count and the next
+    * merge), standing in for the persisted vocab table a real trainer
+    * writes per round. Returns one row per round: the learned merge
+    * and its count. */
+  def bpeMerges(docs: DataFrame, textCol: String, rounds: Int): DataFrame = {
+    val wc = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    var seqs = wc.select(
+      trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("n"))
+      .localCheckpoint(true)
+    val perRound = (1 to rounds).map { r =>
+      val l = split(col("seq"), " ")
+      val pairs = seqs.filter(size(l) >= 2)
+        .select(col("n"), explode(transform(
+          sequence(lit(1), size(l) - 1),
+          i => concat(element_at(l, i), lit(" "), element_at(l, i + 1))))
+          .as("pair"))
+        .groupBy(col("pair")).agg(sum(col("n")).as("cnt"))
+      val top = pairs
+        .orderBy(col("cnt").desc, col("pair")).limit(1)
+        .select(col("pair"), regexp_replace(col("pair"), " ", "").as("merged"),
+          col("cnt"))
+      seqs = seqs.crossJoin(top)
+        .select(expr("replace(seq, pair, merged)").as("seq"), col("n"))
+        .localCheckpoint(true)
+      top.select(lit(r).as("round"), col("pair"), col("merged"), col("cnt"))
+    }
+    perRound.reduce(_.unionByName(_)).orderBy(col("round"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -380,7 +423,12 @@ object TextStats {
       .orderBy(col("lang"))
   }
 
+  /** E4j: the first 5 BPE merges learned from the corpus, exact. */
+  private val e4Bpe: Q = (s, dir) =>
+    bpeMerges(t(s, dir, "documents"), "text", rounds = 5)
+
   val queries: Map[String, Q] = Map(
+    "e4_bpe" -> e4Bpe,
     "e4_entropy" -> e4Entropy,
     "e4_pmi" -> e4Pmi,
     "e4_chi2" -> e4Chi2,
@@ -393,7 +441,38 @@ object TextStats {
     "e6_cms_heavyhitters" -> e6CmsHeavyHitters,
   )
 
+  /** One unrolled BPE round: arg-max pair of round k, then the merged
+    * symbol table s_k (replace shares leftmost-non-overlap semantics
+    * with Spark's `replace`). */
+  private def bpeRound(k: Int): String = {
+    val prev = s"s${k - 1}"
+    s"""p$k AS (
+       |  SELECT pair, cnt FROM (
+       |    SELECT l[i] || ' ' || l[i + 1] AS pair, sum(n)::BIGINT AS cnt
+       |    FROM (SELECT string_split(seq, ' ') AS l, n FROM $prev),
+       |      unnest(range(1, len(l))) AS t(i)
+       |    GROUP BY pair)
+       |  ORDER BY cnt DESC, pair LIMIT 1),
+       |s$k AS (
+       |  SELECT replace(seq, (SELECT pair FROM p$k),
+       |    replace((SELECT pair FROM p$k), ' ', '')) AS seq, n
+       |  FROM $prev)""".stripMargin
+  }
+
   val oracles: Map[String, String] = Map(
+    "e4_bpe" ->
+      s"""WITH wc AS (
+         |  SELECT w, count(*)::BIGINT AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |s0 AS (
+         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, n
+         |  FROM wc),
+         |${(1 to 5).map(bpeRound).mkString(",\n")}
+         |${(1 to 5).map(k =>
+            s"SELECT $k AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM p$k")
+            .mkString("\nUNION ALL\n")}
+         |ORDER BY round""".stripMargin,
     "e4_entropy" ->
       """WITH w AS (
         |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w

@@ -94,4 +94,22 @@ class TextStatsSpec extends SparkSpec {
       .as[(String, String, Long, Double)].collect().toSeq
     assert(freq == Seq(("x", "y", 2L, pmi(2, 2, 2))), s"got $freq")
   }
+
+  test("bpeMerges learns the hand-computed merge sequence") {
+    // words: aa×3, ab×1 → round 1 merges "a a" (count 3, beating
+    // "a b" at 1); round 2 only "a b" remains pairable.
+    val docs = Seq("aa ab", "aa aa").toDF("text")
+    val got = TextStats.bpeMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a a", "aa", 3L), (2, "a b", "ab", 1L)), s"got $got")
+  }
+
+  test("bpeMerges counts overlapping pair positions, then merges left-to-right") {
+    // "aaa" → "a a a": pair "a a" counts BOTH positions (cnt 2), and the
+    // merge rewrites leftmost-non-overlapping: "aa a", not "a aa".
+    val docs = Seq("aaa").toDF("text")
+    val got = TextStats.bpeMerges(docs, "text", rounds = 2)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq((1, "a a", "aa", 2L), (2, "aa a", "aaa", 1L)), s"got $got")
+  }
 }
