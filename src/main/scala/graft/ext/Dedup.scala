@@ -447,17 +447,100 @@ object Dedup {
   /** Connected components over a near-dup pair set — the transitive
     * clustering step real dedup pipelines run after pair generation
     * (one-hop removal under-merges: a~b, b~c leaves a and c apart).
-    * Iterative min-label propagation: each round every node adopts the
-    * minimum component id among itself and its neighbors — two
-    * equi-join shuffles per round, lineage truncated by an eager
-    * checkpoint (also what the convergence count consumes). Rounds =
-    * graph diameter; near-dup clusters are quasi-cliques with tiny
-    * diameters, so 2-3 rounds in practice (a web-scale general graph
-    * would want the O(log n)-round large-star/small-star variant —
-    * same join/groupBy building blocks). Loud failure, never a silent
+    *
+    * Default algorithm: alternating large-star/small-star contraction
+    * (Kiveris et al., "Connected Components in MapReduce and Beyond",
+    * SoCC'14). Each round is two passes over the edge set, each pass a
+    * per-node min + one equi-join — and the round count is O(log n)
+    * REGARDLESS of component diameter, because every round at least
+    * halves the height of the partial star forest. That is the property
+    * that matters at web scale: a crawl dup graph with chain-shaped
+    * clusters (mirror-of-a-mirror-of-a-mirror) has diameter in the
+    * thousands, which would make any diameter-bound propagation
+    * ([[connectedComponentsMinLabel]]) unbounded, while this converges
+    * in a few dozen rounds no matter the shape. Per round the edge set
+    * only shrinks toward the star forest (≤ |E| edges alive), every
+    * join is an equi-join, and lineage is truncated by one eager
+    * checkpoint per round (also what the convergence check consumes).
+    *
+    * large-star(u): hook every strictly LARGER neighbor of u onto
+    * m = min(Γ(u) ∪ {u}). small-star(u): hook every smaller-or-equal
+    * neighbor (and u itself) onto the minimum of that set. The fixed
+    * point is a forest of stars centered on each component's minimum
+    * id; convergence is detected exactly (symmetric set difference
+    * empty), never by a lossy checksum. Loud failure, never a silent
     * partial merge, if `maxIter` is hit. Returns (id, component) for
     * every node that appears in a pair. */
-  def connectedComponents(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val nodes = pairs.select(col("a").as("id"))
+      .union(pairs.select(col("b").as("id"))).distinct()
+      .localCheckpoint(eager = false)
+    // Canonical undirected edge set: (big > small), no self-loops.
+    var edges = pairs
+      .filter(col("a") =!= col("b"))
+      .select(greatest(col("a"), col("b")).as("big"),
+        least(col("a"), col("b")).as("small"))
+      .distinct()
+      .localCheckpoint() // eager: consumed by round 1 AND the diff check
+    var iter = 0
+    var converged = false
+    while (!converged) {
+      iter += 1
+      if (iter > maxIter)
+        throw new IllegalStateException(
+          s"connectedComponents: no convergence after $maxIter rounds")
+      val next = smallStar(largeStar(edges))
+        .localCheckpoint() // eager: consumed by the diff AND next round
+      // Exact convergence: the canonical edge sets are equal. Two
+      // anti-joins per round — O(log n) rounds keeps that cheap, and
+      // exactness beats any sum/hash checksum (no collision caveat).
+      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+    }
+    // Fixed point is a star forest rooted at component minima: every
+    // non-root appears exactly once as `big`, pointing at its root.
+    nodes.join(edges, col("id") === col("big"), "left")
+      .select(col("id"), coalesce(col("small"), col("id")).as("comp"))
+  }
+
+  /** One large-star pass: for each node u with neighborhood Γ(u) (both
+    * edge orientations), hook every neighbor v > u onto
+    * m = min(Γ(u) ∪ {u}). Emitted edges are canonical by construction
+    * (v > u ≥ m). One groupBy(min) + one equi-join over 2|E| rows. */
+  private def largeStar(edges: DataFrame): DataFrame = {
+    val nbrs = edges.select(col("big").as("u"), col("small").as("v"))
+      .union(edges.select(col("small").as("u"), col("big").as("v")))
+    val mins = nbrs.groupBy(col("u"))
+      .agg(min(col("v")).as("mv"))
+      .select(col("u"), least(col("u"), col("mv")).as("m"))
+    nbrs.join(mins, Seq("u"))
+      .filter(col("v") > col("u"))
+      .select(col("v").as("big"), col("m").as("small"))
+      .distinct()
+  }
+
+  /** One small-star pass over canonical (big > small) edges: for each
+    * node u, hook u and all its smaller neighbors onto the minimum of
+    * that set. Emitted edges stay canonical (everything > the min).
+    * One groupBy(min) + one equi-join over |E| rows. */
+  private def smallStar(edges: DataFrame): DataFrame = {
+    val mins = edges.groupBy(col("big")).agg(min(col("small")).as("m"))
+    val hookNbrs = edges.join(mins, Seq("big"))
+      .filter(col("small") =!= col("m"))
+      .select(col("small").as("big"), col("m").as("small"))
+    val hookSelf = mins.select(col("big"), col("m").as("small"))
+    hookNbrs.union(hookSelf).distinct()
+  }
+
+  /** Diameter-bound min-label propagation — the SMALL-DIAMETER fast
+    * path (near-dup clusters are quasi-cliques, 2-3 rounds): each
+    * round every node adopts the minimum component id among itself and
+    * its neighbors — two equi-join shuffles per round. Rounds = graph
+    * diameter, so on general graphs (chains!) prefer the default
+    * [[connectedComponents]]. Loud failure, never a silent partial
+    * merge, if `maxIter` is hit. Returns (id, component) for every
+    * node that appears in a pair. */
+  def connectedComponentsMinLabel(pairs: DataFrame, maxIter: Int = 20): DataFrame = {
     val edges = pairs.select(col("a").as("src"), col("b").as("dst"))
       .union(pairs.select(col("b").as("src"), col("a").as("dst")))
       .localCheckpoint(eager = false)
@@ -481,7 +564,7 @@ object Dedup {
       iter += 1
       if (iter >= maxIter)
         throw new IllegalStateException(
-          s"connectedComponents: no convergence after $maxIter rounds")
+          s"connectedComponentsMinLabel: no convergence after $maxIter rounds")
     }
     labels // unreachable (while(true) exits via return/throw only)
   }

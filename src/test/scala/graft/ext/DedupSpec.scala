@@ -158,6 +158,35 @@ class DedupSpec extends SparkSpec {
     intercept[IllegalStateException] {
       Dedup.connectedComponents(chain, maxIter = 1)
     }
+    intercept[IllegalStateException] {
+      Dedup.connectedComponentsMinLabel(chain, maxIter = 1)
+    }
+  }
+
+  test("star contraction converges on a planted path far under its diameter") {
+    // Path 0-1-2-...-63: diameter 63. Min-label propagation needs 63
+    // rounds (each round moves the min one hop), so maxIter=12 must
+    // fail loudly. Large-star/small-star halves star-forest height
+    // every round — the same 12-round budget is plenty, and the result
+    // is exact: every node lands in component 0.
+    val path = (0L until 63L).map(i => (i, i + 1)).toDF("a", "b")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponentsMinLabel(path, maxIter = 12)
+    }
+    val got = Dedup.connectedComponents(path, maxIter = 12)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got.size == 64 && got.values.forall(_ == 0L), s"got $got")
+  }
+
+  test("min-label fast path matches star contraction on a mixed graph") {
+    val pairs = Seq((2L, 1L), (2L, 3L), (10L, 11L), (7L, 8L), (8L, 9L),
+      (9L, 6L), (5L, 5L)).toDF("a", "b") // includes a self-loop
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = toMap(Dedup.connectedComponents(pairs))
+    val ml = toMap(Dedup.connectedComponentsMinLabel(pairs))
+    assert(star == ml, s"star $star vs minlabel $ml")
+    assert(star(5L) == 5L) // self-loop node keeps its own component
   }
 
   test("incrementalDedup admits novel docs, rejects exact and near dups of old") {
