@@ -255,15 +255,22 @@ object Dedup {
     * most d character positions on each side, so deleting the touched
     * characters from each string leaves the SAME subsequence — the
     * ≤d-deletion neighborhoods of a and b must intersect. Candidate
-    * generation is therefore a plain equi-join on
+    * generation is therefore intra-bucket pair emission on
     * (block, xxhash64(variant)): a linear explode of 1 + L + L·(L−1)/2
     * variants per row (short entity strings — names, titles — are the
-    * domain), 8-byte join keys so no variant text is shuffled, then
-    * exact `levenshtein` verification. Hash collisions and alignment-
-    * free variant coincidences only ADD candidates, which verification
-    * discards — recall is structural. At 100 TB: two narrow shuffles,
-    * candidate volume tracks true-duplicate density + collision noise,
-    * never n². */
+    * domain) shuffled as (block, hash, id) triples ONLY — one groupBy
+    * shuffle builds the variant buckets and emits id pairs inside each,
+    * replacing the earlier two-sided self-join that shuffled the source
+    * string with every variant row (~2× the bytes plus a second join
+    * shuffle for the same candidate set). Strings re-attach to the
+    * (key_a, key_b) survivors via two narrow joins (AQE broadcasts the
+    * entity side when small) for exact `levenshtein` verification. Hash
+    * collisions and alignment-free variant coincidences only ADD
+    * candidates, which verification discards — recall is structural. A
+    * hot bucket holds the ids of genuinely colliding variants, so its
+    * width tracks duplicate density, never n. At 100 TB: one narrow
+    * shuffle + two id-keyed joins, candidate volume tracks
+    * true-duplicate density + collision noise, never n². */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       blockCol: String, maxDist: Int = 2): DataFrame = {
     require(maxDist == 1 || maxDist == 2,
@@ -287,19 +294,23 @@ object Dedup {
            |WHEN length(s) = 1 THEN array_distinct(concat(array(s), $del1))
            |ELSE array_distinct(concat(array(s), $del1, $del2)) END""".stripMargin
     val keyed = base
-      .select(col("id"), col("blk"), col("s"),
-        explode(expr(variants)).as("v"))
-      .select(col("id"), col("blk"), col("s"), xxhash64(col("v")).as("h"))
-    keyed.as("a")
-      .join(keyed.as("b"),
-        col("a.blk") === col("b.blk") && col("a.h") === col("b.h") &&
-          col("a.id") < col("b.id"))
-      .select(col("a.id").as("key_a"), col("b.id").as("key_b"),
-        col("a.s").as("sa"), col("b.s").as("sb"))
+      .select(col("id"), col("blk"), explode(expr(variants)).as("v"))
+      .select(col("blk"), xxhash64(col("v")).as("h"), col("id"))
+    val pairs = keyed
+      .groupBy(col("blk"), col("h")).agg(collect_set(col("id")).as("ids"))
+      .filter(size(col("ids")) > 1)
+      .select(explode(expr(
+        """flatten(transform(array_sort(ids), (x, i) ->
+          |  transform(slice(array_sort(ids), i + 2, size(ids)), y ->
+          |    struct(x AS key_a, y AS key_b))))""".stripMargin)).as("p"))
+      .select(col("p.key_a"), col("p.key_b"))
       .distinct()
-      .filter(levenshtein(col("sa"), col("sb")) <= maxDist)
+    pairs
+      .join(base.as("a"), col("key_a") === col("a.id"))
+      .join(base.as("b"), col("key_b") === col("b.id"))
+      .filter(levenshtein(col("a.s"), col("b.s")) <= maxDist)
       .select(col("key_a"), col("key_b"),
-        levenshtein(col("sa"), col("sb")).as("dist"))
+        levenshtein(col("a.s"), col("b.s")).as("dist"))
   }
 
   /** E12: Jaro-Winkler entity resolution — score all within-block name
