@@ -18,19 +18,25 @@ object Tables {
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
   def load(spark: SparkSession, dir: String, name: String): DataFrame = {
-    // The testdata writes `events.ts` as parquet INT64 TIMESTAMP(NANOS),
-    // which Spark 4 refuses by default. Sessions must set
-    // `spark.sql.legacy.parquet.nanosAsLong=true` at creation (all graft
-    // entry points do — load() deliberately does NOT mutate session
-    // config: that would silently change semantics of unrelated reads
-    // and be ordering-dependent under concurrency). The nanos long is
-    // rebuilt into a (lossless — the generator emits whole microseconds)
-    // timestamp.
+    // `events.ts` has shipped under two parquet encodings: INT64
+    // TIMESTAMP(NANOS) (reads as LongType under
+    // `spark.sql.legacy.parquet.nanosAsLong=true`, which all graft entry
+    // points set) and plain timestamp[us] (reads as TIMESTAMP_NTZ, exact
+    // vs the DuckDB oracle under the UTC session). Dispatch on the type
+    // actually read so both encodings normalize to one TIMESTAMP column:
+    // a long is nanos → rebuild (lossless, generator emits whole micros);
+    // a timestamp passes through (NTZ cast to TIMESTAMP is exact in UTC).
     if (name == "events") {
-      spark.read.parquet(path(dir, name))
-        .withColumn("ts",
-          org.apache.spark.sql.functions.timestamp_micros(
-            org.apache.spark.sql.functions.expr("ts div 1000")))
+      import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+      import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+      val df = spark.read.parquet(path(dir, name))
+      df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+        case _ => df // already TIMESTAMP
+      }
     } else spark.read.parquet(path(dir, name))
   }
 

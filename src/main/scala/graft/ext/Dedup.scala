@@ -153,7 +153,24 @@ object Dedup {
     * surviving fresh rows with all their columns. */
   def incrementalDedup(old: DataFrame, fresh: DataFrame,
       idCol: String, textCol: String, shingleN: Int = 3,
-      k: Int = 64, bands: Int = 16, threshold: Double = 0.8): DataFrame = {
+      k: Int = 64, bands: Int = 16, threshold: Double = 0.8,
+      checkIdContract: Boolean = true): DataFrame = {
+    if (checkIdContract) {
+      // The REQUIRES above is now enforced, not just documented: one
+      // tiny job (ids only — column-pruned scans, two scalar aggs,
+      // one row to the driver) before any heavy work. Violating the
+      // contract would silently mis-orient the asymmetric band join.
+      val row = old.agg(max(col(idCol)).as("mx"))
+        .crossJoin(fresh.agg(min(col(idCol)).as("mn"))).head()
+      if (!row.isNullAt(0) && !row.isNullAt(1)) {
+        val mx = row.getAs[Number](0).longValue()
+        val mn = row.getAs[Number](1).longValue()
+        require(mn > mx,
+          s"incrementalDedup: fresh ids must all exceed old ids " +
+            s"(min fresh=$mn ≤ max old=$mx) — ingest batches get " +
+            "monotone id ranges; disable via checkIdContract=false")
+      }
+    }
     val oldDigests = old
       .select(sha2(col(textCol), 256).as("_digest")).distinct()
     // Materialized once: three consumers (set build, band join's
@@ -273,6 +290,10 @@ object Dedup {
     * true-duplicate density + collision noise, never n². */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       blockCol: String, maxDist: Int = 2): DataFrame = {
+    // Contract: idCol must be unique PER BLOCK (candidates re-attach to
+    // their source rows on (id, blk); a duplicated id within one block
+    // would multiply pairs). Variant buckets are width-guarded in-plan
+    // (raise_error past 4096 ids) — loud failure, never a silent OOM.
     require(maxDist == 1 || maxDist == 2,
       "deletion neighborhoods enumerated for maxDist in {1, 2}")
     val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
@@ -296,38 +317,79 @@ object Dedup {
     val keyed = base
       .select(col("id"), col("blk"), explode(expr(variants)).as("v"))
       .select(col("blk"), xxhash64(col("v")).as("h"), col("id"))
+    // Hot-bucket guard: a (blk, h) bucket pairs its ids quadratically
+    // INSIDE ONE ROW (one agg buffer, one flattened array), so width is
+    // bounded in-plan — degenerate inputs (e.g. many length-≤2 strings
+    // whose variants collapse to the same value) fail LOUDLY at the cap
+    // instead of concentrating k²/2 structs in a single task until the
+    // 2 GB array limit. Genuine buckets track duplicate density (tiny);
+    // past the cap the pairing must move to explode + (blk,h) self-join,
+    // which spreads the same volume across the shuffle.
+    val maxBucket = 4096
     val pairs = keyed
       .groupBy(col("blk"), col("h")).agg(collect_set(col("id")).as("ids"))
       .filter(size(col("ids")) > 1)
-      .select(explode(expr(
-        """flatten(transform(array_sort(ids), (x, i) ->
-          |  transform(slice(array_sort(ids), i + 2, size(ids)), y ->
-          |    struct(x AS key_a, y AS key_b))))""".stripMargin)).as("p"))
-      .select(col("p.key_a"), col("p.key_b"))
+      .withColumn("sids", array_sort(col("ids")))
+      .select(col("blk"), explode(expr(
+        s"""CASE WHEN size(sids) > $maxBucket THEN
+           |  raise_error('editDistancePairs: variant bucket exceeds
+           | $maxBucket ids - degenerate collision mass; switch pairing
+           | to explode + (blk,h) self-join')
+           |ELSE flatten(transform(sids, (x, i) ->
+           |  transform(slice(sids, i + 2, size(sids)), y ->
+           |    struct(x AS key_a, y AS key_b)))) END""".stripMargin))
+        .as("p"))
+      .select(col("blk").as("pblk"), col("p.key_a"), col("p.key_b"))
       .distinct()
+    // Re-attach on (id, blk): a candidate is verified against the exact
+    // (block, string) row that produced it, so duplicate ids ACROSS
+    // blocks stay correct. Ids duplicated WITHIN a block still multiply
+    // pairs — idCol is documented as unique-per-block.
     pairs
-      .join(base.as("a"), col("key_a") === col("a.id"))
-      .join(base.as("b"), col("key_b") === col("b.id"))
+      .join(base.as("a"),
+        col("key_a") === col("a.id") && col("pblk") === col("a.blk"))
+      .join(base.as("b"),
+        col("key_b") === col("b.id") && col("pblk") === col("b.blk"))
       .filter(levenshtein(col("a.s"), col("b.s")) <= maxDist)
       .select(col("key_a"), col("key_b"),
         levenshtein(col("a.s"), col("b.s")).as("dist"))
+      .distinct()
   }
 
-  /** E12: Jaro-Winkler entity resolution — score all within-block name
+  /** E12: Jaro-Winkler entity resolution — score within-block name
     * pairs with the native codegen'd [[graft.functions.JaroWinkler]]
     * expression (Spark has no built-in; semantics pinned byte-for-byte
     * to DuckDB's `jaro_winkler_similarity`, which is the oracle). The
-    * blocking key makes candidate generation an EQUI-join on brand —
-    * quadratic only within a block, the standard ER blocking shape; at
-    * scale the block key is whatever bounds group size (phonetic key,
-    * sorted-neighborhood window, LSH bucket). */
+    * blocking key makes candidate generation an EQUI-join on brand;
+    * at scale the block key is whatever bounds group size (phonetic
+    * key, sorted-neighborhood window, LSH bucket).
+    *
+    * Within a block the O(l²) JW evaluation is gated by an EXACT
+    * O(la+lb) filter (no recall loss, unlike length/prefix heuristics
+    * which JW ≥ θ does NOT imply — a first-letter transposition keeps
+    * JW high): [[graft.functions.CharBagOverlap]] computes the byte-bag
+    * intersection I, and Jaro's match count satisfies m ≤ I, so
+    * JW ≥ θ ⇒ I·(la+lb) ≥ (5θ−3)·la·lb (byte lengths; derivation in
+    * the expression's scaladoc — the form is division-free so empty
+    * strings degrade to 0 ≥ 0, pass through, and are rejected by the
+    * exact JW below exactly as the oracle rejects them). The bound
+    * subsumes the length-ratio condition (I ≤ min ⇒ min/max ≥ 5θ−4).
+    * Everything stays inside whole-stage codegen: two native
+    * expressions plus octet_length arithmetic, no array columns
+    * shuffled, no higher-order functions. */
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
       blockCol: String, threshold: Double): DataFrame = {
+    val bagBound = 5.0 * threshold - 3.0
     val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(strCol).as("s")).filter(col("s").isNotNull)
+    val la = octet_length(col("a.s")).cast("double")
+    val lb = octet_length(col("b.s")).cast("double")
     base.as("a")
       .join(base.as("b"),
         col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .filter(
+        graft.functions.CharBagOverlap.charBagOverlap(col("a.s"), col("b.s"))
+          .cast("double") * (la + lb) >= lit(bagBound) * la * lb)
       .select(col("a.id").as("key_a"), col("b.id").as("key_b"),
         graft.functions.JaroWinkler.jaroWinkler(col("a.s"), col("b.s"))
           .as("jw"))
@@ -483,16 +545,21 @@ object Dedup {
     * partial merge, if `maxIter` is hit. Returns (id, component) for
     * every node that appears in a pair. */
   def connectedComponents(pairs: DataFrame, maxIter: Int = 25): DataFrame = {
-    val nodes = pairs.select(col("a").as("id"))
-      .union(pairs.select(col("b").as("id"))).distinct()
+    // The pair generator upstream (an LSH/similarity join) is usually
+    // the most expensive subtree in the whole query — run it ONCE:
+    // both `nodes` and `edges` read this checkpoint, not the subtree.
+    val p = pairs.select(col("a"), col("b")).localCheckpoint(eager = false)
+    val nodes = p.select(col("a").as("id"))
+      .union(p.select(col("b").as("id"))).distinct()
       .localCheckpoint(eager = false)
     // Canonical undirected edge set: (big > small), no self-loops.
-    var edges = pairs
+    // Lazy: round 1's single convergence action materializes it.
+    var edges = p
       .filter(col("a") =!= col("b"))
       .select(greatest(col("a"), col("b")).as("big"),
         least(col("a"), col("b")).as("small"))
       .distinct()
-      .localCheckpoint() // eager: consumed by round 1 AND the diff check
+      .localCheckpoint(eager = false)
     var iter = 0
     var converged = false
     while (!converged) {
@@ -500,12 +567,16 @@ object Dedup {
       if (iter > maxIter)
         throw new IllegalStateException(
           s"connectedComponents: no convergence after $maxIter rounds")
-      val next = smallStar(largeStar(edges))
-        .localCheckpoint() // eager: consumed by the diff AND next round
-      // Exact convergence: the canonical edge sets are equal. Two
-      // anti-joins per round — O(log n) rounds keeps that cheap, and
-      // exactness beats any sum/hash checksum (no collision caveat).
-      converged = next.except(edges).isEmpty && edges.except(next).isEmpty
+      // LAZY checkpoint: the one convergence action below forces the
+      // full shuffle-map stage over `next` (except is shuffle-keyed on
+      // the whole row), so the checkpoint materializes as a side effect
+      // of that SAME job — exactly one driver-synchronized action per
+      // round, with lineage still truncated each round.
+      val next = smallStar(largeStar(edges)).localCheckpoint(eager = false)
+      // Exact convergence: the canonical edge sets are equal (empty
+      // symmetric difference, checked in ONE action). Exactness beats
+      // any sum/hash checksum (no collision caveat).
+      converged = next.except(edges).union(edges.except(next)).isEmpty
       edges = next
     }
     // Fixed point is a star forest rooted at component minima: every
@@ -718,7 +789,11 @@ object Dedup {
       "norm", "doc_id")
     planted.groupBy(col("lang")).agg(
       count(lit(1)).as("n_in"),
-      countDistinct(col("text")).as("n_raw_distinct"))
+      // distinct on the 32-byte digest, NOT the raw text — the
+      // distinct's shuffle key must never be a full document (the
+      // oracle counts distinct raw text; sha2-256 equality is the
+      // same partition function without moving document bodies)
+      countDistinct(sha2(col("text"), 256)).as("n_raw_distinct"))
       .join(kept.groupBy(col("lang")).agg(
         count(lit(1)).as("n_norm_kept"),
         sum(col("doc_id")).as("sum_kept_ids")), Seq("lang"))

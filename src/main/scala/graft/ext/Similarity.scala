@@ -597,9 +597,13 @@ object Similarity {
   private val e3LabelCoherence: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
       .select(col("vec_id"), col("label"), asDouble(col("embedding")).as("v"))
+    // Centroid means snap to an 8-decimal grid BEFORE the driver
+    // collect: double-sum order differs between engines (and across
+    // Spark partitionings), and an unrounded ulp here could flip the
+    // 6th decimal of a downstream dot product. Mirrored in the oracle.
     val cents: Seq[(Int, Seq[Double])] = emb
       .select(col("label"), posexplode(col("v")))
-      .groupBy(col("label"), col("pos")).agg(avg(col("col")).as("m"))
+      .groupBy(col("label"), col("pos")).agg(round(avg(col("col")), 8).as("m"))
       .collect().map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
       .groupBy(_._1).view.mapValues(_.map(_._2).sortBy(_._1).map(_._2).toSeq)
       .toSeq.map { case (l, v) => (l, v) }
@@ -636,7 +640,7 @@ object Similarity {
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         |c AS (
         |  SELECT label AS clabel, list(m ORDER BY pos) AS cv FROM (
-        |    SELECT label, pos, avg(x) AS m FROM (
+        |    SELECT label, pos, round(avg(x), 8) AS m FROM (
         |      SELECT label, unnest(v) AS x,
         |        generate_subscripts(v, 1) AS pos FROM e)
         |    GROUP BY label, pos)

@@ -302,11 +302,22 @@ object TextStats {
     val wc = docs.select(explode(split(col(textCol), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
+    // Symbol sequences are DELIMITER-OWNED: symbols joined by TWO
+    // spaces, one outer space each end — every symbol owns one space
+    // on each side. The merge pattern ' x  y ' therefore (a) can never
+    // match INSIDE a multi-char symbol (no spaces there) or across a
+    // symbol suffix ('za','b' does not contain ' a  b '), and (b) a
+    // run 'a a a a' merges to 'aa aa' in ONE leftmost-non-overlap
+    // replace pass, because each replacement returns the delimiter
+    // space it consumed. Plain single-space join has both defects
+    // (the round-6 advisory: suffix-crossing merges).
     var seqs = wc.select(
-      trim(regexp_replace(col("w"), "(.)", "$1 ")).as("seq"), col("n"))
+      concat(lit(" "),
+        trim(regexp_replace(col("w"), "(.)", "$1  ")), lit(" ")).as("seq"),
+      col("n"))
       .localCheckpoint(true)
     val perRound = (1 to rounds).map { r =>
-      val l = split(col("seq"), " ")
+      val l = split(trim(col("seq")), "  ")
       val pairs = seqs.filter(size(l) >= 2)
         .select(col("n"), explode(transform(
           sequence(lit(1), size(l) - 1),
@@ -318,7 +329,10 @@ object TextStats {
         .select(col("pair"), regexp_replace(col("pair"), " ", "").as("merged"),
           col("cnt"))
       seqs = seqs.crossJoin(top)
-        .select(expr("replace(seq, pair, merged)").as("seq"), col("n"))
+        .select(expr(
+          """replace(seq, concat(' ', replace(pair, ' ', '  '), ' '),
+            |  concat(' ', merged, ' '))""".stripMargin).as("seq"),
+          col("n"))
         .localCheckpoint(true)
       top.select(lit(r).as("round"), col("pair"), col("merged"), col("cnt"))
     }
@@ -442,20 +456,22 @@ object TextStats {
   )
 
   /** One unrolled BPE round: arg-max pair of round k, then the merged
-    * symbol table s_k (replace shares leftmost-non-overlap semantics
-    * with Spark's `replace`). */
+    * symbol table s_k — same delimiter-owned double-space
+    * representation as [[bpeMerges]] (replace shares
+    * leftmost-non-overlap semantics with Spark's `replace`). */
   private def bpeRound(k: Int): String = {
     val prev = s"s${k - 1}"
     s"""p$k AS (
        |  SELECT pair, cnt FROM (
        |    SELECT l[i] || ' ' || l[i + 1] AS pair, sum(n)::BIGINT AS cnt
-       |    FROM (SELECT string_split(seq, ' ') AS l, n FROM $prev),
+       |    FROM (SELECT string_split(trim(seq), '  ') AS l, n FROM $prev),
        |      unnest(range(1, len(l))) AS t(i)
        |    GROUP BY pair)
        |  ORDER BY cnt DESC, pair LIMIT 1),
        |s$k AS (
-       |  SELECT replace(seq, (SELECT pair FROM p$k),
-       |    replace((SELECT pair FROM p$k), ' ', '')) AS seq, n
+       |  SELECT replace(seq,
+       |    ' ' || replace((SELECT pair FROM p$k), ' ', '  ') || ' ',
+       |    ' ' || replace((SELECT pair FROM p$k), ' ', '') || ' ') AS seq, n
        |  FROM $prev)""".stripMargin
   }
 
@@ -466,7 +482,8 @@ object TextStats {
          |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
          |  WHERE w <> '' GROUP BY w),
          |s0 AS (
-         |  SELECT trim(regexp_replace(w, '(.)', '\\1 ', 'g')) AS seq, n
+         |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+         |    AS seq, n
          |  FROM wc),
          |${(1 to 5).map(bpeRound).mkString(",\n")}
          |${(1 to 5).map(k =>

@@ -115,7 +115,11 @@ object TrainPrep {
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
     val u = splitBucket(col(idCol)) + lit(0.5 / 4294967296.0)
-    df.withColumn("aes_key", pow(u, lit(1.0) / weight))
+    // The A-ES key is rounded to a 12-decimal grid BEFORE the top-k
+    // cut: pow() may differ by an ulp across libm implementations, and
+    // an ulp at the k-th key would swap membership between engines.
+    // The grid absorbs it; residual ties break on the id.
+    df.withColumn("aes_key", round(pow(u, lit(1.0) / weight), 12))
       .orderBy(col("aes_key").desc, col(idCol))
       .limit(k)
   }
@@ -372,7 +376,7 @@ object TrainPrep {
         |  FROM documents),
         |k AS (
         |  SELECT doc_id, source FROM b
-        |  ORDER BY pow(u, 1.0 / w) DESC, doc_id LIMIT 200)
+        |  ORDER BY round(pow(u, 1.0 / w), 12) DESC, doc_id LIMIT 200)
         |SELECT source, count(*)::BIGINT AS n_sampled,
         |  sum(doc_id)::BIGINT AS sum_ids
         |FROM k GROUP BY source ORDER BY source""".stripMargin,

@@ -435,6 +435,30 @@ object LakeQueries {
     s.table(tbl).orderBy(col("src"), col("id"))
   }
 
+  /** K8b: PARTITIONED CTAS — Athena's `partitioned_by` CTAS surface
+    * (workgroup SQL, stacks/demo_stack.py:255-265; Hive layout as in
+    * csv_to_parquet.py:58): CREATE TABLE ... USING parquet
+    * PARTITIONED BY AS SELECT, then a partition-predicate read back.
+    * Spark moves the partition column to the END of the schema, so the
+    * query re-selects explicitly to pin the column order the oracle
+    * uses. Directory pruning on the result table is plan-pinned in
+    * LakeSpec ("partitioned CTAS prunes partitions"). */
+  private val k8bCtasPartitioned: Q = (s, dir) => {
+    Tables.register(s, dir)
+    val tbl = s"graft_ctasp_${Lake.sessionSuffix(s, dir)}"
+    s.sql(s"DROP TABLE IF EXISTS $tbl")
+    Lake.deleteRecursively(new java.io.File(
+      s.conf.get("spark.sql.warehouse.dir").stripPrefix("file:"), tbl))
+    s.sql(
+      s"""CREATE TABLE $tbl USING parquet PARTITIONED BY (nk) AS
+         |SELECT c_custkey AS id, c_name AS name,
+         |  round(c_acctbal, 2) AS bal, c_nationkey AS nk
+         |FROM customer""".stripMargin)
+    s.table(tbl).filter(col("nk").isin(3, 7))
+      .select(col("id"), col("name"), col("bal"), col("nk"))
+      .orderBy(col("id"))
+  }
+
   /** K5: crawler-style registration under a name prefix
     * (`with_classifier_`, demo_stack.py:144/:186). */
   private val k5RegisterPrefix: Q = (s, dir) => {
@@ -686,6 +710,7 @@ object LakeQueries {
     "s11_orc_rt" -> s11OrcRt,
     "k7_compact" -> k7Compact,
     "k8_ctas_insert" -> k8CtasInsert,
+    "k8b_ctas_partitioned" -> k8bCtasPartitioned,
     "k9_dynamic_overwrite" -> k9DynamicOverwrite,
     "s12_sql_view" -> s12SqlView,
     "s13_msck_repair" -> s13MsckRepair,
@@ -874,6 +899,11 @@ object LakeQueries {
     "k7_compact" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price
         |FROM orders ORDER BY o_orderkey""".stripMargin,
+    "k8b_ctas_partitioned" ->
+      """SELECT c_custkey AS id, c_name AS name,
+        |  round(c_acctbal, 2) AS bal, c_nationkey AS nk
+        |FROM customer WHERE c_nationkey IN (3, 7)
+        |ORDER BY id""".stripMargin,
     "k8_ctas_insert" ->
       """SELECT * FROM (
         |  SELECT n_nationkey AS id, n_name AS name, 'nation' AS src FROM nation

@@ -31,11 +31,12 @@ object Graph {
     * nodes keep receiving the teleport term. `n` is the node count
     * (bounded driver scalar, like the IVF centroid count). */
   def pageRank(nodes: DataFrame, edges: DataFrame, n: Long,
-      iters: Int, damping: Double = 0.85): DataFrame = {
+      iters: Int, damping: Double = 0.85,
+      checkpointEvery: Int = 5): DataFrame = {
     val teleport = (1.0 - damping) / n
     var ranks = nodes.select(col("node"),
       round(lit(1.0 / n), 12).as("r"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val contrib = ranks.join(edges, col("node") === col("src"))
         .select(col("dst"), (col("r") * col("w")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
@@ -43,6 +44,13 @@ object Graph {
         .select(col("node"),
           round(lit(teleport) + lit(damping) * coalesce(col("inflow"), lit(0.0)),
             10).as("r"))
+      // LAZY lineage truncation (values unchanged): without it the
+      // logical plan nests one join+agg deeper per iteration and
+      // Catalyst analysis goes superlinear — 30+ iterations stall in
+      // the OPTIMIZER, not the executors. Lazy = zero extra jobs; the
+      // final action materializes each cut stage-by-stage.
+      if (i % checkpointEvery == 0 && i < iters)
+        ranks = ranks.localCheckpoint(eager = false)
     }
     ranks
   }
@@ -114,16 +122,19 @@ object Graph {
     * Pregel dataflow (same shape as [[pageRank]]); distances stay
     * (node, long) narrow. Hop count is a constant, so the plan is a
     * fixed k-deep tree — no driver-side convergence checks. */
-  def bfsDistances(edges: DataFrame, src: Long, maxHops: Int): DataFrame = {
+  def bfsDistances(edges: DataFrame, src: Long, maxHops: Int,
+      checkpointEvery: Int = 5): DataFrame = {
     val adj = edges.select(col("u").as("s"), col("v").as("d"))
       .union(edges.select(col("v").as("s"), col("u").as("d")))
     var dist = edges.sparkSession.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist"))
-    for (_ <- 1 to maxHops) {
+    for (i <- 1 to maxHops) {
       val next = dist.join(adj, col("node") === col("s"))
         .select(col("d").as("node"), (col("dist") + 1L).as("dist"))
       dist = dist.union(next)
         .groupBy(col("node")).agg(min(col("dist")).as("dist"))
+      if (i % checkpointEvery == 0 && i < maxHops)
+        dist = dist.localCheckpoint(eager = false) // see pageRank note
     }
     dist
   }
@@ -166,9 +177,9 @@ object Graph {
     * all. `adj` is a directed neighbor list (both directions of each
     * undirected edge, plus self-loops). */
   def labelPropagation(nodes: DataFrame, adj: DataFrame,
-      iters: Int): DataFrame = {
+      iters: Int, checkpointEvery: Int = 5): DataFrame = {
     var labels = nodes.select(col("node"), col("node").as("lbl"))
-    for (_ <- 1 to iters) {
+    for (i <- 1 to iters) {
       val votes = adj.join(labels, col("s") === col("node"))
         .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("c"))
       val top = Window.partitionBy(col("d"))
@@ -176,6 +187,8 @@ object Graph {
       labels = votes.withColumn("rk", row_number().over(top))
         .filter(col("rk") === 1)
         .select(col("d").as("node"), col("lbl"))
+      if (i % checkpointEvery == 0 && i < iters)
+        labels = labels.localCheckpoint(eager = false) // see pageRank note
     }
     labels
   }

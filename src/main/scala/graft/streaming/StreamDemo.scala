@@ -86,15 +86,23 @@ object StreamDemo {
     * tail-ingest shape). The schema is passed EXPLICITLY: the normal
     * start state of tail-ingest is an empty directory, where schema
     * inference would fail — and a stream's schema is a contract, not a
-    * discovery. The nanos-to-timestamp rebuild is the same transform
-    * `Tables.load` applies in batch. */
+    * discovery. The ts normalization dispatches on the declared type,
+    * same as `Tables.load` in batch: long = nanos → rebuild; timestamp
+    * (incl. NTZ) → pass through/cast. */
   def eventStream(spark: org.apache.spark.sql.SparkSession,
       landingDir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
-    spark.readStream
+      schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val raw = spark.readStream
       .schema(schema)
       .parquet(landingDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts").cast("timestamp"))
+      case _ => raw
+    }
+  }
 
   final case class SessionOut(userId: Long, nEvents: Int,
     startMs: Long, endMs: Long)

@@ -112,4 +112,19 @@ class TextStatsSpec extends SparkSpec {
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == Seq((1, "a a", "aa", 2L), (2, "aa a", "aaa", 1L)), s"got $got")
   }
+
+  test("bpeMerges never merges across a symbol boundary (suffix trap)") {
+    // Round 1 merges (z,a)→'za' (cnt 4). Round 2's argmax (a,b) must
+    // NOT touch the 'za b' sequence — a plain single-space replace
+    // matches 'a b' inside 'za b' and corrupts the symbol table (the
+    // round-6 advisory). With delimiter-owned spacing, round 3 still
+    // sees the intact (za,b) pair.
+    val docs = Seq("za za za zab ab ab").toDF("text")
+    val got = TextStats.bpeMerges(docs, "text", rounds = 3)
+      .as[(Int, String, String, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "z a", "za", 4L),
+      (2, "a b", "ab", 2L),
+      (3, "za b", "zab", 1L)), s"got $got")
+  }
 }

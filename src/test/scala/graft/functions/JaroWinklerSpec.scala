@@ -58,4 +58,33 @@ class JaroWinklerSpec extends SparkSpec {
     val out = df.select(JaroWinkler.jaroWinkler($"a", $"b")).collect()
     assert(out.forall(_.isNullAt(0)))
   }
+
+  test("jaroWinklerPairs char-bag prefilter loses no pair vs brute force") {
+    // Adversarial rows for the exact char-bag bound: uppercase (all
+    // out-of-alphabet → nz bucket), transposed FIRST letters (kills any
+    // prefix-equality blocking — JW is still high), length mismatches,
+    // empty strings, near-identical lowercase names.
+    val rows = Seq(
+      (1L, "blk", "MARTHA"), (2L, "blk", "MARHTA"),   // uppercase, high JW
+      (3L, "blk", "amrtha"), (4L, "blk", "martha"),   // first-letter swap
+      (5L, "blk", "forest green metallic"), (6L, "blk", "forest green metalic"),
+      (7L, "blk", ""), (8L, "blk", ""),               // DuckDB: jw("","")=0
+      (9L, "blk", "x"), (10L, "blk", "xyzzy plugh"),  // length ratio < 0.4
+      (11L, "blk", "DWAYNE"), (12L, "blk", "DUANE"),
+      (13L, "blk", "naïve"), (14L, "blk", "naive"))   // multi-byte
+    val df = rows.toDF("id", "blk", "s")
+    for (thr <- Seq(0.7, 0.8, 0.88, 0.95)) {
+      val fast = graft.ext.Dedup.jaroWinklerPairs(df, "id", "s", "blk", thr)
+        .orderBy("key_a", "key_b").collect().map(_.toSeq).toSeq
+      val brute = df.as("a").join(df.as("b"),
+          $"a.blk" === $"b.blk" && $"a.id" < $"b.id")
+        .select($"a.id".as("key_a"), $"b.id".as("key_b"),
+          JaroWinkler.jaroWinkler($"a.s", $"b.s").as("jw"))
+        .filter($"jw" >= thr)
+        .select($"key_a", $"key_b", round($"jw", 6).as("jw"))
+        .orderBy("key_a", "key_b").collect().map(_.toSeq).toSeq
+      assert(fast == brute,
+        s"thr=$thr: prefilter changed the result\nfast=$fast\nbrute=$brute")
+    }
+  }
 }

@@ -57,6 +57,30 @@ class LakeSpec extends SparkSpec {
     assert(pruned.count() == expected)
   }
 
+  test("partitioned CTAS prunes partitions on the read-back") {
+    // k8b's surface: CREATE TABLE ... PARTITIONED BY AS SELECT must
+    // produce a table whose partition-predicate reads prune
+    // directories (PartitionFilters on nk), same contract as the
+    // path-based k1 pin above.
+    val tbl = s"graft_ctasp_spec_${System.nanoTime()}"
+    spark.sql(s"DROP TABLE IF EXISTS $tbl")
+    spark.sql(
+      s"""CREATE TABLE $tbl USING parquet PARTITIONED BY (nk) AS
+         |SELECT c_custkey AS id, round(c_acctbal, 2) AS bal,
+         |  c_nationkey AS nk
+         |FROM parquet.`$sf/customer.parquet`""".stripMargin)
+    try {
+      val pruned = spark.table(tbl).filter($"nk" === 7)
+      pruned.collect()
+      val plan = pruned.queryExecution.executedPlan.toString()
+      assert(plan.contains("PartitionFilters") && plan.contains("nk"),
+        s"pruning missing in:\n$plan")
+      val expected = Tables.load(spark, sf, "customer")
+        .filter($"c_nationkey" === 7).count()
+      assert(pruned.count() == expected)
+    } finally spark.sql(s"DROP TABLE IF EXISTS $tbl")
+  }
+
   test("mergeChanges: insert, update (incl. set-NULL), delete, passthrough") {
     val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
       .toDF("k", "name", "v")

@@ -103,4 +103,26 @@ class GraphSpec extends SparkSpec {
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L), s"got $got")
   }
+
+  test("deep pageRank (30 iters) stays fast via lineage truncation") {
+    // Without checkpointEvery the logical plan nests 30 join+agg
+    // levels and Catalyst analysis goes superlinear — this is a
+    // wall-clock pin on the OPTIMIZER, not the executors (the data is
+    // 3 nodes). Values must equal the untruncated loop's: lineage cuts
+    // are value-neutral (each iteration rounds to 10 anyway).
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 2L, 1.0), (2L, 3L, 1.0), (3L, 1L, 1.0))
+      .toDF("src", "dst", "w")
+    val t0 = System.nanoTime()
+    val deep = rankMap(
+      Graph.pageRank(nodes, edges, 3, iters = 30, checkpointEvery = 5)
+        .collect())
+    val secs = (System.nanoTime() - t0) / 1e9
+    val ref = rankMap(
+      Graph.pageRank(nodes, edges, 3, iters = 30, checkpointEvery = 31)
+        .collect())
+    assert(deep == ref, s"truncation changed values: $deep vs $ref")
+    assert(math.abs(deep.values.sum - 1.0) < 1e-6)
+    assert(secs < 60.0, s"30-iteration pageRank took $secs s")
+  }
 }
