@@ -91,10 +91,17 @@ object Graph {
     * back to the oriented edge set. Input edges must be canonical
     * (u < v, distinct). */
   def triangleCounts(edges: DataFrame): DataFrame = {
-    val deg = edges.select(col("u").as("n"))
-      .union(edges.select(col("v").as("n")))
+    // The edge set is typically an expensive upstream join (the
+    // co-purchase build) and is consumed by THREE subtrees (degree
+    // count, degree re-attach, triangle close) — materialize it once;
+    // likewise `oriented` feeds both wedge sides and the close.
+    // Lazy checkpoints: the final action materializes each exactly
+    // once instead of re-running the build per consumer.
+    val e = edges.localCheckpoint(eager = false)
+    val deg = e.select(col("u").as("n"))
+      .union(e.select(col("v").as("n")))
       .groupBy(col("n")).agg(count(lit(1)).as("d"))
-    val ew = edges
+    val ew = e
       .join(deg.select(col("n").as("u"), col("d").as("du")), Seq("u"))
       .join(deg.select(col("n").as("v"), col("d").as("dv")), Seq("v"))
     val fwd = col("du") < col("dv") ||
@@ -103,6 +110,7 @@ object Graph {
       when(fwd, col("u")).otherwise(col("v")).as("src"),
       when(fwd, col("v")).otherwise(col("u")).as("dst"),
       when(fwd, col("dv")).otherwise(col("du")).as("dd"))
+      .localCheckpoint(eager = false)
     val x = oriented.select(col("src"), col("dst").as("b"), col("dd").as("db"))
     val y = oriented.select(col("src"), col("dst").as("c"), col("dd").as("dc"))
     val wedges = x.join(y, Seq("src"))

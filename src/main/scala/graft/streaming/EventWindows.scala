@@ -242,7 +242,55 @@ object EventWindows {
       .orderBy(col("digest"))
   }
 
+  /** EV12: gap sessionization EXECUTED AS A STREAM with custom state
+    * (flatMapGroupsWithState), oracle-gated against the batch
+    * gaps-and-islands answer. The events table is replayed through a
+    * MemoryStream in 1-day event-time buckets (bucket width = the
+    * 1-day gap, honoring [[StreamDemo.sessionize]]'s exact-gap
+    * contract), one micro-batch per bucket so watermark advancement
+    * and state timeouts exercise the real incremental path; a
+    * keep-alive row (user −1, bucket end) pins the watermark per
+    * bucket even when the data goes quiet, and a final far-future
+    * keep-alive closes every trailing session. The driver-side replay
+    * is the TEST HARNESS (a cluster tails a bucketed landing zone);
+    * the operator under test holds three longs per key. Session
+    * arithmetic is in epoch MILLIS on both engines. */
+  private val ev12StreamSessions: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val gapMs = 86400000L // 1 day
+    val rows = t(s, dir, "events")
+      .select(col("user_id"), col("ts").cast("timestamp"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    val byBucket = rows.groupBy(r => r._2.getTime / gapMs).toSeq.sortBy(_._1)
+    val stream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sink = "ev12_out_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val q = StreamDemo.sessionize(stream.toDS(), gapMs)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode(OutputMode.Append()).start()
+    try {
+      for ((b, batch) <- byBucket) {
+        val keepAlive =
+          (-1L, new java.sql.Timestamp((b + 1) * gapMs - 1))
+        stream.addData(batch.toSeq :+ keepAlive)
+        q.processAllAvailable()
+      }
+      val lastMs = rows.iterator.map(_._2.getTime).max
+      stream.addData(Seq((-1L, new java.sql.Timestamp(lastMs + 3 * gapMs))))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).filter(col("userId") >= 0)
+      .select(col("userId").as("user_id"),
+        col("nEvents").cast("long").as("n_events"),
+        col("startMs").as("start_ms"), col("endMs").as("end_ms"))
+      .orderBy(col("user_id"), col("start_ms"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev12_stream_sessions" -> ev12StreamSessions,
     "ev11_stream_dedup" -> ev11StreamDedup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
@@ -257,6 +305,28 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Batch gaps-and-islands restatement of the streamed sessionization
+    // (1-day gap, epoch-ms domain on both engines: SessionOut carries
+    // java.sql.Timestamp.getTime millis).
+    "ev12_stream_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |d AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |           IS NULL
+        |         OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |           > 86400000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  min(ms)::BIGINT AS start_ms, max(ms)::BIGINT AS end_ms
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
     // Batch restatement of the stream: a digest survives iff it is not
     // in the mod-5 corpus (the in-stream repeat suppression collapses
     // to DISTINCT once the stream is driven to completion).

@@ -109,11 +109,23 @@ object StreamDemo {
 
   /** Event-time sessionization via flatMapGroupsWithState — the
     * variable-arity custom-state primitive: events accumulate per user;
-    * once the watermark passes `gapMs` beyond a user's last event the
-    * session CLOSES and is emitted (zero rows while open, one on
-    * timeout). State per key is three longs regardless of session
-    * length, and the event-time timeout bounds its lifetime — the
-    * at-scale contract for billions of keys. */
+    * a session CLOSES two ways, both exact:
+    *  - TIMEOUT: the watermark passes `gapMs` beyond the user's last
+    *    event while the user is silent — emitted from the timeout
+    *    branch;
+    *  - DATA-DRIVEN SPLIT: the user's next batch of events starts more
+    *    than `gapMs` after the stored session end — the old session is
+    *    emitted immediately and the new one opens (a timeout is NOT
+    *    guaranteed to fire first: if no other key advanced the
+    *    watermark during the silence, the key's own late-arriving data
+    *    would otherwise merge across the gap).
+    * EXACT-GAP CONTRACT: events inside one micro-batch are folded into
+    * one run, so per-key batch time-span must be ≤ `gapMs` (drive the
+    * source with ≤-gap-sized time buckets, as `ev12_stream_sessions`
+    * does) — then stream sessions equal the batch gaps-and-islands
+    * answer exactly. State per key is three longs regardless of
+    * session length, and the event-time timeout bounds its lifetime —
+    * the at-scale contract for billions of keys. */
   def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
       gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -130,13 +142,19 @@ object StreamDemo {
             Iterator.single(SessionOut(userId, n, s0, e0))
           } else {
             val times = rows.map(_._2.getTime).toSeq
+            val (bn, bMin, bMax) = (times.size, times.min, times.max)
+            val closed: Option[SessionOut] = state.getOption match {
+              case Some((n0, s0, e0)) if bMin > e0 + gapMs =>
+                state.remove()
+                Some(SessionOut(userId, n0, s0, e0))
+              case _ => None
+            }
             val (n0, s0, e0) =
               state.getOption.getOrElse((0, Long.MaxValue, Long.MinValue))
-            val next = (n0 + times.size,
-              math.min(s0, times.min), math.max(e0, times.max))
+            val next = (n0 + bn, math.min(s0, bMin), math.max(e0, bMax))
             state.update(next)
             state.setTimeoutTimestamp(next._3 + gapMs)
-            Iterator.empty
+            closed.iterator
           }
       }
   }

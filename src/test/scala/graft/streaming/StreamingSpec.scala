@@ -179,23 +179,37 @@ class StreamingSpec extends SparkSpec {
       // two users with open sessions
       stream.addData((1L, ts(1, 1)), (2L, ts(1, 1)))
       q.processAllAvailable()
-      // both sessions extend: watermark reaches 02:00 but the timeouts
-      // move to 02:30, so nothing closes yet
+      // batch 2 is 60 min later — BEYOND the 30-min gap: the arrival
+      // itself closes the first sessions (data-driven split; the
+      // watermark is only at 01:00, so a timeout could not have fired)
       stream.addData((1L, ts(1, 2)), (2L, ts(1, 2)))
       q.processAllAvailable()
-      assert(spark.table("sess_out").count() == 0, "sessions still open")
-      // a far-future event advances the watermark past both timeouts
+      val afterSplit = spark.table("sess_out")
+        .as[StreamDemo.SessionOut].collect().toSet
+      assert(afterSplit == Set(
+        StreamDemo.SessionOut(1L, 1, ts(1, 1).getTime, ts(1, 1).getTime),
+        StreamDemo.SessionOut(2L, 1, ts(1, 1).getTime, ts(1, 1).getTime)),
+        s"data-driven split should close the 01:00 sessions: $afterSplit")
+      // a far-future event advances the watermark past the second
+      // sessions' timeouts
       stream.addData((3L, ts(2, 12)))
       q.processAllAvailable()
       stream.addData((3L, ts(2, 13))) // one more batch so timeouts fire
       q.processAllAvailable()
       val sessions = spark.table("sess_out")
-        .as[StreamDemo.SessionOut].collect().map(s => s.userId -> s).toMap
-      assert(sessions.keySet == Set(1L, 2L), s"got ${sessions.keySet}")
-      assert(sessions(1L).nEvents == 2 &&
-        sessions(1L).startMs == ts(1, 1).getTime &&
-        sessions(1L).endMs == ts(1, 2).getTime)
-      assert(sessions(2L).nEvents == 2)
+        .as[StreamDemo.SessionOut].collect()
+        .groupBy(_.userId).view.mapValues(_.toSet).toMap
+      assert(sessions.keySet == Set(1L, 2L, 3L), s"got ${sessions.keySet}")
+      for (u <- Seq(1L, 2L)) assert(sessions(u) == Set(
+        StreamDemo.SessionOut(u, 1, ts(1, 1).getTime, ts(1, 1).getTime),
+        StreamDemo.SessionOut(u, 1, ts(1, 2).getTime, ts(1, 2).getTime)),
+        s"user $u sessions: ${sessions(u)}")
+      // user 3's own two events are 60 min apart — its first session
+      // closes by data-driven split; the second stays open (no later
+      // watermark advance), correctly unemitted
+      assert(sessions(3L) == Set(
+        StreamDemo.SessionOut(3L, 1, ts(2, 12).getTime, ts(2, 12).getTime)),
+        s"user 3 sessions: ${sessions(3L)}")
     } finally q.stop()
   }
 
