@@ -128,6 +128,74 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Bigram language-model scoring with add-k smoothing — the step up
+    * from [[unigramLogprob]] every quality-filter stack takes (word
+    * order starts to matter: shuffled boilerplate scores badly under a
+    * bigram LM while a unigram LM can't tell). Train-and-score on the
+    * corpus in three keyed aggregations: bigram counts (the one big
+    * shuffle, partial-agg'd), history counts derived FROM the bigram
+    * table (no second corpus pass), vocabulary size as a bounded
+    * scalar; scoring re-joins the doc bigram stream to the count
+    * tables — the standard LM-scoring dataflow at any scale. nll is
+    * rounded per bigram TYPE (6) before the per-doc avg (4), per the
+    * rounding-parity convention. */
+  def bigramLogprob(docs: DataFrame, idCol: String, textCol: String,
+      addK: Double = 0.5): DataFrame = {
+    val ws = split(col(textCol), " ")
+    val bigrams = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+      .filter(size(col("ws")) >= 2) // sequence(1,0) would DESCEND
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 1), i ->
+          |  struct(element_at(ws, i) AS w1,
+          |         element_at(ws, i + 1) AS w2))""".stripMargin)).as("b"))
+      .select(col("doc_id"), col("b.w1"), col("b.w2"))
+    val cb = bigrams.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("cb"))
+    val ch = cb.groupBy(col("w1")).agg(sum(col("cb")).as("ch"))
+    val vAgg = docs
+      .select(explode(split(col(textCol), " ")).as("w"))
+      .agg(countDistinct(col("w")).as("v"))
+    val lm = cb.join(ch, Seq("w1")).crossJoin(vAgg)
+      .select(col("w1"), col("w2"),
+        round(-log((col("cb") + lit(addK)) /
+          (col("ch") + lit(addK) * col("v"))), 6).as("nll"))
+    bigrams.join(lm, Seq("w1", "w2"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_bigrams"),
+        round(avg(col("nll")), 4).as("avg_nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
+    * SIGMOD'03 — the MOSS algorithm): char k-gram hashes, keep the
+    * minimum hash of every w-gram window. Guarantee: any substring
+    * match of length ≥ k+w−1 between two documents yields a SHARED
+    * fingerprint, while only ~2/(w+1) of the gram hashes are kept —
+    * the robust substring-fingerprint primitive between whole-document
+    * hashing (too coarse) and storing every shingle (too big). The
+    * gram hash is sha-256 (engine-portable, unlike xxhash on the
+    * oracle side); the window min is one bounded ROWS frame per doc —
+    * map-only but for the per-doc window sort, no cross-doc shuffle at
+    * all. Output: the DISTINCT (doc, fingerprint) set. */
+  def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 8, w: Int = 6): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), col(textCol).as("t"),
+        length(col(textCol)).as("len"))
+      .filter(col("len") >= k + w - 1) // at least one full window
+    val grams = base.select(col("doc_id"), col("len"),
+      posexplode(expr(
+        s"transform(sequence(1, len - ${k - 1}), i -> " +
+          s"sha2(substring(t, i, $k), 256))")))
+      .select(col("doc_id"), col("len"), col("pos"), col("col").as("h"))
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      .rowsBetween(Window.currentRow, w - 1)
+    grams.withColumn("fp", min(col("h")).over(win))
+      .filter(col("pos") <= col("len") - lit(k + w - 1)) // full windows only
+      .select(col("doc_id"), col("fp")).distinct()
+      .orderBy(col("doc_id"), col("fp"))
+  }
+
   /** Vocabulary build + out-of-vocabulary coverage — the first question
     * a tokenizer/data team asks of a new corpus slice: with a top-N
     * frequency vocabulary, what fraction of each source's token stream
@@ -390,6 +458,15 @@ object TextStats {
   private val e4Logprob: Q = (s, dir) =>
     unigramLogprob(t(s, dir, "documents"), "doc_id", "text")
 
+  /** E4j: bigram-LM quality scoring (add-0.5 smoothing). */
+  private val e4BigramLm: Q = (s, dir) =>
+    bigramLogprob(t(s, dir, "documents"), "doc_id", "text")
+
+  /** E4k: winnowing fingerprints (k=8 char grams, w=6 windows),
+    * full value-level oracle on the exact fingerprint set. */
+  private val e4Winnow: Q = (s, dir) =>
+    winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+
   /** E4d: top-300 vocabulary, per-source OOV rates, value-level oracle. */
   private val e4VocabOov: Q = (s, dir) =>
     vocabOovCoverage(t(s, dir, "documents"), "text", "source", 300)
@@ -442,6 +519,8 @@ object TextStats {
     bpeMerges(t(s, dir, "documents"), "text", rounds = 5)
 
   val queries: Map[String, Q] = Map(
+    "e4_bigram_lm" -> e4BigramLm,
+    "e4_winnow" -> e4Winnow,
     "e4_bpe" -> e4Bpe,
     "e4_entropy" -> e4Entropy,
     "e4_pmi" -> e4Pmi,
@@ -476,6 +555,42 @@ object TextStats {
   }
 
   val oracles: Map[String, String] = Map(
+    "e4_bigram_lm" ->
+      """WITH ws AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),
+        |bg AS (
+        |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2
+        |  FROM ws, unnest(range(1, len(l))) AS t(i)
+        |  WHERE len(l) >= 2),
+        |cb AS (SELECT w1, w2, count(*) AS cb FROM bg GROUP BY w1, w2),
+        |ch AS (SELECT w1, sum(cb) AS ch FROM cb GROUP BY w1),
+        |v AS (SELECT count(DISTINCT w) AS v FROM (
+        |  SELECT unnest(string_split(text, ' ')) AS w FROM documents)),
+        |lm AS (
+        |  SELECT w1, w2,
+        |    round(-ln((cb + 0.5) / (ch + 0.5 * v)), 6) AS nll
+        |  FROM cb JOIN ch USING (w1), v)
+        |SELECT b.doc_id, count(*)::BIGINT AS n_bigrams,
+        |  round(avg(l.nll), 4) AS avg_nll
+        |FROM bg b JOIN lm l USING (w1, w2)
+        |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
+    // Winnowing recomputed verbatim: k=8, w=6, sha-256 gram hashes,
+    // window min over a 6-row frame, full windows only.
+    "e4_winnow" ->
+      """WITH g AS (
+        |  SELECT doc_id, i - 1 AS pos, length(text) AS len,
+        |    sha256(substr(text, i::INT, 8)) AS h
+        |  FROM documents,
+        |    unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS t(i)
+        |  WHERE length(text) >= 13),
+        |m AS (
+        |  SELECT doc_id, pos, len,
+        |    min(h) OVER (PARTITION BY doc_id ORDER BY pos
+        |                 ROWS BETWEEN CURRENT ROW AND 5 FOLLOWING) AS fp
+        |  FROM g)
+        |SELECT DISTINCT doc_id, fp FROM m
+        |WHERE pos <= len - 13
+        |ORDER BY doc_id, fp""".stripMargin,
     "e4_bpe" ->
       s"""WITH wc AS (
          |  SELECT w, count(*)::BIGINT AS n FROM (

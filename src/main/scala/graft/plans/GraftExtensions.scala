@@ -3,7 +3,7 @@ package graft.plans
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
-import graft.functions.{HyperplaneSig, JaccardSim, JaroWinkler, MinHashSig, SimHash64, VecDot}
+import graft.functions.{CharBagOverlap, HyperplaneSig, JaccardSim, JaroWinkler, MinHashSig, SimHash64, VecDot}
 
 /** Session extensions — the sanctioned plug-in point for custom
   * expressions (enable with
@@ -50,6 +50,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("jaro_winkler"),
       new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
       (exprs: Seq[Expression]) => JaroWinkler(exprs.head, exprs(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("char_bag_overlap"),
+      new ExpressionInfo(classOf[CharBagOverlap].getName, "char_bag_overlap"),
+      (exprs: Seq[Expression]) => CharBagOverlap(exprs.head, exprs(1))))
     ext.injectFunction((
       new FunctionIdentifier("vec_dot"),
       new ExpressionInfo(classOf[VecDot].getName, "vec_dot"),

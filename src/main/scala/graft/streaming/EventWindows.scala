@@ -268,9 +268,19 @@ object EventWindows {
     val stream = MemoryStream[(Long, java.sql.Timestamp)]
     val sink = "ev12_out_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
-    val q = StreamDemo.sessionize(stream.toDS(), gapMs)
-      .writeStream.format("memory").queryName(sink)
-      .outputMode(OutputMode.Append()).start()
+    // A streaming query pins its STATE STORE partition count from
+    // shuffle.partitions at first start; at 30 sequential micro-batches
+    // the replay's wall clock is task-launch bound (batches × state
+    // partitions), so scope the count down for this query only and
+    // restore it (try/finally; Verify/Bench run queries sequentially).
+    // A real deployment sizes it to key cardinality instead.
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try StreamDemo.sessionize(stream.toDS(), gapMs)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       for ((b, batch) <- byBucket) {
         val keepAlive =

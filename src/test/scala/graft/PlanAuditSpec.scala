@@ -36,6 +36,8 @@ class PlanAuditSpec extends SparkSpec {
     // one-row corpus count crossJoined onto the vocabulary table
     "e4_tfidf" -> Set("BroadcastNestedLoop"),
     "e4_logprob" -> Set("BroadcastNestedLoop"),
+    // one-row vocabulary-size scalar crossJoined onto the bigram table
+    "e4_bigram_lm" -> Set("BroadcastNestedLoop"),
     // one-row (N, avgdl) scalars crossJoined onto the Q-row term table
     "e4_bm25" -> Set("BroadcastNestedLoop"),
     // two one-row global est/exact scalars crossJoined onto a one-row agg

@@ -113,6 +113,36 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Seq((1, "a a", "aa", 2L), (2, "aa a", "aaa", 1L)), s"got $got")
   }
 
+  test("bigramLogprob matches hand-computed add-k scores") {
+    // corpus bigrams: (a,b)x2, (b,a)x1; histories a=2, b=1; V=2, k=0.5
+    // nll(a,b) = -ln(2.5/3) = 0.182322; nll(b,a) = -ln(1.5/2) = 0.287682
+    val docs = Seq((1L, "a b"), (2L, "a b a")).toDF("doc_id", "text")
+    val got = TextStats.bigramLogprob(docs, "doc_id", "text")
+      .as[(Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (1L, 1L, 0.1823),
+      (2L, 2L, 0.235)), s"got $got") // (0.182322+0.287682)/2 = 0.235002
+  }
+
+  test("winnowFingerprints: shared >= k+w-1 substring shares a fingerprint") {
+    val common = "QUICKBROWNFOXJU" // 15 >= k+w-1 = 13
+    val docs = Seq(
+      (1L, "aaaa" + common + "bbbb"),
+      (2L, "zz" + common + "qqqqqq"),
+      (3L, "entirely different text here"),
+      (4L, "short")) // < 13 chars: no fingerprints at all
+    .toDF("doc_id", "text")
+    val fps = TextStats.winnowFingerprints(docs, "doc_id", "text")
+      .as[(Long, String)].collect().toSeq
+    val byDoc = fps.groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    assert(!byDoc.contains(4L), "sub-window doc must yield nothing")
+    assert((byDoc(1L) & byDoc(2L)).nonEmpty,
+      "winnowing guarantee: shared 15-char substring, no shared fp")
+    assert((byDoc(1L) & byDoc(3L)).isEmpty, "unrelated docs collide")
+    // density: ~2/(w+1) of gram hashes survive, never more than n_grams
+    assert(byDoc(1L).size < ("aaaa" + common + "bbbb").length - 7)
+  }
+
   test("bpeMerges never merges across a symbol boundary (suffix trap)") {
     // Round 1 merges (z,a)→'za' (cnt 4). Round 2's argmax (a,b) must
     // NOT touch the 'za b' sequence — a plain single-space replace
