@@ -253,6 +253,29 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"got $got\nbrute $brute")
   }
 
+  test("jaroWinklerPairs plan: the char-bag filter gates the JW scorer") {
+    // The 4.5× win depends on a plan shape: char_bag_overlap must sit
+    // in the JOIN (as its condition, evaluated per candidate pair
+    // before any jaro_winkler), not in a Filter above a fully
+    // materialized scored join. Catalyst keeps the filter in the join
+    // condition because it references both sides of an inner join —
+    // pin that so a refactor can't silently move the O(l²) work first.
+    val df = Seq((1L, "alpha beam", "B1"), (2L, "alpha beet", "B1"),
+      (3L, "zz", "B1")).toDF("id", "name", "blk")
+    val q = Dedup.jaroWinklerPairs(df, "id", "name", "blk", 0.88)
+    q.collect()
+    val plan = q.queryExecution.executedPlan.toString()
+    val joinIdx = plan.indexOf("Join")
+    val bagIdx = plan.indexOf("char_bag_overlap")
+    val jwIdx = plan.indexOf("jaro_winkler")
+    assert(joinIdx >= 0 && bagIdx >= 0 && jwIdx >= 0, s"nodes missing:\n$plan")
+    // the bag filter appears with the join; the JW projection is a
+    // separate, later (higher) node — i.e. printed BEFORE the join in
+    // Spark's top-down plan rendering
+    assert(jwIdx < bagIdx,
+      s"jaro_winkler should be computed above the bag-filtered join:\n$plan")
+  }
+
   test("repeatedNgramSpans finds cross-doc spans and counts internal repeats") {
     val docs = Seq(
       (1L, "a b c d e f g h x"),          // span at start
