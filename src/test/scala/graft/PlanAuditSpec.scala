@@ -28,6 +28,8 @@ class PlanAuditSpec extends SparkSpec {
     "e3_quantized_cosine" -> Set("BroadcastNestedLoop"),
     "e5_pipeline" -> Set("BroadcastNestedLoop"),
     "e3_ivf_recall" -> Set("BroadcastNestedLoop"),
+    // exact all-pairs verification side + one-row gate scalars
+    "e3_semdedup" -> Set("BroadcastNestedLoop"),
     "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
     // one-row crossJoins assembling the S-row rate table's scalars
