@@ -34,4 +34,43 @@ class TablesSpec extends SparkSpec {
       .collect().map(_.toSeq).toSeq
     assert(a == b && a.nonEmpty, s"instants diverge: ${a.size} vs ${b.size}")
   }
+
+  test("every testdata table honors its column contract at every SF") {
+    // The driver regenerates /root/testdata each round and has changed
+    // encodings under us before (the round-6 events.ts break). This
+    // smoke-checks ONLY parquet footers (no data read) for the columns
+    // the query suite keys on, at all three scale factors — so any
+    // schema/type drift fails one obvious test instead of 30 obscure
+    // queries.
+    import org.apache.spark.sql.types._
+    val contract: Map[String, Seq[String]] = Map(
+      "region" -> Seq("r_regionkey", "r_name"),
+      "nation" -> Seq("n_nationkey", "n_name", "n_regionkey"),
+      "customer" -> Seq("c_custkey", "c_name", "c_acctbal", "c_nationkey"),
+      "supplier" -> Seq("s_suppkey", "s_name", "s_nationkey", "s_acctbal"),
+      "part" -> Seq("p_partkey", "p_name", "p_brand", "p_size"),
+      "orders" -> Seq("o_orderkey", "o_custkey", "o_orderstatus",
+        "o_totalprice", "o_orderdate"),
+      "lineitem" -> Seq("l_orderkey", "l_linenumber", "l_partkey",
+        "l_suppkey", "l_quantity", "l_extendedprice", "l_discount",
+        "l_returnflag"),
+      "events" -> Seq("event_id", "user_id", "ts", "event_type", "value"),
+      "documents" -> Seq("doc_id", "text", "lang", "source", "n_chars"),
+      "embeddings" -> Seq("vec_id", "embedding", "label"))
+    for (sfDir <- Seq("/root/testdata/sf0.001", "/root/testdata/sf0.01",
+        "/root/testdata/sf0.1"); (tbl, cols) <- contract) {
+      val schema = Tables.load(spark, sfDir, tbl).schema
+      val missing = cols.filterNot(schema.fieldNames.contains)
+      assert(missing.isEmpty, s"$sfDir/$tbl missing: $missing")
+      if (tbl == "events")
+        assert(schema("ts").dataType == TimestampType,
+          s"$sfDir events.ts: ${schema("ts").dataType}")
+      if (tbl == "embeddings")
+        assert(schema("embedding").dataType ==
+          ArrayType(FloatType, containsNull = true) ||
+          schema("embedding").dataType ==
+          ArrayType(FloatType, containsNull = false),
+          s"$sfDir embedding: ${schema("embedding").dataType}")
+    }
+  }
 }
