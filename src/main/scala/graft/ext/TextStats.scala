@@ -173,10 +173,15 @@ object TextStats {
     * fingerprint, while only ~2/(w+1) of the gram hashes are kept —
     * the robust substring-fingerprint primitive between whole-document
     * hashing (too coarse) and storing every shingle (too big). The
-    * gram hash is sha-256 (engine-portable, unlike xxhash on the
-    * oracle side); the window min is one bounded ROWS frame per doc —
-    * map-only but for the per-doc window sort, no cross-doc shuffle at
-    * all. Output: the DISTINCT (doc, fingerprint) set. */
+    * gram hash is the first 64 BITS of sha-256 as hex (engine-portable,
+    * unlike xxhash on the oracle side; fixed-width hex compares
+    * lexicographically = numerically, and truncation is applied
+    * IDENTICALLY on both engines, so the selected minima agree — while
+    * the per-gram shuffle payload is 16 bytes, not the 64-byte full
+    * digest: the window shuffle is the operator's one big data
+    * movement and it is per-doc, never cross-doc). The window min is
+    * one bounded ROWS frame per doc. Output: the DISTINCT
+    * (doc, fingerprint) set. */
   def winnowFingerprints(docs: DataFrame, idCol: String, textCol: String,
       k: Int = 8, w: Int = 6): DataFrame = {
     val base = docs
@@ -186,7 +191,7 @@ object TextStats {
     val grams = base.select(col("doc_id"), col("len"),
       posexplode(expr(
         s"transform(sequence(1, len - ${k - 1}), i -> " +
-          s"sha2(substring(t, i, $k), 256))")))
+          s"substring(sha2(substring(t, i, $k), 256), 1, 16))")))
       .select(col("doc_id"), col("len"), col("pos"), col("col").as("h"))
     val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
       .rowsBetween(Window.currentRow, w - 1)
@@ -574,12 +579,13 @@ object TextStats {
         |  round(avg(l.nll), 4) AS avg_nll
         |FROM bg b JOIN lm l USING (w1, w2)
         |GROUP BY b.doc_id ORDER BY b.doc_id""".stripMargin,
-    // Winnowing recomputed verbatim: k=8, w=6, sha-256 gram hashes,
-    // window min over a 6-row frame, full windows only.
+    // Winnowing recomputed verbatim: k=8, w=6, 64-bit (16-hex-char)
+    // sha-256-prefix gram hashes, window min over a 6-row frame, full
+    // windows only.
     "e4_winnow" ->
       """WITH g AS (
         |  SELECT doc_id, i - 1 AS pos, length(text) AS len,
-        |    sha256(substr(text, i::INT, 8)) AS h
+        |    substr(sha256(substr(text, i::INT, 8)), 1, 16) AS h
         |  FROM documents,
         |    unnest(range(1, greatest(length(text) - 7, 0) + 1)) AS t(i)
         |  WHERE length(text) >= 13),
