@@ -132,8 +132,12 @@ object Graph {
     * fixed k-deep tree — no driver-side convergence checks. */
   def bfsDistances(edges: DataFrame, src: Long, maxHops: Int,
       checkpointEvery: Int = 5): DataFrame = {
+    // The adjacency doubles the (often expensive) edge subtree and is
+    // then consumed once PER HOP — materialize it once, lazily (the
+    // final action computes it a single time; see triangleCounts).
     val adj = edges.select(col("u").as("s"), col("v").as("d"))
       .union(edges.select(col("v").as("s"), col("u").as("d")))
+      .localCheckpoint(eager = false)
     var dist = edges.sparkSession.range(1)
       .select(lit(src).as("node"), lit(0L).as("dist"))
     for (i <- 1 to maxHops) {
