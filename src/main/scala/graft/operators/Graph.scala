@@ -34,10 +34,15 @@ object Graph {
       iters: Int, damping: Double = 0.85,
       checkpointEvery: Int = 5): DataFrame = {
     val teleport = (1.0 - damping) / n
+    // The edge table (often an expensive upstream join) is consumed
+    // once per iteration AND the rank lineage is cut every
+    // checkpointEvery rounds into separately-executed segments — one
+    // lazy checkpoint keeps the edge build to a single computation.
+    val e = edges.localCheckpoint(eager = false)
     var ranks = nodes.select(col("node"),
       round(lit(1.0 / n), 12).as("r"))
     for (i <- 1 to iters) {
-      val contrib = ranks.join(edges, col("node") === col("src"))
+      val contrib = ranks.join(e, col("node") === col("src"))
         .select(col("dst"), (col("r") * col("w")).as("c"))
         .groupBy(col("dst")).agg(sum(col("c")).as("inflow"))
       ranks = nodes.join(contrib, col("node") === col("dst"), "left")
@@ -190,9 +195,10 @@ object Graph {
     * undirected edge, plus self-loops). */
   def labelPropagation(nodes: DataFrame, adj: DataFrame,
       iters: Int, checkpointEvery: Int = 5): DataFrame = {
+    val a = adj.localCheckpoint(eager = false) // see pageRank note
     var labels = nodes.select(col("node"), col("node").as("lbl"))
     for (i <- 1 to iters) {
-      val votes = adj.join(labels, col("s") === col("node"))
+      val votes = a.join(labels, col("s") === col("node"))
         .groupBy(col("d"), col("lbl")).agg(count(lit(1)).as("c"))
       val top = Window.partitionBy(col("d"))
         .orderBy(col("c").desc, col("lbl"))
