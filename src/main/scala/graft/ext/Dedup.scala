@@ -359,42 +359,151 @@ object Dedup {
   /** E12: Jaro-Winkler entity resolution — score within-block name
     * pairs with the native codegen'd [[graft.functions.JaroWinkler]]
     * expression (Spark has no built-in; semantics pinned byte-for-byte
-    * to DuckDB's `jaro_winkler_similarity`, which is the oracle). The
-    * blocking key makes candidate generation an EQUI-join on brand;
-    * at scale the block key is whatever bounds group size (phonetic
-    * key, sorted-neighborhood window, LSH bucket).
+    * to DuckDB's `jaro_winkler_similarity`, which is the oracle).
     *
-    * Within a block the O(l²) JW evaluation is gated by an EXACT
-    * O(la+lb) filter (no recall loss, unlike length/prefix heuristics
-    * which JW ≥ θ does NOT imply — a first-letter transposition keeps
-    * JW high): [[graft.functions.CharBagOverlap]] computes the byte-bag
-    * intersection I, and Jaro's match count satisfies m ≤ I, so
-    * JW ≥ θ ⇒ I·(la+lb) ≥ (5θ−3)·la·lb (byte lengths; derivation in
-    * the expression's scaladoc — the form is division-free so empty
-    * strings degrade to 0 ≥ 0, pass through, and are rejected by the
-    * exact JW below exactly as the oracle rejects them). The bound
-    * subsumes the length-ratio condition (I ≤ min ⇒ min/max ≥ 5θ−4).
-    * Everything stays inside whole-stage codegen: two native
-    * expressions plus octet_length arithmetic, no array columns
-    * shuffled, no higher-order functions. */
+    * The scorer runs over the VALUE DOMAIN, not the row population:
+    * entity-name columns are heavily duplicated (every spelling occurs
+    * many times — here ~hundreds of distinct part names across 10⁴–10⁶
+    * rows), so JW is evaluated once per distinct within-block name
+    * PAIR and the verdict fans back out to id pairs through plain
+    * equi-joins. Identical-name id pairs shortcut the scorer entirely
+    * (JW(s,s) = 1 ≥ θ on both engines, for any nonempty s): they come
+    * from one output-sized (blk, name) self-join. As rows scale 100×,
+    * the scored pair count tracks (distinct names)², which for a
+    * bounded name vocabulary is CONSTANT — only the output-sized
+    * expansion joins grow.
+    *
+    * Cross-name candidate enumeration is NOT all-pairs either:
+    * [[jaroWinklerCandidates]] prefix-filters (byte, occurrence) token
+    * bags sub-quadratically in the distinct-name domain,
+    * recall-lossless — see its scaladoc for the lemma. (Naive
+    * length/string-prefix blocking would LOSE recall: JW ≥ θ does not
+    * imply prefix equality — a first-letter transposition keeps JW
+    * high. The char-bag route is exact.) Survivors pass
+    * [[graft.functions.CharBagOverlap]]'s pair-level division-free
+    * bound I·(la+lb) ≥ (5θ−3)·la·lb (m ≤ I chain; derivation in the
+    * expression's scaladoc) before any O(la·lb) JW work. */
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val bagBound = 5.0 * threshold - 3.0
     val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
       col(strCol).as("s")).filter(col("s").isNotNull)
-    val la = octet_length(col("a.s")).cast("double")
-    val lb = octet_length(col("b.s")).cast("double")
-    base.as("a")
-      .join(base.as("b"),
-        col("a.blk") === col("b.blk") && col("a.id") < col("b.id"))
+      .localCheckpoint(eager = false)
+    // Identical-name pairs: JW = 1.0 exactly (both engines), no scoring.
+    // Empty strings are the one exception (JW('','') = 0) — excluded.
+    val same = base.as("x")
+      .join(base.as("y"),
+        col("x.blk") === col("y.blk") && col("x.s") === col("y.s") &&
+          col("x.id") < col("y.id"))
+      .filter(octet_length(col("x.s")) > 0)
+      .select(col("x.id").as("key_a"), col("y.id").as("key_b"),
+        lit(1.0).as("jw"))
+    // Distinct cross-name pairs: prefix-filtered candidates, bag-bound
+    // gate, exact JW — each evaluated ONCE per (blk, sa, sb).
+    val names = base.select(col("blk"), col("s")).distinct()
+      .localCheckpoint(eager = false)
+    val la = octet_length(col("sa")).cast("double")
+    val lb = octet_length(col("sb")).cast("double")
+    // The lazy checkpoint is a PUSHDOWN BARRIER, not a reuse cache:
+    // without it Catalyst pushes the bag bound and the JW scorer into
+    // the candidate token join's condition (they only reference sa/sb,
+    // which the prefix rows carry), re-evaluating both once per shared
+    // token instead of once per distinct candidate pair.
+    val scored = jaroWinklerCandidates(names, threshold)
+      .localCheckpoint(eager = false)
       .filter(
-        graft.functions.CharBagOverlap.charBagOverlap(col("a.s"), col("b.s"))
+        graft.functions.CharBagOverlap.charBagOverlap(col("sa"), col("sb"))
           .cast("double") * (la + lb) >= lit(bagBound) * la * lb)
-      .select(col("a.id").as("key_a"), col("b.id").as("key_b"),
-        graft.functions.JaroWinkler.jaroWinkler(col("a.s"), col("b.s"))
+      .select(col("blk"), col("sa"), col("sb"),
+        graft.functions.JaroWinkler.jaroWinkler(col("sa"), col("sb"))
           .as("jw"))
       .filter(col("jw") >= threshold)
+    // Fan out to id pairs: sa ≠ sb, so every (a-row, b-row) combination
+    // is one unordered id pair — order keys with least/greatest.
+    val cross = scored.as("sc")
+      .join(base.as("a"),
+        col("sc.blk") === col("a.blk") && col("sc.sa") === col("a.s"))
+      .join(base.as("b"),
+        col("sc.blk") === col("b.blk") && col("sc.sb") === col("b.s"))
+      .select(least(col("a.id"), col("b.id")).as("key_a"),
+        greatest(col("a.id"), col("b.id")).as("key_b"), col("jw"))
+    same.unionAll(cross)
       .select(col("key_a"), col("key_b"), round(col("jw"), 6).as("jw"))
+  }
+
+  /** Candidate DISTINCT-NAME pairs for [[jaroWinklerPairs]] via
+    * PPJoin-style prefix filtering over (byte, occurrence) tokens —
+    * sub-quadratic in the per-block name domain, recall-LOSSLESS
+    * (exposed separately so the spec can assert the
+    * enumerated-candidate count ≪ Σ|domain|²).
+    *
+    * Derivation (the m ≤ I chain from [[graft.functions.CharBagOverlap]]
+    * continued one step): JW ≥ θ ⇒ byte-bag overlap
+    * I ≥ (5θ−3)·la·lb/(la+lb), and I ≤ min(la,lb) forces
+    * min ≥ (5θ−4)·max, so substituting the worst admissible partner
+    * length gives the PER-RECORD bound I ≥ ⌈(5θ−4)·l⌉ for EACH side's
+    * own length l. Expanding bags to distinct (byte, occurrence) tokens
+    * ([[graft.functions.ByteBagTokens]]) makes I a set overlap, and the
+    * asymmetric prefix-filter lemma applies: under any global total
+    * order, if |Ta ∩ Tb| ≥ t_a and ≥ t_b, the first |Ta| − t_a + 1
+    * tokens of a and first |Tb| − t_b + 1 of b must share a token
+    * (else, writing wa/wb for the largest prefix token of each side and
+    * assuming wa < wb, every common token in pref_a would rank < wb and
+    * hence lie in pref_b too — so ALL common tokens sit in a's
+    * (t_a − 1)-token suffix, contradicting |Ta ∩ Tb| ≥ t_a). Ordering
+    * tokens by ascending (frequency-within-block, token) keeps postings
+    * of prefix tokens rare, so the (blk, tok) equi-join enumerates
+    * near-linear candidates instead of Σ|block|² — same machinery as
+    * [[ngramJaccardPairs]], over 1-byte grams.
+    *
+    * θ ≤ 0.8 degrades gracefully: the per-record bound collapses to
+    * t = 1 (any JW > 0 pair shares a byte), i.e. full-token-join — the
+    * filter is only sub-quadratic for high thresholds, which is the
+    * entity-resolution regime. Empty strings emit no tokens and score
+    * JW = 0 on both engines, so dropping them is exact for θ > 0.
+    *
+    * Takes the DISTINCT (blk, s) name-domain frame; returns
+    * (blk, sa, sb) with sa < sb, one row per (block, unordered name
+    * pair). Scale posture: one explode (l tokens per name — JW is a
+    * SHORT-string scorer; document-length inputs belong to the shingle
+    * paths), one (blk, tok) frequency agg, one per-name sort-and-slice
+    * agg, one equi-join on (blk, tok) + a distinct. Nothing all-pairs
+    * in the row population — only candidate name pairs are enumerated. */
+  private[graft] def jaroWinklerCandidates(
+      names: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0.0 && threshold <= 1.0,
+      s"jaroWinklerPairs threshold must be in (0, 1], got $threshold")
+    val tokBound = 5.0 * threshold - 4.0
+    // ε guards pruning arithmetic only (same rationale as
+    // ngramJaccardPairs): never lets a float wobble SHORTEN a prefix or
+    // tighten the length filter; a too-long prefix only adds candidates.
+    val eps = 1e-9
+    val toks = names.select(col("blk"), col("s"),
+      explode(graft.functions.ByteBagTokens.byteBagTokens(col("s")))
+        .as("tok"))
+    val freq = toks.groupBy(col("blk"), col("tok"))
+      .agg(count(lit(1)).as("f"))
+    val prefixes = toks.join(freq, Seq("blk", "tok"))
+      .groupBy(col("blk"), col("s"))
+      .agg(collect_list(struct(col("f"), col("tok"))).as("ts"))
+      .select(col("blk"), col("s"), size(col("ts")).as("len"),
+        slice(array_sort(col("ts")), lit(1),
+          size(col("ts")) -
+            greatest(lit(1),
+              ceil(lit(tokBound) * size(col("ts")) - eps).cast("int")) + 1)
+          .as("pref"))
+      .select(col("blk"), col("s"), col("len"),
+        explode(transform(col("pref"), t => t.getField("tok"))).as("tok"))
+    prefixes.as("pa")
+      .join(prefixes.as("pb"),
+        col("pa.blk") === col("pb.blk") && col("pa.tok") === col("pb.tok") &&
+          col("pa.s") < col("pb.s") &&
+          // length filter: JW ≥ θ ⇒ min(la,lb) ≥ (5θ−4)·max(la,lb)
+          least(col("pa.len"), col("pb.len")).cast("double") >=
+            lit(tokBound) * greatest(col("pa.len"), col("pb.len")) - eps)
+      .select(col("pa.blk").as("blk"), col("pa.s").as("sa"),
+        col("pb.s").as("sb"))
+      .distinct()
   }
 
   /** E2b: SimHash LSH candidate pairs with exact Hamming refinement

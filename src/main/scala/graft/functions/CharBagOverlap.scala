@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graftbridge.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -62,4 +63,48 @@ object CharBagOverlap {
   def charBagOverlap(a: Column, b: Column): Column =
     ColumnBridge.column(
       CharBagOverlap(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+}
+
+/** The byte MULTISET of a string expanded to distinct (byte, occurrence)
+  * tokens — `"aba"` → `[(a,1), (b,1), (a,2)]` — encoded as longs
+  * `byte << 32 | occurrence` so a row's tokens are pairwise distinct
+  * for any string length (occurrence counts can't overflow into the
+  * byte bits).
+  *
+  * Purpose: turns the bag-overlap bound gating [[JaroWinkler]] into a
+  * SET overlap (`char_bag_overlap(a, b)` = |tokens(a) ∩ tokens(b)|),
+  * which is the form prefix filtering (AllPairs/PPJoin) blocks
+  * sub-quadratically. One codegen'd pass, one int[256] histogram.
+  */
+case class ByteBagTokens(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def prettyName: String = "byte_bag_tokens"
+
+  override protected def nullSafeEval(input: Any): Any =
+    ByteBagTokens.compute(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c => s"graft.functions.ByteBagTokens.compute($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): ByteBagTokens =
+    copy(child = newChild)
+}
+
+object ByteBagTokens {
+  def compute(s: UTF8String): ArrayData = {
+    val bytes = s.getBytes
+    val out = new Array[Long](bytes.length)
+    val cnt = new Array[Int](256)
+    var i = 0
+    while (i < bytes.length) {
+      val c = bytes(i) & 0xff
+      cnt(c) += 1
+      out(i) = (c.toLong << 32) | cnt(c).toLong
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  def byteBagTokens(s: Column): Column =
+    ColumnBridge.column(ByteBagTokens(ColumnBridge.expression(s)))
 }

@@ -71,7 +71,9 @@ class JaroWinklerSpec extends SparkSpec {
       (7L, "blk", ""), (8L, "blk", ""),               // DuckDB: jw("","")=0
       (9L, "blk", "x"), (10L, "blk", "xyzzy plugh"),  // length ratio < 0.4
       (11L, "blk", "DWAYNE"), (12L, "blk", "DUANE"),
-      (13L, "blk", "naïve"), (14L, "blk", "naive"))   // multi-byte
+      (13L, "blk", "naïve"), (14L, "blk", "naive"),   // multi-byte
+      (15L, "blk", "martha"), (16L, "blk", "martha"), // identical → jw 1.0
+      (17L, "other", "martha"))                       // no cross-block pair
     val df = rows.toDF("id", "blk", "s")
     for (thr <- Seq(0.7, 0.8, 0.88, 0.95)) {
       val fast = graft.ext.Dedup.jaroWinklerPairs(df, "id", "s", "blk", thr)
@@ -86,5 +88,55 @@ class JaroWinklerSpec extends SparkSpec {
       assert(fast == brute,
         s"thr=$thr: prefilter changed the result\nfast=$fast\nbrute=$brute")
     }
+  }
+
+  test("jaroWinklerPairs enumerates far fewer pairs than Σ|block|² on skew") {
+    // Skewed fixture: ONE hot block holding 2000 rows drawn from a
+    // 200-name domain (10× duplication — the entity-resolution shape:
+    // most rows repeat a spelling). Two sub-quadratic levers must both
+    // show up:
+    //  1. value-domain scoring: scored pairs ≤ C(|domain|, 2), never
+    //     C(|block|, 2) — 100× fewer here;
+    //  2. prefix filtering: candidate DISTINCT-name pairs stay strictly
+    //     under the distinct-pair budget too (length filter + rarest-
+    //     token blocking bite on varied-length names).
+    // Deterministic name generator: varied lengths 6..24, letters keyed
+    // off (i % 200) so the domain is exactly 200 spellings.
+    val names = (0 until 200).map { i =>
+      val len = 6 + (i * 7) % 19
+      val sb = new StringBuilder
+      var x = i * 2654435761L
+      (0 until len).foreach { _ =>
+        x = x * 6364136223846793005L + 1442695040888963407L
+        sb += ('a' + ((x >>> 33) % 26).toInt).toChar
+      }
+      sb.toString
+    }
+    val rows = (0 until 2000).map(r => (r.toLong, "hot", names(r % 200)))
+    val df = rows.toDF("id", "blk", "s")
+    val thr = 0.92
+    val nameDomain = df.select($"blk", $"s").distinct()
+    val candidates =
+      graft.ext.Dedup.jaroWinklerCandidates(nameDomain, thr).count()
+    val rowPairs = 2000L * 1999 / 2
+    val domainPairs = 200L * 199 / 2
+    assert(candidates < rowPairs / 50,
+      s"candidate names pairs $candidates should be ≪ row pairs $rowPairs")
+    assert(candidates < domainPairs / 2,
+      s"prefix+length filtering should beat the distinct-pair budget " +
+        s"$domainPairs, got $candidates")
+    // Completeness on the same skewed fixture: exact equality with the
+    // all-pairs answer.
+    val fast = graft.ext.Dedup.jaroWinklerPairs(df, "id", "s", "blk", thr)
+      .orderBy("key_a", "key_b").collect().map(_.toSeq).toSeq
+    val brute = df.as("a").join(df.as("b"),
+        $"a.blk" === $"b.blk" && $"a.id" < $"b.id")
+      .select($"a.id".as("key_a"), $"b.id".as("key_b"),
+        JaroWinkler.jaroWinkler($"a.s", $"b.s").as("jw"))
+      .filter($"jw" >= thr)
+      .select($"key_a", $"key_b", round($"jw", 6).as("jw"))
+      .orderBy("key_a", "key_b").collect().map(_.toSeq).toSeq
+    assert(fast == brute, s"skewed fixture mismatch: fast=${fast.size} " +
+      s"brute=${brute.size}")
   }
 }
