@@ -272,28 +272,31 @@ object Dedup {
     * most d character positions on each side, so deleting the touched
     * characters from each string leaves the SAME subsequence — the
     * ≤d-deletion neighborhoods of a and b must intersect. Candidate
-    * generation is therefore intra-bucket pair emission on
-    * (block, xxhash64(variant)): a linear explode of 1 + L + L·(L−1)/2
-    * variants per row (short entity strings — names, titles — are the
-    * domain) shuffled as (block, hash, id) triples ONLY — one groupBy
-    * shuffle builds the variant buckets and emits id pairs inside each,
-    * replacing the earlier two-sided self-join that shuffled the source
-    * string with every variant row (~2× the bytes plus a second join
-    * shuffle for the same candidate set). Strings re-attach to the
+    * generation is therefore a SELF-JOIN of narrow
+    * (block, xxhash64(variant), id) triples on (block, hash) with
+    * id < id: a linear explode of 1 + L + L·(L−1)/2 variants per row
+    * (short entity strings — names, titles — are the domain) shuffles
+    * ~20-byte rows ONLY — never the source string. Pairing via join
+    * rather than per-bucket array construction matters for degenerate
+    * inputs (e.g. thousands of length-≤2 strings whose variants all
+    * collapse to the empty string): a hot (blk, h) key STREAMS its k²
+    * matches through the sort-merge join's spillable match buffer,
+    * where a collect_set + flatten/transform pairing would materialize
+    * all k²/2 candidate structs inside ONE aggregation row and hit the
+    * 2 GB array limit in a single task. Strings re-attach to the
     * (key_a, key_b) survivors via two narrow joins (AQE broadcasts the
     * entity side when small) for exact `levenshtein` verification. Hash
     * collisions and alignment-free variant coincidences only ADD
     * candidates, which verification discards — recall is structural. A
     * hot bucket holds the ids of genuinely colliding variants, so its
     * width tracks duplicate density, never n. At 100 TB: one narrow
-    * shuffle + two id-keyed joins, candidate volume tracks
+    * self-join + two id-keyed joins, candidate volume tracks
     * true-duplicate density + collision noise, never n². */
   def editDistancePairs(df: DataFrame, idCol: String, strCol: String,
       blockCol: String, maxDist: Int = 2): DataFrame = {
     // Contract: idCol must be unique PER BLOCK (candidates re-attach to
     // their source rows on (id, blk); a duplicated id within one block
-    // would multiply pairs). Variant buckets are width-guarded in-plan
-    // (raise_error past 4096 ids) — loud failure, never a silent OOM.
+    // would multiply pairs).
     require(maxDist == 1 || maxDist == 2,
       "deletion neighborhoods enumerated for maxDist in {1, 2}")
     val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
@@ -317,29 +320,17 @@ object Dedup {
     val keyed = base
       .select(col("id"), col("blk"), explode(expr(variants)).as("v"))
       .select(col("blk"), xxhash64(col("v")).as("h"), col("id"))
-    // Hot-bucket guard: a (blk, h) bucket pairs its ids quadratically
-    // INSIDE ONE ROW (one agg buffer, one flattened array), so width is
-    // bounded in-plan — degenerate inputs (e.g. many length-≤2 strings
-    // whose variants collapse to the same value) fail LOUDLY at the cap
-    // instead of concentrating k²/2 structs in a single task until the
-    // 2 GB array limit. Genuine buckets track duplicate density (tiny);
-    // past the cap the pairing must move to explode + (blk,h) self-join,
-    // which spreads the same volume across the shuffle.
-    val maxBucket = 4096
-    val pairs = keyed
-      .groupBy(col("blk"), col("h")).agg(collect_set(col("id")).as("ids"))
-      .filter(size(col("ids")) > 1)
-      .withColumn("sids", array_sort(col("ids")))
-      .select(col("blk"), explode(expr(
-        s"""CASE WHEN size(sids) > $maxBucket THEN
-           |  raise_error('editDistancePairs: variant bucket exceeds
-           | $maxBucket ids - degenerate collision mass; switch pairing
-           | to explode + (blk,h) self-join')
-           |ELSE flatten(transform(sids, (x, i) ->
-           |  transform(slice(sids, i + 2, size(sids)), y ->
-           |    struct(x AS key_a, y AS key_b)))) END""".stripMargin))
-        .as("p"))
-      .select(col("blk").as("pblk"), col("p.key_a"), col("p.key_b"))
+    // Narrow (blk, h) self-join with id < id — see scaladoc: a hot
+    // variant bucket streams its quadratic match volume through the
+    // join's spillable buffer instead of one k²/2-struct agg row.
+    // Per-row duplicate (blk, h, id) triples (two variants of the same
+    // row hash-colliding) only repeat pairs; distinct() absorbs them.
+    val pairs = keyed.as("ka")
+      .join(keyed.as("kb"),
+        col("ka.blk") === col("kb.blk") && col("ka.h") === col("kb.h") &&
+          col("ka.id") < col("kb.id"))
+      .select(col("ka.blk").as("pblk"), col("ka.id").as("key_a"),
+        col("kb.id").as("key_b"))
       .distinct()
     // Re-attach on (id, blk): a candidate is verified against the exact
     // (block, string) row that produced it, so duplicate ids ACROSS

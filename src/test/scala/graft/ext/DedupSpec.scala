@@ -253,6 +253,27 @@ class DedupSpec extends SparkSpec {
     assert(got == brute, s"got $got\nbrute $brute")
   }
 
+  test("editDistancePairs completes on a degenerate one-bucket block") {
+    // Worst case for deletion-neighborhood blocking: EVERY length-≤2
+    // string contains "" in its ≤2-deletion neighborhood, so all n rows
+    // land in one (blk, h) variant bucket and the candidate set is the
+    // full n²/2. The (blk,h) self-join streams that volume through the
+    // join's spillable match buffer — this spec pins that the operator
+    // COMPLETES (the old collect_set pairing built all pairs in one
+    // aggregation row and was capped at 4096 ids) and stays EXACT: any
+    // two strings of length ≤ 2 are within Levenshtein distance 2, so
+    // the answer is precisely C(n, 2).
+    val alphabet = ('a' to 'z').map(_.toString)
+    val strs = (alphabet ++ (for (x <- alphabet; y <- alphabet) yield x + y))
+      .take(500)
+    val df = strs.zipWithIndex
+      .map { case (s, i) => (i.toLong, s, "B1") }
+      .toDF("id", "name", "blk")
+    val n = strs.size.toLong
+    val got = Dedup.editDistancePairs(df, "id", "name", "blk", maxDist = 2)
+    assert(got.count() == n * (n - 1) / 2)
+  }
+
   test("jaroWinklerPairs plan: the char-bag filter gates the JW scorer") {
     // The 4.5× win depends on a plan shape: char_bag_overlap must sit
     // in the JOIN (as its condition, evaluated per candidate pair
