@@ -29,7 +29,9 @@ def main() -> None:
     print(f"queries: {n_queries}")
     print(f"tests:   {m}")
     print(f"README:  ScalaTest suites ({m} tests)")
-    print(f"SURVEY:  ({n_queries}/{n_queries} green")
+    print(f"SURVEY:  ({n_queries}/{n_queries} green — count emitted from "
+          f"build artifacts by `scripts/counts.py`, alongside the "
+          f"{m}-test ScalaTest count; ...)")
 
 
 if __name__ == "__main__":

@@ -160,15 +160,19 @@ object Dedup {
       // tiny job (ids only — column-pruned scans, two scalar aggs,
       // one row to the driver) before any heavy work. Violating the
       // contract would silently mis-orient the asymmetric band join.
+      // The comparison runs IN-PLAN (mn > mx), so it uses Spark's own
+      // ordering for whatever orderable id type the caller has —
+      // numeric, string, timestamp — instead of assuming numbers.
       val row = old.agg(max(col(idCol)).as("mx"))
-        .crossJoin(fresh.agg(min(col(idCol)).as("mn"))).head()
+        .crossJoin(fresh.agg(min(col(idCol)).as("mn")))
+        .select(col("mx"), col("mn"), (col("mn") > col("mx")).as("ok"))
+        .head()
       if (!row.isNullAt(0) && !row.isNullAt(1)) {
-        val mx = row.getAs[Number](0).longValue()
-        val mn = row.getAs[Number](1).longValue()
-        require(mn > mx,
+        require(row.getBoolean(2),
           s"incrementalDedup: fresh ids must all exceed old ids " +
-            s"(min fresh=$mn ≤ max old=$mx) — ingest batches get " +
-            "monotone id ranges; disable via checkIdContract=false")
+            s"(min fresh=${row.get(1)} ≤ max old=${row.get(0)}) — " +
+            "ingest batches get monotone id ranges; disable via " +
+            "checkIdContract=false")
       }
     }
     val oldDigests = old

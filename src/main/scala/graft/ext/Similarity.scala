@@ -126,9 +126,15 @@ object Similarity {
     * lowest-id vectors (deterministic), refined by `iters` Lloyd
     * iterations — assignment is a map-side argmax against broadcast
     * centroids, the update an element-wise `posexplode`+avg (partial
-    * aggregation; C·dim rows reach the driver, never vectors). At
-    * cluster scale training runs on a sample; the result is C·dim
-    * doubles — kilobytes — shipped into plans as literals. */
+    * aggregation; C·dim rows reach the driver, never vectors). The
+    * centroid means are rounded to a fixed 8-decimal grid IN-PLAN, so
+    * the trained centroids — and hence every downstream cell
+    * assignment and gated recall — are independent of partitioning
+    * (double `avg` summation order varies with the partition layout;
+    * an ulp flip near a cell boundary would otherwise move a vector
+    * between cells run-to-run). At cluster scale training runs on a
+    * sample; the result is C·dim doubles — kilobytes — shipped into
+    * plans as literals. */
   def ivfTrain(vecs: DataFrame, c: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val uv = vecs.select(col("vec_id"),
       unitNorm(asDouble(col("embedding"))).as("uv"))
@@ -141,7 +147,8 @@ object Similarity {
         col("uv"))
       val means = assigned
         .select(col("cell"), posexplode(col("uv")))
-        .groupBy(col("cell"), col("pos")).agg(avg(col("col")).as("m"))
+        .groupBy(col("cell"), col("pos"))
+        .agg(round(avg(col("col")), 8).as("m"))
         .collect().map(r => (r.getInt(0), (r.getInt(1), r.getDouble(2))))
         .groupBy(_._1).map { case (cell, rows) =>
           val arr = rows.map(_._2).sortBy(_._1).map(_._2)
