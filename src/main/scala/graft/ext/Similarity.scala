@@ -459,10 +459,14 @@ object Similarity {
     *  - the drop list only ever names the HIGHER id of a pair (keep
     *    set always contains each group's minimum — checked through
     *    the connected-components operator itself). */
-  private val e3SemDedup: Q = (s, dir) => {
-    val tau = 0.45
-    val emb = t(s, dir, "embeddings")
-    val cents = ivfTrain(emb, c = 16, iters = 2)
+  /** The production SemDeDup dataflow, shared by the oracle-gated
+    * harness (`e3_semdedup`) and the bench-visible run
+    * (`e3_semdedup_run`): Lloyd-cluster (IVF trainer), top-2 cell
+    * multi-assignment, within-cell pair join + exact-cosine refinement.
+    * Returns (centroids, assigned, found near-dup pairs with a < b). */
+  private def semDedupPairs(emb: DataFrame, c: Int, tau: Double)
+      : (Seq[(Int, Seq[Double])], DataFrame, DataFrame) = {
+    val cents = ivfTrain(emb, c = c, iters = 2)
     // top-2 cell multi-assignment (ivfProbes over the corpus itself)
     val assigned = ivfProbes(emb, cents, nprobe = 2)
       .select(col("q_id").as("vec_id"), col("qv").as("uv"), col("cell"))
@@ -474,6 +478,13 @@ object Similarity {
       .filter(col("cos") >= tau)
       .select(col("a"), col("b")).distinct() // a pair can share 2 cells
       .localCheckpoint(eager = false)
+    (cents, assigned, found)
+  }
+
+  private val e3SemDedup: Q = (s, dir) => {
+    val tau = 0.45
+    val emb = t(s, dir, "embeddings")
+    val (cents, assigned, found) = semDedupPairs(emb, c = 16, tau = tau)
     // Exact reference over the SAME unit vectors — one row per vector
     // (ivfAssign, not the multi-assigned table) — identical arithmetic,
     // so boundary pairs can't flip between the two sides. The
@@ -716,8 +727,80 @@ object Similarity {
       .orderBy(col("label"))
   }
 
+  /** E3i: the PRODUCTION signature-scan near-dup search, bench-visible.
+    * `e3_ann_neardup` gates this path against the exact all-pairs
+    * baseline in Verify, but that harness subtree dominates its cost,
+    * so the whole entry is bench-excluded — a perf regression in the
+    * production search would never reach a BENCH artifact. This entry
+    * times `cosineNearDupViaAnn` ALONE; the self-checks are cheap
+    * output invariants (absolute pair budget, canonical a < b
+    * orientation, refined sims inside [τ, 1]) against a constant-true
+    * oracle. Correctness of the search stays `e3_ann_neardup`'s job. */
+  private val e3AnnSearch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val found = cosineNearDupViaAnn(emb, threshold = 0.45)
+      .localCheckpoint(eager = false)
+    val nAgg = emb.agg(count(lit(1)).as("n"))
+    found.agg(
+      count(lit(1)).as("n_found"),
+      sum(when(col("a") < col("b"), 0L).otherwise(1L)).as("bad_orient"),
+      sum(when(col("sim").between(0.45, 1.000001), 0L).otherwise(1L))
+        .as("bad_sim"))
+      .crossJoin(nAgg)
+      .select(
+        (col("n_found") <= lit(150L) * col("n")).as("pair_budget_ok"),
+        (coalesce(col("bad_orient"), lit(0L)) === 0).as("orientation_ok"),
+        (coalesce(col("bad_sim"), lit(0L)) === 0).as("sims_in_range_ok"))
+  }
+
+  /** E3j: the PRODUCTION IVF search (train + assign + probe + ranked
+    * cell-scoped cosine), bench-visible — the same dataflow
+    * `e3_ivf_recall` gates, without its exact-top-k baseline and
+    * scanned-volume audit subtrees. Cheap invariants only: every query
+    * answered, ≤ k results per query, ranks within [1, k]. */
+  private val e3IvfSearch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(emb, c = 32, iters = 2)
+    val res = ivfTopK(emb, queries, cents, k = 5, nprobe = 8)
+    val qAgg = queries.agg(count(lit(1)).as("nq"))
+    res.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("per_q"), max(col("rnk")).as("mr"))
+      .agg(count(lit(1)).as("answered"), max(col("per_q")).as("max_per_q"),
+        max(col("mr")).as("max_rnk"))
+      .crossJoin(qAgg)
+      .select(
+        (col("answered") === col("nq")).as("all_queries_answered"),
+        (col("max_per_q") <= 5).as("k_bounded"),
+        (col("max_rnk") <= 5).as("rank_bounded"))
+  }
+
+  /** E3k: the PRODUCTION SemDeDup run (cluster, multi-assign,
+    * within-cell refine, drop list), bench-visible — `e3_semdedup`'s
+    * dataflow via [[semDedupPairs]] without the exact all-pairs
+    * baseline or the connected-components representative audit. Cheap
+    * invariants: the clustering actually shrank the pair space (≤ n²/4
+    * examined, absolute) and the drop list keeps at least one
+    * survivor. */
+  private val e3SemDedupRun: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val (_, assigned, found) = semDedupPairs(emb, c = 16, tau = 0.45)
+    val examinedAgg = assigned.groupBy(col("cell"))
+      .agg(count(lit(1)).as("cn"))
+      .agg(sum(col("cn") * (col("cn") - 1) / 2).as("examined"))
+    val nAgg = emb.agg(count(lit(1)).as("n"))
+    val dropAgg = found.select(col("b")).distinct()
+      .agg(count(lit(1)).as("n_dropped"))
+    dropAgg.crossJoin(examinedAgg).crossJoin(nAgg).select(
+      (col("examined") <= col("n") * col("n") / 4).as("pair_budget_ok"),
+      (col("n_dropped") < col("n")).as("kept_nonempty"))
+  }
+
   val queries: Map[String, Q] = Map(
     "e3_semdedup" -> e3SemDedup,
+    "e3_ann_search" -> e3AnnSearch,
+    "e3_ivf_search" -> e3IvfSearch,
+    "e3_semdedup_run" -> e3SemDedupRun,
     "e3_label_coherence" -> e3LabelCoherence,
     "e3_pca" -> e3Pca,
     "e3_cosine_topk" -> e3CosineTopk,
@@ -731,6 +814,14 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "e3_ann_search" ->
+      """SELECT true AS pair_budget_ok, true AS orientation_ok,
+        |  true AS sims_in_range_ok""".stripMargin,
+    "e3_ivf_search" ->
+      """SELECT true AS all_queries_answered, true AS k_bounded,
+        |  true AS rank_bounded""".stripMargin,
+    "e3_semdedup_run" ->
+      """SELECT true AS pair_budget_ok, true AS kept_nonempty""".stripMargin,
     "e3_semdedup" ->
       """SELECT true AS recall_ok, true AS precision_ok,
         |  true AS pair_budget_ok, true AS representatives_kept_ok""".stripMargin,

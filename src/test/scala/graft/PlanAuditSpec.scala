@@ -30,6 +30,12 @@ class PlanAuditSpec extends SparkSpec {
     "e3_ivf_recall" -> Set("BroadcastNestedLoop"),
     // exact all-pairs verification side + one-row gate scalars
     "e3_semdedup" -> Set("BroadcastNestedLoop"),
+    // bench-visible production search paths: the broadcast-signature /
+    // broadcast-query non-equi scan (designed map-side ANN shape) plus
+    // one-row crossJoins assembling their cheap invariant scalars
+    "e3_ann_search" -> Set("BroadcastNestedLoop"),
+    "e3_ivf_search" -> Set("BroadcastNestedLoop"),
+    "e3_semdedup_run" -> Set("BroadcastNestedLoop"),
     "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
     // one-row crossJoins assembling the S-row rate table's scalars
