@@ -1,0 +1,77 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** Within-run bench SHAPE guard (round-7 verdict item 5): a single
+  * query silently absorbing an outsized share of the bench is how the
+  * e2_cluster_cc (81 s, 16 % of the run) and e12_jaro_er (46 s, 17 %)
+  * regressions shipped — each was only caught by a judge reading
+  * artifact history. This spec freezes the shape into `sbt test`: it
+  * reads the most recent `bench_out.json` (written by every
+  * `graft.Bench` run — the per-round driver run leaves it in the repo
+  * root) and fails when any query both exceeds an absolute floor AND
+  * takes more than a bounded share of the run total.
+  *
+  * Why share-of-total rather than absolute seconds or k×-median: bench
+  * totals swing with VM CPU throttling (CLAUDE.md's variance caveat —
+  * a4_approx has measured 8.6 s and 122 s on identical code), but
+  * throttling inflates the whole run, leaving shares roughly stable;
+  * a genuine single-query regression moves only its own share. The
+  * absolute floor keeps small-SF runs (tiny totals, coarse timer
+  * shares) from tripping the ratio on a 2-second query.
+  *
+  * Current sf0.1 shape headroom: max share ≈ 7 % (g2_triangles) — the
+  * 12 % cap is red when a top query's share doubles, green with slack
+  * on today's artifact. Skips (cancels) when no artifact exists, e.g.
+  * a fresh clone before any bench run.
+  */
+class BenchShapeSpec extends AnyFunSuite {
+  private val maxShare = 0.12
+  private val floorSec = 15.0
+
+  /** Queries that exceed BOTH the absolute floor and the share cap. */
+  private def offenders(json: String): Seq[(String, Double, Double)] = {
+    val root = new ObjectMapper().readTree(json)
+    val total = root.get("value").asDouble()
+    require(total > 0, "bench artifact has no positive total")
+    val queries = root.get("queries")
+    queries.fieldNames().asScala.toSeq
+      .map(n => (n, queries.get(n).asDouble()))
+      .collect { case (n, sec)
+          if sec > floorSec && sec / total > maxShare =>
+        (n, sec, sec / total)
+      }
+      .sortBy(-_._2)
+  }
+
+  test(s"no bench query exceeds ${(maxShare * 100).toInt}% of the run " +
+      s"total past a ${floorSec.toInt}s floor") {
+    val path = Paths.get("bench_out.json")
+    assume(Files.exists(path), "no bench_out.json — run graft.Bench first")
+    val bad = offenders(Files.readString(path))
+    assert(bad.isEmpty,
+      "bench shape regression — queries dominating the run:\n" +
+        bad.map { case (n, s, sh) => f"  $n: $s%.1fs (${100 * sh}%.1f%%)" }
+          .mkString("\n"))
+  }
+
+  test("the guard is live: a doubled share trips it") {
+    // The e2_cluster_cc r6 shape (81 s of a 497 s run, 16 %) must be
+    // red — the exact regression class this spec exists to catch.
+    val regressed =
+      """{"metric":"total","value":497.0,
+        |"queries":{"e2_cluster_cc":81.1,"q1_agg":0.5,"j1_inner":0.6}}"""
+        .stripMargin
+    val bad = offenders(regressed)
+    assert(bad.map(_._1) == Seq("e2_cluster_cc"), s"got $bad")
+    // ...and a healthy 7 %-max shape (today's artifact) is green.
+    val healthy =
+      """{"metric":"total","value":270.9,
+        |"queries":{"g2_triangles":18.1,"ev12_stream_sessions":14.5}}"""
+        .stripMargin
+    assert(offenders(healthy).isEmpty)
+  }
+}
