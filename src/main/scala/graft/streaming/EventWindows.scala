@@ -299,7 +299,75 @@ object EventWindows {
       .orderBy(col("user_id"), col("start_ms"))
   }
 
+  /** EV13: stream-stream interval join EXECUTED AS TWO STREAMS,
+    * oracle-gated against the batch join. Impressions (views) and
+    * clicks are carved from the events table (`ad = user_id % 50`),
+    * replayed through two MemoryStreams in synchronized 5-day
+    * event-time buckets (one micro-batch per bucket, a keep-alive row
+    * per stream pinning each bucket's watermark), and joined with
+    * [[StreamDemo.intervalJoin]] — watermarked on BOTH sides with the
+    * time bound in the join condition, which is what lets the engine
+    * expire buffered state instead of holding both streams forever.
+    * EXACTNESS: with bucketed in-event-time-order replay, an
+    * impression at time T is evicted only once the watermark passes
+    * T+1h, i.e. once max-seen event time passes T+3h — but every
+    * click matching T lies in [T, T+1h], which under ≥1h-wide ordered
+    * buckets has already arrived by then. So the streamed inner join
+    * emits exactly the batch answer, which DuckDB recomputes as a
+    * plain interval join. Timestamps compare as epoch micros. */
+  private val ev13StreamJoin: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val bucketMs = 5L * 86400000L // 5 days (any width ≥ the 1h bound)
+    val ev = t(s, dir, "events")
+      .select((col("user_id") % 50).as("ad"), col("event_type"),
+        col("ts").cast("timestamp").as("ts"))
+    def side(tpe: String): Array[(Long, java.sql.Timestamp)] = ev
+      .filter(col("event_type") === tpe)
+      .select(col("ad"), col("ts"))
+      .as[(Long, java.sql.Timestamp)].collect()
+    val imps = side("view")
+    val clks = side("click")
+    val buckets = (imps.iterator ++ clks.iterator)
+      .map(_._2.getTime / bucketMs).toSeq.distinct.sorted
+    val impStream = MemoryStream[(Long, java.sql.Timestamp)]
+    val clkStream = MemoryStream[(Long, java.sql.Timestamp)]
+    val sink = "ev13_out_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    // Scope the state-store partition count down for the replay, as
+    // ev12 does (pinned at first start; sequential micro-batches are
+    // task-launch bound).
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try StreamDemo.intervalJoin(
+          impStream.toDS().toDF("impAd", "impTs"),
+          clkStream.toDS().toDF("clickAd", "clickTs"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      for (b <- buckets) {
+        // Keep-alives advance BOTH watermarks every bucket (the global
+        // watermark is the min across sources); ad −1/−2 match nothing.
+        val ka = new java.sql.Timestamp((b + 1) * bucketMs - 1)
+        impStream.addData(
+          imps.view.filter(_._2.getTime / bucketMs == b).toSeq :+ (-1L, ka))
+        clkStream.addData(
+          clks.view.filter(_._2.getTime / bucketMs == b).toSeq :+ (-2L, ka))
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink)
+      .select(col("ad"), unix_micros(col("impTs")).as("imp_us"),
+        unix_micros(col("clickTs")).as("click_us"))
+      .orderBy(col("ad"), col("imp_us"), col("click_us"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev13_stream_join" -> ev13StreamJoin,
     "ev12_stream_sessions" -> ev12StreamSessions,
     "ev11_stream_dedup" -> ev11StreamDedup,
     "ev10_burstiness" -> ev10Burstiness,
@@ -315,6 +383,17 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Batch restatement of the streamed interval join: clicks within
+    // one hour AFTER a same-ad impression (ad = user_id % 50).
+    "ev13_stream_join" ->
+      """SELECT i.ad, epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+        |FROM (SELECT user_id % 50 AS ad, ts FROM events
+        |      WHERE event_type = 'view') i
+        |JOIN (SELECT user_id % 50 AS ad, ts FROM events
+        |      WHERE event_type = 'click') c
+        |  ON i.ad = c.ad AND c.ts >= i.ts
+        | AND c.ts <= i.ts + INTERVAL 1 HOUR
+        |ORDER BY i.ad, imp_us, click_us""".stripMargin,
     // Batch gaps-and-islands restatement of the streamed sessionization
     // (1-day gap, epoch-ms domain on both engines: SessionOut carries
     // java.sql.Timestamp.getTime millis).

@@ -109,6 +109,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("interval join under bucketed replay joins across the bucket boundary") {
+    // The ev13_stream_join exactness argument: with ordered ≥1h-wide
+    // buckets and 2h watermark delay, an impression buffered near a
+    // bucket's end must survive into the next micro-batch to meet its
+    // click — eviction only once the watermark passes impTs+1h. Replay
+    // two day-buckets; the day-1 23:00 impression joins the day-2 00:00
+    // click (next batch), while a click 2h after its impression never
+    // joins even though both sides share an ad.
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clks = MemoryStream[(Timestamp, String)]
+    val q = StreamDemo.intervalJoin(
+      imps.toDF().toDF("impTs", "impAd"),
+      clks.toDF().toDF("clickTs", "clickAd"))
+      .writeStream.format("memory").queryName("ij_bucket_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      // bucket 1 (day 1): boundary impression + an impression whose
+      // click comes too late; per-stream keep-alives pin the watermark.
+      imps.addData((ts(1, 23), "a"), (ts(1, 3), "b"), (ts(1, 23), "ka1"))
+      clks.addData((ts(1, 23), "ka2"))
+      q.processAllAvailable()
+      // bucket 2 (day 2): the cross-boundary click (in-window for "a");
+      // "b"'s click is 2h after its impression — out of window.
+      imps.addData((ts(2, 23), "ka1"))
+      clks.addData((ts(2, 0), "a"), (ts(1, 5), "b"), (ts(2, 23), "ka2"))
+      q.processAllAvailable()
+      val got = spark.table("ij_bucket_out")
+        .select("ad").as[String].collect().toSeq
+      assert(got == Seq("a"), s"expected only the cross-boundary pair: $got")
+    } finally q.stop()
+  }
+
   test("file-source readStream over the events parquet equals its batch evaluation") {
     // stage the events file into a landing DIRECTORY (the file-stream
     // source tails a directory; testdata ships a single file)
