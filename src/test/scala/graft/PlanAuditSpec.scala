@@ -35,6 +35,8 @@ class PlanAuditSpec extends SparkSpec {
     // one-row crossJoins assembling their cheap invariant scalars
     "e3_ann_search" -> Set("BroadcastNestedLoop"),
     "e3_ivf_search" -> Set("BroadcastNestedLoop"),
+    "e3_pq_recall" -> Set("BroadcastNestedLoop"),
+    "e3_pq_search" -> Set("BroadcastNestedLoop"),
     "e3_semdedup_run" -> Set("BroadcastNestedLoop"),
     "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),

@@ -49,6 +49,44 @@ class SimilaritySpec extends SparkSpec {
     assert(viaAnn.subsetOf(exact), "refinement must not admit false positives")
   }
 
+  test("pqSearch is exact when the corpus is its own codebook") {
+    // 4 distinct 4-dim vectors as the first 4 ids, ksub = 4: the seeds
+    // ARE the distinct slice values, Lloyd means stay put, so ADC
+    // reconstruction is exact and pqSearch must equal bruteForceTopK.
+    val base = Seq(
+      Seq(1f, 0f, 0f, 1f), Seq(0f, 1f, 1f, 0f),
+      Seq(1f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 1f))
+    val vecs = (0 until 12).map(i => (i.toLong, base(i % 4)))
+      .toDF("vec_id", "embedding")
+    val books = Similarity.pqTrain(vecs, m = 2, ksub = 4, iters = 2)
+    assert(books.length == 2 && books.forall(_.length == 4))
+    val queries = vecs.filter($"vec_id" < 4)
+    val pq = Similarity.pqSearch(vecs, queries, books, k = 3, rerank = 12)
+      .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    val exact = Similarity.bruteForceTopK(queries, vecs, 3)
+      .orderBy("q_id", "rnk").collect().map(_.toSeq).toSeq
+    assert(pq == exact, s"pq $pq vs exact $exact")
+  }
+
+  test("pqSearch recall over embeddings clears the query's bound with margin") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 50)
+    val books = Similarity.pqTrain(emb, m = 8, ksub = 32, iters = 2)
+    assert(books.length == 8 && books.forall(b =>
+      b.length == 32 && b.forall(_.length == 8)))
+    val exact = Similarity.bruteForceTopK(queries, emb, 5).select("q_id", "c_id")
+    val found = Similarity.pqSearch(emb, queries, books, k = 5, rerank = 100)
+      .select("q_id", "c_id")
+    val total = exact.count().toDouble
+    val hits = exact.join(found, Seq("q_id", "c_id"), "left_semi").count()
+    info(f"PQ recall@5 = ${hits / total}%.3f")
+    assert(hits / total >= 0.6, s"recall ${hits / total} too low")
+    // codes stay inside the codebook range
+    val codes = Similarity.pqEncode(emb, books)
+      .select(explode($"codes").as("cd"))
+    assert(codes.filter($"cd" < 0 || $"cd" > 31).count() == 0)
+  }
+
   test("ivfTopK recall over embeddings clears the query's bound with margin") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 50)
