@@ -197,6 +197,40 @@ object Dedup {
     exactKept.join(dropIds, Seq(idCol), "left_anti")
   }
 
+  /** Bloom-prefiltered exact-digest admission — the ingest-side
+    * complement of [[incrementalDedup]]'s exact stage. A Bloom filter
+    * over the corpus digest set (one distributed pass,
+    * `df.stat.bloomFilter`) rides the batch scan as a reference object
+    * ([[graft.functions.BloomMightContain]]): rows whose digest the
+    * bloom has NEVER seen are admitted directly (no false negatives ⇒
+    * exact), and only bloom-POSITIVE rows — true duplicates plus an
+    * fpp fraction of the batch — pay the exact anti-join against the
+    * corpus digest table. The result is row-for-row EQUAL to the plain
+    * anti-join; what changes is the shuffle: |dups| + fpp·|batch| rows
+    * instead of |batch|, which at a 100 TB corpus with a
+    * mostly-novel ingest stream is the difference between shuffling
+    * the batch and shuffling (almost) nothing. Sizing: ~1.2 GB of bits
+    * per 10⁹ corpus digests at fpp = 10⁻², linear in ln(1/fpp) —
+    * beyond broadcast comfort, build one bloom per digest bucket and
+    * probe the matching bucket's filter. Returns the admitted batch
+    * rows with all their columns. */
+  def bloomIngestFilter(corpus: DataFrame, batch: DataFrame,
+      textCol: String, expectedItems: Long,
+      fpp: Double = 0.01): DataFrame = {
+    val corpusDigests = corpus
+      .select(sha2(col(textCol), 256).as("_digest")).distinct()
+    val bloom = corpusDigests.stat.bloomFilter("_digest", expectedItems, fpp)
+    val digested = batch
+      .withColumn("_digest", sha2(col(textCol), 256))
+      .localCheckpoint(eager = false) // one digest pass, two consumers
+    val mightMatch = graft.functions.BloomMightContain
+      .bloomMightContain(col("_digest"), bloom)
+    val directAdmits = digested.filter(!mightMatch)
+    val checked = digested.filter(mightMatch)
+      .join(corpusDigests, Seq("_digest"), "left_anti")
+    directAdmits.unionByName(checked).drop("_digest")
+  }
+
   /** E2c: EXACT n-gram Jaccard similarity join via prefix filtering
     * (the AllPairs/PPJoin family — Chaudhuri et al. ICDE'06, Bayardo
     * et al. WWW'07, Vernica et al. SIGMOD'10 — the standard exact
@@ -860,6 +894,24 @@ object Dedup {
       .orderBy(col("lang"))
   }
 
+  /** E2f: bloom-prefiltered ingest admission, value-level oracle —
+    * corpus = every doc_id ≡ 0 (mod 5), batch = the rest; admitted =
+    * batch docs whose text digest is not in the corpus. The bloom
+    * prefilter is recall-lossless (no false negatives) and its false
+    * positives die in the exact anti-join, so the result must EQUAL
+    * the plain anti-join answer DuckDB computes — a real value oracle,
+    * not a self-check. */
+  private val e2BloomIngest: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val corpus = docs.filter(col("doc_id") % 5 === 0)
+    val batch = docs.filter(col("doc_id") % 5 =!= 0)
+      .select(col("doc_id"), col("text"), col("lang"))
+    bloomIngestFilter(corpus, batch, "text",
+        expectedItems = 10000L, fpp = 0.01)
+      .select(col("doc_id"), col("lang"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Canonicalization regexes, shared verbatim with the oracle
     * (Java∩RE2: classes + quantifiers only). */
   val StripRe = "[^a-z0-9 ]"
@@ -969,6 +1021,7 @@ object Dedup {
     "e2_cluster_cc" -> e2ClusterCc,
     "e2_simhash_neardup" -> e2SimhashNearDup,
     "e2_incremental" -> e2Incremental,
+    "e2_bloom_ingest" -> e2BloomIngest,
   )
 
   /** The planted-pair ground truth, written directly in SQL. */
@@ -1087,6 +1140,15 @@ object Dedup {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
+    // Plain anti-join restatement of the bloom-prefiltered admission
+    // (the prefilter is exact end-to-end: no false negatives, false
+    // positives removed by the exact join).
+    "e2_bloom_ingest" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE doc_id % 5 <> 0
+        |  AND sha256(text) NOT IN (
+        |    SELECT sha256(text) FROM documents WHERE doc_id % 5 = 0)
+        |ORDER BY doc_id""".stripMargin,
     // Whole admission recomputed with exact all-pairs Jaccard over
     // old ∪ exact-kept fresh, restricted to fresh b-sides (ids ≥
     // 100000) — exactly the pair population the asymmetric band join

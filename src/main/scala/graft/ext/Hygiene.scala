@@ -263,7 +263,34 @@ object Hygiene {
         sum(when(col("keep"), col("doc_id")).otherwise(0L)).as("sum_kept_ids"))
       .orderBy(col("lang"))
 
+  /** K-anonymity audit over quasi-identifier columns (Sweeney 2002) —
+    * the release-side privacy complement of PII redaction: even with
+    * direct identifiers scrubbed, a (lang, source, length-bucket)
+    * combination shared by fewer than k documents re-identifies via
+    * linkage. One hash aggregation over the QI tuple (the shuffle key
+    * is the QI, counts combine map-side), then risky groups (n < k)
+    * with their share of the corpus — the rows a k-anonymous release
+    * must suppress or generalize. The corpus total rides in as a
+    * broadcast one-row crossJoin, not a second scan of the agg. */
+  def kAnonymityAudit(docs: DataFrame, k: Int): DataFrame = {
+    val groups = docs.groupBy(col("lang"), col("source"),
+        expr("n_chars DIV 100").as("len_bucket"))
+      .agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = false) // one agg, two consumers
+    val total = groups.agg(sum(col("n")).as("n_total"))
+    groups.filter(col("n") < k)
+      .crossJoin(total)
+      .select(col("lang"), col("source"), col("len_bucket"), col("n"),
+        round(col("n").cast("double") / col("n_total"), 6).as("corpus_share"))
+      .orderBy(col("lang"), col("source"), col("len_bucket"))
+  }
+
+  /** E9g: the k-anonymity audit at k=5, full value oracle. */
+  private val e9Kanon: Q = (s, dir) =>
+    kAnonymityAudit(t(s, dir, "documents"), k = 5)
+
   val queries: Map[String, Q] = Map(
+    "e9_kanon" -> e9Kanon,
     "e9_gopher" -> e9Gopher,
     "e9_pii_redact" -> e9PiiRedact,
     "e9_repetition" -> e9Repetition,
@@ -272,6 +299,17 @@ object Hygiene {
   )
 
   val oracles: Map[String, String] = Map(
+    "e9_kanon" ->
+      """WITH g AS (
+        |  SELECT lang, source, n_chars // 100 AS len_bucket,
+        |    count(*)::BIGINT AS n
+        |  FROM documents GROUP BY 1, 2, 3),
+        |t AS (SELECT sum(n)::BIGINT AS n_total FROM g)
+        |SELECT lang, source, len_bucket, n,
+        |  round(n::DOUBLE / n_total, 6) AS corpus_share
+        |FROM g CROSS JOIN t
+        |WHERE n < 5
+        |ORDER BY lang, source, len_bucket""".stripMargin,
     "e9_gopher" ->
       """WITH r AS (
         |  SELECT doc_id, lang,

@@ -265,9 +265,15 @@ object Similarity {
     * of partitioning (the ivfTrain treatment). Empty cells keep their
     * previous centroid. Returns books(sub)(code) = centroid. */
   def pqTrain(vecs: DataFrame, m: Int, ksub: Int,
+      iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] =
+    pqTrainOn(vecs.select(col("vec_id"),
+      unitNorm(asDouble(col("embedding"))).as("uv")), m, ksub, iters)
+
+  /** Codebook training over an arbitrary (vec_id, uv) frame — the
+    * residual-quantization entry point ([[ivfPqTrain]] feeds residuals
+    * here, which must NOT be re-normalized). */
+  private[ext] def pqTrainOn(uv: DataFrame, m: Int, ksub: Int,
       iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
-    val uv = vecs.select(col("vec_id"),
-      unitNorm(asDouble(col("embedding"))).as("uv"))
     val seeds = uv.orderBy(col("vec_id")).limit(ksub).select(col("uv"))
       .collect().toIndexedSeq.map(_.getSeq[Double](0))
     require(seeds.nonEmpty, "pqTrain: empty corpus")
@@ -341,8 +347,6 @@ object Similarity {
     val approx = graft.functions.Pq.pqAdc(col("lut"), col("codes"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("c_id"))
-    val wE = Window.partitionBy(col("q_id"))
-      .orderBy(col("cos").desc, col("c_id"))
     val cand = coded
       .join(broadcast(q.select(col("q_id"), col("lut"))),
         col("q_id") =!= col("c_id"))
@@ -351,15 +355,84 @@ object Similarity {
       .withColumn("_ar", row_number().over(wA))
       .filter(col("_ar") <= rerank)
       .select(col("q_id"), col("c_id"))
+    exactRerank(cand, corpus, queries, k)
+  }
+
+  /** Shared tail of the compressed-domain searches: fetch raw vectors
+    * for the (small, absolute-budget) candidate set by id and re-score
+    * exactly — candidates shuffle, the corpus never re-sorts. */
+  private def exactRerank(cand: DataFrame, corpus: DataFrame,
+      queries: DataFrame, k: Int): DataFrame = {
+    val wE = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
     val cv = corpus.select(col("vec_id").as("c_id"),
       unitNorm(asDouble(col("embedding"))).as("cv"))
+    val qv = queries.select(col("vec_id").as("q_id"),
+      unitNorm(asDouble(col("embedding"))).as("qv"))
     cand.join(cv, Seq("c_id"))
-      .join(broadcast(q.select(col("q_id"), col("qv"))), Seq("q_id"))
+      .join(broadcast(qv), Seq("q_id"))
       .withColumn("cos", dot(col("qv"), col("cv")))
       .withColumn("rnk", row_number().over(wE))
       .filter(col("rnk") <= k)
       .select(col("q_id"), col("rnk"), col("c_id"),
         round(col("cos"), 6).as("sim"))
+  }
+
+  /** Literal centroid table indexed by cell id (C·d doubles —
+    * kilobytes in the plan). */
+  private def centsLit(cents: Seq[(Int, Seq[Double])]): Column =
+    typedlit(cents.sortBy(_._1).map(_._2))
+
+  /** Residual PQ codebook training (IVFADC, Jégou et al. PAMI'11 §V):
+    * quantize r = x − c(x) — the residual after the IVF coarse cell —
+    * instead of x itself, which concentrates the codebooks on the
+    * within-cell distribution and cuts quantization error at the same
+    * code budget. Residuals are NOT re-normalized. */
+  def ivfPqTrain(vecs: DataFrame, cents: Seq[(Int, Seq[Double])],
+      m: Int, ksub: Int, iters: Int): IndexedSeq[IndexedSeq[Seq[Double]]] = {
+    val residuals = ivfAssign(vecs, cents)
+      .select(col("vec_id"),
+        zip_with(col("uv"), element_at(centsLit(cents), col("cell") + 1),
+          (a, b) => a - b).as("uv"))
+    pqTrainOn(residuals, m, ksub, iters)
+  }
+
+  /** E3h: IVF-PQ search — the composed FAISS-style IVFADC dataflow and
+    * the shape that carries ANN to 100 TB: the IVF cells prune WHICH
+    * vectors are scanned (an equi-join on cell against the broadcast
+    * probe list — no nested-loop scan anywhere), and PQ codes decide
+    * HOW each survivor is scored (m byte-code lookups; the raw floats
+    * stay untouched until the exact re-rank). Per probed cell the
+    * query contributes dot(q, c) once; each corpus vector in the cell
+    * adds the ADC estimate of dot(q, r_x) from the residual codebooks:
+    * dot(q, x) ≈ dot(q, c) + Σ_s lut_q(s)(codes_x(s)). Top-`rerank`
+    * by the estimate, then exact re-score — ≤ rerank·|queries| raw
+    * vectors fetched, absolute. */
+  def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val cl = centsLit(cents)
+    val codedCorpus = ivfAssign(corpus, cents)
+      .withColumn("res",
+        zip_with(col("uv"), element_at(cl, col("cell") + 1), (a, b) => a - b))
+      .select(col("vec_id").as("c_id"), col("cell"),
+        graft.functions.Pq.pqCodes(col("res"), booksArray(books)).as("codes"))
+    val probes = ivfProbes(queries, cents, nprobe)
+      .withColumn("qc", dot(col("qv"), element_at(cl, col("cell") + 1)))
+      .withColumn("lut", graft.functions.Pq.pqLut(col("qv"), booksArray(books)))
+      .select(col("q_id"), col("cell"), col("qc"), col("lut"))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("c_id"))
+    val cand = codedCorpus.join(broadcast(probes), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("approx",
+        col("qc") + graft.functions.Pq.pqAdc(col("lut"), col("codes")))
+      .select(col("q_id"), col("c_id"), col("approx"))
+      .withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= rerank)
+      .select(col("q_id"), col("c_id"))
+    exactRerank(cand, corpus, queries, k)
   }
 
   /** k-NN label classification by majority vote over the exact top-k
@@ -937,6 +1010,60 @@ object Similarity {
         (col("max_per_q") <= 5).as("k_bounded"))
   }
 
+  /** E3h: IVF-PQ self-check — the composed IVFADC path must clear the
+    * same bars as its two parents: recall of the exact top-5 ≥ 0.5
+    * (bounded above by the IVF probe recall ≈ 0.83; the residual-ADC
+    * ranking inside probed cells costs a few points on this hostile
+    * corpus), and the probed-cell scan budget ≤ half the corpus.
+    * Constant-true oracle (✱); harness-excluded from the bench —
+    * `e3_ivfpq_search` times the production dataflow. */
+  private val e3IvfPqRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(emb, c = 32, iters = 2)
+    val books = ivfPqTrain(emb, cents, m = 8, ksub = 32, iters = 2)
+    val exact = bruteForceTopK(queries, emb, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val found = ivfPqSearch(emb, queries, cents, books,
+        k = 5, nprobe = 8, rerank = 100)
+      .select(col("q_id"), col("c_id"))
+    val hitsAgg = exact.join(found, Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val cellSizes = ivfAssign(emb, cents).groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+    val scanAgg = ivfProbes(queries, cents, nprobe = 8)
+      .select(col("q_id"), col("cell")).join(cellSizes, Seq("cell"))
+      .groupBy(col("q_id")).agg(sum(col("sz")).as("scanned"))
+      .agg(max(col("scanned")).as("max_scanned"))
+    val nAgg = emb.agg(count(lit(1)).as("n"))
+    hitsAgg.crossJoin(totalAgg).crossJoin(scanAgg).crossJoin(nAgg).select(
+      (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
+      (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
+  }
+
+  /** E3m: the PRODUCTION IVF-PQ search, bench-visible — the composed
+    * train + assign + residual-encode + probed ADC scan + re-rank
+    * without the exact baseline/scan-audit subtrees. */
+  private val e3IvfPqSearch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(emb, c = 32, iters = 2)
+    val books = ivfPqTrain(emb, cents, m = 8, ksub = 32, iters = 2)
+    val res = ivfPqSearch(emb, queries, cents, books,
+      k = 5, nprobe = 8, rerank = 100)
+    val qAgg = queries.agg(count(lit(1)).as("nq"))
+    res.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("per_q"), max(col("rnk")).as("mr"))
+      .agg(count(lit(1)).as("answered"), max(col("per_q")).as("max_per_q"),
+        max(col("mr")).as("max_rnk"))
+      .crossJoin(qAgg)
+      .select(
+        (col("answered") === col("nq")).as("all_queries_answered"),
+        (col("max_per_q") <= 5).as("k_bounded"),
+        (col("max_rnk") <= 5).as("rank_bounded"))
+  }
+
   /** E3l: the PRODUCTION PQ search (train + encode + ADC scan +
     * rerank), bench-visible — `e3_pq_recall`'s dataflow without its
     * exact-top-k baseline subtree. Cheap invariants only: every query
@@ -986,6 +1113,8 @@ object Similarity {
     "e3_semdedup" -> e3SemDedup,
     "e3_pq_recall" -> e3PqRecall,
     "e3_pq_search" -> e3PqSearch,
+    "e3_ivfpq_recall" -> e3IvfPqRecall,
+    "e3_ivfpq_search" -> e3IvfPqSearch,
     "e3_ann_search" -> e3AnnSearch,
     "e3_ivf_search" -> e3IvfSearch,
     "e3_semdedup_run" -> e3SemDedupRun,
@@ -1005,6 +1134,11 @@ object Similarity {
     "e3_pq_recall" ->
       """SELECT true AS recall_ok, true AS codes_in_range_ok,
         |  true AS k_bounded""".stripMargin,
+    "e3_ivfpq_recall" ->
+      """SELECT true AS recall_ok, true AS scan_budget_ok""".stripMargin,
+    "e3_ivfpq_search" ->
+      """SELECT true AS all_queries_answered, true AS k_bounded,
+        |  true AS rank_bounded""".stripMargin,
     "e3_pq_search" ->
       """SELECT true AS all_queries_answered, true AS k_bounded,
         |  true AS rank_bounded, true AS sims_in_range_ok""".stripMargin,

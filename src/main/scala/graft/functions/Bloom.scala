@@ -1,0 +1,46 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Membership probe against a pre-built [[BloomFilter]] over STRING
+  * keys — the map-side ingest prefilter (see
+  * `graft.ext.Dedup.bloomIngestFilter`). The filter rides the plan as
+  * a REFERENCE OBJECT (broadcast with the task binary), so the probe
+  * is one hash per row with no join and no shuffle. NO FALSE
+  * NEGATIVES: a key that was put is always reported present — which is
+  * what makes "bloom says new → admit directly" exact. False positives
+  * (rate = the filter's fpp) only send extra rows to the exact check
+  * downstream, never corrupt results.
+  *
+  * The key is probed via `mightContainString`, matching how
+  * `DataFrameStatFunctions.bloomFilter` / `putString` hash string
+  * keys (UTF-8 bytes). */
+case class BloomMightContain(child: Expression, bloom: BloomFilter)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_might_contain"
+
+  override protected def nullSafeEval(v: Any): Any =
+    bloom.mightContainString(v.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom,
+      classOf[BloomFilter].getName)
+    defineCodeGen(ctx, ev, v => s"$ref.mightContainString($v.toString())")
+  }
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomMightContain =
+    copy(child = newChild)
+}
+
+object BloomMightContain {
+  def bloomMightContain(key: Column, bloom: BloomFilter): Column =
+    ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bloom))
+}

@@ -37,9 +37,15 @@ class PlanAuditSpec extends SparkSpec {
     "e3_ivf_search" -> Set("BroadcastNestedLoop"),
     "e3_pq_recall" -> Set("BroadcastNestedLoop"),
     "e3_pq_search" -> Set("BroadcastNestedLoop"),
+    // one-row gate-scalar crossJoins only — the IVFADC scan itself is
+    // a cell equi-join, no nested-loop anywhere
+    "e3_ivfpq_recall" -> Set("BroadcastNestedLoop"),
+    "e3_ivfpq_search" -> Set("BroadcastNestedLoop"),
     "e3_semdedup_run" -> Set("BroadcastNestedLoop"),
     "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
+    // one-row corpus-total scalar crossJoined onto the QI group table
+    "e9_kanon" -> Set("BroadcastNestedLoop"),
     // one-row crossJoins assembling the S-row rate table's scalars
     "e8_mixture" -> Set("BroadcastNestedLoop"),
     "e8_upsample" -> Set("BroadcastNestedLoop"),

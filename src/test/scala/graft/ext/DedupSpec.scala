@@ -20,6 +20,39 @@ class DedupSpec extends SparkSpec {
     assert(kept.toSeq == Seq(1L, 3L, 4L))
   }
 
+  test("bloom prefilter has no false negatives and the probe matches putString") {
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(1000, 0.01)
+    val keys = (0 until 1000).map(i => s"key_$i")
+    keys.foreach(bloom.putString)
+    val df = keys.toDF("k")
+    val present = df.filter(
+      graft.functions.BloomMightContain.bloomMightContain($"k", bloom))
+    assert(present.count() == 1000, "a put key must always probe true")
+    // unseen keys mostly probe false (fpp = 1% → allow generous slack)
+    val unseen = (0 until 1000).map(i => s"other_$i").toDF("k")
+    val fps = unseen.filter(
+      graft.functions.BloomMightContain.bloomMightContain($"k", bloom)).count()
+    assert(fps <= 100, s"false-positive rate implausibly high: $fps/1000")
+  }
+
+  test("bloomIngestFilter equals the plain anti-join and actually prunes") {
+    val corpus = fixture.filter($"doc_id" <= 2)
+    val batch = fixture.filter($"doc_id" >= 2) // 2 = true dup of corpus
+    val admitted = Dedup.bloomIngestFilter(corpus, batch, "text",
+        expectedItems = 100L, fpp = 0.01)
+      .select("doc_id").as[Long].collect().sorted
+    assert(admitted.toSeq == Seq(3L, 4L), s"got ${admitted.toSeq}")
+    // the prefilter really diverts bloom-negative rows around the join:
+    // novel docs probe false (no corpus digest collides at fpp=1%)
+    val bloom = org.apache.spark.util.sketch.BloomFilter.create(100, 0.01)
+    corpus.select(sha2($"text", 256)).as[String].collect()
+      .foreach(bloom.putString)
+    val directAdmits = batch.withColumn("_d", sha2($"text", 256))
+      .filter(!graft.functions.BloomMightContain.bloomMightContain($"_d", bloom))
+      .count()
+    assert(directAdmits == 2, "both novel docs should bypass the exact join")
+  }
+
   test("minhash LSH finds the near-dup pair and nothing else") {
     val pairs = Dedup.minhashNearDupPairs(
       fixture.filter($"doc_id" =!= 2), "doc_id", "text",

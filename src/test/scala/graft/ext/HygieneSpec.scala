@@ -103,4 +103,20 @@ class HygieneSpec extends SparkSpec {
     assert(got(3L) == ((true, false, false, false)))
     assert(got(4L) == ((true, true, false, false)))
   }
+
+  test("kAnonymityAudit flags only sub-k QI groups with exact shares") {
+    // 5 docs share QI (en, srcA, bucket 1) — anonymous at k=5;
+    // 2 docs share (fr, srcB, bucket 0) — flagged; 1 doc alone — flagged.
+    val docs = (
+      (1 to 5).map(i => (i.toLong, "en", "srcA", 150L)) ++
+        Seq((6L, "fr", "srcB", 50L), (7L, "fr", "srcB", 99L),
+          (8L, "de", "srcC", 420L))
+      ).toDF("doc_id", "lang", "source", "n_chars")
+    val risky = Hygiene.kAnonymityAudit(docs, k = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSeq
+    assert(risky == Seq(
+      ("de", "srcC", 4L, 1L, 0.125),
+      ("fr", "srcB", 0L, 2L, 0.25)), s"got $risky")
+  }
 }

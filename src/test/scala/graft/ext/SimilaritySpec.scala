@@ -87,6 +87,27 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.filter($"cd" < 0 || $"cd" > 31).count() == 0)
   }
 
+  test("ivfPqSearch recall clears the bound and scans via cell equi-join") {
+    val emb = Tables.load(spark, sf, "embeddings")
+    val queries = emb.filter($"vec_id" < 50)
+    val cents = Similarity.ivfTrain(emb, c = 32, iters = 2)
+    val books = Similarity.ivfPqTrain(emb, cents, m = 8, ksub = 32, iters = 2)
+    val res = Similarity.ivfPqSearch(emb, queries, cents, books,
+      k = 5, nprobe = 8, rerank = 100)
+    val exact = Similarity.bruteForceTopK(queries, emb, 5).select("q_id", "c_id")
+    val total = exact.count().toDouble
+    val hits = exact.join(res.select("q_id", "c_id"),
+      Seq("q_id", "c_id"), "left_semi").count()
+    info(f"IVF-PQ recall@5 = ${hits / total}%.3f")
+    assert(hits / total >= 0.6, s"recall ${hits / total} too low")
+    // the compressed scan must be the cell equi-join, never a
+    // nested-loop over the corpus (collect first: AQE final plan)
+    res.collect()
+    val plan = res.queryExecution.executedPlan.toString()
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"IVFADC scan must not nested-loop:\n${plan.take(1500)}")
+  }
+
   test("ivfTopK recall over embeddings clears the query's bound with margin") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 50)
