@@ -520,6 +520,32 @@ object TextStats {
   }
 
   /** E4j: the first 5 BPE merges learned from the corpus, exact. */
+  /** E4y: BPE tokenizer APPLY — train the 5-round merge table, then
+    * encode EVERY document with it via the native map-only
+    * [[graft.functions.BpeEncode]] expression (the merge list is a
+    * plan reference object; tokenization is one tight loop per row, no
+    * shuffle — the tokenize-at-100-TB shape). Per-language token
+    * rollup; the DuckDB oracle re-learns the merge table with the same
+    * unrolled CTE chain as `e4_bpe` (carrying the word through) and
+    * re-applies it word-by-word, so the native encoder's token counts
+    * are value-checked end to end. */
+  private val e4BpeApply: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val merges = bpeMerges(docs, "text", rounds = 5)
+      .orderBy(col("round"))
+      .select(col("pair")).collect()
+      .map { r =>
+        val Array(l, rr) = r.getString(0).split(" ", 2)
+        (l, rr)
+      }.toSeq
+    val tokens = graft.functions.BpeEncode.bpeEncode(col("text"), merges)
+    docs.select(col("lang"), size(tokens).cast("long").as("t"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("t")).as("sum_tokens"),
+        round(avg(col("t")), 4).as("avg_tokens"))
+      .orderBy(col("lang"))
+  }
+
   private val e4Bpe: Q = (s, dir) =>
     bpeMerges(t(s, dir, "documents"), "text", rounds = 5)
 
@@ -527,6 +553,7 @@ object TextStats {
     "e4_bigram_lm" -> e4BigramLm,
     "e4_winnow" -> e4Winnow,
     "e4_bpe" -> e4Bpe,
+    "e4_bpe_apply" -> e4BpeApply,
     "e4_entropy" -> e4Entropy,
     "e4_pmi" -> e4Pmi,
     "e4_chi2" -> e4Chi2,
@@ -543,7 +570,7 @@ object TextStats {
     * symbol table s_k — same delimiter-owned double-space
     * representation as [[bpeMerges]] (replace shares
     * leftmost-non-overlap semantics with Spark's `replace`). */
-  private def bpeRound(k: Int): String = {
+  private def bpeRound(k: Int, carry: String = ""): String = {
     val prev = s"s${k - 1}"
     s"""p$k AS (
        |  SELECT pair, cnt FROM (
@@ -553,7 +580,7 @@ object TextStats {
        |    GROUP BY pair)
        |  ORDER BY cnt DESC, pair LIMIT 1),
        |s$k AS (
-       |  SELECT replace(seq,
+       |  SELECT ${carry}replace(seq,
        |    ' ' || replace((SELECT pair FROM p$k), ' ', '  ') || ' ',
        |    ' ' || replace((SELECT pair FROM p$k), ' ', '') || ' ') AS seq, n
        |  FROM $prev)""".stripMargin
@@ -597,6 +624,37 @@ object TextStats {
         |SELECT DISTINCT doc_id, fp FROM m
         |WHERE pos <= len - 13
         |ORDER BY doc_id, fp""".stripMargin,
+    // Re-learn the merge table (same chain as e4_bpe, carrying w),
+    // re-apply it per distinct word, roll token counts up per doc and
+    // language — value-checks the native encoder end to end.
+    "e4_bpe_apply" ->
+      s"""WITH wc AS (
+         |  SELECT w, count(*)::BIGINT AS n FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> '' GROUP BY w),
+         |s0 AS (
+         |  SELECT w, ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
+         |    AS seq, n
+         |  FROM wc),
+         |${(1 to 5).map(k => bpeRound(k, "w, ")).mkString(",\n")},
+         |tok AS (
+         |  SELECT w, len(string_split(trim(seq), '  '))::BIGINT AS t
+         |  FROM s5),
+         |dw AS (
+         |  SELECT doc_id, w FROM (
+         |    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE w <> ''),
+         |perdoc AS (
+         |  SELECT d.doc_id, d.lang, coalesce(sum(tok.t), 0)::BIGINT AS t
+         |  FROM documents d
+         |  LEFT JOIN dw ON d.doc_id = dw.doc_id
+         |  LEFT JOIN tok ON dw.w = tok.w
+         |  GROUP BY d.doc_id, d.lang)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(t)::BIGINT AS sum_tokens,
+         |  round(avg(t), 4) AS avg_tokens
+         |FROM perdoc GROUP BY lang ORDER BY lang""".stripMargin,
     "e4_bpe" ->
       s"""WITH wc AS (
          |  SELECT w, count(*)::BIGINT AS n FROM (
@@ -606,7 +664,7 @@ object TextStats {
          |  SELECT ' ' || trim(regexp_replace(w, '(.)', '\\1  ', 'g')) || ' '
          |    AS seq, n
          |  FROM wc),
-         |${(1 to 5).map(bpeRound).mkString(",\n")}
+         |${(1 to 5).map(k => bpeRound(k)).mkString(",\n")}
          |${(1 to 5).map(k =>
             s"SELECT $k AS round, pair, replace(pair, ' ', '') AS merged, cnt FROM p$k")
             .mkString("\nUNION ALL\n")}

@@ -366,7 +366,56 @@ object EventWindows {
       .orderBy(col("ad"), col("imp_us"), col("click_us"))
   }
 
+  /** EV14: watermarked tumbling-window aggregation EXECUTED AS A
+    * STREAM in APPEND mode, oracle-gated — the mode where the state
+    * story is real: a 1-day window only EMITS once the watermark (1 h
+    * behind max event time) passes its end, at which point its state
+    * is dropped — the bounded-state contract for an unbounded stream.
+    * Events replay through a MemoryStream in day buckets (in event-time
+    * order, one micro-batch per bucket) and a final far-future
+    * keep-alive (type `_ka`) pushes the watermark past every real
+    * window so all of them finalize; the keep-alive's own window never
+    * finalizes and is filtered. The emitted window set must equal the
+    * batch tumbling aggregation DuckDB computes. */
+  private val ev14StreamWindows: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val dayMs = 86400000L
+    val rows = t(s, dir, "events")
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect()
+    val byBucket = rows.groupBy(_._1.getTime / dayMs).toSeq.sortBy(_._1)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val sink = "ev14_out_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try StreamDemo.windowedCounts(
+          stream.toDF().toDF("ts", "eventType", "value"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      for ((_, batch) <- byBucket) {
+        stream.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+      val lastMs = rows.iterator.map(_._1.getTime).max
+      stream.addData(Seq(
+        (new java.sql.Timestamp(lastMs + 3 * dayMs), "_ka", 0.0)))
+      q.processAllAvailable()
+    } finally q.stop()
+    s.table(sink).filter(col("eventType") =!= "_ka")
+      .select(col("ws"), col("eventType").as("event_type"), col("n"),
+        col("sum_value"))
+      .orderBy(col("ws"), col("event_type"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev14_stream_windows" -> ev14StreamWindows,
     "ev13_stream_join" -> ev13StreamJoin,
     "ev12_stream_sessions" -> ev12StreamSessions,
     "ev11_stream_dedup" -> ev11StreamDedup,
@@ -383,6 +432,13 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Batch tumbling restatement of the append-mode streamed windows
+    // (windowedCounts rounds sums to 4 decimals).
+    "ev14_stream_windows" ->
+      """SELECT time_bucket(INTERVAL '1 day', ts) AS ws, event_type,
+        |  count(*) AS n, round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY ws, event_type
+        |ORDER BY ws, event_type""".stripMargin,
     // Batch restatement of the streamed interval join: clicks within
     // one hour AFTER a same-ad impression (ad = user_id % 50).
     "ev13_stream_join" ->

@@ -1,7 +1,7 @@
 package graft.ext
 
 import org.apache.spark.sql.functions._
-import graft.SparkSpec
+import graft.{SparkSpec, Tables}
 
 class TextStatsSpec extends SparkSpec {
   import spark.implicits._
@@ -111,6 +111,29 @@ class TextStatsSpec extends SparkSpec {
     val got = TextStats.bpeMerges(docs, "text", rounds = 2)
       .as[(Int, String, String, Long)].collect().toSeq
     assert(got == Seq((1, "a a", "aa", 2L), (2, "aa a", "aaa", 1L)), s"got $got")
+  }
+
+  test("bpeEncode applies merges in rank order, leftmost-non-overlapping") {
+    // merges: (h,e), (l,l), (he,ll): "hello" → he l l o → he ll o →
+    // hell o; "hell" → [hell]; "lll" → ll l (leftmost pass, no rescan).
+    val merges = Seq(("h", "e"), ("l", "l"), ("he", "ll"))
+    val toks = Seq("hello hell lll").toDF("text")
+      .select(graft.functions.BpeEncode.bpeEncode($"text", merges))
+      .as[Seq[String]].head()
+    assert(toks == Seq("hell", "o", "hell", "ll", "l"), s"got $toks")
+  }
+
+  test("bpeEncode is lossless over the documents corpus (concat = text sans spaces)") {
+    val docs = Tables.load(spark, sf, "documents")
+    val merges = TextStats.bpeMerges(docs, "text", rounds = 3)
+      .orderBy("round").select("pair").as[String].collect()
+      .map { p => val Array(l, r) = p.split(" ", 2); (l, r) }.toSeq
+    val bad = docs.select(
+        array_join(graft.functions.BpeEncode.bpeEncode($"text", merges), "")
+          .as("rt"),
+        regexp_replace($"text", " ", "").as("orig"))
+      .filter($"rt" =!= $"orig").count()
+    assert(bad == 0, s"$bad documents fail round-trip")
   }
 
   test("bigramLogprob matches hand-computed add-k scores") {
