@@ -414,7 +414,55 @@ object EventWindows {
       .orderBy(col("ws"), col("event_type"))
   }
 
+  /** EV15: stream-static SEMANTIC dedup EXECUTED AS A STREAM with a
+    * full value-level oracle — fresh embeddings (vec_id ≢ 0 mod 5)
+    * arrive in three id-range micro-batches and anti-join the static
+    * corpus (vec_id ≡ 0 mod 5) on the cosine bound via
+    * [[StreamDemo.semanticDedupStream]]. The join is stateless, so the
+    * streamed survivor set EQUALS the batch anti-join, which DuckDB
+    * recomputes exactly (raw-dot threshold comparison — the
+    * e3_cosine_neardup float-parity convention). */
+  private val ev15StreamSemdedup: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    def prep(df: DataFrame, vc: String, nc: String): DataFrame = {
+      val v = transform(col("embedding"), _.cast("double"))
+      df.withColumn(vc, v)
+        .withColumn(nc,
+          sqrt(graft.functions.VecDot.vecDot(col(vc), col(vc))))
+    }
+    val emb = t(s, dir, "embeddings")
+    val corpus = prep(emb.filter(col("vec_id") % 5 === 0), "cv", "cnrm")
+      .select(col("cv"), col("cnrm"))
+    val fresh = emb.filter(col("vec_id") % 5 =!= 0)
+      .select(col("vec_id"), col("embedding"))
+      .as[(Long, Seq[Float])].collect().sortBy(_._1)
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val sink = "ev15_out_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try StreamDemo.semanticDedupStream(
+          prep(stream.toDF().toDF("vec_id", "embedding"), "v", "nrm"),
+          corpus, tau = 0.45)
+        .select(col("vec_id"))
+        .writeStream.format("memory").queryName(sink)
+        .outputMode(OutputMode.Append()).start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      for (batch <- fresh.grouped((fresh.length + 2) / 3)) {
+        stream.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.table(sink).select(col("vec_id")).orderBy(col("vec_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev15_stream_semdedup" -> ev15StreamSemdedup,
     "ev14_stream_windows" -> ev14StreamWindows,
     "ev13_stream_join" -> ev13StreamJoin,
     "ev12_stream_sessions" -> ev12StreamSessions,
@@ -432,6 +480,25 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact batch anti-join restatement of the streamed semantic dedup
+    // (raw-dot threshold, both engines sum left-to-right over the same
+    // doubles — the e3_cosine_neardup parity convention).
+    "ev15_stream_semdedup" ->
+      """WITH c AS (
+        |  SELECT embedding::DOUBLE[] AS cv,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS cnrm
+        |  FROM embeddings WHERE vec_id % 5 = 0),
+        |f AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings WHERE vec_id % 5 <> 0)
+        |SELECT vec_id FROM f
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM c
+        |  WHERE list_dot_product(f.v, c.cv) / (f.nrm * c.cnrm) >= 0.45)
+        |ORDER BY vec_id""".stripMargin,
     // Batch tumbling restatement of the append-mode streamed windows
     // (windowedCounts rounds sums to 4 decimals).
     "ev14_stream_windows" ->

@@ -50,6 +50,23 @@ object StreamDemo {
       .dropDuplicatesWithinWatermark("digest")
       .join(corpusDigests, Seq("digest"), "left_anti")
 
+  /** Stream-static SEMANTIC dedup — the embedding-space counterpart of
+    * [[incrementalDedupStream]]: an arriving vector is dropped when its
+    * cosine against ANY static-corpus vector reaches `tau`. A
+    * stream-static left-anti join is STATELESS (the static side
+    * re-resolves per micro-batch, no stream state accumulates), so no
+    * watermark is needed and the answer is EXACT — this dim-sized-
+    * corpus shape broadcasts the corpus and nested-loops per batch; at
+    * index scale the same anti-join keys on the IVF cell (equi-join)
+    * with the cosine bound as a residual condition. Caller supplies
+    * (v, nrm) on the stream and (cv, cnrm) on the corpus. */
+  def semanticDedupStream(fresh: DataFrame, corpus: DataFrame,
+      tau: Double): DataFrame =
+    fresh.join(corpus,
+      graft.functions.VecDot.vecDot(col("v"), col("cv")) /
+        (col("nrm") * col("cnrm")) >= tau,
+      "left_anti")
+
   /** Stream-stream interval join: impressions matched to clicks within
     * one hour AFTER the impression. Both sides watermarked and the join
     * condition carries the time bound — that pair is what lets the

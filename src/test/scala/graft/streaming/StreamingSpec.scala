@@ -142,6 +142,34 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-static semantic dedup drops near vectors, keeps orthogonal ones") {
+    implicit val sqlCtx = spark.sqlContext
+    import org.apache.spark.sql.functions._
+    def prep(df: org.apache.spark.sql.DataFrame, vc: String, nc: String) = {
+      val v = transform(col("embedding"), _.cast("double"))
+      df.withColumn(vc, v)
+        .withColumn(nc, sqrt(graft.functions.VecDot.vecDot(col(vc), col(vc))))
+    }
+    val corpus = prep(Seq(Seq(1f, 0f)).toDF("embedding"), "cv", "cnrm")
+      .select("cv", "cnrm")
+    val stream = MemoryStream[(Long, Seq[Float])]
+    val q = StreamDemo.semanticDedupStream(
+      prep(stream.toDF().toDF("vec_id", "embedding"), "v", "nrm"),
+      corpus, tau = 0.9)
+      .select("vec_id")
+      .writeStream.format("memory").queryName("semdedup_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      stream.addData((1L, Seq(0.9f, 0.1f)), (2L, Seq(0f, 1f)))
+      q.processAllAvailable()
+      stream.addData((3L, Seq(2f, 0f))) // parallel, scaled — still cos 1
+      q.processAllAvailable()
+      val kept = spark.table("semdedup_out")
+        .select("vec_id").as[Long].collect().sorted
+      assert(kept.toSeq == Seq(2L), s"got ${kept.toSeq}")
+    } finally q.stop()
+  }
+
   test("file-source readStream over the events parquet equals its batch evaluation") {
     // stage the events file into a landing DIRECTORY (the file-stream
     // source tails a directory; testdata ships a single file)
