@@ -371,12 +371,14 @@ object EventWindows {
     * story is real: a 1-day window only EMITS once the watermark (1 h
     * behind max event time) passes its end, at which point its state
     * is dropped — the bounded-state contract for an unbounded stream.
-    * Events replay through a MemoryStream in day buckets (in event-time
-    * order, one micro-batch per bucket) and a final far-future
-    * keep-alive (type `_ka`) pushes the watermark past every real
-    * window so all of them finalize; the keep-alive's own window never
-    * finalizes and is filtered. The emitted window set must equal the
-    * batch tumbling aggregation DuckDB computes. */
+    * Events replay through a MemoryStream in 5-day buckets (in
+    * event-time order, one micro-batch per bucket — replay bucket
+    * width is a harness knob independent of the 1-day window width;
+    * coarser buckets just finalize windows in groups) and a final
+    * far-future keep-alive (type `_ka`) pushes the watermark past
+    * every real window so all of them finalize; the keep-alive's own
+    * window never finalizes and is filtered. The emitted window set
+    * must equal the batch tumbling aggregation DuckDB computes. */
   private val ev14StreamWindows: Q = (s, dir) => {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
@@ -386,7 +388,7 @@ object EventWindows {
     val rows = t(s, dir, "events")
       .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
       .as[(java.sql.Timestamp, String, Double)].collect()
-    val byBucket = rows.groupBy(_._1.getTime / dayMs).toSeq.sortBy(_._1)
+    val byBucket = rows.groupBy(_._1.getTime / (5 * dayMs)).toSeq.sortBy(_._1)
     val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
     val sink = "ev14_out_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
