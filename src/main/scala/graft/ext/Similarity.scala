@@ -358,6 +358,42 @@ object Similarity {
     exactRerank(cand, corpus, queries, k)
   }
 
+  /** Persist the PQ index: (vec_id, codes) — m small ints per vector,
+    * the memory-resident artifact a 100 TB deployment scans instead of
+    * raw floats (64 B/vector at m=8 parquet-encoded vs 512 B). Codes
+    * are deterministic given the codebook, so an index search must
+    * EQUAL the in-memory answer. */
+  def pqWriteIndex(corpus: DataFrame,
+      books: IndexedSeq[IndexedSeq[Seq[Double]]], path: String): Unit =
+    pqEncode(corpus, books).select(col("vec_id"), col("codes"))
+      .write.mode("overwrite").parquet(path)
+
+  /** Search the on-disk PQ index: ADC scan over the stored codes (the
+    * raw-vector table is touched only by the exact re-rank, keyed by
+    * the ≤ rerank·|queries| candidate ids). */
+  def pqSearchIndex(spark: SparkSession, path: String, corpus: DataFrame,
+      queries: DataFrame, books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      k: Int, rerank: Int): DataFrame = {
+    val coded = spark.read.parquet(path)
+      .select(col("vec_id").as("c_id"), col("codes"))
+    val q = queries.select(col("vec_id").as("q_id"),
+        unitNorm(asDouble(col("embedding"))).as("qv"))
+      .withColumn("lut",
+        graft.functions.Pq.pqLut(col("qv"), booksArray(books)))
+    val wA = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx").desc, col("c_id"))
+    val cand = coded
+      .join(broadcast(q.select(col("q_id"), col("lut"))),
+        col("q_id") =!= col("c_id"))
+      .withColumn("approx",
+        graft.functions.Pq.pqAdc(col("lut"), col("codes")))
+      .select(col("q_id"), col("c_id"), col("approx"))
+      .withColumn("_ar", row_number().over(wA))
+      .filter(col("_ar") <= rerank)
+      .select(col("q_id"), col("c_id"))
+    exactRerank(cand, corpus, queries, k)
+  }
+
   /** Shared tail of the compressed-domain searches: fetch raw vectors
     * for the (small, absolute-budget) candidate set by id and re-score
     * exactly — candidates shuffle, the corpus never re-sorts. */
@@ -1010,6 +1046,29 @@ object Similarity {
         (col("max_per_q") <= 5).as("k_bounded"))
   }
 
+  /** E3n: the on-disk PQ index path — write the (vec_id, codes) table,
+    * search it, and assert the result EQUALS the in-memory `pqSearch`
+    * answer exactly (codes are deterministic given the codebook and
+    * ints round-trip parquet losslessly — equality, not recall, is the
+    * bar), and that the search is non-vacuous. Constant-true
+    * oracle (✱). */
+  private val e3PqIndexed: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val books = pqTrain(emb, m = 8, ksub = 32, iters = 2)
+    val path = graft.lake.Lake.scratchDir("pqidx") + "/index"
+    pqWriteIndex(emb, books, path)
+    val viaIndex = pqSearchIndex(s, path, emb, queries, books,
+      k = 5, rerank = 100)
+    val inMemory = pqSearch(emb, queries, books, k = 5, rerank = 100)
+    val extraAgg = viaIndex.exceptAll(inMemory).agg(count(lit(1)).as("extra"))
+    val missAgg = inMemory.exceptAll(viaIndex).agg(count(lit(1)).as("missing"))
+    val nAgg = viaIndex.agg(count(lit(1)).as("n"))
+    extraAgg.crossJoin(missAgg).crossJoin(nAgg).select(
+      (col("extra") === 0 && col("missing") === 0).as("index_equals_memory"),
+      (col("n") > 0).as("nonempty"))
+  }
+
   /** E3h: IVF-PQ self-check — the composed IVFADC path must clear the
     * same bars as its two parents: recall of the exact top-5 ≥ 0.5
     * (bounded above by the IVF probe recall ≈ 0.83; the residual-ADC
@@ -1115,6 +1174,7 @@ object Similarity {
     "e3_pq_search" -> e3PqSearch,
     "e3_ivfpq_recall" -> e3IvfPqRecall,
     "e3_ivfpq_search" -> e3IvfPqSearch,
+    "e3_pq_indexed" -> e3PqIndexed,
     "e3_ann_search" -> e3AnnSearch,
     "e3_ivf_search" -> e3IvfSearch,
     "e3_semdedup_run" -> e3SemDedupRun,
@@ -1136,6 +1196,8 @@ object Similarity {
         |  true AS k_bounded""".stripMargin,
     "e3_ivfpq_recall" ->
       """SELECT true AS recall_ok, true AS scan_budget_ok""".stripMargin,
+    "e3_pq_indexed" ->
+      """SELECT true AS index_equals_memory, true AS nonempty""".stripMargin,
     "e3_ivfpq_search" ->
       """SELECT true AS all_queries_answered, true AS k_bounded,
         |  true AS rank_bounded""".stripMargin,

@@ -41,6 +41,7 @@ class PlanAuditSpec extends SparkSpec {
     // a cell equi-join, no nested-loop anywhere
     "e3_ivfpq_recall" -> Set("BroadcastNestedLoop"),
     "e3_ivfpq_search" -> Set("BroadcastNestedLoop"),
+    "e3_pq_indexed" -> Set("BroadcastNestedLoop"),
     "e3_semdedup_run" -> Set("BroadcastNestedLoop"),
     "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
