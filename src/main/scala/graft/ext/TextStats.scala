@@ -45,16 +45,22 @@ object TextStats {
   def fingerprint(text: Column): Column =
     simhash64(Dedup.shingles(text, 3))
 
+  /** Marker sets for [[languageIdHeuristic]] — ONE constant interpolated
+    * into both the Spark plan and the DuckDB oracle (CLAUDE.md parity
+    * rule), tiny placeholders for real n-gram profiles. */
+  private[graft] val langMarkers: Seq[(String, Seq[String])] = Seq(
+    "en" -> Seq("the", "and", "of", "is"),
+    "de" -> Seq("der", "und", "die", "ist"),
+    "es" -> Seq("el", "la", "de", "es"),
+    "fr" -> Seq("le", "la", "et", "est"))
+
   /** Cheap n-gram language-ID heuristic: score against per-language
-    * marker sets, pick the argmax (ties → "und"). The marker lists here
-    * are tiny placeholders — the operator shape (map-only scoring, no
-    * shuffle) is the point. */
+    * marker sets, pick the argmax (ties → the lexicographically LARGER
+    * language tag, via struct comparison; zero hits → "und"). Map-only
+    * scoring — no shuffle, the language-gate shape a 100 TB corpus
+    * filter needs. */
   def languageIdHeuristic(text: Column): Column = {
-    val markers: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "is"),
-      "de" -> Seq("der", "und", "die", "ist"),
-      "es" -> Seq("el", "la", "de", "es"),
-      "fr" -> Seq("le", "la", "et", "est"))
+    val markers = langMarkers
     val words = split(lower(text), " ")
     val scored = markers.map { case (lang, ms) =>
       struct(size(filter(words, w => w.isin(ms: _*))).as("score"),
@@ -549,7 +555,23 @@ object TextStats {
   private val e4Bpe: Q = (s, dir) =>
     bpeMerges(t(s, dir, "documents"), "text", rounds = 5)
 
+  /** E4l: language-ID confusion matrix — the heuristic's prediction vs
+    * the table's `lang` label, with per-cell counts and the per-truth
+    * hit share. Scoring is map-only; the rollup is one (lang, pred)
+    * hash aggregation. The DuckDB oracle replicates the argmax
+    * (including the struct tie-break: larger language tag wins) by
+    * comparing zero-padded score strings with the tag appended. */
+  private val e4Langid: Q = (s, dir) =>
+    t(s, dir, "documents")
+      .select(col("lang"), languageIdHeuristic(col("text")).as("pred"))
+      .groupBy(col("lang"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("share", round(col("n") /
+        sum(col("n")).over(Window.partitionBy(col("lang"))), 4))
+      .orderBy(col("lang"), col("pred"))
+
   val queries: Map[String, Q] = Map(
+    "e4_langid" -> e4Langid,
     "e4_bigram_lm" -> e4BigramLm,
     "e4_winnow" -> e4Winnow,
     "e4_bpe" -> e4Bpe,
@@ -586,7 +608,29 @@ object TextStats {
        |  FROM $prev)""".stripMargin
   }
 
+  /** `len(list_filter(...))` score for one language's markers — the
+    * oracle half of [[languageIdHeuristic]], from the same constant. */
+  private def langScoreSql(ms: Seq[String]): String =
+    s"""len(list_filter(string_split(lower(text), ' '),
+       |      x -> x IN (${ms.map("'" + _ + "'").mkString(", ")})))""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    "e4_langid" ->
+      s"""WITH p AS (
+         |  SELECT lang,
+         |    greatest(${langMarkers.map { case (tag, ms) =>
+               s"lpad((${langScoreSql(ms)})::VARCHAR, 6, '0') || '$tag'"
+             }.mkString(",\n      ")}) AS best
+         |  FROM documents),
+         |cm AS (
+         |  SELECT lang,
+         |    CASE WHEN substr(best, 1, 6) <> '000000'
+         |         THEN substr(best, 7, 2) ELSE 'und' END AS pred,
+         |    count(*)::BIGINT AS n
+         |  FROM p GROUP BY 1, 2)
+         |SELECT lang, pred, n,
+         |  round(n / sum(n) OVER (PARTITION BY lang), 4) AS share
+         |FROM cm ORDER BY lang, pred""".stripMargin,
     "e4_bigram_lm" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

@@ -355,7 +355,46 @@ object TrainPrep {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------- global shuffle
+
+  /** Deterministic global corpus shuffle into `nShards` shards — the
+    * shuffle-once-at-corpus-creation step every training pipeline runs
+    * so that sequential shard reads ARE the random order. No RNG: the
+    * permutation key is the same multiplicative hash as
+    * [[splitBucket]] kept in INTEGER form, so both engines order
+    * identically. shard = h mod nShards; position within a shard =
+    * row_number over (h, id) — the window is PARTITIONED by shard, so
+    * at 100 TB each task sorts one corpus/nShards slice (pick nShards
+    * so a shard fits an executor; writers then emit one file per
+    * shard, already in read order). Nothing global except the shuffle
+    * by shard key. */
+  def shuffleShards(df: DataFrame, idCol: String,
+      nShards: Int): DataFrame = {
+    val h = pmod(pmod(col(idCol), lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val w = Window.partitionBy(col("shard")).orderBy(col("h"), col(idCol))
+    df.withColumn("h", h)
+      .withColumn("shard", pmod(col("h"), lit(nShards.toLong)).cast("int"))
+      .withColumn("pos", row_number().over(w))
+      .drop("h")
+  }
+
+  /** E8i: 16-shard deterministic shuffle of the documents corpus. The
+    * per-shard rollup pins the EXACT permutation, not just membership:
+    * `order_digest = Σ pos·doc_id` changes if any two documents within
+    * a shard swap places, and the head/tail doc ids pin the endpoints.
+    * Oracle recomputes the identical integer-hash order. */
+  private val e8Shuffle: Q = (s, dir) =>
+    shuffleShards(t(s, dir, "documents"), "doc_id", nShards = 16)
+      .groupBy(col("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("pos") * col("doc_id")).as("order_digest"),
+        min(when(col("pos") === 1, col("doc_id"))).as("first_doc"),
+        max(col("doc_id")).as("max_doc"))
+      .orderBy(col("shard"))
+
   val queries: Map[String, Q] = Map(
+    "e8_shuffle" -> e8Shuffle,
     "e8_weighted" -> e8Weighted,
     "e8_upsample" -> e8Upsample,
     "e8_hash_split" -> e8HashSplit,
@@ -367,6 +406,21 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_shuffle" ->
+      """WITH h AS (
+        |  SELECT doc_id,
+        |    ((doc_id % 2147483648) * 2654435761) % 4294967296 AS hv
+        |  FROM documents),
+        |s AS (
+        |  SELECT doc_id, hv, (hv % 16)::INT AS shard,
+        |    row_number() OVER (PARTITION BY hv % 16 ORDER BY hv, doc_id)
+        |      AS pos
+        |  FROM h)
+        |SELECT shard, count(*)::BIGINT AS n_docs,
+        |  sum(pos * doc_id)::BIGINT AS order_digest,
+        |  min(CASE WHEN pos = 1 THEN doc_id END)::BIGINT AS first_doc,
+        |  max(doc_id)::BIGINT AS max_doc
+        |FROM s GROUP BY shard ORDER BY shard""".stripMargin,
     "e8_weighted" ->
       """WITH b AS (
         |  SELECT doc_id, source,

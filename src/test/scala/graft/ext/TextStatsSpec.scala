@@ -18,6 +18,15 @@ class TextStatsSpec extends SparkSpec {
       "xyzzy plugh quux") == "und")
   }
 
+  test("language-ID tie-break: equal scores fall to the larger tag") {
+    // "la" scores 1 for both es and fr; the struct comparison breaks
+    // the tie toward the lexicographically larger tag ("fr") — the
+    // DuckDB oracle's padded-string greatest replicates exactly this.
+    assert(one(TextStats.languageIdHeuristic($"text"), "la") == "fr")
+    // "de" is an es marker only (not fr): no tie.
+    assert(one(TextStats.languageIdHeuristic($"text"), "de") == "es")
+  }
+
   test("BPE-ish token count splits letter runs, digit runs, and symbols") {
     assert(one(TextStats.bpeishTokenCount($"text"), "abc 123 x!y") == 5)
     assert(one(TextStats.bpeishTokenCount($"text"), "hello") == 1)

@@ -110,4 +110,36 @@ class TrainPrepSpec extends SparkSpec {
       .select($"id").as[Long].collect().toSet
     assert(!unweighted.contains(5L), "without weight, id 5 is nowhere near top-3")
   }
+
+  test("shuffleShards is a deterministic permutation with dense per-shard positions") {
+    val df = (1L to 100L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val a = TrainPrep.shuffleShards(df, "id", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    val b = TrainPrep.shuffleShards(df, "id", 8).collect()
+      .map(r => (r.getLong(0), r.getInt(2), r.getInt(3))).sortBy(_._1)
+    assert(a.sameElements(b), "shuffle must reproduce run to run")
+    assert(a.map(_._1).distinct.length == 100, "every id exactly once")
+    // positions are 1..k within each shard, no gaps, no duplicates
+    a.groupBy(_._2).foreach { case (shard, rows) =>
+      val ps = rows.map(_._3).sorted
+      assert(ps.sameElements(1 to rows.length),
+        s"shard $shard positions not dense: ${ps.toSeq}")
+    }
+    // the order is NOT the identity: consecutive ids scatter to
+    // different shards (the point of the multiplicative hash)
+    assert(a.map(_._2).distinct.length == 8, "all shards populated")
+    val idOrderPreserved = a.filter(_._2 == a.head._2).map(_._1)
+    val posOrder = a.filter(_._2 == a.head._2).sortBy(_._3).map(_._1)
+    assert(!idOrderPreserved.sameElements(posOrder) ||
+      idOrderPreserved.length <= 2,
+      "within-shard order should follow the hash, not the id")
+  }
+
+  test("shuffleShards shard assignment matches h mod n") {
+    val df = Seq(Tuple1(7L)).toDF("id")
+    val got = TrainPrep.shuffleShards(df, "id", 16)
+      .select($"shard").as[Int].head()
+    val h = (7L % 2147483648L) * 2654435761L % 4294967296L
+    assert(got == (h % 16).toInt)
+  }
 }
