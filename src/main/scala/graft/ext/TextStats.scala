@@ -614,18 +614,26 @@ object TextStats {
     s"""len(list_filter(string_split(lower(text), ' '),
        |      x -> x IN (${ms.map("'" + _ + "'").mkString(", ")})))""".stripMargin
 
+  /** The oracle argmax as a zero-padded score-string `greatest` —
+    * struct comparison replicated, shared by every langid oracle. */
+  private[graft] def langidBestSql: String =
+    s"""greatest(${langMarkers.map { case (tag, ms) =>
+         s"lpad((${langScoreSql(ms)})::VARCHAR, 6, '0') || '$tag'"
+       }.mkString(",\n      ")})"""
+
+  /** Decode [[langidBestSql]]'s winner back to a tag ('und' on zero). */
+  private[graft] val langidPredSql: String =
+    """CASE WHEN substr(best, 1, 6) <> '000000'
+      |         THEN substr(best, 7, 2) ELSE 'und' END""".stripMargin
+
   val oracles: Map[String, String] = Map(
     "e4_langid" ->
       s"""WITH p AS (
-         |  SELECT lang,
-         |    greatest(${langMarkers.map { case (tag, ms) =>
-               s"lpad((${langScoreSql(ms)})::VARCHAR, 6, '0') || '$tag'"
-             }.mkString(",\n      ")}) AS best
+         |  SELECT lang, $langidBestSql AS best
          |  FROM documents),
          |cm AS (
          |  SELECT lang,
-         |    CASE WHEN substr(best, 1, 6) <> '000000'
-         |         THEN substr(best, 7, 2) ELSE 'und' END AS pred,
+         |    $langidPredSql AS pred,
          |    count(*)::BIGINT AS n
          |  FROM p GROUP BY 1, 2)
          |SELECT lang, pred, n,

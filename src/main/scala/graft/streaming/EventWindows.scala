@@ -463,7 +463,51 @@ object EventWindows {
     s.table(sink).select(col("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** EV16: foreachBatch MULTI-SINK ROUTING executed as a stream — the
+    * streaming WRITE surface the other gates don't touch. Documents
+    * arrive in three id-range micro-batches; [[StreamDemo.routeByLang]]
+    * tags each with its predicted language (map-only, stateless ⇒
+    * exact), and the foreachBatch sink appends each micro-batch to a
+    * parquet lake `partitionBy("pred")` — one stream fanning out to one
+    * destination directory per language. The gate reads the lake back
+    * and rolls up (pred → n_docs, Σ doc_id): a lost micro-batch, a
+    * double-written batch, or a row routed to the wrong partition all
+    * hash-fail. DuckDB recomputes the routing argmax exactly
+    * (zero-padded score-string greatest = struct comparison). */
+  private val ev16StreamRoute: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val rows = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+      .as[(Long, String)].collect().sortBy(_._1)
+    val stream = MemoryStream[(Long, String)]
+    val lake = java.nio.file.Files
+      .createTempDirectory("ev16_route_").toString
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try StreamDemo.routeByLang(stream.toDF().toDF("doc_id", "text"))
+        .writeStream
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batch.write.mode("append").partitionBy("pred").parquet(lake)
+        }
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      for (batch <- rows.grouped((rows.length + 2) / 3)) {
+        stream.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(lake)
+      .groupBy(col("pred"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("pred"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev16_stream_route" -> ev16StreamRoute,
     "ev15_stream_semdedup" -> ev15StreamSemdedup,
     "ev14_stream_windows" -> ev14StreamWindows,
     "ev13_stream_join" -> ev13StreamJoin,
@@ -482,6 +526,19 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Batch restatement of the streamed routing fan-out: the argmax is
+    // replicated from the SAME marker constant as the engine side.
+    "ev16_stream_route" ->
+      s"""WITH p AS (
+         |  SELECT doc_id, ${graft.ext.TextStats.langidBestSql} AS best
+         |  FROM documents),
+         |r AS (
+         |  SELECT doc_id,
+         |    ${graft.ext.TextStats.langidPredSql} AS pred
+         |  FROM p)
+         |SELECT pred, count(*)::BIGINT AS n_docs,
+         |  sum(doc_id)::BIGINT AS sum_ids
+         |FROM r GROUP BY pred ORDER BY pred""".stripMargin,
     // Exact batch anti-join restatement of the streamed semantic dedup
     // (raw-dot threshold, both engines sum left-to-right over the same
     // doubles — the e3_cosine_neardup parity convention).

@@ -67,6 +67,16 @@ object StreamDemo {
         (col("nrm") * col("cnrm")) >= tau,
       "left_anti")
 
+  /** Language-routing transform for the foreachBatch fan-out sink:
+    * map-only marker-set scoring (no state, no watermark), so the
+    * streamed routing decision is EXACTLY the batch one. The sink side
+    * writes each micro-batch `partitionBy("pred")` — the
+    * one-stream-to-many-destinations shape a multilingual ingest
+    * pipeline runs, with the partition column doubling as the route. */
+  def routeByLang(docs: DataFrame): DataFrame =
+    docs.withColumn("pred",
+      graft.ext.TextStats.languageIdHeuristic(col("text")))
+
   /** Stream-stream interval join: impressions matched to clicks within
     * one hour AFTER the impression. Both sides watermarked and the join
     * condition carries the time bound — that pair is what lets the
