@@ -1010,7 +1010,83 @@ object Dedup {
     repeatedNgramSpans(t(s, dir, "documents"), "doc_id", "text",
       n = 8, minDocs = 2, k = 40)
 
+  /** E2h: per-document duplicated-span COVERAGE — the other half of
+    * substring-level dedup (Lee et al. 2022 trim on the duplicated
+    * *portion* of a document, not whole documents). A token position is
+    * "duplicated" when covered by at least one word `n`-gram window
+    * that also occurs in ≥ `minDocs` distinct documents; the output is
+    * each document's duplicated-token count and fraction — the signal a
+    * curation pipeline thresholds to drop or trim a document.
+    *
+    * Shape, and why it holds at 100 TB:
+    *  1. gram stream: map-only explode of (doc_id, start, sha-256
+    *     digest) — only 32-byte digests shuffle, never span text
+    *     (the [[repeatedNgramSpans]] convention);
+    *  2. duplicated digests: digest-keyed partial agg (map-side combine
+    *     collapses a doc's internal repeats before the shuffle),
+    *     df ≥ minDocs filter;
+    *  3. mark windows: shuffle equi-join of the regenerated gram stream
+    *     against the duplicated-digest set — NOT a broadcast, the dup
+    *     set is corpus-sized at scale;
+    *  4. interval union per doc: one window pass (running max of span
+    *     ends ordered by start) — per-doc sorted state, no explode of
+    *     covered positions (that would be an n× row blowup);
+    *  5. left join back to per-doc token counts so clean documents
+    *     report 0.
+    * Every step is a map, a keyed agg, or an equi-join — no all-pairs
+    * anywhere, and the window state is bounded by spans-per-doc. */
+  def substringDupCoverage(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDocs: Int): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"),
+        split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).as("nt"), col("ws"))
+    def grams = base.filter(col("nt") >= n)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("nt") - (n - 1))).as("s"),
+        col("ws"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        sha2(array_join(slice(col("ws"), col("s"), lit(n)), " "), 256)
+          .as("gram_sha"))
+    val dupSha = grams.groupBy(col("gram_sha"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= minDocs)
+      .select("gram_sha")
+    val spans = grams.join(dupSha, Seq("gram_sha"))
+      .select(col("doc_id"), col("s"), (col("s") + (n - 1)).as("e"))
+      .distinct()
+    // Union length of [s, e] intervals: a span's NEW coverage is its
+    // end minus the larger of (its own start - 1) and the max end seen
+    // so far — the classic sorted-interval sweep as one window expr.
+    val prevMax = max(col("e")).over(
+      Window.partitionBy(col("doc_id")).orderBy(col("s"), col("e"))
+        .rowsBetween(Window.unboundedPreceding, -1))
+    val perDoc = spans
+      .withColumn("cov", greatest(lit(0L),
+        col("e") - greatest(col("s") - 1, coalesce(prevMax, lit(0L)))))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_dup_spans"), sum(col("cov")).as("dup_tokens"))
+    base.select(col("doc_id"), col("nt").cast("long").as("n_tokens"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+        coalesce(col("dup_tokens"), lit(0L)).as("dup_tokens"),
+        round(coalesce(col("dup_tokens"), lit(0L)) / col("n_tokens"), 4)
+          .as("dup_frac"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E2h gate: 8-gram windows duplicated across ≥2 docs, full
+    * value-level oracle — DuckDB re-derives every window, the
+    * duplicated-digest set, and the same interval-union sweep, so a
+    * missed span, a double-counted overlap, or an off-by-one in the
+    * union arithmetic all hash-fail. */
+  private val e2SubstringCov: Q = (s, dir) =>
+    substringDupCoverage(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, minDocs = 2)
+
   val queries: Map[String, Q] = Map(
+    "e2_substring_cov" -> e2SubstringCov,
     "e2_repeated_ngrams" -> e2RepeatedNgrams,
     "e1b_normalized_dedup" -> e1bNormalizedDedup,
     "e1_dedup_exact" -> e1DedupExact,
@@ -1026,6 +1102,38 @@ object Dedup {
 
   /** The planted-pair ground truth, written directly in SQL. */
   val oracles: Map[String, String] = Map(
+    "e2_substring_cov" ->
+      """WITH b AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i::BIGINT AS s,
+        |    sha256(array_to_string(list_slice(ws, i, i + 7), ' ')) AS gram_sha
+        |  FROM b, unnest(range(1, n_tokens - 6)) AS t(i)
+        |  WHERE n_tokens >= 8),
+        |d AS (
+        |  SELECT gram_sha FROM g
+        |  GROUP BY gram_sha HAVING count(DISTINCT doc_id) >= 2),
+        |sp AS (
+        |  SELECT DISTINCT g.doc_id, g.s, g.s + 7 AS e
+        |  FROM g JOIN d USING (gram_sha)),
+        |m AS (
+        |  SELECT doc_id, s, e,
+        |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        |  FROM sp),
+        |c AS (
+        |  SELECT doc_id, count(*)::BIGINT AS n_dup_spans,
+        |    sum(greatest(0, e - greatest(s - 1, coalesce(pm, 0))))::BIGINT
+        |      AS dup_tokens
+        |  FROM m GROUP BY doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(c.n_dup_spans, 0)::BIGINT AS n_dup_spans,
+        |  coalesce(c.dup_tokens, 0)::BIGINT AS dup_tokens,
+        |  round(coalesce(c.dup_tokens, 0) / b.n_tokens, 4) AS dup_frac
+        |FROM b LEFT JOIN c USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "e2_repeated_ngrams" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

@@ -347,6 +347,26 @@ class DedupSpec extends SparkSpec {
     assert(r.getAs[Long]("n_occ") == 4L, "doc 4 holds it twice")
   }
 
+  test("substringDupCoverage merges overlapping spans and zeros clean docs") {
+    // docs 1/2 share BOTH 3-grams "a b c" and "b c d": doc 1 gets spans
+    // [1,3] and [2,4], which must union to 4 covered tokens (not 6).
+    val docs = Seq(
+      (1L, "a b c d z1 z2 z3"),          // spans [1,3],[2,4] → 4 of 7
+      (2L, "q1 a b c d q2 q3"),          // spans [2,4],[3,5] → 4 of 7
+      (3L, "p q r s t u v"),             // clean → 0 of 7
+      (4L, "x y"),                       // shorter than n → 0 of 2
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDupCoverage(docs, "doc_id", "text",
+        n = 3, minDocs = 2)
+      .select("doc_id", "n_tokens", "n_dup_spans", "dup_tokens")
+      .as[(Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 7L, 2L, 4L),
+      (2L, 7L, 2L, 4L),
+      (3L, 7L, 0L, 0L),
+      (4L, 2L, 0L, 0L)), s"got $got")
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))
