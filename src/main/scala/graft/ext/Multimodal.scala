@@ -243,6 +243,50 @@ object Multimodal {
     transform(sequence(lit(0), lit(nFrames - 1)),
       i => bin.substr(i * frameBytes + 1, lit(frameBytes)))
 
+  /** Typed record for one sampled video frame. */
+  final case class FrameStats(doc_id: Long, frame_idx: Int,
+      mean_b: Double, max_b: Int)
+
+  /** Video frame sampling with REAL binary plumbing — the training-
+    * pipeline shape for clip ingestion: a fixed-layout binary "video"
+    * (`nFrames` frames × `frameBytes` bytes, zero-padded) streams
+    * through mapPartitions, every `stride`-th frame is sliced out (a
+    * real sampler keyframe-picks; the slice arithmetic, batching, and
+    * per-partition decoder-init site are the real thing), and each
+    * sampled frame emits per-frame byte statistics. Map-only with a
+    * bounded ≤ nFrames/stride fan-out per row — at 100 TB this is one
+    * pass, no shuffle until the caller's rollup.
+    *
+    * The downstream scene-cut signal (|Δ mean| between consecutive
+    * sampled frames) is left to the caller's window — see
+    * [[Multimodal.queries e5_frame_sample]]. */
+  def frameSample(df: DataFrame, idCol: String, binCol: String,
+      frameBytes: Int, nFrames: Int, stride: Int): Dataset[FrameStats] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        // a real decoder opens its codec context HERE, once per partition
+        rows.flatMap { case (id, bytes) =>
+          (0 until nFrames by stride).iterator.map { f =>
+            var sum = 0L
+            var max = 0
+            var i = f * frameBytes
+            val end = i + frameBytes
+            while (i < end) {
+              val b = if (i < bytes.length) bytes(i) & 0xff else 0
+              sum += b
+              if (b > max) max = b
+              i += 1
+            }
+            // frameBytes is a power of two ⇒ the mean is exact in
+            // doubles and the 4-decimal round is engine-stable
+            FrameStats(id, f, sum.toDouble / frameBytes, max)
+          }
+        }
+      }
+  }
+
   // ------------------------------------------------------------ queries
 
   /** Byte/char equivalence guard for the oracle-shared byte queries:
@@ -467,7 +511,32 @@ object Multimodal {
         (col("n_pairs") >= col("n_planted")).as("pairs_cover_planted"))
   }
 
+  /** E5f: video frame sampling through the gate — each document's
+    * bytes are a fixed-layout 12-frame × 32-byte "video", every 3rd
+    * frame is sampled through the real mapPartitions slicer, and the
+    * scene-cut signal is the |Δ mean| between consecutive sampled
+    * frames (first frame: 0). DuckDB re-derives every sampled frame's
+    * byte stats from the same construction, so a wrong slice offset, a
+    * dropped frame, or a stride bug all hash-fail. Deltas compute from
+    * UNROUNDED means on both engines (exact: 32 = 2^5). */
+  private val e5FrameSample: Q = (s, dir) => {
+    val frames = frameSample(
+      t(s, dir, "documents").withColumn("vid",
+        asciiOnly(coalesce(col("text"), lit(""))).cast("binary")),
+      "doc_id", "vid", frameBytes = 32, nFrames = 12, stride = 3).toDF()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("doc_id")).orderBy(col("frame_idx"))
+    frames
+      .withColumn("cut_delta", round(abs(col("mean_b") -
+        coalesce(lag(col("mean_b"), 1).over(w), col("mean_b"))), 4))
+      .select(col("doc_id"), col("frame_idx"),
+        round(col("mean_b"), 4).as("mean_b"), col("max_b"),
+        col("cut_delta"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e5_frame_sample" -> e5FrameSample,
     "e5_phash_neardup" -> e5PhashNearDup,
     "e5_spectral" -> e5Spectral,
     "e5_binary_meta" -> e5BinaryMeta,
@@ -478,6 +547,34 @@ object Multimodal {
   )
 
   val oracles: Map[String, String] = Map(
+    // Sampled-frame byte stats from the same fixed layout: frame f's
+    // byte i is the document's (f·32 + i)-th byte or 0 padding; frames
+    // 0,3,6,9 are the stride-3 sample. NULL text ⇒ strlen NULL ⇒ every
+    // CASE falls to 0 — the all-zero video, matching coalesce('').
+    "e5_frame_sample" ->
+      """WITH a AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, fr::INT AS frame_idx,
+        |    list_sum(list_transform(range(0, 32), i ->
+        |      CASE WHEN fr*32 + i + 1 <= strlen(t)
+        |           THEN ord(substr(t, (fr*32 + i + 1)::INT, 1))
+        |           ELSE 0 END))::DOUBLE / 32.0 AS mean_raw,
+        |    list_max(list_transform(range(0, 32), i ->
+        |      CASE WHEN fr*32 + i + 1 <= strlen(t)
+        |           THEN ord(substr(t, (fr*32 + i + 1)::INT, 1))
+        |           ELSE 0 END))::INT AS max_b
+        |  FROM a, unnest(range(0, 12, 3)) AS s(fr)),
+        |d AS (
+        |  SELECT doc_id, frame_idx, mean_raw, max_b,
+        |    round(abs(mean_raw - coalesce(lag(mean_raw) OVER (
+        |      PARTITION BY doc_id ORDER BY frame_idx), mean_raw)), 4)
+        |      AS cut_delta
+        |  FROM f)
+        |SELECT doc_id, frame_idx, round(mean_raw, 4) AS mean_b, max_b,
+        |  cut_delta
+        |FROM d ORDER BY doc_id, frame_idx""".stripMargin,
     "e5_phash_neardup" ->
       """SELECT true AS recall_ok, true AS pair_budget_ok,
         |  true AS pairs_cover_planted""".stripMargin,

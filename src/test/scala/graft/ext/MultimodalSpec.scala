@@ -79,6 +79,19 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.map(b => new String(b)) == Seq("0123", "4567", "89ab"))
   }
 
+  test("frameSample slices stride-th frames and zero-pads the tail") {
+    // 6 bytes of payload over a 4-frame × 4-byte layout, stride 2:
+    // frame 0 = bytes 0-3 (values 10,20,30,40), frame 2 = all padding.
+    val df = Seq((7L, Array[Byte](10, 20, 30, 40, 50, 60))).toDF("id", "bin")
+    val got = Multimodal.frameSample(df, "id", "bin",
+        frameBytes = 4, nFrames = 4, stride = 2)
+      .collect().sortBy(_.frame_idx).toSeq
+    assert(got.map(_.frame_idx) == Seq(0, 2), "stride-2 sample of 4 frames")
+    assert(got(0).mean_b == 25.0 && got(0).max_b == 40, s"got ${got(0)}")
+    assert(got(1).mean_b == 0.0 && got(1).max_b == 0,
+      "past-payload frame must be all zero padding")
+  }
+
   test("array<float> features survive join and aggregation") {
     val feats = Seq((1L, Seq(1f, 2f)), (2L, Seq(3f, 4f))).toDF("id", "f")
     val meta = Seq((1L, "x"), (2L, "y")).toDF("id", "tag")
