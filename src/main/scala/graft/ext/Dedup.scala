@@ -1035,12 +1035,20 @@ object Dedup {
     *     report 0.
     * Every step is a map, a keyed agg, or an equi-join — no all-pairs
     * anywhere, and the window state is bounded by spans-per-doc. */
-  def substringDupCoverage(docs: DataFrame, idCol: String,
-      textCol: String, n: Int, minDocs: Int): DataFrame = {
-    val base = docs
-      .select(col(idCol).as("doc_id"),
-        split(col(textCol), " ").as("ws"))
+  /** Tokenized corpus (doc_id, token count, token array) — the shared
+    * front of the substring-dedup family. */
+  private def tokenized(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame =
+    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nt"), col("ws"))
+
+  /** Distinct duplicated word-`n`-gram spans (doc_id, s, e) — windows
+    * whose gram occurs in ≥ `minDocs` distinct documents. Steps 1-3 of
+    * the [[substringDupCoverage]] scaladoc: digest-only gram shuffle,
+    * df-filtered digest set, shuffle equi-join back (never a broadcast
+    * — the dup set is corpus-sized at scale). */
+  private[ext] def dupNgramSpans(base: DataFrame, n: Int,
+      minDocs: Int): DataFrame = {
     def grams = base.filter(col("nt") >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), col("nt") - (n - 1))).as("s"),
@@ -1052,9 +1060,15 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= minDocs)
       .select("gram_sha")
-    val spans = grams.join(dupSha, Seq("gram_sha"))
+    grams.join(dupSha, Seq("gram_sha"))
       .select(col("doc_id"), col("s"), (col("s") + (n - 1)).as("e"))
       .distinct()
+  }
+
+  def substringDupCoverage(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDocs: Int): DataFrame = {
+    val base = tokenized(docs, idCol, textCol)
+    val spans = dupNgramSpans(base, n, minDocs)
     // Union length of [s, e] intervals: a span's NEW coverage is its
     // end minus the larger of (its own start - 1) and the max end seen
     // so far — the classic sorted-interval sweep as one window expr.
@@ -1085,7 +1099,55 @@ object Dedup {
     substringDupCoverage(t(s, dir, "documents"), "doc_id", "text",
       n = 8, minDocs = 2)
 
+  /** E2i: substring-dedup TRIM — the apply step. Every token covered by
+    * a cross-document duplicated `n`-gram window is removed from every
+    * document and the survivors are re-joined in order (an aggressive
+    * variant of Lee et al.'s span removal: ALL copies go, not all-but-
+    * one — the right default for memorization-sensitive corpora, and
+    * the deterministic one: no copy-election tie to break).
+    *
+    * Scale shape: covered positions come from exploding the merged
+    * span stream — at most n rows per span before distinct(), a
+    * constant n× fan-out, never tokens × spans; the token stream
+    * left-anti joins it on (doc_id, pos) — a keyed shuffle join; the
+    * rebuild is one per-doc sort_array over surviving tokens (bounded
+    * by doc length, the same state any per-doc window holds). */
+  def substringDedupTrim(docs: DataFrame, idCol: String,
+      textCol: String, n: Int, minDocs: Int): DataFrame = {
+    val base = tokenized(docs, idCol, textCol)
+    val covered = dupNgramSpans(base, n, minDocs)
+      .select(col("doc_id"), explode(sequence(col("s"), col("e"))).as("p"))
+      .distinct()
+    val tokens = base
+      .select(col("doc_id"), posexplode(col("ws")).as(Seq("p0", "tok")))
+      .select(col("doc_id"), (col("p0") + 1).cast("long").as("p"),
+        col("tok"))
+    val kept = tokens.join(covered, Seq("doc_id", "p"), "left_anti")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_kept"),
+        array_join(transform(
+          array_sort(collect_list(struct(col("p"), col("tok")))),
+          _.getField("tok")), " ").as("trimmed"))
+    base.select(col("doc_id"), col("nt").cast("long").as("n_tokens"))
+      .join(kept, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_tokens"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"),
+        (col("n_tokens") - coalesce(col("n_kept"), lit(0L)))
+          .as("n_removed"),
+        coalesce(col("trimmed"), lit("")).as("trimmed"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** E2i gate: trim with the e2_substring_cov parameters; DuckDB
+    * rebuilds every trimmed document string (ordered string_agg over
+    * the anti-joined token stream), so a surviving duplicated token, a
+    * lost clean token, or an order scramble all hash-fail. */
+  private val e2SubstringTrim: Q = (s, dir) =>
+    substringDedupTrim(t(s, dir, "documents"), "doc_id", "text",
+      n = 8, minDocs = 2)
+
   val queries: Map[String, Q] = Map(
+    "e2_substring_trim" -> e2SubstringTrim,
     "e2_substring_cov" -> e2SubstringCov,
     "e2_repeated_ngrams" -> e2RepeatedNgrams,
     "e1b_normalized_dedup" -> e1bNormalizedDedup,
@@ -1102,6 +1164,41 @@ object Dedup {
 
   /** The planted-pair ground truth, written directly in SQL. */
   val oracles: Map[String, String] = Map(
+    "e2_substring_trim" ->
+      """WITH b AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,
+        |    string_split(text, ' ') AS ws
+        |  FROM documents),
+        |g AS (
+        |  SELECT doc_id, i::BIGINT AS s,
+        |    sha256(array_to_string(list_slice(ws, i, i + 7), ' ')) AS gram_sha
+        |  FROM b, unnest(range(1, n_tokens - 6)) AS t(i)
+        |  WHERE n_tokens >= 8),
+        |d AS (
+        |  SELECT gram_sha FROM g
+        |  GROUP BY gram_sha HAVING count(DISTINCT doc_id) >= 2),
+        |sp AS (
+        |  SELECT DISTINCT g.doc_id, g.s, g.s + 7 AS e
+        |  FROM g JOIN d USING (gram_sha)),
+        |cov AS (
+        |  SELECT DISTINCT doc_id, p
+        |  FROM sp, unnest(range(s, e + 1)) AS u(p)),
+        |tok AS (
+        |  SELECT doc_id, p::BIGINT AS p, ws[p::INT] AS tok
+        |  FROM b, unnest(range(1, n_tokens + 1)) AS u(p)),
+        |kept AS (
+        |  SELECT t.doc_id, count(*)::BIGINT AS n_kept,
+        |    string_agg(t.tok, ' ' ORDER BY t.p) AS trimmed
+        |  FROM tok t
+        |  WHERE NOT EXISTS (SELECT 1 FROM cov c
+        |                    WHERE c.doc_id = t.doc_id AND c.p = t.p)
+        |  GROUP BY t.doc_id)
+        |SELECT b.doc_id, b.n_tokens,
+        |  coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+        |  (b.n_tokens - coalesce(k.n_kept, 0))::BIGINT AS n_removed,
+        |  coalesce(k.trimmed, '') AS trimmed
+        |FROM b LEFT JOIN kept k USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "e2_substring_cov" ->
       """WITH b AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,

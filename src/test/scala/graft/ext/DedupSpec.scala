@@ -367,6 +367,22 @@ class DedupSpec extends SparkSpec {
       (4L, 2L, 0L, 0L)), s"got $got")
   }
 
+  test("substringDedupTrim removes covered tokens and keeps order") {
+    val docs = Seq(
+      (1L, "a b c d z1 z2 z3"),          // covered [1,4] → "z1 z2 z3"
+      (2L, "q1 a b c d q2 q3"),          // covered [2,5] → "q1 q2 q3"
+      (3L, "a b c d"),                   // fully covered → ""
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedupTrim(docs, "doc_id", "text",
+        n = 3, minDocs = 2)
+      .select("doc_id", "n_kept", "n_removed", "trimmed")
+      .as[(Long, Long, Long, String)].collect().toSeq
+    assert(got == Seq(
+      (1L, 3L, 4L, "z1 z2 z3"),
+      (2L, 3L, 4L, "q1 q2 q3"),
+      (3L, 0L, 4L, "")), s"got $got")
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))
