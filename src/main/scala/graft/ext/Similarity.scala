@@ -495,7 +495,45 @@ object Similarity {
         (col("true_label") === col("pred_label")).as("correct"))
   }
 
+  /** Hard-negative mining for contrastive training: each anchor's
+    * top-`k` most-similar vectors with a DIFFERENT label — the
+    * negatives that actually move a contrastive loss (random negatives
+    * are trivially separable; the hardest ones live next to the
+    * decision boundary). Anchors broadcast; the corpus is scanned
+    * map-side and never shuffles — with a bounded anchor set this IS
+    * the 100 TB shape, and for corpus-sized anchor sets the scan slots
+    * behind [[annCandidates]]/IVF pruning with the label test moved
+    * into the refinement (same composition as
+    * [[cosineNearDupViaAnn]]). */
+  def hardNegatives(anchors: DataFrame, corpus: DataFrame,
+      k: Int): DataFrame = {
+    val q = anchors.select(col("vec_id").as("q_id"),
+        col("label").as("q_label"), asDouble(col("embedding")).as("qv"))
+      .withColumn("qn", sqrt(dot(col("qv"), col("qv"))))
+    val c = corpus.select(col("vec_id").as("c_id"),
+        col("label").as("c_label"), asDouble(col("embedding")).as("cv"))
+      .withColumn("cn", sqrt(dot(col("cv"), col("cv"))))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    c.join(broadcast(q), col("q_label") =!= col("c_label"))
+      .withColumn("cos", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("q_label"), col("rnk"), col("c_id"),
+        col("c_label"), round(col("cos"), 6).as("sim"))
+  }
+
   // ------------------------------------------------------------ queries
+
+  /** E3i: hard negatives for a deterministic 8-anchor set, full
+    * value-level oracle — DuckDB recomputes the different-label top-5
+    * from the same parquet, so a same-label leak, a wrong rank, or a
+    * tie broken the other way all hash-fail. */
+  private val e3HardNegatives: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    hardNegatives(emb.filter(col("vec_id") < 8), emb, k = 5)
+      .orderBy(col("q_id"), col("rnk"))
+  }
 
   /** E3: exact cosine top-5 for the first 5 vectors, against the full
     * corpus — DuckDB recomputes it from the same parquet. */
@@ -1188,9 +1226,29 @@ object Similarity {
     "e3_ann_neardup" -> e3AnnNearDup,
     "e3_cosine_neardup" -> e3CosineNearDup,
     "e3_quantized_cosine" -> e3QuantizedCosine,
+    "e3_hard_negatives" -> e3HardNegatives,
   )
 
   val oracles: Map[String, String] = Map(
+    "e3_hard_negatives" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+        |      AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS c_id, c.label AS c_label,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c
+        |  WHERE q.vec_id < 8 AND q.label <> c.label),
+        |r AS (
+        |  SELECT q_id, q_label, c_id, c_label, cos,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, c_id) AS rnk
+        |  FROM p)
+        |SELECT q_id, q_label, rnk, c_id, c_label, round(cos, 6) AS sim
+        |FROM r WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "e3_pq_recall" ->
       """SELECT true AS recall_ok, true AS codes_in_range_ok,
         |  true AS k_bounded""".stripMargin,

@@ -78,6 +78,8 @@ class PlanAuditSpec extends SparkSpec {
     "e4_pmi" -> Set("BroadcastNestedLoop"),
     // broadcast-query non-equi scan — the designed map-side kNN shape
     "e3_knn_classify" -> Set("BroadcastNestedLoop"),
+    // broadcast-anchor different-label scan — same map-side shape
+    "e3_hard_negatives" -> Set("BroadcastNestedLoop"),
     // the 1-row BFS seed frontier: its literal join key constant-folds
     // away, leaving a broadcast of one row — the frontier IS one row
     "g3_bfs" -> Set("BroadcastNestedLoop"),

@@ -20,6 +20,19 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top(2)._2) < 1e-9)
   }
 
+  test("hardNegatives excludes same-label vectors however similar") {
+    // anchor 0 (label 0): its nearest vector 1 shares the label and
+    // must NOT appear; the best different-label vector (2) must rank 1.
+    val vecs = Seq(
+      (0L, Seq(1f, 0f), 0), (1L, Seq(2f, 0f), 0),
+      (2L, Seq(1f, 1f), 1), (3L, Seq(0f, 1f), 1))
+      .toDF("vec_id", "embedding", "label")
+    val neg = Similarity.hardNegatives(vecs.filter($"vec_id" === 0), vecs, 3)
+      .orderBy("rnk")
+      .select("c_id", "c_label").as[(Long, Int)].collect().toSeq
+    assert(neg == Seq((2L, 1), (3L, 1)), s"got $neg")
+  }
+
   test("annCandidates recall over embeddings clears the query's bound with margin") {
     val emb = Tables.load(spark, sf, "embeddings")
     val queries = emb.filter($"vec_id" < 50)
