@@ -315,7 +315,19 @@ object EventWindows {
     * buckets has already arrived by then. So the streamed inner join
     * emits exactly the batch answer, which DuckDB recomputes as a
     * plain interval join. Timestamps compare as epoch micros. */
-  private val ev13StreamJoin: Q = (s, dir) => {
+  /** Shared two-stream bucket-replay harness for the interval-join
+    * gates: impressions (`view`) and clicks (`click`) replay through
+    * two MemoryStreams in 5-day event-time buckets, with per-bucket
+    * keep-alives advancing BOTH watermarks (the global watermark is
+    * the min across sources; ads −1/−2 match nothing). `finalFlushMs`,
+    * when set, appends one last keep-alive pair that far (in ms) past
+    * the final bucket — an OUTER join only emits its unmatched rows
+    * when the watermark expires their state, so the tail needs an
+    * explicit push; an inner join emits on match and needs none.
+    * Returns the memory-sink table of the joined stream. */
+  private def replayIntervalJoin(s: SparkSession, dir: String,
+      join: (DataFrame, DataFrame) => DataFrame,
+      finalFlushMs: Option[Long]): DataFrame = {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     import org.apache.spark.sql.streaming.OutputMode
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
@@ -334,7 +346,7 @@ object EventWindows {
       .map(_._2.getTime / bucketMs).toSeq.distinct.sorted
     val impStream = MemoryStream[(Long, java.sql.Timestamp)]
     val clkStream = MemoryStream[(Long, java.sql.Timestamp)]
-    val sink = "ev13_out_" +
+    val sink = "evjoin_out_" +
       java.util.UUID.randomUUID.toString.replace("-", "")
     // Scope the state-store partition count down for the replay, as
     // ev12 does (pinned at first start; sequential micro-batches are
@@ -342,7 +354,7 @@ object EventWindows {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
-      try StreamDemo.intervalJoin(
+      try join(
           impStream.toDS().toDF("impAd", "impTs"),
           clkStream.toDS().toDF("clickAd", "clickTs"))
         .writeStream.format("memory").queryName(sink)
@@ -350,8 +362,6 @@ object EventWindows {
       finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
     try {
       for (b <- buckets) {
-        // Keep-alives advance BOTH watermarks every bucket (the global
-        // watermark is the min across sources); ad −1/−2 match nothing.
         val ka = new java.sql.Timestamp((b + 1) * bucketMs - 1)
         impStream.addData(
           imps.view.filter(_._2.getTime / bucketMs == b).toSeq :+ (-1L, ka))
@@ -359,12 +369,40 @@ object EventWindows {
           clks.view.filter(_._2.getTime / bucketMs == b).toSeq :+ (-2L, ka))
         q.processAllAvailable()
       }
+      finalFlushMs.foreach { flush =>
+        val last = new java.sql.Timestamp(
+          (buckets.last + 1) * bucketMs - 1 + flush)
+        impStream.addData(Seq((-1L, last)))
+        clkStream.addData(Seq((-2L, last)))
+        q.processAllAvailable()
+      }
     } finally q.stop()
     s.table(sink)
+  }
+
+  private val ev13StreamJoin: Q = (s, dir) =>
+    replayIntervalJoin(s, dir, StreamDemo.intervalJoin, finalFlushMs = None)
       .select(col("ad"), unix_micros(col("impTs")).as("imp_us"),
         unix_micros(col("clickTs")).as("click_us"))
       .orderBy(col("ad"), col("imp_us"), col("click_us"))
-  }
+
+  /** EV17: stream-stream LEFT OUTER interval join — the semantics the
+    * inner gate can't exercise: an unmatched impression is emitted
+    * (click NULL) only when the watermark passes its join-window end
+    * and its state drops — null emission IS state expiry, the
+    * bounded-state contract made visible in the result set. A final
+    * 30-day keep-alive pushes the watermark past every impression so
+    * the tail flushes; keep-alive ads (< 0) are themselves unmatched
+    * left rows and are filtered. The emitted set must equal DuckDB's
+    * batch LEFT JOIN (null ordering pinned NULLS FIRST to match
+    * Spark's ascending default). */
+  private val ev17StreamLeftJoin: Q = (s, dir) =>
+    replayIntervalJoin(s, dir, StreamDemo.intervalJoinLeftOuter,
+      finalFlushMs = Some(30L * 86400000L))
+      .filter(col("ad") >= 0)
+      .select(col("ad"), unix_micros(col("impTs")).as("imp_us"),
+        unix_micros(col("clickTs")).as("click_us"))
+      .orderBy(col("ad"), col("imp_us"), col("click_us"))
 
   /** EV14: watermarked tumbling-window aggregation EXECUTED AS A
     * STREAM in APPEND mode, oracle-gated — the mode where the state
@@ -507,6 +545,7 @@ object EventWindows {
   }
 
   val queries: Map[String, Q] = Map(
+    "ev17_stream_left_join" -> ev17StreamLeftJoin,
     "ev16_stream_route" -> ev16StreamRoute,
     "ev15_stream_semdedup" -> ev15StreamSemdedup,
     "ev14_stream_windows" -> ev14StreamWindows,
@@ -565,6 +604,17 @@ object EventWindows {
         |  count(*) AS n, round(sum(value), 4) AS sum_value
         |FROM events GROUP BY ws, event_type
         |ORDER BY ws, event_type""".stripMargin,
+    // Batch LEFT JOIN restatement of the streamed outer interval join;
+    // NULLS FIRST pins DuckDB's ordering to Spark's ascending default.
+    "ev17_stream_left_join" ->
+      """SELECT i.ad, epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+        |FROM (SELECT user_id % 50 AS ad, ts FROM events
+        |      WHERE event_type = 'view') i
+        |LEFT JOIN (SELECT user_id % 50 AS ad, ts FROM events
+        |           WHERE event_type = 'click') c
+        |  ON i.ad = c.ad AND c.ts >= i.ts
+        | AND c.ts <= i.ts + INTERVAL 1 HOUR
+        |ORDER BY i.ad, imp_us, click_us NULLS FIRST""".stripMargin,
     // Batch restatement of the streamed interval join: clicks within
     // one hour AFTER a same-ad impression (ad = user_id % 50).
     "ev13_stream_join" ->

@@ -93,6 +93,23 @@ object StreamDemo {
       .select(col("impAd").as("ad"), col("impTs"), col("clickTs"))
   }
 
+  /** LEFT OUTER variant of [[intervalJoin]]: same watermarks and time
+    * bound (both REQUIRED by Spark for outer stream-stream joins — the
+    * bound is what lets it ever declare an impression unmatched), with
+    * unmatched impressions emitted null-click once the watermark
+    * expires their buffered state. */
+  def intervalJoinLeftOuter(impressions: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("impTs", "2 hours")
+    val clk = clicks.withWatermark("clickTs", "2 hours")
+    imp.join(clk,
+      col("impAd") === col("clickAd") &&
+        col("clickTs") >= col("impTs") &&
+        col("clickTs") <= col("impTs") + expr("INTERVAL 1 HOUR"),
+      "left_outer")
+      .select(col("impAd").as("ad"), col("impTs"), col("clickTs"))
+  }
+
   /** Arbitrary stateful processing: running per-user event counts via
     * mapGroupsWithState — the custom-state primitive (the scale story:
     * state is partitioned by key in the state store, updates are
