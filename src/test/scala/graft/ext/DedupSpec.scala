@@ -383,6 +383,25 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 4L, "")), s"got $got")
   }
 
+  test("substring family survives a degenerate one-digest corpus") {
+    // 200 identical 50-token docs: every 8-gram window collapses onto
+    // ONE digest (the hottest possible bucket) and every token is
+    // covered — coverage must be total, trim must empty every doc, and
+    // nothing materializes an all-pairs structure on the way.
+    val docs = (1L to 200L).map(i => (i, Seq.fill(50)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val cov = Dedup.substringDupCoverage(docs, "doc_id", "text",
+        n = 8, minDocs = 2)
+      .agg(sum($"dup_tokens"), sum($"n_tokens"), min($"dup_frac"))
+      .as[(Long, Long, Double)].head()
+    assert(cov == ((10000L, 10000L, 1.0)), s"got $cov")
+    val trimmed = Dedup.substringDedupTrim(docs, "doc_id", "text",
+        n = 8, minDocs = 2)
+      .agg(sum($"n_kept"), count(when($"trimmed" === "", 1)))
+      .as[(Long, Long)].head()
+    assert(trimmed == ((0L, 200L)), s"got $trimmed")
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))
