@@ -402,6 +402,25 @@ class DedupSpec extends SparkSpec {
     assert(trimmed == ((0L, 200L)), s"got $trimmed")
   }
 
+  test("trim removes exactly the tokens coverage counts (seeded corpora)") {
+    // The two operators derive covered positions differently (interval
+    // union sweep vs anti-joined token stream): per doc,
+    // cov.dup_tokens must equal trim.n_removed on any corpus.
+    for (seed <- Seq(11, 23, 47)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("a", "b", "c", "d", "e")
+      val docs = (1L to 30L).map { i =>
+        (i, Seq.fill(6 + rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size)))
+          .mkString(" "))
+      }.toDF("doc_id", "text")
+      val cov = Dedup.substringDupCoverage(docs, "doc_id", "text", 3, 2)
+        .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toMap
+      val rem = Dedup.substringDedupTrim(docs, "doc_id", "text", 3, 2)
+        .select("doc_id", "n_removed").as[(Long, Long)].collect().toMap
+      assert(cov == rem, s"seed $seed: coverage and trim disagree")
+    }
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))
