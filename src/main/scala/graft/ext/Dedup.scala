@@ -1146,7 +1146,81 @@ object Dedup {
     substringDedupTrim(t(s, dir, "documents"), "doc_id", "text",
       n = 8, minDocs = 2)
 
+  // ----------------------------------- Fellegi–Sunter record linkage
+
+  /** Field weights for [[e13Linkage]]: log-likelihood ratios
+    * ln(m/u) on agreement and ln((1−m)/(1−u)) on disagreement, from
+    * FIXED (m, u) priors — deterministic, no EM pass. Computed ONCE in
+    * Scala and interpolated verbatim into both engines (the shortest-
+    * round-trip `Double.toString` literal parses back to the identical
+    * double), so the additive score is bit-equal on both sides. */
+  private[graft] val fsWeights: Seq[(Double, Double)] = {
+    def w(m: Double, u: Double): (Double, Double) =
+      (math.log(m / u), math.log((1 - m) / (1 - u)))
+    // (m, u) per field: name exact, nation equal, segment equal,
+    // balance within ±0.005 — priors match the planted corruption
+    // rates (1/3, 1/7, 1/5, 1/2) roughly; FS only needs them ordinal.
+    Seq(w(0.667, 0.0001), w(0.857, 0.04), w(0.8, 0.2), w(0.5, 0.01))
+  }
+
+  /** E13: Fellegi–Sunter probabilistic record linkage (Fellegi &
+    * Sunter, JASA 1969) — the multi-field ER decision model on top of
+    * blocked candidates: each candidate pair gets an additive
+    * log-likelihood score Σᵢ wᵢ(γᵢ) over per-field agreement patterns
+    * (name exact, nation equal, segment equal, balance within ±0.005),
+    * classified link / possible / non-link by two thresholds — the
+    * classic three-way decision rule. Candidates come from blocking on
+    * the fastest-varying stable name substring (`substring(c_name, 16,
+    * 3)` — the last three digits of the zero-padded id, untouched by
+    * the planted suffix corruption), a plain equi-join whose ~1000
+    * near-uniform blocks keep enumeration linear — at 100 TB the same
+    * scorer sits behind hierarchical blocking or the LSH candidate
+    * generators in this file. The "dirty" B side is the customer table
+    * under deterministic key-derived corruption (both engines
+    * reproduce it exactly): every third name gains a suffix, every
+    * seventh nation shifts, every fifth segment is reversed, every
+    * second balance drifts +0.01. The gate rolls up per decision class
+    * with true-pair counts and key checksums; the oracle restates the
+    * whole model in SQL from the SAME interpolated weight literals. */
+  private val e13Linkage: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val a = cust.select(col("c_custkey").as("ak"),
+      col("c_name").as("aname"), col("c_nationkey").as("anat"),
+      col("c_mktsegment").as("aseg"), col("c_acctbal").as("abal"),
+      substring(col("c_name"), 16, 3).as("blk"))
+    val b = cust.select(col("c_custkey").as("bk"),
+      when(col("c_custkey") % 3 === 0, concat(col("c_name"), lit("X")))
+        .otherwise(col("c_name")).as("bname"),
+      when(col("c_custkey") % 7 === 0, col("c_nationkey") + 1)
+        .otherwise(col("c_nationkey")).as("bnat"),
+      when(col("c_custkey") % 5 === 0, reverse(col("c_mktsegment")))
+        .otherwise(col("c_mktsegment")).as("bseg"),
+      when(col("c_custkey") % 2 === 0, col("c_acctbal") + lit(0.01))
+        .otherwise(col("c_acctbal")).as("bbal"),
+      substring(col("c_name"), 16, 3).as("blk"))
+    val Seq((nA, nD), (tA, tD), (sA, sD), (bA, bD)) = fsWeights
+    val score =
+      when(col("aname") === col("bname"), lit(nA)).otherwise(lit(nD)) +
+        when(col("anat") === col("bnat"), lit(tA)).otherwise(lit(tD)) +
+        when(col("aseg") === col("bseg"), lit(sA)).otherwise(lit(sD)) +
+        when(abs(col("abal") - col("bbal")) <= lit(0.005), lit(bA))
+          .otherwise(lit(bD))
+    a.join(b, Seq("blk"))
+      .withColumn("score", score)
+      .withColumn("decision",
+        when(col("score") >= 4.0, "link")
+          .when(col("score") >= 0.0, "possible")
+          .otherwise("non_link"))
+      .groupBy(col("decision"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(when(col("ak") === col("bk"), 1L).otherwise(0L)).as("n_true"),
+        sum(col("ak") + col("bk")).as("sum_keys"),
+        round(sum(round(col("score"), 6)), 4).as("sum_score"))
+      .orderBy(col("decision"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e13_linkage" -> e13Linkage,
     "e2_substring_trim" -> e2SubstringTrim,
     "e2_substring_cov" -> e2SubstringCov,
     "e2_repeated_ngrams" -> e2RepeatedNgrams,
@@ -1164,6 +1238,46 @@ object Dedup {
 
   /** The planted-pair ground truth, written directly in SQL. */
   val oracles: Map[String, String] = Map(
+    "e13_linkage" -> {
+      val Seq((nA, nD), (tA, tD), (sA, sD), (bA, bD)) = fsWeights
+      def L(d: Double) = java.lang.Double.toString(d)
+      s"""WITH a AS (
+         |  SELECT c_custkey AS ak, c_name AS aname,
+         |    c_nationkey AS anat, c_mktsegment AS aseg,
+         |    c_acctbal AS abal, substring(c_name, 16, 3) AS blk
+         |  FROM customer),
+         |b AS (
+         |  SELECT c_custkey AS bk,
+         |    CASE WHEN c_custkey % 3 = 0 THEN c_name || 'X'
+         |         ELSE c_name END AS bname,
+         |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+         |         ELSE c_nationkey END AS bnat,
+         |    CASE WHEN c_custkey % 5 = 0 THEN reverse(c_mktsegment)
+         |         ELSE c_mktsegment END AS bseg,
+         |    CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 0.01
+         |         ELSE c_acctbal END AS bbal,
+         |    substring(c_name, 16, 3) AS blk
+         |  FROM customer),
+         |p AS (
+         |  SELECT ak, bk,
+         |    (CASE WHEN aname = bname THEN ${L(nA)} ELSE ${L(nD)} END
+         |     + CASE WHEN anat = bnat THEN ${L(tA)} ELSE ${L(tD)} END
+         |     + CASE WHEN aseg = bseg THEN ${L(sA)} ELSE ${L(sD)} END
+         |     + CASE WHEN abs(abal - bbal) <= 0.005 THEN ${L(bA)}
+         |            ELSE ${L(bD)} END) AS score
+         |  FROM a JOIN b USING (blk)),
+         |d AS (
+         |  SELECT ak, bk, score,
+         |    CASE WHEN score >= 4.0 THEN 'link'
+         |         WHEN score >= 0.0 THEN 'possible'
+         |         ELSE 'non_link' END AS decision
+         |  FROM p)
+         |SELECT decision, count(*)::BIGINT AS n_pairs,
+         |  sum(CASE WHEN ak = bk THEN 1 ELSE 0 END)::BIGINT AS n_true,
+         |  sum(ak + bk)::BIGINT AS sum_keys,
+         |  round(sum(round(score, 6)), 4) AS sum_score
+         |FROM d GROUP BY decision ORDER BY decision""".stripMargin
+    },
     "e2_substring_trim" ->
       """WITH b AS (
         |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tokens,

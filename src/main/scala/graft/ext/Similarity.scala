@@ -523,7 +523,91 @@ object Similarity {
         col("c_label"), round(col("cos"), 6).as("sim"))
   }
 
+  // ------------------------------------------------------------ MIPS
+
+  /** Maximum-inner-product search via the norm-augmentation reduction
+    * (Bachrach et al., RecSys'14; Neyshabur & Srebro, ICML'15): append
+    * one coordinate — √(M²−‖x‖²) on the corpus side (M = max corpus
+    * norm), 0 on the query side — and every augmented corpus vector
+    * has norm exactly M, so augmented-cosine order IS inner-product
+    * order and the whole cosine-ANN stack (signatures, IVF, PQ)
+    * becomes a MIPS index unchanged. Returns (corpusAug, queriesAug)
+    * with the augmented array in `embedding`, ready for
+    * [[annCandidates]]/[[bruteForceTopK]]-style consumers. The corpus
+    * max-norm is a 1-row aggregate crossJoined in-plan (no driver
+    * action); `greatest(…, 0)` guards the sqrt against the max-norm
+    * vector's own float rounding. */
+  def mipsAugment(corpus: DataFrame,
+      queries: DataFrame): (DataFrame, DataFrame) = {
+    val c = corpus.select(col("vec_id"),
+        asDouble(col("embedding")).as("cv"))
+      .withColumn("cn2", dot(col("cv"), col("cv")))
+    val mrow = c.agg(max(sqrt(col("cn2"))).as("bigM"))
+    val caug = c.crossJoin(broadcast(mrow))
+      .withColumn("aug",
+        sqrt(greatest(col("bigM") * col("bigM") - col("cn2"), lit(0.0))))
+      .select(col("vec_id"),
+        concat(col("cv"), array(col("aug"))).as("embedding"))
+    val qaug = queries.select(col("vec_id"),
+        concat(asDouble(col("embedding")), array(lit(0.0)))
+          .as("embedding"))
+    (caug, qaug)
+  }
+
   // ------------------------------------------------------------ queries
+
+  /** E3j: exact MIPS top-5 through the augmentation — ranked by the
+    * AUGMENTED dot product (whose tail term is an exact float 0·aug =
+    * 0, so it is bit-equal to the plain inner product and DuckDB's
+    * direct `list_dot_product` ranking reproduces it exactly). A wrong
+    * augmented coordinate, a NaN from the max-norm vector's own sqrt,
+    * or a reduction that reorders any top-k all hash-fail. */
+  private val e3MipsTopk: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val (caug, qaug) = mipsAugment(emb, emb.filter(col("vec_id") < 5))
+    val q = qaug.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = caug.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("ip", dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("ip"), 6).as("ip"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** E3k ✱: the ANN-MIPS path — hyperplane signatures built over the
+    * AUGMENTED space (the reduction is exactly what makes a cosine LSH
+    * index answer inner-product queries), candidate recall of the
+    * exact inner-product top-5 gated ≥ 0.5 with the absolute per-query
+    * budget in-plan — the same self-check shape as `e3_ann_recall`. */
+  private val e3MipsAnn: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val (caug, qaug) = mipsAugment(emb, emb.filter(col("vec_id") < 50))
+    val q = qaug.select(col("vec_id").as("q_id"), col("embedding").as("qv"))
+    val c = caug.select(col("vec_id").as("c_id"), col("embedding").as("cv"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("ip").desc, col("c_id"))
+    val exact = c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("ip", dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 5)
+      .select(col("q_id"), col("c_id"))
+    val cand = annCandidates(caug, qaug, budget = 150, tau = 112)
+      .localCheckpoint(eager = false)
+    val hitsAgg = exact.join(cand.select(col("q_id"), col("c_id")),
+        Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val candAgg = cand.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("per_q"))
+      .agg(max(col("per_q")).as("max_per_q"))
+    hitsAgg.crossJoin(totalAgg).crossJoin(candAgg).select(
+      (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
+      (col("max_per_q") <= 150).as("cand_budget_ok"))
+  }
 
   /** E3i: hard negatives for a deterministic 8-anchor set, full
     * value-level oracle — DuckDB recomputes the different-label top-5
@@ -1219,6 +1303,8 @@ object Similarity {
     "e3_label_coherence" -> e3LabelCoherence,
     "e3_pca" -> e3Pca,
     "e3_cosine_topk" -> e3CosineTopk,
+    "e3_mips_topk" -> e3MipsTopk,
+    "e3_mips_ann" -> e3MipsAnn,
     "e3_knn_classify" -> e3KnnClassify,
     "e3_ann_recall" -> e3AnnRecall,
     "e3_ivf_recall" -> e3IvfRecall,
@@ -1346,6 +1432,27 @@ object Similarity {
         |ORDER BY q_id""".stripMargin,
     "e3_ann_recall" ->
       "SELECT true AS recall_ok, true AS cand_budget_ok",
+    "e3_mips_ann" ->
+      "SELECT true AS recall_ok, true AS cand_budget_ok",
+    // Direct inner-product ranking — the reduction's augmented-dot
+    // rank must reproduce it exactly (the tail term is an exact 0).
+    "e3_mips_topk" ->
+      """WITH q AS (
+        |  SELECT vec_id AS q_id, embedding::DOUBLE[] AS qv
+        |  FROM embeddings WHERE vec_id < 5),
+        |c AS (
+        |  SELECT vec_id AS c_id, embedding::DOUBLE[] AS cv
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q_id, c_id, list_dot_product(qv, cv) AS ip
+        |  FROM q, c WHERE c_id <> q_id),
+        |r AS (
+        |  SELECT q_id, c_id, ip,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY ip DESC, c_id)
+        |      AS rnk
+        |  FROM p)
+        |SELECT q_id, rnk, c_id, round(ip, 6) AS ip FROM r
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "e3_ann_neardup" ->
       "SELECT true AS recall_ok, true AS precision_ok, true AS pair_budget_ok",
     "e3_ivf_recall" ->

@@ -616,6 +616,87 @@ object LakeQueries {
       .orderBy(col("lang"))
   }
 
+  /** K19: file-stat min/max data skipping — the Iceberg/Delta manifest
+    * pruning pattern on a plain-parquet lake. Orders land range-
+    * clustered on `o_orderdate` (`repartitionByRange`, so per-file
+    * ranges are near-disjoint); ONE distributed scan groups by
+    * `input_file_name()` to build a (file, min_ts, max_ts, rows) index
+    * — the manifest. A time-window query consults the index FIRST
+    * (file-count-sized, the only driver-side metadata — exactly what an
+    * Iceberg planner holds), reads only intersecting files, and applies
+    * the exact predicate as a residual. At 100 TB the scan cost tracks
+    * the window's file footprint, not the table. `require` asserts the
+    * skip actually pruned; the oracle restates the plain filtered
+    * aggregate, so an over-pruned file (lost rows) or a stale index
+    * hash-fails. */
+  private val k19MinmaxSkip: Q = (s, dir) => {
+    val root = Lake.scratchDir("k19")
+    t(s, dir, "orders")
+      .repartitionByRange(8, col("o_orderdate"))
+      .write.parquet(s"$root/data")
+    val data = s.read.parquet(s"$root/data")
+    data.select(input_file_name().as("file"),
+        col("o_orderdate").cast("timestamp").as("od"))
+      .groupBy(col("file"))
+      .agg(min(col("od")).as("min_ts"), max(col("od")).as("max_ts"),
+        count(lit(1)).as("rows"))
+      .write.parquet(s"$root/index")
+    val idx = s.read.parquet(s"$root/index")
+    val lo = lit("1996-01-01 00:00:00").cast("timestamp")
+    val hi = lit("1996-12-31 23:59:59").cast("timestamp")
+    val hit = idx
+      .filter(col("max_ts") >= lo && col("min_ts") <= hi)
+      .select(col("file")).collect().map(_.getString(0)).sorted
+    val total = idx.count()
+    require(hit.nonEmpty && hit.length < total,
+      s"min/max skip pruned nothing: ${hit.length} of $total files")
+    s.read.parquet(hit: _*)
+      .filter(col("o_orderdate").cast("timestamp").between(lo, hi))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** K18: incremental materialized-view maintenance (insert-only IVM)
+    * — the Delta-Live-Tables/Materialize refresh pattern: a persisted
+    * aggregate MV advances by aggregating ONLY the arriving delta and
+    * merging the two keyed partial states (counts and sums add) in one
+    * MV-keyed full-outer join; the base table is NEVER rescanned, so a
+    * refresh costs O(|delta| + |MV|) instead of O(|base|) — at 100 TB
+    * the difference between a minute and a day. The MV persists
+    * UNROUNDED partial sums (rounding is a read-time projection) so
+    * merges compose associatively. The oracle recomputes the aggregate
+    * over the FULL base: a dropped delta group, a double-count, or a
+    * lost MV key all hash-fail. */
+  private val k18MvIncremental: Q = (s, dir) => {
+    val root = Lake.scratchDir("k18")
+    val orders = t(s, dir, "orders").select(
+      col("o_orderpriority"), col("o_totalprice"), col("o_orderkey"))
+    def aggOf(df: DataFrame): DataFrame =
+      df.groupBy(col("o_orderpriority")).agg(
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice")).as("sum_price_raw"))
+    aggOf(orders.filter(col("o_orderkey") % 4 =!= 0))
+      .write.parquet(s"$root/mv_v1")
+    val mv = s.read.parquet(s"$root/mv_v1")
+    val delta = aggOf(orders.filter(col("o_orderkey") % 4 === 0))
+    mv.as("m").join(delta.as("d"),
+        mv("o_orderpriority") === delta("o_orderpriority"), "full_outer")
+      .select(
+        coalesce(mv("o_orderpriority"), delta("o_orderpriority"))
+          .as("o_orderpriority"),
+        (coalesce(mv("n_orders"), lit(0L)) +
+          coalesce(delta("n_orders"), lit(0L))).as("n_orders"),
+        (coalesce(mv("sum_price_raw"), lit(0.0)) +
+          coalesce(delta("sum_price_raw"), lit(0.0))).as("sum_price_raw"))
+      .write.parquet(s"$root/mv_v2")
+    s.read.parquet(s"$root/mv_v2")
+      .select(col("o_orderpriority"), col("n_orders"),
+        round(col("sum_price_raw"), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** K14: MERGE upsert — a change set (updates that NULL a column,
     * deletes, inserts) applied to `part` in one full-outer merge; the
     * oracle reconstructs the merged table set-algebraically, so a lost
@@ -692,6 +773,8 @@ object LakeQueries {
     "k17_scd2" -> k17Scd2,
     "s19_analyze_stats" -> s19AnalyzeStats,
     "k14_merge" -> k14Merge,
+    "k18_mv_incremental" -> k18MvIncremental,
+    "k19_minmax_skip" -> k19MinmaxSkip,
     "s17_corrupt_records" -> s17CorruptRecords,
     "k12_bookmark" -> k12Bookmark,
     "s1_tsv_scan" -> s1TsvScan,
@@ -757,6 +840,20 @@ object LakeQueries {
         |  count(DISTINCT n_nationkey)::BIGINT AS ndv_nationkey,
         |  count(DISTINCT n_regionkey)::BIGINT AS ndv_regionkey
         |FROM nation""".stripMargin,
+    "k19_minmax_skip" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
+    "k18_mv_incremental" ->
+      """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin,
     "k14_merge" ->
       """WITH upd AS (
         |  SELECT p_partkey, p_name, p_brand, NULL AS p_type, p_size,

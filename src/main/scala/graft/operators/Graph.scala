@@ -243,12 +243,73 @@ object Graph {
       .orderBy(col("node"))
   }
 
+  /** k-core extraction (Seidman 1983): repeatedly delete nodes of
+    * degree < k until fixpoint — the standard dense-subgraph /
+    * influence-backbone primitive. Each round is one degree
+    * aggregation + two semi-joins, linear in |E|, and edges only
+    * shrink; rounds is a CONSTANT so the plan is a fixed tree (the
+    * [[bfsDistances]] convention — no driver-side convergence loop),
+    * with a lazy checkpoint every `checkpointEvery` rounds to keep
+    * lineage flat. Convergence is certified IN-PLAN: the emitted
+    * `converged` column is "no surviving node has degree < k", and the
+    * oracle pins it `true`, so an unconverged round budget hash-fails
+    * loudly instead of shipping a half-peeled core. */
+  def kCore(edges: DataFrame, k: Int, rounds: Int,
+      checkpointEvery: Int = 3): DataFrame = {
+    def degrees(e: DataFrame): DataFrame =
+      e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
+        .groupBy(col("n")).agg(count(lit(1)).as("c"))
+    var e = edges.localCheckpoint(eager = false)
+    for (i <- 1 to rounds) {
+      val good = degrees(e).filter(col("c") >= k).select(col("n"))
+      e = e
+        .join(good.select(col("n").as("u")), Seq("u"), "left_semi")
+        .join(good.select(col("n").as("v")), Seq("v"), "left_semi")
+      if (i % checkpointEvery == 0) e = e.localCheckpoint(eager = false)
+    }
+    val degF = degrees(e).localCheckpoint(eager = false)
+    val conv = degF.agg(
+      coalesce(min(col("c")), lit(k.toLong)).as("mn"))
+    degF.crossJoin(broadcast(conv))
+      .select(col("n").as("node"), col("c").as("deg"),
+        (col("mn") >= k).as("converged"))
+  }
+
+  /** G5: 75-core of the part co-purchase graph (the g2 edge build).
+    * The 8-round budget converges at every gate SF (measured: fixpoint
+    * by round 5); the full unrolled-round DuckDB restatement is the
+    * oracle, so a node peeled one round early or late hash-fails. */
+  private val g5KCore: Q = (s, dir) => {
+    val lp = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+    val edges = lp.as("a").join(lp.as("b"),
+        col("a.o") === col("b.o") && col("a.p") < col("b.p"))
+      .select(col("a.p").as("u"), col("b.p").as("v")).distinct()
+    kCore(edges, k = 75, rounds = 8).orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
     "g1_pagerank" -> g1PageRank,
     "g2_triangles" -> g2Triangles,
     "g3_bfs" -> g3Bfs,
     "g4_labelprop" -> g4LabelProp,
+    "g5_kcore" -> g5KCore,
   )
+
+  // AS MATERIALIZED: DuckDB inlines plain CTEs, so 8 unrolled rounds
+  // would re-open the lineitem parquet once per reference and trip the
+  // fd limit; materializing evaluates each round exactly once.
+  private def kcoreIter(i: Int, k: Int): String = {
+    val prev = s"e${i - 1}"
+    s"""d$i AS MATERIALIZED (
+       |  SELECT n, count(*) AS c FROM (
+       |    SELECT u AS n FROM $prev UNION ALL SELECT v AS n FROM $prev)
+       |  GROUP BY n),
+       |e$i AS MATERIALIZED (
+       |  SELECT u, v FROM $prev
+       |  WHERE u IN (SELECT n FROM d$i WHERE c >= $k)
+       |    AND v IN (SELECT n FROM d$i WHERE c >= $k))""".stripMargin
+  }
 
   private def oracleIter(k: Int): String = {
     val prev = if (k == 1) "r0" else s"r${k - 1}"
@@ -276,6 +337,19 @@ object Graph {
   }
 
   val oracles: Map[String, String] = Map(
+    "g5_kcore" ->
+      s"""WITH lp AS MATERIALIZED (
+         |  SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT a.p AS u, b.p AS v
+         |  FROM lp a JOIN lp b ON a.o = b.o AND a.p < b.p),
+         |${(1 to 8).map(kcoreIter(_, 75)).mkString(",\n")},
+         |df AS (
+         |  SELECT n, count(*) AS c FROM (
+         |    SELECT u AS n FROM e8 UNION ALL SELECT v AS n FROM e8)
+         |  GROUP BY n)
+         |SELECT n AS node, c::BIGINT AS deg, true AS converged
+         |FROM df ORDER BY node""".stripMargin,
     "g4_labelprop" ->
       s"""WITH rev AS (
          |  SELECT s_nationkey AS src, c_nationkey AS dst,

@@ -501,6 +501,58 @@ object EventWindows {
     s.table(sink).select(col("vec_id")).orderBy(col("vec_id"))
   }
 
+  /** EV18: update-mode streaming aggregation UPSERTED into a keyed
+    * lake state table — the streaming-MERGE surface (ev16 covers
+    * append routing; this is the mutable-aggregate counterpart every
+    * metrics pipeline runs). Events replay in 5-day buckets through a
+    * (event_type, day) count/sum aggregation in UPDATE mode; each
+    * micro-batch's changed-key rows MERGE into a hash-bucketed parquet
+    * state table via [[StreamDemo.upsertState]] (bucket-scoped rewrite,
+    * never a full-state rewrite). The gate reads the final state table
+    * back: because update mode emits the complete new aggregate for
+    * every touched key, the upserted table must EQUAL the batch
+    * aggregate over all events — a lost micro-batch, a stale (not
+    * overwritten) key, or a dropped bucket all hash-fail against
+    * DuckDB's batch restatement. */
+  private val ev18StreamUpsert: Q = (s, dir) => {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    import org.apache.spark.sql.streaming.OutputMode
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = s.sqlContext
+    import s.implicits._
+    val dayMs = 86400000L
+    val rows = t(s, dir, "events")
+      .select(col("ts").cast("timestamp"), col("event_type"), col("value"))
+      .as[(java.sql.Timestamp, String, Double)].collect()
+    val byBucket = rows.groupBy(_._1.getTime / (5 * dayMs)).toSeq.sortBy(_._1)
+    val stream = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ev18_upsert_").toString + "/state"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try stream.toDF().toDF("ts", "event_type", "value")
+        .withColumn("day", to_date(col("ts")))
+        .groupBy(col("event_type"), col("day"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_raw"))
+        .writeStream.outputMode(OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          StreamDemo.upsertState(s, stateDir, batch,
+            Seq("event_type", "day"), nBuckets = 8)
+        }
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try {
+      for ((_, batch) <- byBucket) {
+        stream.addData(batch.toSeq)
+        q.processAllAvailable()
+      }
+    } finally q.stop()
+    s.read.parquet(stateDir)
+      .select(col("event_type"), col("day"), col("n"),
+        round(col("sum_raw"), 4).as("sum_value"))
+      .orderBy(col("event_type"), col("day"))
+  }
+
   /** EV16: foreachBatch MULTI-SINK ROUTING executed as a stream — the
     * streaming WRITE surface the other gates don't touch. Documents
     * arrive in three id-range micro-batches; [[StreamDemo.routeByLang]]
@@ -547,6 +599,7 @@ object EventWindows {
   val queries: Map[String, Q] = Map(
     "ev17_stream_left_join" -> ev17StreamLeftJoin,
     "ev16_stream_route" -> ev16StreamRoute,
+    "ev18_stream_upsert" -> ev18StreamUpsert,
     "ev15_stream_semdedup" -> ev15StreamSemdedup,
     "ev14_stream_windows" -> ev14StreamWindows,
     "ev13_stream_join" -> ev13StreamJoin,
@@ -565,6 +618,13 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Batch restatement of the streamed upsert state table: update-mode
+    // emissions upserted per key must equal the full batch aggregate.
+    "ev18_stream_upsert" ->
+      """SELECT event_type, ts::DATE AS day, count(*)::BIGINT AS n,
+        |  round(sum(value), 4) AS sum_value
+        |FROM events GROUP BY event_type, day
+        |ORDER BY event_type, day""".stripMargin,
     // Batch restatement of the streamed routing fan-out: the argmax is
     // replicated from the SAME marker constant as the engine side.
     "ev16_stream_route" ->

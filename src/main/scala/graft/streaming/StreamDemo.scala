@@ -77,6 +77,51 @@ object StreamDemo {
     docs.withColumn("pred",
       graft.ext.TextStats.languageIdHeuristic(col("text")))
 
+  /** Keyed UPSERT sink for an update-mode streaming aggregation — the
+    * foreachBatch MERGE shape (Delta `MERGE INTO` on a plain-parquet
+    * state table). Update mode emits, per micro-batch, the COMPLETE new
+    * aggregate row for every key the batch touched, so upserting those
+    * rows keeps the state table equal to the batch aggregate over all
+    * data seen. The state table is hash-bucketed on the key
+    * (`kb = pmod(xxhash64(keys), nBuckets)`) and a batch rewrites ONLY
+    * the buckets holding changed keys: survivors of each affected
+    * bucket are kept via a key anti-join, merged rows land in a staging
+    * dir, and the affected `kb=` directories are swapped in driver-side
+    * — per-refresh cost is O(|batch| + |affected buckets|), never
+    * O(|state|), and the only driver-sized value is the distinct-bucket
+    * list (≤ nBuckets). At lake scale the same dataflow is dynamic
+    * partition overwrite on the bucket column. */
+  def upsertState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, batch: DataFrame, keyCols: Seq[String],
+      nBuckets: Int): Unit = {
+    if (batch.isEmpty) return
+    val withKb = batch.withColumn("kb",
+      pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
+        .cast("int"))
+    val root = new java.io.File(stateDir)
+    if (!root.exists()) {
+      withKb.write.partitionBy("kb").parquet(stateDir)
+      return
+    }
+    val kbs = withKb.select(col("kb")).distinct()
+      .collect().map(_.getInt(0)).sorted // bounded by nBuckets
+    val current = spark.read.parquet(stateDir)
+      .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
+    val keep = current.join(
+      withKb.select(keyCols.map(col): _*), keyCols, "left_anti")
+    val staging = stateDir + "_staging"
+    keep.unionByName(withKb, allowMissingColumns = false)
+      .write.mode("overwrite").partitionBy("kb").parquet(staging)
+    for (k <- kbs) {
+      val dst = new java.io.File(root, s"kb=$k")
+      val src = new java.io.File(staging, s"kb=$k")
+      graft.lake.Lake.deleteRecursively(dst)
+      if (src.exists())
+        java.nio.file.Files.move(src.toPath, dst.toPath)
+    }
+    graft.lake.Lake.deleteRecursively(new java.io.File(staging))
+  }
+
   /** Stream-stream interval join: impressions matched to clicks within
     * one hour AFTER the impression. Both sides watermarked and the join
     * condition carries the time bound — that pair is what lets the

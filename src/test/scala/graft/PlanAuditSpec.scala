@@ -88,6 +88,12 @@ class PlanAuditSpec extends SparkSpec {
     "s19_analyze_stats" -> Set("NoCodegen"),
     // five one-row self-check scalars crossJoined into the gate row
     "e5_phash_neardup" -> Set("BroadcastNestedLoop"),
+    // one-row fixpoint certificate crossJoined onto the core rows
+    "g5_kcore" -> Set("BroadcastNestedLoop"),
+    // one-row max-corpus-norm (and the self-check scalar rollup)
+    // crossJoined in-plan — broadcast-constant shapes, not data joins
+    "e3_mips_topk" -> Set("BroadcastNestedLoop"),
+    "e3_mips_ann" -> Set("BroadcastNestedLoop"),
     "j5_cross" -> Set("BroadcastNestedLoop"),
     "j5_theta" -> Set("BroadcastNestedLoop"),
   )

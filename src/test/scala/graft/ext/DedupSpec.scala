@@ -421,6 +421,31 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("Fellegi-Sunter linkage: weights sane, every true pair enumerated") {
+    // Agreement weights positive, disagreement negative — the FS
+    // log-likelihood shape; a sign flip silently inverts decisions.
+    for ((wA, wD) <- Dedup.fsWeights) {
+      assert(wA > 0, s"agreement weight $wA must be positive")
+      assert(wD < 0, s"disagreement weight $wD must be negative")
+    }
+    val res = graft.SparkEntry.queries("e13_linkage")(spark, sf)
+      .select($"decision", $"n_pairs", $"n_true")
+      .as[(String, Long, Long)].collect()
+    val nCust = Tables.load(spark, sf, "customer").count()
+    // Blocking is on a name substring the corruption never touches, so
+    // each record's true pair appears in EXACTLY one decision class.
+    assert(res.map(_._3).sum == nCust,
+      s"true pairs ${res.map(_._3).sum} != customers $nCust — blocking lost pairs")
+    val link = res.find(_._1 == "link")
+    assert(link.exists(_._3 > 0), "no true pairs classified as links")
+    // custkey 0 disagrees on every field (0 ≡ 0 mod everything) — the
+    // model must place at least that one in non_link.
+    assert(res.find(_._1 == "non_link").exists(_._3 >= 1))
+    // Mostly-clean records (phone/nation/seg/bal agree) must dominate:
+    // links should carry the majority of true pairs.
+    assert(link.exists(_._3 * 2 > nCust), "links should hold most true pairs")
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))

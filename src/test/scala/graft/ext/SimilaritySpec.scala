@@ -226,6 +226,35 @@ class SimilaritySpec extends SparkSpec {
     assert(t == Seq((30L, 9, 3, false)), s"1-1 vote must break low: $t")
   }
 
+  test("mipsAugment: constant augmented norms, MIPS order beats cosine order") {
+    // q=(1,0): by COSINE a=(0.9,0.1) wins (cos .994 vs .949); by INNER
+    // PRODUCT b=(3,1) wins (3.0 vs 0.9) — the case plain cosine search
+    // gets wrong and the reduction must get right.
+    val corpus = Seq((1L, Seq(0.9f, 0.1f)), (2L, Seq(3f, 1f)))
+      .toDF("vec_id", "embedding")
+    val queries = Seq((0L, Seq(1f, 0f))).toDF("vec_id", "embedding")
+    val cosTop = Similarity.bruteForceTopK(queries, corpus, 1)
+      .select($"c_id").as[Long].head()
+    assert(cosTop == 1L, "fixture must make cosine prefer the short vector")
+    val (caug, qaug) = Similarity.mipsAugment(corpus, queries)
+    // every augmented corpus vector has norm == max corpus norm
+    val norms = caug.select(
+        sqrt(aggregate($"embedding", lit(0.0), (s, x) => s + x * x)))
+      .as[Double].collect()
+    assert(norms.forall(n => math.abs(n - norms.max) < 1e-9),
+      s"augmented norms not constant: ${norms.toSeq}")
+    // query tail coordinate is exactly 0
+    val qTail = qaug.select(element_at($"embedding", -1)).as[Double].head()
+    assert(qTail == 0.0)
+    // augmented-dot rank = inner-product rank → picks the long vector
+    val q = qaug.select($"vec_id".as("q_id"), $"embedding".as("qv"))
+    val c = caug.select($"vec_id".as("c_id"), $"embedding".as("cv"))
+    val mipsTop = c.crossJoin(q)
+      .withColumn("ip", graft.functions.VecDot.vecDot($"qv", $"cv"))
+      .orderBy($"ip".desc).select($"c_id").as[Long].head()
+    assert(mipsTop == 2L, "reduction must rank by inner product")
+  }
+
   test("topEigen recovers a known spectrum with deflation") {
     // diag(3, 1) rotated by 45°: eigenvalues 3 and 1, eigenvectors
     // (1,1)/√2 and (1,−1)/√2

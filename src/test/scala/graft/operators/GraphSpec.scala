@@ -125,4 +125,24 @@ class GraphSpec extends SparkSpec {
     assert(math.abs(deep.values.sum - 1.0) < 1e-6)
     assert(secs < 60.0, s"30-iteration pageRank took $secs s")
   }
+
+  test("kCore peels a pendant chain layer by layer, keeps K4, certifies") {
+    // K4 on 1-4, with a chain 4-5-6: the 2-core must peel 6 in round
+    // one, THEN 5 in round two (multi-round dependency), keeping K4.
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (5L, 6L)).toDF("u", "v")
+    val core = Graph.kCore(edges, k = 2, rounds = 3)
+      .select($"node", $"deg", $"converged")
+      .as[(Long, Long, Boolean)].collect().sortBy(_._1)
+    assert(core.map(_._1).toSeq == Seq(1L, 2L, 3L, 4L), s"core: ${core.toSeq}")
+    assert(core.forall(_._2 == 3L), "K4 degrees inside the core")
+    assert(core.forall(_._3), "fixpoint certificate must be true")
+    // An insufficient round budget must SAY so, not ship a half-peel:
+    // one round removes 6 but leaves 5 at degree 1 < k.
+    val short = Graph.kCore(edges, k = 2, rounds = 1)
+      .select($"converged").as[Boolean].collect()
+    assert(short.contains(false), "unconverged budget must flag itself")
+    // Whole graph below k: empty core, empty output.
+    assert(Graph.kCore(edges, k = 4, rounds = 4).count() == 0)
+  }
 }

@@ -274,6 +274,40 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("upsertState merges changed keys and rewrites only affected buckets") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("upsert_spec_").toString + "/state"
+    def bucketFiles(): Map[String, Set[String]] =
+      Option(new java.io.File(dir).listFiles()).toSeq.flatten
+        .filter(f => f.isDirectory && f.getName.startsWith("kb="))
+        .map(d => d.getName ->
+          d.listFiles().map(_.getName).filter(_.endsWith(".parquet")).toSet)
+        .toMap
+    StreamDemo.upsertState(spark,
+      dir, Seq(("a", 1L), ("b", 2L), ("c", 3L)).toDF("k", "n"),
+      Seq("k"), nBuckets = 4)
+    val before = bucketFiles()
+    // empty batch is a no-op (streams deliver them on keep-alives)
+    StreamDemo.upsertState(spark,
+      dir, Seq.empty[(String, Long)].toDF("k", "n"), Seq("k"), 4)
+    assert(bucketFiles() == before, "empty batch must not touch state")
+    val b2 = Seq(("b", 20L), ("d", 4L)).toDF("k", "n")
+    val touched = b2.select(
+        org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.xxhash64(col("k")),
+          org.apache.spark.sql.functions.lit(4L)).cast("int"))
+      .as[Int].collect().map(k => s"kb=$k").toSet
+    StreamDemo.upsertState(spark, dir, b2, Seq("k"), 4)
+    val out = spark.read.parquet(dir).select("k", "n")
+      .as[(String, Long)].collect().toMap
+    assert(out == Map("a" -> 1L, "b" -> 20L, "c" -> 3L, "d" -> 4L),
+      "changed keys overwritten, unchanged keys survive, new keys land")
+    val after = bucketFiles()
+    for ((kb, fs) <- before if !touched.contains(kb))
+      assert(after(kb) == fs,
+        s"bucket $kb held no changed key but its files were rewritten")
+  }
+
   test("mapGroupsWithState keeps running counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Double)]
