@@ -1146,6 +1146,65 @@ object Dedup {
     substringDedupTrim(t(s, dir, "documents"), "doc_id", "text",
       n = 8, minDocs = 2)
 
+  // ------------------------------- content-defined chunking (CDC)
+
+  /** Content-defined chunking at word granularity — the LBFS/rsync
+    * boundary trick (Muthitacharoen et al., SOSP'01) that fixed-size
+    * blocking lacks: a chunk ends after any word whose digest prefix
+    * lands in a fixed 1/4 slice of the hash space, so boundaries are
+    * determined by CONTENT, and inserting or deleting words early in a
+    * document only perturbs chunks up to the next boundary — every
+    * later chunk digest is unchanged (the shift-robust counterpart of
+    * `e2_repeated_ngrams`' aligned grams; spec-pinned). Dataflow:
+    * map-only word explode, one per-doc window for the running
+    * boundary count (bounded by document length — the same per-doc
+    * window discipline as the substring family), then a digest-keyed
+    * hash aggregation whose shuffle key is the 64-hex sha256, never
+    * chunk text. Returns (doc_id, cb, chunk_text, digest). */
+  def cdcChunks(docs: DataFrame, idCol: String,
+      textCol: String): DataFrame = {
+    val words = docs.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .filter(col("w") =!= "")
+    val isB = substring(sha2(col("w"), 256), 1, 1)
+      .isin("0", "4", "8", "c")
+    val wWin = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    // chunk id = boundaries strictly BEFORE this word (the boundary
+    // word is the LAST word of its chunk)
+    val chunks = words.withColumn("b", when(isB, 1).otherwise(0))
+      .withColumn("cb", sum(col("b")).over(wWin) - col("b"))
+    chunks.groupBy(col("doc_id"), col("cb"))
+      .agg(concat_ws(" ",
+        transform(array_sort(collect_list(struct(col("pos"), col("w")))),
+          _.getField("w"))).as("chunk_text"))
+      .withColumn("digest", sha2(col("chunk_text"), 256))
+  }
+
+  /** E2j gate: cross-document duplicated CDC chunks — digests seen in
+    * ≥ 2 documents with occurrence/document counts and the chunk text.
+    * DuckDB re-derives every boundary, chunk, and digest, so a chunk
+    * split one word early or a lost occurrence hash-fails. */
+  private val e2CdcChunks: Q = (s, dir) => {
+    // Counts aggregate on the 64-hex digest alone (hash aggregate,
+    // fixed-width shuffle key — a `min(text)` exemplar would force a
+    // SortAggregate over chunk strings); exemplar text is recovered
+    // from the chunk stream ONLY for winning digests, the
+    // e2_repeated_ngrams discipline.
+    val chunks = cdcChunks(t(s, dir, "documents"), "doc_id", "text")
+      .localCheckpoint(eager = false) // one chunking, two consumers
+    val dup = chunks.groupBy(col("digest"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_occ"))
+      .filter(col("n_docs") >= 2)
+    val exemplar = chunks
+      .join(dup.select(col("digest")), Seq("digest"), "left_semi")
+      .select(col("digest"), col("chunk_text")).distinct()
+    dup.join(exemplar, Seq("digest"))
+      .select(col("digest"), col("n_docs"), col("n_occ"),
+        col("chunk_text"))
+      .orderBy(col("digest"))
+  }
+
   // ----------------------------------- Fellegi–Sunter record linkage
 
   /** Field weights for [[e13Linkage]]: log-likelihood ratios
@@ -1220,6 +1279,7 @@ object Dedup {
   }
 
   val queries: Map[String, Q] = Map(
+    "e2_cdc_chunks" -> e2CdcChunks,
     "e13_linkage" -> e13Linkage,
     "e2_substring_trim" -> e2SubstringTrim,
     "e2_substring_cov" -> e2SubstringCov,
@@ -1238,6 +1298,33 @@ object Dedup {
 
   /** The planted-pair ground truth, written directly in SQL. */
   val oracles: Map[String, String] = Map(
+    "e2_cdc_chunks" ->
+      """WITH w AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS ws
+        |        FROM documents),
+        |    unnest(range(1, len(ws) + 1)) AS t(i)
+        |  WHERE ws[i] <> ''),
+        |b AS (
+        |  SELECT doc_id, pos, w,
+        |    CASE WHEN substr(sha256(w), 1, 1) IN ('0','4','8','c')
+        |         THEN 1 ELSE 0 END AS bd
+        |  FROM w),
+        |c AS (
+        |  SELECT doc_id, pos, w,
+        |    sum(bd) OVER (PARTITION BY doc_id ORDER BY pos) - bd AS cb
+        |  FROM b),
+        |ch AS (
+        |  SELECT doc_id, cb,
+        |    string_agg(w, ' ' ORDER BY pos) AS chunk_text
+        |  FROM c GROUP BY doc_id, cb),
+        |d AS (
+        |  SELECT sha256(chunk_text) AS digest, chunk_text,
+        |    count(*) AS n_occ, count(DISTINCT doc_id) AS n_docs
+        |  FROM ch GROUP BY digest, chunk_text)
+        |SELECT digest, n_docs::BIGINT AS n_docs, n_occ::BIGINT AS n_occ,
+        |  chunk_text
+        |FROM d WHERE n_docs >= 2 ORDER BY digest""".stripMargin,
     "e13_linkage" -> {
       val Seq((nA, nD), (tA, tD), (sA, sD), (bA, bD)) = fsWeights
       def L(d: Double) = java.lang.Double.toString(d)

@@ -289,7 +289,38 @@ object Hygiene {
   private val e9Kanon: Q = (s, dir) =>
     kAnonymityAudit(t(s, dir, "documents"), k = 5)
 
+  /** Differentially-private histogram release (Dwork et al., TCC'06:
+    * the Laplace mechanism, sensitivity 1, ε = 0.5 → scale b = 2):
+    * per-(lang, source) document counts published with additive
+    * Laplace noise drawn by inverse-CDF from a per-cell uniform.
+    * ENGINE-PARITY CAVEAT, stated honestly: a production DP release
+    * draws the uniform from a real RNG; here it derives
+    * deterministically from the cell's rank (the [[graft.ext.TrainPrep.splitBucket]]
+    * bin-center multiplicative hash — the repo's no-RNG convention),
+    * which demonstrates the full release dataflow (aggregate → seed →
+    * inverse-CDF noise → round → publish) with a bit-reproducible
+    * answer both engines restate, trading actual privacy for
+    * testability. The noise is rounded per-row BEFORE the sum (the
+    * rounding-parity convention). The rank window is over the released
+    * CELLS — a lang×source-bounded frame, dim-sized like the mixture
+    * tables, never document-sized. */
+  private val e9DpRelease: Q = (s, dir) => {
+    val b = 2.0 // 1/epsilon, epsilon = 0.5, sensitivity 1
+    val cells = t(s, dir, "documents")
+      .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col("lang"), col("source"))
+    val u = TrainPrep.splitBucket(col("rk")) + lit(0.5 / 4294967296.0)
+    val noise = round(lit(-b) * signum(u - 0.5) *
+      log(lit(1.0) - lit(2.0) * abs(u - 0.5)), 6)
+    cells.withColumn("rk", row_number().over(w))
+      .select(col("lang"), col("source"),
+        round(col("n") + noise, 4).as("n_noisy"))
+      .orderBy(col("lang"), col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e9_dp_release" -> e9DpRelease,
     "e9_kanon" -> e9Kanon,
     "e9_gopher" -> e9Gopher,
     "e9_pii_redact" -> e9PiiRedact,
@@ -299,6 +330,27 @@ object Hygiene {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full restatement of the deterministic Laplace release: same
+    // rank seed, same bin-center uniform, same inverse CDF, same
+    // per-row rounding (rk is small and positive, so the plain `%`
+    // spelling equals splitBucket's pmod form).
+    "e9_dp_release" ->
+      """WITH cells AS (
+        |  SELECT lang, source, count(*)::BIGINT AS n
+        |  FROM documents GROUP BY lang, source),
+        |r AS (
+        |  SELECT lang, source, n,
+        |    row_number() OVER (ORDER BY lang, source) AS rk
+        |  FROM cells),
+        |z AS (
+        |  SELECT lang, source, n,
+        |    ((rk % 2147483648) * 2654435761) % 4294967296
+        |      / 4294967296.0 + 0.5 / 4294967296.0 AS u
+        |  FROM r)
+        |SELECT lang, source,
+        |  round(n + round(-2.0 * sign(u - 0.5) *
+        |    ln(1 - 2 * abs(u - 0.5)), 6), 4) AS n_noisy
+        |FROM z ORDER BY lang, source""".stripMargin,
     "e9_kanon" ->
       """WITH g AS (
         |  SELECT lang, source, n_chars // 100 AS len_bucket,

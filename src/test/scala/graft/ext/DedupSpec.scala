@@ -421,6 +421,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cdcChunks is shift-robust: a prefix insertion only perturbs the first chunk") {
+    val base = (1 to 40).map(i => s"tok$i").mkString(" ")
+    val docs = Seq((1L, base), (2L, s"inserted $base")).toDF("doc_id", "text")
+    val ch = Dedup.cdcChunks(docs, "doc_id", "text")
+      .select($"doc_id", $"cb", $"digest")
+      .as[(Long, Long, String)].collect()
+    val aChunks = ch.filter(_._1 == 1L).sortBy(_._2).map(_._3)
+    val bDigests = ch.filter(_._1 == 2L).map(_._3).toSet
+    assert(aChunks.length > 2, "fixture must produce several chunks")
+    // every chunk of the original except the FIRST must survive the
+    // prefix insertion verbatim — fixed-size blocking loses them all
+    val tail = aChunks.drop(1)
+    assert(tail.forall(bDigests.contains),
+      s"shifted doc lost ${tail.count(!bDigests.contains(_))} of ${tail.length} tail chunks")
+    // boundary words end their chunk: concatenating chunks in cb order
+    // rebuilds the document exactly (losslessness)
+    val rebuilt = Dedup.cdcChunks(docs.filter($"doc_id" === 1), "doc_id", "text")
+      .orderBy($"cb").select($"chunk_text").as[String].collect().mkString(" ")
+    assert(rebuilt == base, "chunks must tile the document losslessly")
+  }
+
   test("Fellegi-Sunter linkage: weights sane, every true pair enumerated") {
     // Agreement weights positive, disagreement negative — the FS
     // log-likelihood shape; a sign flip silently inverts decisions.

@@ -119,4 +119,34 @@ class HygieneSpec extends SparkSpec {
       ("de", "srcC", 4L, 1L, 0.125),
       ("fr", "srcB", 0L, 2L, 0.25)), s"got $risky")
   }
+
+  test("DP release adds exactly the rank-seeded Laplace noise") {
+    val docs = graft.Tables.load(spark, sf, "documents")
+    val exact = docs.groupBy($"lang", $"source")
+      .agg(count(lit(1)).as("n"))
+      .select($"lang", $"source", $"n")
+      .as[(String, String, Long)].collect()
+      .sortBy(c => (c._1, c._2))
+    // replicate the mechanism in plain Scala: rank seed → bin-center
+    // uniform → inverse-CDF Laplace(b=2) → per-row round 6 → round 4
+    val want = exact.zipWithIndex.map { case ((lang, src, n), i) =>
+      val rk = (i + 1).toLong
+      val u = ((rk % 2147483648L) * 2654435761L % 4294967296L) /
+        4294967296.0 + 0.5 / 4294967296.0
+      val noise = BigDecimal(-2.0 * math.signum(u - 0.5) *
+        math.log(1 - 2 * math.abs(u - 0.5)))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      (lang, src) -> BigDecimal(n + noise)
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    }.toMap
+    val got = graft.SparkEntry.queries("e9_dp_release")(spark, sf)
+      .as[(String, String, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(got.keySet == want.keySet)
+    for ((k, v) <- want)
+      assert(math.abs(got(k) - v) < 1e-9, s"cell $k: got ${got(k)} want $v")
+    // noise is non-degenerate: at least one cell moved off its exact count
+    val moved = exact.count { case (l, s, n) => math.abs(got((l, s)) - n) > 1e-6 }
+    assert(moved > 0, "every cell released exactly — noise not applied")
+  }
 }
