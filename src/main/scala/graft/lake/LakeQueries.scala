@@ -616,6 +616,47 @@ object LakeQueries {
       .orderBy(col("lang"))
   }
 
+  /** S20: binary-file source — Spark's `binaryFile` format, the raw
+    * ingest surface multimodal pipelines start from (each blob lands as
+    * (path, length, content)). Documents doc_id < 64 are written as
+    * individual `.bin` files from EXECUTORS (foreachPartition — at
+    * cluster scale these are object-store puts, never a driver loop)
+    * across two nested directories, plus a `.txt` decoy;
+    * `recursiveFileLookup` + `pathGlobFilter` must find exactly the 64
+    * blobs and skip the decoy. The gate recomputes per-file byte
+    * length and sha256 FROM THE CONTENT COLUMN; DuckDB restates both
+    * from the documents table (UTF-8 byte semantics on both sides), so
+    * a truncated file, a missed directory, or a decoy leak hash-fails. */
+  private val s20BinaryFile: Q = (s, dir) => {
+    val root = Lake.scratchDir("s20")
+    new java.io.File(root, "a").mkdirs()
+    new java.io.File(root, "b").mkdirs()
+    import s.implicits._
+    t(s, dir, "documents").filter(col("doc_id") < 64)
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .foreachPartition { it: Iterator[(Long, String)] =>
+        it.foreach { case (id, txt) =>
+          val sub = if (id % 2 == 0) "a" else "b"
+          java.nio.file.Files.write(
+            java.nio.file.Paths.get(root, sub, s"doc_$id.bin"),
+            txt.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+        }
+      }
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "a", "readme.txt"),
+      "decoy".getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    s.read.format("binaryFile")
+      .option("pathGlobFilter", "*.bin")
+      .option("recursiveFileLookup", "true")
+      .load(root)
+      .select(
+        regexp_extract(col("path"), "doc_(\\d+)\\.bin$", 1)
+          .cast("long").as("doc_id"),
+        col("length").as("n_bytes"),
+        sha2(col("content"), 256).as("digest"))
+      .orderBy(col("doc_id"))
+  }
+
   /** K19: file-stat min/max data skipping — the Iceberg/Delta manifest
     * pruning pattern on a plain-parquet lake. Orders land range-
     * clustered on `o_orderdate` (`repartitionByRange`, so per-file
@@ -775,6 +816,7 @@ object LakeQueries {
     "k14_merge" -> k14Merge,
     "k18_mv_incremental" -> k18MvIncremental,
     "k19_minmax_skip" -> k19MinmaxSkip,
+    "s20_binaryfile" -> s20BinaryFile,
     "s17_corrupt_records" -> s17CorruptRecords,
     "k12_bookmark" -> k12Bookmark,
     "s1_tsv_scan" -> s1TsvScan,
@@ -840,6 +882,11 @@ object LakeQueries {
         |  count(DISTINCT n_nationkey)::BIGINT AS ndv_nationkey,
         |  count(DISTINCT n_regionkey)::BIGINT AS ndv_regionkey
         |FROM nation""".stripMargin,
+    "s20_binaryfile" ->
+      """SELECT doc_id, octet_length(encode(text))::BIGINT AS n_bytes,
+        |  sha256(text) AS digest
+        |FROM documents WHERE doc_id < 64
+        |ORDER BY doc_id""".stripMargin,
     "k19_minmax_skip" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price

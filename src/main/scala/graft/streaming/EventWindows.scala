@@ -553,6 +553,53 @@ object EventWindows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** EV19: bounded-batch BACKFILL with Trigger.AvailableNow — the
+    * catch-up surface: a backlog of landed files is drained in
+    * rate-limited micro-batches (`maxFilesPerTrigger`) and the query
+    * STOPS when the backlog is empty, instead of either one giant
+    * batch (OOM at 100 TB of backlog) or a never-terminating stream.
+    * Documents land as 16 parquet fragments; the stream reads ≤ 4
+    * files per trigger into the update-mode (lang) aggregation and
+    * MERGEs each batch through [[StreamDemo.upsertState]] — `require`
+    * asserts the drain really took multiple bounded batches. The final
+    * state table must equal the batch aggregate (DuckDB-restated):
+    * a dropped fragment, a double-processed batch, or a stale key all
+    * hash-fail. */
+  private val ev19StreamBackfill: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files
+      .createTempDirectory("ev19_backfill_").toString
+    val (landing, stateDir) = (s"$root/landing", s"$root/state")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.repartition(16).write.parquet(landing)
+    var batches = 0
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try s.readStream
+        .schema(s.read.parquet(landing).schema)
+        .option("maxFilesPerTrigger", "4")
+        .parquet(landing)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+        .writeStream
+        .outputMode(org.apache.spark.sql.streaming.OutputMode.Update())
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          batches += 1
+          StreamDemo.upsertState(s, stateDir, batch, Seq("lang"), 4)
+        }
+        .trigger(Trigger.AvailableNow())
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try q.awaitTermination() finally q.stop()
+    require(batches >= 3,
+      s"backfill drained in $batches batches — rate limit not applied")
+    s.read.parquet(stateDir)
+      .select(col("lang"), col("n_docs"), col("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** EV16: foreachBatch MULTI-SINK ROUTING executed as a stream — the
     * streaming WRITE surface the other gates don't touch. Documents
     * arrive in three id-range micro-batches; [[StreamDemo.routeByLang]]
@@ -600,6 +647,7 @@ object EventWindows {
     "ev17_stream_left_join" -> ev17StreamLeftJoin,
     "ev16_stream_route" -> ev16StreamRoute,
     "ev18_stream_upsert" -> ev18StreamUpsert,
+    "ev19_stream_backfill" -> ev19StreamBackfill,
     "ev15_stream_semdedup" -> ev15StreamSemdedup,
     "ev14_stream_windows" -> ev14StreamWindows,
     "ev13_stream_join" -> ev13StreamJoin,
@@ -618,6 +666,12 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Batch restatement of the drained backfill state table.
+    "ev19_stream_backfill" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // Batch restatement of the streamed upsert state table: update-mode
     // emissions upserted per key must equal the full batch aggregate.
     "ev18_stream_upsert" ->
