@@ -600,6 +600,50 @@ object EventWindows {
       .orderBy(col("lang"))
   }
 
+  /** EV20: EXACTLY-ONCE ACROSS A RESTART, oracle-gated — the recovery
+    * surface every production stream lives on: a first query drains
+    * batch 1 of the landing dir through a checkpointed parquet file
+    * sink and STOPS; a SECOND query object (fresh `start()`, same
+    * checkpoint + sink) finds batch 2 and must resume FROM THE
+    * CHECKPOINTED OFFSETS — reprocessing nothing, losing nothing. The
+    * parquet sink's `_spark_metadata` commit log is what makes the
+    * readback transactional. The gate reads the sink and rolls up per
+    * lang: a double-processed batch-1 file (lost offsets) or a skipped
+    * batch-2 file both hash-fail against DuckDB's whole-table
+    * restatement. The streaming twin of `k12_bookmark`. */
+  private val ev20StreamRestart: Q = (s, dir) => {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = java.nio.file.Files
+      .createTempDirectory("ev20_restart_").toString
+    val (landing, sink, ckpt) =
+      (s"$root/landing", s"$root/sink", s"$root/ckpt")
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    docs.filter(col("doc_id") % 2 === 0)
+      .repartition(4).write.mode("append").parquet(landing)
+    val schema = s.read.parquet(landing).schema
+    def run(): Unit = {
+      val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+      s.conf.set("spark.sql.shuffle.partitions", "4")
+      val q =
+        try s.readStream.schema(schema)
+          .option("maxFilesPerTrigger", "2").parquet(landing)
+          .writeStream.format("parquet")
+          .option("path", sink).option("checkpointLocation", ckpt)
+          .trigger(Trigger.AvailableNow()).start()
+        finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+      try q.awaitTermination() finally q.stop()
+    }
+    run() // first life: drains batch 1, checkpoints, stops
+    docs.filter(col("doc_id") % 2 =!= 0)
+      .repartition(4).write.mode("append").parquet(landing)
+    run() // second life: must process ONLY the new files
+    s.read.parquet(sink)
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("lang"))
+  }
+
   /** EV16: foreachBatch MULTI-SINK ROUTING executed as a stream — the
     * streaming WRITE surface the other gates don't touch. Documents
     * arrive in three id-range micro-batches; [[StreamDemo.routeByLang]]
@@ -648,6 +692,7 @@ object EventWindows {
     "ev16_stream_route" -> ev16StreamRoute,
     "ev18_stream_upsert" -> ev18StreamUpsert,
     "ev19_stream_backfill" -> ev19StreamBackfill,
+    "ev20_stream_restart" -> ev20StreamRestart,
     "ev15_stream_semdedup" -> ev15StreamSemdedup,
     "ev14_stream_windows" -> ev14StreamWindows,
     "ev13_stream_join" -> ev13StreamJoin,
@@ -666,6 +711,13 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Whole-table restatement: exactly-once across the restart means
+    // the sink holds every document exactly once.
+    "ev20_stream_restart" ->
+      """SELECT lang, count(*)::BIGINT AS n_docs,
+        |  sum(n_chars)::BIGINT AS sum_chars
+        |FROM documents GROUP BY lang
+        |ORDER BY lang""".stripMargin,
     // Batch restatement of the drained backfill state table.
     "ev19_stream_backfill" ->
       """SELECT lang, count(*)::BIGINT AS n_docs,
