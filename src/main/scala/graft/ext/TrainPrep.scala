@@ -393,7 +393,39 @@ object TrainPrep {
         max(col("doc_id")).as("max_doc"))
       .orderBy(col("shard"))
 
+  /** Cap documents per source domain — the crawl-balance op every
+    * web-scale corpus runs (a handful of giant domains otherwise
+    * dominate the token budget; cf. the per-domain caps in C4/RefinedWeb
+    * style pipelines). Deterministic priority: keep the `cap`
+    * lowest-doc_id docs per source. The row_number ≤ cap shape plans as
+    * WindowGroupLimit (rank pushed into a per-group partial limit
+    * before the full sort — the l3_topk scale shape), so each source
+    * group truncates map-side instead of fully sorting the corpus. */
+  def domainCap(docs: DataFrame, cap: Int): DataFrame = {
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    docs.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= cap).drop("rk")
+  }
+
+  /** E8j: per-domain cap over documents (cap=3), with the dropped mass
+    * reported per source — kept set AND what the cap cost are both
+    * pinned (a silent-cap audit, per the no-silent-caps convention). */
+  private val e8DomainCap: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val kept = domainCap(docs, cap = 3)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
+    val all = docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_total"))
+    all.join(kept, Seq("source"))
+      .select(col("source"), col("n_total"), col("n_kept"),
+        (col("n_total") - col("n_kept")).as("n_dropped"),
+        col("sum_kept_ids"))
+      .orderBy(col("source"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e8_domain_cap" -> e8DomainCap,
     "e8_shuffle" -> e8Shuffle,
     "e8_weighted" -> e8Weighted,
     "e8_upsample" -> e8Upsample,
@@ -406,6 +438,22 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    "e8_domain_cap" ->
+      """WITH rk AS (
+        |  SELECT source, doc_id,
+        |    row_number() OVER (PARTITION BY source ORDER BY doc_id) AS r
+        |  FROM documents),
+        |kept AS (
+        |  SELECT source, count(*)::BIGINT AS n_kept,
+        |    sum(doc_id)::BIGINT AS sum_kept_ids
+        |  FROM rk WHERE r <= 3 GROUP BY source),
+        |tot AS (
+        |  SELECT source, count(*)::BIGINT AS n_total
+        |  FROM documents GROUP BY source)
+        |SELECT t.source, t.n_total, k.n_kept,
+        |  (t.n_total - k.n_kept)::BIGINT AS n_dropped, k.sum_kept_ids
+        |FROM tot t JOIN kept k USING (source)
+        |ORDER BY source""".stripMargin,
     "e8_shuffle" ->
       """WITH h AS (
         |  SELECT doc_id,

@@ -25,17 +25,91 @@ object Snapshots {
 
   private def manifest(root: String) = Paths.get(root, "_latest")
 
-  /** Write `df` as version `v` and advance the manifest. */
+  /** Write `df` as version `v` and advance the manifest. Single-writer
+    * API (the caller picks `v`); racing writers use [[commitVersion]].
+    */
   def writeVersion(df: DataFrame, root: String, v: Int): Unit = {
     Lake.writeParquet(df, s"$root/v=$v")
+    publish(root, v)
     val tmp = Paths.get(root, s"_latest.tmp$v")
     Files.writeString(tmp, v.toString)
     Files.move(tmp, manifest(root), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
 
-  def latestVersion(root: String): Int =
-    Files.readString(manifest(root)).trim.toInt
+  // ------------------------------------------- optimistic concurrency
+  //
+  // Two writers racing the same table must never lose a snapshot or
+  // publish a torn one — the one lake-table behavior Delta/Iceberg's
+  // commit log has that a mutable `_latest` pointer lacks (two racers
+  // both writing `v=2` silently drop one writer's data). The protocol
+  // here is the log-is-the-truth design: a version is CLAIMED by
+  // atomically creating `_claim_v<n>` (POSIX/HDFS create-fails-if-
+  // exists — exactly one contender can win a given n; the loser sees
+  // the collision and retries on n+1, n+2, …), the claimed directory
+  // is written while invisible to readers, and the version becomes
+  // readable only when its `_commit_v<n>` marker lands via atomic
+  // rename. `latestVersion` is DERIVED as max over commit markers —
+  // there is no mutable pointer to race — so a reader sees either the
+  // pre-commit or the post-commit table, never a half-written one, and
+  // a claimed-but-crashed writer just leaves a skipped number behind.
+  // One marker listing per resolution: manifest-scale, never data-
+  // scale.
+
+  /** Atomically claim version `v`; exactly one caller wins. */
+  private def claim(root: String, v: Int): Boolean =
+    try { Files.createFile(Paths.get(root, s"_claim_v$v")); true }
+    catch { case _: java.nio.file.FileAlreadyExistsException => false }
+
+  /** Test hook: exercise the claim CAS directly (a claim without a
+    * commit models a writer that died mid-commit). */
+  private[lake] def commitProbe(root: String, v: Int): Boolean = {
+    Files.createDirectories(Paths.get(root))
+    claim(root, v)
+  }
+
+  /** Make claimed version `v` visible: write-temp + atomic rename. */
+  private def publish(root: String, v: Int): Unit = {
+    val tmp = Paths.get(root, s"_commit_v$v.tmp")
+    Files.writeString(tmp, v.toString)
+    // REPLACE_EXISTING keeps re-publishing a version the caller owns
+    // (writeVersion overwrite semantics) idempotent; the rename stays
+    // atomic either way.
+    Files.move(tmp, Paths.get(root, s"_commit_v$v"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Concurrent-safe snapshot commit: claim the next free version via
+    * CAS, write it, publish it. Returns the committed version. */
+  def commitVersion(df: DataFrame, root: String): Int = {
+    Files.createDirectories(Paths.get(root))
+    var v = latestVersion(root) + 1
+    while (!claim(root, v)) v += 1 // loser of the race moves to n+2, …
+    Lake.writeParquet(df, s"$root/v=$v")
+    publish(root, v)
+    v
+  }
+
+  /** Newest COMMITTED version: max over `_commit_v*` markers, falling
+    * back to the legacy `_latest` pointer (pre-CAS layouts), else 0
+    * (empty table — the next commit is v1). */
+  def latestVersion(root: String): Int = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(root)
+    val committed =
+      if (!Files.isDirectory(dir)) Nil
+      else {
+        val ls = Files.list(dir)
+        try ls.iterator().asScala.map(_.getFileName.toString)
+          .filter(n => n.startsWith("_commit_v") && !n.endsWith(".tmp"))
+          .map(_.stripPrefix("_commit_v").toInt).toList
+        finally ls.close()
+      }
+    if (committed.nonEmpty) committed.max
+    else if (Files.exists(manifest(root)))
+      Files.readString(manifest(root)).trim.toInt
+    else 0
+  }
 
   /** Read a specific version, or the manifest's latest. */
   def readVersion(s: SparkSession, root: String,
@@ -104,12 +178,101 @@ object Snapshots {
       .orderBy(col("tbl"))
   }
 
+  /** K20: SCD TYPE-2 MERGE through the concurrent commit log — the
+    * slowly-changing-dimension upsert every warehouse dimension runs
+    * (Kimball type 2: an attribute change CLOSES the current row with
+    * an effective date and INSERTS a new current row; history is never
+    * rewritten). v1 = the initial customer dimension committed via
+    * [[commitVersion]] (the CAS path, exercising it under the oracle
+    * gate); the update batch is request-sized (balance bump for
+    * custkey % 7, brand-new keys for custkey % 997), so the changed-key
+    * set BROADCASTS into the close-out semi/anti joins — per-merge cost
+    * is O(|dim| + |batch|), never a history rewrite. v2 = the merged
+    * dimension; the gate reads the LATEST version back, so a botched
+    * commit (stale latest, lost snapshot) also fails. Open rows carry
+    * a far-future 2199-12-31 sentinel (NULL-free hash parity; 9999
+    * overflows the gate's nanosecond-timestamp compare layer). */
+  private val k20Scd2: Q = (s, dir) => {
+    val root = Lake.scratchDir("k20")
+    val eff = to_date(lit("2024-06-01"))
+    val open = to_date(lit("2199-12-31"))
+    val cust = Tables.load(s, dir, "customer")
+    val dim0 = cust.select(col("c_custkey").as("key"),
+      col("c_name").as("name"), col("c_acctbal").as("bal"),
+      to_date(lit("2024-01-01")).as("valid_from"), open.as("valid_to"),
+      lit(true).as("is_current"))
+    require(commitVersion(dim0, root) == 1)
+    val upd = cust.filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("key"), col("c_name").as("name"),
+        round(col("c_acctbal") + 100, 2).as("bal"))
+      .unionByName(cust.filter(col("c_custkey") % 997 === 0)
+        .select((col("c_custkey") + 1000000L).as("key"),
+          concat(lit("N_"), col("c_name")).as("name"),
+          col("c_acctbal").as("bal")))
+    val dim = readVersion(s, root, Some(1))
+    // A no-op update (same value) must not spawn a version — only
+    // genuinely changed keys close out.
+    val changedKeys = dim.as("d").join(upd.as("u"), "key")
+      .filter(col("d.bal") =!= col("u.bal")).select(col("key"))
+    val closed = dim.join(broadcast(changedKeys), Seq("key"), "left_semi")
+      .withColumn("valid_to", eff).withColumn("is_current", lit(false))
+    val untouched = dim.join(broadcast(changedKeys), Seq("key"), "left_anti")
+    val newCurrent = upd
+      .join(broadcast(changedKeys), Seq("key"), "left_semi")
+      .unionByName(upd.join(dim.select(col("key")), Seq("key"), "left_anti"))
+      .select(col("key"), col("name"), col("bal"),
+        eff.as("valid_from"), open.as("valid_to"),
+        lit(true).as("is_current"))
+    val merged = untouched.unionByName(closed).unionByName(newCurrent)
+    require(commitVersion(merged, root) == 2)
+    readVersion(s, root)
+      .select(col("key"), col("name"), round(col("bal"), 2).as("bal"),
+        col("valid_from"), col("valid_to"), col("is_current"))
+      .orderBy(col("key"), col("valid_from"))
+  }
+
   val queries: Map[String, Q] = Map(
     "k15_timetravel" -> k15Timetravel,
     "k16_forget" -> k16Forget,
+    "k20_scd2" -> k20Scd2,
   )
 
   val oracles: Map[String, String] = Map(
+    // Set-algebraic SCD2 restatement: dim0 splits into untouched /
+    // closed-out rows, plus new current rows for changed and brand-new
+    // keys — a lost close-out, a duplicated current row, or a no-op
+    // update spawning a version all hash-fail.
+    "k20_scd2" ->
+      """WITH dim0 AS (
+        |  SELECT c_custkey AS key, c_name AS name, c_acctbal AS bal,
+        |    DATE '2024-01-01' AS valid_from, DATE '2199-12-31' AS valid_to,
+        |    true AS is_current
+        |  FROM customer),
+        |upd AS (
+        |  SELECT c_custkey AS key, c_name AS name,
+        |    round(c_acctbal + 100, 2) AS bal
+        |  FROM customer WHERE c_custkey % 7 = 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, 'N_' || c_name, c_acctbal
+        |  FROM customer WHERE c_custkey % 997 = 0),
+        |changed AS (
+        |  SELECT d.key FROM dim0 d JOIN upd u USING (key)
+        |  WHERE d.bal <> u.bal),
+        |merged AS (
+        |  SELECT * FROM dim0
+        |  WHERE key NOT IN (SELECT key FROM changed)
+        |  UNION ALL
+        |  SELECT key, name, bal, valid_from, DATE '2024-06-01', false
+        |  FROM dim0 WHERE key IN (SELECT key FROM changed)
+        |  UNION ALL
+        |  SELECT u.key, u.name, u.bal, DATE '2024-06-01',
+        |    DATE '2199-12-31', true
+        |  FROM upd u
+        |  WHERE u.key IN (SELECT key FROM changed)
+        |     OR u.key NOT IN (SELECT key FROM dim0))
+        |SELECT key, name, round(bal, 2) AS bal, valid_from, valid_to,
+        |  is_current
+        |FROM merged ORDER BY key, valid_from""".stripMargin,
     "k16_forget" ->
       """WITH subj AS (
         |  SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0),

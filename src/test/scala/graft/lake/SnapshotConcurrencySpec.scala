@@ -1,0 +1,88 @@
+package graft.lake
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+import java.util.concurrent.{ConcurrentHashMap, CyclicBarrier}
+import scala.jdk.CollectionConverters._
+
+/** Optimistic-concurrency contract for the snapshot commit log
+  * (round-8 verdict item 5): two writers racing the same table must
+  * yield one winner per version, lose no snapshot, and keep
+  * time-travel reads consistent — the Delta/Iceberg concurrent-commit
+  * behavior the mutable `_latest` pointer could not give.
+  */
+class SnapshotConcurrencySpec extends SparkSpec {
+
+  test("the claim CAS admits exactly one winner per version") {
+    val root = Lake.scratchDir("snap_cas")
+    val barrier = new CyclicBarrier(2)
+    val results = new ConcurrentHashMap[Int, Int]()
+    val threads = (0 until 2).map { id =>
+      val th = new Thread(() => {
+        barrier.await()
+        // Both contenders sweep the same version numbers; per number,
+        // exactly one createFile may succeed.
+        results.put(id, (1 to 20).count(Snapshots.commitProbe(root, _)))
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    assert(results.values.asScala.sum == 20,
+      s"each version claimed exactly once: $results")
+  }
+
+  test("two interleaved committers: one winner per version, no lost " +
+      "snapshot, time-travel stays consistent") {
+    val root = Lake.scratchDir("snap_race")
+    val perWriter = 3
+    val barrier = new CyclicBarrier(2)
+    // committed version -> (writer, seq) as claimed by the committer
+    val committed = new ConcurrentHashMap[Int, (Int, Int)]()
+    val threads = (0 until 2).map { w =>
+      val th = new Thread(() => {
+        for (i <- 0 until perWriter) {
+          barrier.await() // force both writers to race each commit
+          val df = spark.range(5)
+            .select(col("id"), lit(w).as("writer"), lit(i).as("seq"))
+          val v = Snapshots.commitVersion(df, root)
+          assert(committed.put(v, (w, i)) == null,
+            s"version $v committed twice")
+        }
+      })
+      th.start(); th
+    }
+    threads.foreach(_.join())
+    // No lost snapshot: 2×3 commits → versions exactly 1..6, each
+    // holding precisely its committer's rows (cross-version
+    // contamination or an overwrite would break the tag readback).
+    assert(committed.keySet.asScala.toSet == (1 to 2 * perWriter).toSet,
+      s"got versions ${committed.keySet}")
+    for ((v, (w, i)) <- committed.asScala) {
+      val back = Snapshots.readVersion(spark, root, Some(v))
+        .select(col("writer"), col("seq")).distinct().collect()
+      assert(back.length == 1 && back.head.getInt(0) == w &&
+        back.head.getInt(1) == i, s"v$v holds ${back.toSeq}, want ($w,$i)")
+    }
+    assert(Snapshots.latestVersion(root) == 2 * perWriter)
+    // Time-travel consistency: a later commit must not move an old read.
+    val v1Before = Snapshots.readVersion(spark, root, Some(1))
+      .agg(sum(col("id"))).head.getLong(0)
+    Snapshots.commitVersion(
+      spark.range(3).select(col("id"), lit(9).as("writer"),
+        lit(9).as("seq")), root)
+    assert(Snapshots.latestVersion(root) == 2 * perWriter + 1)
+    val v1After = Snapshots.readVersion(spark, root, Some(1))
+      .agg(sum(col("id"))).head.getLong(0)
+    assert(v1Before == v1After)
+  }
+
+  test("a claimed-but-crashed writer leaves a gap, not a wedge") {
+    val root = Lake.scratchDir("snap_crash")
+    Snapshots.commitVersion(spark.range(2).toDF(), root)
+    // Simulate a writer that claimed v2 and died before publishing.
+    assert(Snapshots.commitProbe(root, 2))
+    val v = Snapshots.commitVersion(spark.range(2).toDF(), root)
+    assert(v == 3, s"next committer skips the orphaned claim, got v$v")
+    assert(Snapshots.latestVersion(root) == 3)
+  }
+}

@@ -208,4 +208,14 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"e3_cosine_topk lost its WindowGroupLimit:\n$p")
   }
+
+  test("domain cap keeps its WindowGroupLimit (per-source partial limit)") {
+    // e8_domain_cap's row_number ≤ cap must truncate each source group
+    // map-side (bounded heap) instead of fully sorting the corpus —
+    // the same scale contract as group top-k, pinned separately
+    // because the cap query aggregates AFTER the window.
+    val p = plan("e8_domain_cap")
+    assert(p.contains("WindowGroupLimit"),
+      s"e8_domain_cap lost its WindowGroupLimit:\n$p")
+  }
 }
