@@ -424,7 +424,58 @@ object TrainPrep {
       .orderBy(col("source"))
   }
 
+  // ------------------------------------------------- DSIR selection
+
+  /** Data Selection via Importance Resampling (Xie et al., NeurIPS
+    * 2023): score every raw document by how target-like its token
+    * distribution is — log w(x) = Σ_tokens (ln p̂_target(tok) −
+    * ln p̂_raw(tok)) under two add-1-smoothed bag-of-words models — and
+    * keep the top-k. The DSIR dataflow at any scale: two keyed token
+    * counts (target and raw — both partial-agg'd hash aggregations),
+    * one vocab-sized log-ratio table joined back onto the token stream
+    * (broadcastable: the LM is vocabulary-sized, not corpus-sized; the
+    * paper's 10⁴ hashed n-gram buckets cap this key space — swapping
+    * the token key for `hash(tok) % B` is the only change at 100 TB),
+    * one per-doc sum, one bounded TakeOrdered top-k. The paper's
+    * Gumbel-top-k resampling is replaced by deterministic top-k with a
+    * doc_id tie-break — reproducibility over sampling noise, the same
+    * trade every deterministic rerun of a selection pipeline makes.
+    * Parity: per-token log ratios quantize to exact MICRO-UNIT LONGS
+    * (round(lw·10⁶)) before the per-doc sum — summing doubles in
+    * engine-dependent order moves the 4th decimal at the top-k
+    * boundary; summing longs is exact in any order, so `score_e6` is
+    * bit-stable across engines and partitionings. */
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int): DataFrame = {
+    val words = docs.select(col("doc_id"), isTarget.as("tgt"),
+      explode(split(col("text"), " ")).as("w"))
+    val raw = words.groupBy(col("w")).agg(count(lit(1)).as("cr"))
+    val tgtC = words.filter(col("tgt")).groupBy(col("w"))
+      .agg(count(lit(1)).as("ct"))
+    val tots = words.agg(count(lit(1)).as("rTot"),
+      count_if(col("tgt")).as("tTot"), countDistinct(col("w")).as("v"))
+    val lm = raw.join(tgtC, Seq("w"), "left")
+      .na.fill(0L, Seq("ct")).crossJoin(tots)
+      .select(col("w"), round((
+        log((col("ct") + 1).cast("double") / (col("tTot") + col("v"))) -
+        log((col("cr") + 1).cast("double") / (col("rTot") + col("v"))))
+        * 1e6).cast("long").as("lw_e6"))
+    words.join(lm, Seq("w"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_words"), sum(col("lw_e6")).as("score_e6"))
+      .orderBy(col("score_e6").desc, col("doc_id"))
+      .limit(k)
+  }
+
+  /** E14: DSIR selection over documents — target distribution = the
+    * English slice, raw = the whole corpus; keep the 200 most
+    * target-like docs. The oracle re-derives both LMs and the exact
+    * top-200, so a wrong smoothing denominator, a lost token, or an
+    * unstable tie-break all hash-fail. */
+  private val e14Dsir: Q = (s, dir) =>
+    dsirSelect(t(s, dir, "documents"), col("lang") === "en", 200)
+
   val queries: Map[String, Q] = Map(
+    "e14_dsir" -> e14Dsir,
     "e8_domain_cap" -> e8DomainCap,
     "e8_shuffle" -> e8Shuffle,
     "e8_weighted" -> e8Weighted,
@@ -438,6 +489,29 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    "e14_dsir" ->
+      """WITH wds AS (
+        |  SELECT doc_id, (lang = 'en') AS tgt,
+        |    unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |raw AS (SELECT w, count(*) AS cr FROM wds GROUP BY w),
+        |tgt AS (SELECT w, count(*) AS ct FROM wds WHERE tgt GROUP BY w),
+        |tots AS (
+        |  SELECT count(*) AS rTot,
+        |    count(*) FILTER (WHERE tgt) AS tTot,
+        |    count(DISTINCT w) AS v
+        |  FROM wds),
+        |lm AS (
+        |  SELECT r.w, round((
+        |    ln((coalesce(t.ct, 0) + 1)::DOUBLE / (tots.tTot + tots.v)) -
+        |    ln((r.cr + 1)::DOUBLE / (tots.rTot + tots.v))) * 1e6)::BIGINT
+        |    AS lw_e6
+        |  FROM raw r LEFT JOIN tgt t ON r.w = t.w, tots)
+        |SELECT w.doc_id, count(*)::BIGINT AS n_words,
+        |  sum(l.lw_e6)::BIGINT AS score_e6
+        |FROM wds w JOIN lm l USING (w)
+        |GROUP BY w.doc_id
+        |ORDER BY score_e6 DESC, doc_id LIMIT 200""".stripMargin,
     "e8_domain_cap" ->
       """WITH rk AS (
         |  SELECT source, doc_id,

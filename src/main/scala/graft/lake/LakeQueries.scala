@@ -205,6 +205,33 @@ object LakeQueries {
     s.read.orc(out).orderBy(col("s_suppkey"))
   }
 
+  /** S21: XML ingest via Spark 4's BUILT-IN XML source (SPARK-44265 —
+    * the spark-xml package folded into core; `rowTag` picks the
+    * repeating element, attributes read as `_attr` fields). The config
+    * surface every feed-ingest lake needs for the XML third of the
+    * CSV/JSON/XML triad. Supplier roundtrips: write with rowTag
+    * `supplier`, read back with an EXPLICIT schema (schema-on-read —
+    * inference is a sampling scan at 100 TB; the declared-schema path
+    * is the production one). The oracle restates from the parquet
+    * table, so any escaping/quoting/precision loss in the XML codec
+    * hash-fails. */
+  private val s21XmlRt: Q = (s, dir) => {
+    val out = Lake.scratchDir("s21")
+    t(s, dir, "supplier")
+      .select(col("s_suppkey"), col("s_name"), col("s_nationkey"),
+        round(col("s_acctbal"), 2).as("bal"),
+        // exercise the XML escaping path: <, &, > must roundtrip
+        concat(lit("<deal & co> "), col("s_name")).as("note"))
+      .write.mode("overwrite").option("rowTag", "supplier")
+      .format("xml").save(out)
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "s_suppkey BIGINT, s_name STRING, s_nationkey BIGINT, " +
+        "bal DOUBLE, note STRING")
+    s.read.schema(schema).option("rowTag", "supplier")
+      .format("xml").load(out)
+      .orderBy(col("s_suppkey"))
+  }
+
   /** K7: small-file compaction — a fragmented zone (32 files) compacts
     * to target-sized files with byte-identical data; the oracle reads
     * the ORIGINAL table, so the fragment+compact+scan cycle must be
@@ -833,6 +860,7 @@ object LakeQueries {
     "s5b_catalog_db" -> s5bCatalogDb,
     "s10_jsonl_rt" -> s10JsonlRt,
     "s11_orc_rt" -> s11OrcRt,
+    "s21_xml_rt" -> s21XmlRt,
     "k7_compact" -> k7Compact,
     "k8_ctas_insert" -> k8CtasInsert,
     "k8b_ctas_partitioned" -> k8bCtasPartitioned,
@@ -1039,6 +1067,10 @@ object LakeQueries {
       """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
     "s11_orc_rt" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    "s21_xml_rt" ->
+      """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal,
+        |  '<deal & co> ' || s_name AS note
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
     "k7_compact" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price

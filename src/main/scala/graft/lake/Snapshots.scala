@@ -81,11 +81,18 @@ object Snapshots {
 
   /** Concurrent-safe snapshot commit: claim the next free version via
     * CAS, write it, publish it. Returns the committed version. */
-  def commitVersion(df: DataFrame, root: String): Int = {
+  def commitVersion(df: DataFrame, root: String): Int =
+    commitVersionWith(root)(p => Lake.writeParquet(df, p))
+
+  /** [[commitVersion]] with a caller-supplied writer — each version
+    * owns its physical layout (partitioning scheme, file sizing), which
+    * is what makes PARTITION EVOLUTION (k21) possible: the commit
+    * protocol versions directories, not layouts. */
+  def commitVersionWith(root: String)(write: String => Unit): Int = {
     Files.createDirectories(Paths.get(root))
     var v = latestVersion(root) + 1
     while (!claim(root, v)) v += 1 // loser of the race moves to n+2, …
-    Lake.writeParquet(df, s"$root/v=$v")
+    write(s"$root/v=$v")
     publish(root, v)
     v
   }
@@ -231,13 +238,83 @@ object Snapshots {
       .orderBy(col("key"), col("valid_from"))
   }
 
+  /** K21: PARTITION EVOLUTION — the Iceberg capability plain
+    * partitioned parquet lacks: the table's partition scheme changes
+    * over time WITHOUT rewriting history (Iceberg spec §partition-
+    * evolution; Hive/plain layouts must rewrite everything or fork the
+    * table). Through the commit log it falls out naturally: v1 holds
+    * the ≤1997 history partitioned by year (the coarse layout it was
+    * written with), v2 holds ≥1998 partitioned by (year, month) (the
+    * finer layout adopted later), and the LOGICAL table is the union
+    * of committed versions, each scan pruned under its OWN layout —
+    * the 1996 read prunes year dirs, the 1999-March read prunes
+    * year+month dirs (both plan-pinned in RelationalPlanSpec). The
+    * oracle restates both slices from the raw table, so losing rows at
+    * the layout boundary or cross-slice contamination hash-fails. */
+  private val k21PartitionEvolution: Q = (s, dir) => {
+    val root = Lake.scratchDir("k21")
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("oy"), month(col("o_orderdate")).as("om"))
+    require(commitVersionWith(root)(p =>
+      o.filter(col("oy") <= 1997).drop("om")
+        .write.partitionBy("oy").parquet(p)) == 1)
+    require(commitVersionWith(root)(p =>
+      o.filter(col("oy") >= 1998)
+        .write.partitionBy("oy", "om").parquet(p)) == 2)
+    def slice(df: DataFrame, label: String) =
+      df.agg(count(lit(1)).as("n_orders"),
+        sum(col("o_orderkey")).as("sum_keys"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(lit(label).as("slice"), col("n_orders"), col("sum_keys"),
+          col("sum_price"))
+    slice(readVersion(s, root, Some(1)).filter(col("oy") === 1996),
+        "v1_y1996")
+      .unionByName(slice(readVersion(s, root, Some(2))
+        .filter(col("oy") === 1999 && col("om") === 3), "v2_1999_03"))
+      .orderBy(col("slice"))
+  }
+
+  /** The two evolution-read scans, exposed for the plan-pinning spec
+    * (each must prune under its own layout). */
+  private[graft] def k21Scans(s: SparkSession, dir: String)
+      : (DataFrame, DataFrame) = {
+    val root = Lake.scratchDir("k21s")
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("oy"), month(col("o_orderdate")).as("om"))
+    commitVersionWith(root)(p =>
+      o.filter(col("oy") <= 1997).drop("om")
+        .write.partitionBy("oy").parquet(p))
+    commitVersionWith(root)(p =>
+      o.filter(col("oy") >= 1998)
+        .write.partitionBy("oy", "om").parquet(p))
+    (readVersion(s, root, Some(1)).filter(col("oy") === 1996),
+      readVersion(s, root, Some(2))
+        .filter(col("oy") === 1999 && col("om") === 3))
+  }
+
   val queries: Map[String, Q] = Map(
     "k15_timetravel" -> k15Timetravel,
     "k16_forget" -> k16Forget,
     "k20_scd2" -> k20Scd2,
+    "k21_partition_evolution" -> k21PartitionEvolution,
   )
 
   val oracles: Map[String, String] = Map(
+    // Both evolution slices restated from the raw table: the layout
+    // change must be invisible to the logical read.
+    "k21_partition_evolution" ->
+      """SELECT 'v1_y1996' AS slice, count(*)::BIGINT AS n_orders,
+        |  sum(o_orderkey)::BIGINT AS sum_keys,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders WHERE date_part('year', o_orderdate) = 1996
+        |UNION ALL
+        |SELECT 'v2_1999_03', count(*)::BIGINT,
+        |  sum(o_orderkey)::BIGINT, round(sum(o_totalprice), 2)
+        |FROM orders WHERE date_part('year', o_orderdate) = 1999
+        |  AND date_part('month', o_orderdate) = 3
+        |ORDER BY slice""".stripMargin,
     // Set-algebraic SCD2 restatement: dim0 splits into untouched /
     // closed-out rows, plus new current rows for changed and brand-new
     // keys — a lost close-out, a duplicated current row, or a no-op

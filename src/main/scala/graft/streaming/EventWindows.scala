@@ -302,7 +302,16 @@ object EventWindows {
     * pattern — exactly how a cluster consumes a bucketed landing
     * zone); the operator under test holds three longs per key.
     * Session arithmetic is in epoch MILLIS on both engines. */
-  private val ev12StreamSessions: Q = (s, dir) => {
+  private val ev12StreamSessions: Q = (s, dir) =>
+    sessionGate(s, dir, StreamDemo.sessionize(_, 86400000L))
+
+  /** Shared session-gate harness for ev12/ev21/ev22: stage the events
+    * into 1-day-bucket files, tail them as a stream through `mk` (the
+    * sessionizer under test), and return the closed-session table in
+    * oracle shape. */
+  private def sessionGate(s: SparkSession, dir: String,
+      mk: org.apache.spark.sql.Dataset[(Long, java.sql.Timestamp)] =>
+        org.apache.spark.sql.Dataset[StreamDemo.SessionOut]): DataFrame = {
     import org.apache.spark.sql.streaming.OutputMode
     import s.implicits._
     val gapMs = 86400000L // 1 day
@@ -331,9 +340,8 @@ object EventWindows {
     val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
     s.conf.set("spark.sql.shuffle.partitions", "4")
     val q =
-      try StreamDemo.sessionize(
-          s.readStream.schema(schema).parquet(landing)
-            .as[(Long, java.sql.Timestamp)], gapMs)
+      try mk(s.readStream.schema(schema).parquet(landing)
+          .as[(Long, java.sql.Timestamp)])
         .writeStream.format("memory").queryName(sink)
         .outputMode(OutputMode.Append()).start()
       finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
@@ -728,19 +736,40 @@ object EventWindows {
     * state-backend choice is an EXECUTION concern, never a semantics
     * one — any divergence (lost state across micro-batches, timeout
     * misfire) fails the same batch gaps-and-islands oracle. */
-  private val ev21RocksdbSessions: Q = (s, dir) => {
+  private val ev21RocksdbSessions: Q = (s, dir) =>
+    withRocksDb(s)(ev12StreamSessions(s, dir))
+
+  /** Scope the RocksDB state store provider to `body` and restore the
+    * previous provider after (a streaming query pins its provider at
+    * first start, so the toggle only affects queries started inside). */
+  private def withRocksDb(s: SparkSession)(body: => DataFrame): DataFrame = {
     val key = "spark.sql.streaming.stateStore.providerClass"
     val prev = s.conf.getOption(key)
     s.conf.set(key, "org.apache.spark.sql.execution.streaming." +
       "state.RocksDBStateStoreProvider")
-    try ev12StreamSessions(s, dir)
+    try body
     finally prev match {
       case Some(v) => s.conf.set(key, v)
       case None => s.conf.unset(key)
     }
   }
 
+  /** EV22: the same sessionization gate on Spark 4's
+    * `transformWithState` API ([[StreamDemo.sessionizeTws]] — typed
+    * ValueState + explicit event-time timers, the
+    * flatMapGroupsWithState successor built for the RocksDB backend's
+    * virtual column families; the provider is required, so the gate
+    * runs under [[withRocksDb]]). Must hash-match the SAME batch
+    * gaps-and-islands oracle as ev12/ev21: three state APIs, one
+    * semantics — a timer/state divergence in the new API (stale-timer
+    * close, lost delete) fails the oracle, and the ev12↔ev22 pairing
+    * pins the old and new API against each other every round. */
+  private val ev22TwsSessions: Q = (s, dir) =>
+    withRocksDb(s)(sessionGate(s, dir,
+      StreamDemo.sessionizeTws(_, 86400000L)))
+
   val queries: Map[String, Q] = Map(
+    "ev22_tws_sessions" -> ev22TwsSessions,
     "ev21_rocksdb_sessions" -> ev21RocksdbSessions,
     "ev17_stream_left_join" -> ev17StreamLeftJoin,
     "ev16_stream_route" -> ev16StreamRoute,
@@ -767,6 +796,27 @@ object EventWindows {
   val oracles: Map[String, String] = Map(
     // Same batch gaps-and-islands restatement as ev12: the state
     // backend must be semantics-invisible.
+    // Same restatement as ev12/ev21: the transformWithState API must
+    // be semantics-identical to flatMapGroupsWithState.
+    "ev22_tws_sessions" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |d AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |           IS NULL
+        |         OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |           > 86400000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  min(ms)::BIGINT AS start_ms, max(ms)::BIGINT AS end_ms
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
     "ev21_rocksdb_sessions" ->
       """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
         |d AS (

@@ -247,4 +247,89 @@ object StreamDemo {
           }
       }
   }
+
+  /** The [[sessionize]] state machine re-expressed on Spark 4's
+    * `transformWithState` API (SPARK-46815, the arbitrary-state
+    * successor to flatMapGroupsWithState): typed [[ValueState]] holds
+    * the same three longs per key, and EXPLICIT EVENT-TIME TIMERS
+    * replace the implicit per-key timeout — registered at
+    * `sessionEnd + gap`, DELETED and re-registered when the session
+    * extends, fired by the watermark to close a silent key's session.
+    * The API additions that matter at 100 TB: state is declared
+    * per-variable (value/list/map) with optional TTL so the RocksDB
+    * backend can store and checkpoint each variable natively, and
+    * timers are first-class (one key can hold many), not a single
+    * timeout slot. Close semantics are bit-identical to [[sessionize]]:
+    *  - DATA-DRIVEN SPLIT in `handleInputRows` when a batch starts
+    *    more than `gapMs` past the stored end;
+    *  - TIMER in `handleExpiredTimer`, guarded so only the timer
+    *    matching the CURRENT session end may close it (a stale timer
+    *    from a since-extended session is ignored — deleteTimer plus
+    *    this guard makes the pair exact).
+    * Same exact-gap contract as [[sessionize]]: per-key batch span ≤
+    * `gapMs`. Requires the RocksDB state store provider (the API is
+    * built on its virtual-column-family layout); callers set it. */
+  final class SessionProcessor(gapMs: Long) extends
+      org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp), SessionOut] {
+    import org.apache.spark.sql.Encoders
+    import org.apache.spark.sql.streaming.{TimeMode, TimerValues,
+      ExpiredTimerInfo, TTLConfig, ValueState}
+
+    @transient private var sess: ValueState[(Int, Long, Long)] = _
+
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      sess = getHandle.getValueState("sess",
+        Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong,
+          Encoders.scalaLong),
+        TTLConfig.NONE)
+
+    override def handleInputRows(userId: Long,
+        rows: Iterator[(Long, java.sql.Timestamp)],
+        timers: TimerValues): Iterator[SessionOut] = {
+      val times = rows.map(_._2.getTime).toSeq
+      val (bn, bMin, bMax) = (times.size, times.min, times.max)
+      val prev = if (sess.exists()) Some(sess.get()) else None
+      val closed = prev match {
+        case Some((n0, s0, e0)) if bMin > e0 + gapMs =>
+          getHandle.deleteTimer(e0 + gapMs)
+          Some(SessionOut(userId, n0, s0, e0))
+        case Some((_, _, e0)) =>
+          getHandle.deleteTimer(e0 + gapMs); None
+        case None => None
+      }
+      val (n0, s0, e0) = prev.filter(_ => closed.isEmpty)
+        .getOrElse((0, Long.MaxValue, Long.MinValue))
+      val next = (n0 + bn, math.min(s0, bMin), math.max(e0, bMax))
+      sess.update(next)
+      getHandle.registerTimer(next._3 + gapMs)
+      closed.iterator
+    }
+
+    override def handleExpiredTimer(userId: Long, timers: TimerValues,
+        expired: ExpiredTimerInfo): Iterator[SessionOut] =
+      if (sess.exists()) {
+        val (n, s0, e0) = sess.get()
+        // Stale-timer guard: close only if this timer is the CURRENT
+        // session's expiry (an extension re-registered a later one).
+        if (expired.getExpiryTimeInMs == e0 + gapMs) {
+          sess.clear()
+          Iterator.single(SessionOut(userId, n, s0, e0))
+        } else Iterator.empty
+      } else Iterator.empty
+  }
+
+  /** [[sessionize]] via [[SessionProcessor]] — same input/output
+    * contract, same oracle; only the state API differs. */
+  def sessionizeTws(events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.toDF("userId", "ts")
+      .withWatermark("ts", "0 seconds")
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .transformWithState(new SessionProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
 }

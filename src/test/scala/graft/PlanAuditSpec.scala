@@ -52,6 +52,9 @@ class PlanAuditSpec extends SparkSpec {
     "e8_upsample" -> Set("BroadcastNestedLoop"),
     // one-row corpus count crossJoined onto the vocabulary table
     "e4_tfidf" -> Set("BroadcastNestedLoop"),
+    // one-row totals (rTot/tTot/|V|) crossJoined onto the vocab-sized
+    // log-ratio table — the LM join itself is an equi-join on the token
+    "e14_dsir" -> Set("BroadcastNestedLoop"),
     "e4_logprob" -> Set("BroadcastNestedLoop"),
     // one-row vocabulary-size scalar crossJoined onto the bigram table
     "e4_bigram_lm" -> Set("BroadcastNestedLoop"),

@@ -209,6 +209,26 @@ class RelationalPlanSpec extends SparkSpec {
       s"e3_cosine_topk lost its WindowGroupLimit:\n$p")
   }
 
+  test("j12 injects a dynamic partition pruning filter into the fact scan") {
+    // The quarter filter lives on the dim side only; at 100 TB the
+    // fact scan must receive the surviving months as a RUNTIME
+    // partition filter (dynamicpruning subquery / reused broadcast),
+    // not read every partition and filter post-join.
+    val p = plan("j12_dpp")
+    assert(p.contains("dynamicpruning"),
+      s"j12_dpp fact scan lost dynamic partition pruning:\n$p")
+  }
+
+  test("k21 evolution reads prune under each version's own layout") {
+    val (v1, v2) = graft.lake.Snapshots.k21Scans(spark, sf)
+    val p1 = physicalPlan(v1)
+    assert(p1.contains("PartitionFilters") && p1.contains("oy"),
+      s"v1 read does not prune its year layout:\n$p1")
+    val p2 = physicalPlan(v2)
+    assert(p2.contains("PartitionFilters") && p2.contains("om"),
+      s"v2 read does not prune its (year, month) layout:\n$p2")
+  }
+
   test("domain cap keeps its WindowGroupLimit (per-source partial limit)") {
     // e8_domain_cap's row_number ≤ cap must truncate each source group
     // map-side (bounded heap) instead of fully sorting the corpus —
