@@ -64,6 +64,64 @@ object Hygiene {
           concat(lit(" host 10.20."), (col("doc_id") % 256).cast("string"),
             lit(".7"))).otherwise(lit(""))).as("text"))
 
+  // ----------------------------------------------------- secret scrubbing
+
+  /** Credential patterns — the SECRETS third of corpus hygiene next to
+    * PII and blocklists (training corpora scraped from code hosts leak
+    * cloud keys and signed tokens; every production pipeline scrubs
+    * them before the tokenizer sees them). Same contract as the PII
+    * battery: Java∩RE2 syntax only, shared verbatim with the oracle.
+    * Shapes: an AWS-style access key id (fixed `AKIA` prefix + 16
+    * upper-alnum), a 40-char lowercase-hex token (SHA-1-shaped API
+    * secret), and a three-segment `eyJ…`-prefixed signed token (JWT
+    * shape — base64url segments joined by dots). The fixed-prefix +
+    * alphabet + length structure is what real scanners key on; an
+    * entropy threshold would add recall on unstructured secrets but is
+    * not regex-expressible (no lookaround in the shared dialect), so
+    * the structured patterns are the exact, portable core. */
+  val AwsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  val HexTokenRe = "\\b[0-9a-f]{40}\\b"
+  val JwtRe = "\\beyJ[A-Za-z0-9_-]{5,}\\.[A-Za-z0-9_-]{5,}\\.[A-Za-z0-9_-]{5,}\\b"
+
+  /** Scrub credentials in one map-only pass. JWT first (its segments
+    * are alnum runs a later pattern could bite into); replacement
+    * tokens contain `<`/`>`, which no pattern matches, so the passes
+    * compose without re-matching. */
+  def secretsRedact(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, JwtRe, "<JWT>"),
+        AwsKeyRe, "<AWSKEY>"),
+      HexTokenRe, "<HEXTOKEN>")
+
+  /** Per-type credential match counts. */
+  def secretsCounts(text: Column): (Column, Column, Column) =
+    (regexp_count(text, lit(AwsKeyRe)),
+      regexp_count(text, lit(HexTokenRe)),
+      regexp_count(text, lit(JwtRe)))
+
+  /** Deterministic secret planting (letters-only corpus, same pattern
+    * as [[withPlantedPii]]): an AWS key on every 9th doc, a hex token
+    * on every 10th, a JWT on every 17th — all derived from doc_id so
+    * the oracle replants them bit-identically in SQL. */
+  private[ext] def withPlantedSecrets(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 9 === 0,
+          concat(lit(" key AKIA"),
+            lpad(col("doc_id").cast("string"), 16, "0")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 10 === 0,
+          concat(lit(" sha "),
+            lpad(col("doc_id").cast("string"), 40, "a")))
+          .otherwise(lit("")),
+        when(col("doc_id") % 17 === 0,
+          concat(lit(" jwt eyJ"),
+            lpad(col("doc_id").cast("string"), 8, "x"), lit("."),
+            lpad(col("doc_id").cast("string"), 8, "y"), lit("."),
+            lpad(col("doc_id").cast("string"), 8, "z")))
+          .otherwise(lit(""))).as("text"))
+
   // ------------------------------------------- repetition quality signals
 
   /** Map-only repetition signals over the word array: unique-word ratio
@@ -206,6 +264,27 @@ object Hygiene {
       .orderBy(col("lang"))
   }
 
+  /** E9h: plant credentials → detect per type → redact → prove nothing
+    * survives; same gate shape as [[e9PiiRedact]] (residual counted on
+    * the ORACLE'S redacted text too, so a scrub that leaves matches
+    * fails the hash even when detection agrees). */
+  private val e9Secrets: Q = (s, dir) => {
+    val planted = withPlantedSecrets(t(s, dir, "documents"))
+    val (aws, hex, jwt) = secretsCounts(col("text"))
+    val (raws, rhex, rjwt) = secretsCounts(col("redacted"))
+    planted.withColumn("redacted", secretsRedact(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(aws.cast("long")).as("n_awskeys"),
+        sum(hex.cast("long")).as("n_hextokens"),
+        sum(jwt.cast("long")).as("n_jwts"),
+        sum((raws + rhex + rjwt).cast("long")).as("residual_secrets"),
+        sum((length(col("text")) - length(col("redacted"))).cast("long"))
+          .as("chars_delta"))
+      .orderBy(col("lang"))
+  }
+
   /** E9b: per-document repetition profile over the whole corpus. */
   private val e9Repetition: Q = (s, dir) =>
     repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
@@ -324,6 +403,7 @@ object Hygiene {
     "e9_kanon" -> e9Kanon,
     "e9_gopher" -> e9Gopher,
     "e9_pii_redact" -> e9PiiRedact,
+    "e9_secrets" -> e9Secrets,
     "e9_repetition" -> e9Repetition,
     "e9_boilerplate" -> e9Boilerplate,
     "e9_blocklist" -> e9Blocklist,
@@ -389,6 +469,40 @@ object Hygiene {
         |  sum(CASE WHEN ok_words AND ok_mwl AND ok_stop
         |      THEN doc_id ELSE 0 END)::BIGINT AS sum_kept_ids
         |FROM v GROUP BY lang ORDER BY lang""".stripMargin,
+    "e9_secrets" ->
+      s"""WITH planted AS (
+         |  SELECT lang, text ||
+         |    (CASE WHEN doc_id % 9 = 0
+         |          THEN ' key AKIA' || lpad(doc_id::VARCHAR, 16, '0')
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 10 = 0
+         |          THEN ' sha ' || lpad(doc_id::VARCHAR, 40, 'a')
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 17 = 0
+         |          THEN ' jwt eyJ' || lpad(doc_id::VARCHAR, 8, 'x') ||
+         |            '.' || lpad(doc_id::VARCHAR, 8, 'y') ||
+         |            '.' || lpad(doc_id::VARCHAR, 8, 'z')
+         |          ELSE '' END) AS text
+         |  FROM documents),
+         |red AS (
+         |  SELECT lang, text,
+         |    regexp_replace(regexp_replace(regexp_replace(text,
+         |      '$JwtRe', '<JWT>', 'g'),
+         |      '$AwsKeyRe', '<AWSKEY>', 'g'),
+         |      '$HexTokenRe', '<HEXTOKEN>', 'g') AS redacted
+         |  FROM planted)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(len(regexp_extract_all(text, '$AwsKeyRe')))::BIGINT
+         |    AS n_awskeys,
+         |  sum(len(regexp_extract_all(text, '$HexTokenRe')))::BIGINT
+         |    AS n_hextokens,
+         |  sum(len(regexp_extract_all(text, '$JwtRe')))::BIGINT AS n_jwts,
+         |  sum(len(regexp_extract_all(redacted, '$AwsKeyRe'))
+         |    + len(regexp_extract_all(redacted, '$HexTokenRe'))
+         |    + len(regexp_extract_all(redacted, '$JwtRe')))::BIGINT
+         |    AS residual_secrets,
+         |  sum(len(text) - len(redacted))::BIGINT AS chars_delta
+         |FROM red GROUP BY lang ORDER BY lang""".stripMargin,
     "e9_pii_redact" ->
       s"""WITH planted AS (
          |  SELECT lang, text ||

@@ -44,3 +44,37 @@ object BloomMightContain {
   def bloomMightContain(key: Column, bloom: BloomFilter): Column =
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bloom))
 }
+
+/** Bloom filter BUILDER as a typed Aggregator over LONG keys — the
+  * per-group sketch side of the skipping-index pattern (k22): one
+  * distributed aggregation emits a serialized membership sketch per
+  * group (per FILE, when grouped on `input_file_name()`), exactly how
+  * Parquet/ORC writers and Iceberg/Delta file stats accumulate per-file
+  * bloom metadata. Buffers are [[BloomFilter]]s (mergeable —
+  * `mergeInPlace` is a bit-OR, so partial aggregation composes across
+  * partitions in any order); output is the filter's canonical
+  * serialized bytes. Probing a key against the finished index costs
+  * one read of a FILE-COUNT-sized table, never a data scan. Bit
+  * layout is deterministic for a given insert SET (seeded hashes,
+  * OR-composition), so the sketch bytes are stable across partition
+  * orderings. */
+case class BloomBuildAgg(expectedItems: Long, fpp: Double)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Long, BloomFilter, Array[Byte]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  override def zero: BloomFilter = BloomFilter.create(expectedItems, fpp)
+  override def reduce(b: BloomFilter, k: Long): BloomFilter = {
+    b.putLong(k); b
+  }
+  override def merge(a: BloomFilter, b: BloomFilter): BloomFilter = {
+    a.mergeInPlace(b); a
+  }
+  override def finish(b: BloomFilter): Array[Byte] = {
+    val os = new java.io.ByteArrayOutputStream()
+    b.writeTo(os)
+    os.toByteArray
+  }
+  override def bufferEncoder: Encoder[BloomFilter] =
+    Encoders.javaSerialization[BloomFilter]
+  override def outputEncoder: Encoder[Array[Byte]] = Encoders.BINARY
+}

@@ -726,6 +726,52 @@ object LakeQueries {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** K22: per-file BLOOM-FILTER data skipping — the point-lookup
+    * complement of k19's min/max index. Orders land HASH-distributed
+    * on `o_orderkey` (64 files), so every file's `o_custkey` min/max
+    * spans the whole domain and range skipping is useless — the
+    * workload where Parquet column-index blooms / Iceberg bloom file
+    * stats earn their keep. ONE distributed aggregation
+    * (`groupBy(input_file_name())` + [[graft.functions.BloomBuildAgg]],
+    * a mergeable typed Aggregator whose partial buffers bit-OR) builds
+    * a (file, bloom_bytes, rows) index; a point lookup deserializes
+    * the FILE-COUNT-sized index driver-side (the Iceberg-planner step,
+    * same shape as k19's manifest consult), keeps only files whose
+    * bloom might contain the key — no false negatives, so recall is
+    * exact; false positives only read extra files — and applies the
+    * exact predicate as a residual on that subset. At 100 TB the scan
+    * cost tracks the customer's file footprint (~|orders per customer|
+    * files of thousands), not the table. `require` asserts real
+    * pruning; the oracle restates the plain filtered scan, so an
+    * over-pruned file (a lost order) hash-fails. */
+  private val k22BloomSkip: Q = (s, dir) => {
+    val root = Lake.scratchDir("k22")
+    t(s, dir, "orders")
+      .repartition(64, col("o_orderkey"))
+      .write.parquet(s"$root/data")
+    val data = s.read.parquet(s"$root/data")
+    val bloomOf = udaf(graft.functions.BloomBuildAgg(100000L, 0.01))
+    data.select(input_file_name().as("file"), col("o_custkey"))
+      .groupBy(col("file"))
+      .agg(bloomOf(col("o_custkey")).as("bloom"), count(lit(1)).as("rows"))
+      .write.parquet(s"$root/index")
+    val key = 101L
+    val idx = s.read.parquet(s"$root/index")
+      .select(col("file"), col("bloom")).collect() // file-count-sized
+    val hit = idx.filter { r =>
+      org.apache.spark.util.sketch.BloomFilter
+        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
+        .mightContainLong(key)
+    }.map(_.getString(0)).sorted
+    require(hit.nonEmpty && hit.length < idx.length,
+      s"bloom skip pruned nothing: ${hit.length} of ${idx.length} files")
+    s.read.parquet(hit: _*)
+      .filter(col("o_custkey") === key)
+      .select(col("o_orderkey"), col("o_custkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** K18: incremental materialized-view maintenance (insert-only IVM)
     * — the Delta-Live-Tables/Materialize refresh pattern: a persisted
     * aggregate MV advances by aggregating ONLY the arriving delta and
@@ -843,6 +889,7 @@ object LakeQueries {
     "k14_merge" -> k14Merge,
     "k18_mv_incremental" -> k18MvIncremental,
     "k19_minmax_skip" -> k19MinmaxSkip,
+    "k22_bloom_skip" -> k22BloomSkip,
     "s20_binaryfile" -> s20BinaryFile,
     "s17_corrupt_records" -> s17CorruptRecords,
     "k12_bookmark" -> k12Bookmark,
@@ -923,6 +970,12 @@ object LakeQueries {
         |  AND o_orderdate <= TIMESTAMP '1996-12-31 23:59:59'
         |GROUP BY o_orderpriority
         |ORDER BY o_orderpriority""".stripMargin,
+    // Plain filtered restatement: bloom skipping must lose no order
+    // (no false negatives) and the residual must kill FP-file rows.
+    "k22_bloom_skip" ->
+      """SELECT o_orderkey, o_custkey, round(o_totalprice, 2) AS price
+        |FROM orders WHERE o_custkey = 101
+        |ORDER BY o_orderkey""".stripMargin,
     "k18_mv_incremental" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price

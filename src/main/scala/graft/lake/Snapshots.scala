@@ -123,6 +123,50 @@ object Snapshots {
       version: Option[Int] = None): DataFrame =
     s.read.parquet(s"$root/v=${version.getOrElse(latestVersion(root))}")
 
+  /** VACUUM: expire snapshot history, keeping the newest `retain`
+    * committed versions — the Delta `VACUUM` / Iceberg
+    * `expire_snapshots` retention step, without which a snapshot lake
+    * stores every version forever (the honest cost k15 documents).
+    * Per expired version the COMMIT MARKER is removed FIRST, then the
+    * data directory, then the claim — so version resolution never
+    * lists a version whose data is mid-delete, a crashed vacuum leaves
+    * only an orphaned data dir (swept by the next run: any `v=` dir
+    * below the cutoff without a marker), and a reader pinned to an
+    * expired version fails fast on resolution rather than reading a
+    * partial directory. Concurrency-safe by construction: the cutoff
+    * derives from `latestVersion` at entry, writers only ever ADD
+    * versions above it (the claim CAS starts at latest+1), so vacuum
+    * and commit never touch the same version. Driver-side work is
+    * marker-count-sized, deletion is per expired directory — never
+    * data-scale reads. Returns the expired version numbers. */
+  def vacuum(root: String, retain: Int): Seq[Int] = {
+    require(retain >= 1, "vacuum must retain at least the latest version")
+    import scala.jdk.CollectionConverters._
+    val cutoff = latestVersion(root) - retain + 1
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Nil
+    val ls = Files.list(dir)
+    val entries =
+      try ls.iterator().asScala.map(_.getFileName.toString).toList
+      finally ls.close()
+    val committed = entries.filter(n => n.startsWith("_commit_v") &&
+      !n.endsWith(".tmp")).map(_.stripPrefix("_commit_v").toInt)
+    val orphanDirs = entries.filter(_.startsWith("v="))
+      .map(_.stripPrefix("v=").toInt)
+      .filter(v => v < cutoff && !committed.contains(v))
+    val expired = committed.filter(_ < cutoff).sorted
+    for (v <- expired) {
+      Files.deleteIfExists(Paths.get(root, s"_commit_v$v"))
+      Lake.deleteRecursively(new java.io.File(s"$root/v=$v"))
+      Files.deleteIfExists(Paths.get(root, s"_claim_v$v"))
+    }
+    for (v <- orphanDirs) { // crashed-vacuum sweep
+      Lake.deleteRecursively(new java.io.File(s"$root/v=$v"))
+      Files.deleteIfExists(Paths.get(root, s"_claim_v$v"))
+    }
+    expired
+  }
+
   // ------------------------------------------------------------ queries
 
   /** K15: two snapshot writes, then BOTH a time-travel read of v1 and
@@ -294,14 +338,63 @@ object Snapshots {
         .filter(col("oy") === 1999 && col("om") === 3))
   }
 
+  /** K23: snapshot VACUUM under the gate — three committed versions
+    * (orders split by order-year), retention 2, so v1 expires: its
+    * marker, data directory and claim must be GONE (required in-plan),
+    * `latestVersion` must still resolve to 3, and a time-travel read
+    * of the expired v1 must fail fast (required via Try). The result
+    * reads the two SURVIVING versions; the oracle restates both
+    * year-slices from the raw table, so vacuum eating a retained
+    * version (or leaving v1 readable) fails the gate. */
+  private val k23Vacuum: Q = (s, dir) => {
+    val root = Lake.scratchDir("k23")
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_totalprice"),
+      year(col("o_orderdate")).as("oy"))
+    require(commitVersion(o.filter(col("oy") <= 1994), root) == 1)
+    require(commitVersion(o.filter(col("oy").between(1995, 1996)), root) == 2)
+    require(commitVersion(o.filter(col("oy") >= 1997), root) == 3)
+    require(vacuum(root, retain = 2) == Seq(1), "expected exactly v1 expired")
+    require(!Files.exists(Paths.get(root, "_commit_v1")) &&
+      !Files.exists(Paths.get(root, "v=1")) &&
+      !Files.exists(Paths.get(root, "_claim_v1")), "v1 not fully expired")
+    require(latestVersion(root) == 3, "vacuum moved the latest version")
+    require(scala.util.Try(
+        readVersion(s, root, Some(1)).collect()).isFailure,
+      "expired v1 is still readable")
+    def slice(v: Int, label: String) =
+      readVersion(s, root, Some(v))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_orderkey")).as("sum_keys"),
+          round(sum(col("o_totalprice")), 2).as("sum_price"))
+        .select(lit(label).as("slice"), col("n_orders"), col("sum_keys"),
+          col("sum_price"))
+    slice(2, "v2_1995_96").unionByName(slice(3, "v3_1997up"))
+      .orderBy(col("slice"))
+  }
+
   val queries: Map[String, Q] = Map(
     "k15_timetravel" -> k15Timetravel,
     "k16_forget" -> k16Forget,
     "k20_scd2" -> k20Scd2,
     "k21_partition_evolution" -> k21PartitionEvolution,
+    "k23_vacuum" -> k23Vacuum,
   )
 
   val oracles: Map[String, String] = Map(
+    // The two SURVIVING slices restated from the raw table — vacuum
+    // must be invisible to every retained version's read.
+    "k23_vacuum" ->
+      """SELECT 'v2_1995_96' AS slice, count(*)::BIGINT AS n_orders,
+        |  sum(o_orderkey)::BIGINT AS sum_keys,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE date_part('year', o_orderdate) BETWEEN 1995 AND 1996
+        |UNION ALL
+        |SELECT 'v3_1997up', count(*)::BIGINT,
+        |  sum(o_orderkey)::BIGINT, round(sum(o_totalprice), 2)
+        |FROM orders WHERE date_part('year', o_orderdate) >= 1997
+        |ORDER BY slice""".stripMargin,
     // Both evolution slices restated from the raw table: the layout
     // change must be invisible to the logical read.
     "k21_partition_evolution" ->

@@ -768,7 +768,23 @@ object EventWindows {
     withRocksDb(s)(sessionGate(s, dir,
       StreamDemo.sessionizeTws(_, 86400000L)))
 
+  /** EV23: the same sessionization gate on the DECLARATIVE built-in
+    * `session_window` aggregation ([[StreamDemo.sessionizeNative]]) —
+    * the fourth implementation under the one gaps-and-islands oracle,
+    * and the Spark-first one: no state function, the engine merges
+    * per-event `[ts, ts+gap)` windows by value overlap
+    * (MergingSessionsExec), so correctness needs NO exact-gap batch
+    * contract. flatMapGroupsWithState (ev12), RocksDB (ev21),
+    * transformWithState (ev22) and session_window (ev23) must all
+    * hash-match the same batch answer; a merge-boundary divergence
+    * (native merges on overlap — an exactly-gap-apart pair would split
+    * where the `> gap` oracle keeps it; the events table has zero such
+    * pairs at every SF, checked) would surface here first. */
+  private val ev23SessionWindow: Q = (s, dir) =>
+    sessionGate(s, dir, StreamDemo.sessionizeNative(_, 86400000L))
+
   val queries: Map[String, Q] = Map(
+    "ev23_session_window" -> ev23SessionWindow,
     "ev22_tws_sessions" -> ev22TwsSessions,
     "ev21_rocksdb_sessions" -> ev21RocksdbSessions,
     "ev17_stream_left_join" -> ev17StreamLeftJoin,
@@ -794,6 +810,28 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same gaps-and-islands restatement as ev12/ev21/ev22: the
+    // declarative session_window operator must agree with every
+    // custom-state implementation.
+    "ev23_session_window" ->
+      """WITH e AS (SELECT user_id, epoch_ms(ts) AS ms FROM events),
+        |d AS (
+        |  SELECT user_id, ms,
+        |    CASE WHEN lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |           IS NULL
+        |         OR ms - lag(ms) OVER (PARTITION BY user_id ORDER BY ms)
+        |           > 86400000
+        |         THEN 1 ELSE 0 END AS brk
+        |  FROM e),
+        |s AS (
+        |  SELECT user_id, ms,
+        |    sum(brk) OVER (PARTITION BY user_id ORDER BY ms
+        |                   ROWS UNBOUNDED PRECEDING) AS sid
+        |  FROM d)
+        |SELECT user_id, count(*)::BIGINT AS n_events,
+        |  min(ms)::BIGINT AS start_ms, max(ms)::BIGINT AS end_ms
+        |FROM s GROUP BY user_id, sid
+        |ORDER BY user_id, start_ms""".stripMargin,
     // Same batch gaps-and-islands restatement as ev12: the state
     // backend must be semantics-invisible.
     // Same restatement as ev12/ev21: the transformWithState API must

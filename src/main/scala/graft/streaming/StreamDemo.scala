@@ -248,6 +248,38 @@ object StreamDemo {
       }
   }
 
+  /** The [[sessionize]] semantics expressed DECLARATIVELY via Spark's
+    * built-in `session_window` aggregation (SPARK-10816) — no custom
+    * state function at all: the engine merges per-event windows
+    * `[ts, ts+gap)` whenever they overlap, so a merged session's start
+    * is its first event, its end is its last event + gap, and the
+    * count is the event count. This is the Spark-first formulation —
+    * Catalyst owns the merge (`MergingSessionsExec` sorts each
+    * partition once and merges adjacent sessions in one pass, no
+    * per-key state function invocation), the optimizer sees a normal
+    * aggregate, and NONE of [[sessionize]]'s exact-gap batch contract
+    * is needed: session merging is correct across any micro-batch
+    * slicing, because windows merge by VALUE overlap, not by arrival.
+    * The custom-state versions ([[sessionize]] /
+    * [[SessionProcessor]]) remain the template for state machines the
+    * declarative operator cannot express (k-of-n patterns, per-key
+    * models); where session_window CAN express it, prefer this. Output
+    * is mapped to the same [[SessionOut]] shape (endMs = window end −
+    * gap = last event) so all four implementations share one oracle. */
+  def sessionizeNative(events: Dataset[(Long, java.sql.Timestamp)],
+      gapMs: Long): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events.toDF("userId", "ts")
+      .withWatermark("ts", "0 seconds")
+      .groupBy(col("userId"),
+        session_window(col("ts"), s"$gapMs milliseconds").as("w"))
+      .agg(count(lit(1)).as("n"))
+      .select(col("userId"), col("n").cast("int").as("nEvents"),
+        unix_millis(col("w.start")).as("startMs"),
+        (unix_millis(col("w.end")) - gapMs).as("endMs"))
+      .as[SessionOut]
+  }
+
   /** The [[sessionize]] state machine re-expressed on Spark 4's
     * `transformWithState` API (SPARK-46815, the arbitrary-state
     * successor to flatMapGroupsWithState): typed [[ValueState]] holds

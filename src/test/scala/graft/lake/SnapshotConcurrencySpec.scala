@@ -76,6 +76,47 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(v1Before == v1After)
   }
 
+  test("vacuum expires exactly the pre-cutoff versions and numbering " +
+      "continues past it") {
+    val root = Lake.scratchDir("snap_vac")
+    for (i <- 1 to 4)
+      Snapshots.commitVersion(
+        spark.range(5).select(col("id"), lit(i).as("tag")), root)
+    assert(Snapshots.vacuum(root, retain = 2) == Seq(1, 2))
+    // Survivors intact, expired gone, latest unmoved.
+    assert(Snapshots.latestVersion(root) == 4)
+    for (v <- Seq(3, 4))
+      assert(Snapshots.readVersion(spark, root, Some(v))
+        .agg(max(col("tag"))).head.getInt(0) == v)
+    for (v <- Seq(1, 2)) {
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, s"_commit_v$v")))
+      assert(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(root, s"v=$v")))
+    }
+    // Idempotent re-run finds nothing; commits keep numbering forward.
+    assert(Snapshots.vacuum(root, retain = 2).isEmpty)
+    assert(Snapshots.commitVersion(
+      spark.range(1).select(col("id"), lit(5).as("tag")), root) == 5)
+  }
+
+  test("vacuum leaves an in-flight claim above the cutoff untouched") {
+    val root = Lake.scratchDir("snap_vac_claim")
+    for (i <- 1 to 3)
+      Snapshots.commitVersion(
+        spark.range(3).select(col("id"), lit(i).as("tag")), root)
+    // A writer has claimed v4 but not yet published.
+    assert(Snapshots.commitProbe(root, 4))
+    assert(Snapshots.vacuum(root, retain = 1) == Seq(1, 2))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_claim_v4")),
+      "vacuum must not steal an in-flight claim")
+    // The in-flight writer's number is burned, the next commit skips it.
+    assert(Snapshots.commitVersion(
+      spark.range(1).select(col("id"), lit(9).as("tag")), root) == 5)
+    assert(Snapshots.latestVersion(root) == 5)
+  }
+
   test("a claimed-but-crashed writer leaves a gap, not a wedge") {
     val root = Lake.scratchDir("snap_crash")
     Snapshots.commitVersion(spark.range(2).toDF(), root)
