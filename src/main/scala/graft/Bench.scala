@@ -109,7 +109,13 @@ object Bench {
       if (i % 20 == 0) runCanary()
       val t0 = System.nanoTime()
       val r = materialize(name)
-      (name, (System.nanoTime() - t0) / 1e9, r)
+      val sec = (System.nanoTime() - t0) / 1e9
+      // Drop whatever the query cached (OUTSIDE its timed region):
+      // accumulated cache/checkpoint blocks from earlier queries
+      // otherwise pressure later ones' execution memory — an in-run
+      // inflation the isolated phase re-times don't reproduce.
+      spark.catalog.clearCache()
+      (name, sec, r)
     }
     runCanary() // closing sample
     // Isolated phase re-timings for the 10 slowest (round-8 verdict
