@@ -783,7 +783,62 @@ object EventWindows {
   private val ev23SessionWindow: Q = (s, dir) =>
     sessionGate(s, dir, StreamDemo.sessionizeNative(_, 86400000L))
 
+  /** EV24: row-level CDC apply with DELETES — the Debezium-feed
+    * surface ev18's aggregate upsert doesn't cover: a change stream
+    * whose rows are upserts or TOMBSTONES, applied to a keyed state
+    * table where the last op per key wins and a delete RETIRES the
+    * key. Ops derive deterministically from the data (a (user, day)
+    * hash marks delete days), events replay in 5-day buckets, and each
+    * micro-batch is reduced to its last op per user (event-time order,
+    * event_id tie-break — the caller-owned reduction
+    * [[StreamDemo.applyCdcState]] requires) before the bucket-scoped
+    * apply. Because buckets partition time, batch k's winner always
+    * out-times batch j<k's state row, so the final table must hold
+    * exactly each user's GLOBALLY last op — if an upsert: its row; if
+    * a tombstone: nothing. The oracle restates that directly
+    * (row_number over the whole table); a resurrected deleted key, a
+    * stale overwrite, or a lost tombstone all hash-fail. */
+  private val ev24StreamCdc: Q = (s, dir) => {
+    val dayMs = 86400000L
+    val (files, landing) = stageReplay(s,
+      t(s, dir, "events")
+        .select(col("event_id"), col("user_id"),
+          col("ts").cast("timestamp").as("ts"), col("value"))
+        .withColumn("b", expr(s"unix_millis(ts) div ${5 * dayMs}")))
+    val schema = s.read.parquet(files.head.toString).schema
+    val stateDir = java.nio.file.Files
+      .createTempDirectory("ev24_cdc_").toString + "/state"
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try s.readStream.schema(schema).parquet(landing)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, _: Long) =>
+          val day = datediff(col("ts").cast("date"),
+            to_date(lit("1970-01-01")))
+          val w = Window.partitionBy(col("user_id"))
+            .orderBy(col("ts").desc, col("event_id").desc)
+          val latest = batch
+            .withColumn("op",
+              when(pmod(col("user_id") + day, lit(11)) === 0, lit("d"))
+                .otherwise(lit("u")))
+            .withColumn("rn", row_number().over(w))
+            .filter(col("rn") === 1)
+            .select(col("user_id"), col("ts"), col("value"), col("op"))
+          StreamDemo.applyCdcState(s, stateDir, latest, "op",
+            Seq("user_id"), nBuckets = 8)
+        }
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try replay(files, landing, q) finally q.stop()
+    s.read.parquet(stateDir)
+      .select(col("user_id"), unix_millis(col("ts")).as("last_ms"),
+        round(col("value"), 4).as("last_value"))
+      .orderBy(col("user_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev24_stream_cdc" -> ev24StreamCdc,
     "ev23_session_window" -> ev23SessionWindow,
     "ev22_tws_sessions" -> ev22TwsSessions,
     "ev21_rocksdb_sessions" -> ev21RocksdbSessions,
@@ -810,6 +865,24 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Whole-table restatement of last-op-wins CDC: each user's
+    // globally last event (ts, then event_id) decides — an upsert
+    // keeps its row, a tombstone removes the key.
+    "ev24_stream_cdc" ->
+      """WITH e AS (
+        |  SELECT user_id, ts, value, event_id,
+        |    CASE WHEN (user_id + (ts::DATE - DATE '1970-01-01')) % 11 = 0
+        |         THEN 'd' ELSE 'u' END AS op
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, ts, value, op,
+        |    row_number() OVER (PARTITION BY user_id
+        |                       ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM e)
+        |SELECT user_id, epoch_ms(ts)::BIGINT AS last_ms,
+        |  round(value, 4) AS last_value
+        |FROM r WHERE rn = 1 AND op = 'u'
+        |ORDER BY user_id""".stripMargin,
     // Same gaps-and-islands restatement as ev12/ev21/ev22: the
     // declarative session_window operator must agree with every
     // custom-state implementation.

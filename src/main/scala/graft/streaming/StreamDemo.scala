@@ -95,20 +95,54 @@ object StreamDemo {
       stateDir: String, batch: DataFrame, keyCols: Seq[String],
       nBuckets: Int): Unit = {
     if (batch.isEmpty) return
-    val withKb = batch.withColumn("kb",
+    mergeBuckets(spark, stateDir, batch,
+      batch.select(keyCols.map(col): _*), keyCols, nBuckets)
+  }
+
+  /** Row-level CDC apply — [[upsertState]] generalized with DELETES
+    * (the Debezium-feed shape: a change stream carries upserts AND
+    * tombstones; ev18 covers the former, this also retires keys).
+    * `batch` must already be reduced to ONE row per key — the batch's
+    * last op wins; the caller owns that reduction because only it
+    * knows the op order (event time + a total tie-break) — with
+    * `opCol` ∈ {"u","d"}. Upserts replace the key's row; deletes
+    * remove it; both only ever rewrite the key's hash bucket. Cost per
+    * batch is O(|batch| + |affected buckets|) like the plain upsert —
+    * a delete is not a full-state scan. */
+  def applyCdcState(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, batch: DataFrame, opCol: String,
+      keyCols: Seq[String], nBuckets: Int): Unit = {
+    if (batch.isEmpty) return
+    val upserts = batch.filter(col(opCol) === "u").drop(opCol)
+    // Delete-only first batch: no state dir yet, nothing to create.
+    if (!new java.io.File(stateDir).exists() && upserts.isEmpty) return
+    mergeBuckets(spark, stateDir, upserts,
+      batch.select(keyCols.map(col): _*), keyCols, nBuckets)
+  }
+
+  /** Bucket-scoped merge core shared by [[upsertState]] and
+    * [[applyCdcState]]: drop every `allKeys` row from its bucket, add
+    * the `upserts` rows, rewrite only the affected `kb=` directories
+    * (staging write + driver-side swap). `allKeys` ⊇ upsert keys —
+    * for a plain upsert they are equal; CDC passes deleted keys too. */
+  private def mergeBuckets(spark: org.apache.spark.sql.SparkSession,
+      stateDir: String, upserts: DataFrame, allKeys: DataFrame,
+      keyCols: Seq[String], nBuckets: Int): Unit = {
+    def kbOf(df: DataFrame): DataFrame = df.withColumn("kb",
       pmod(xxhash64(keyCols.map(col): _*), lit(nBuckets.toLong))
         .cast("int"))
+    val withKb = kbOf(upserts)
     val root = new java.io.File(stateDir)
     if (!root.exists()) {
       withKb.write.partitionBy("kb").parquet(stateDir)
       return
     }
-    val kbs = withKb.select(col("kb")).distinct()
+    val kbs = kbOf(allKeys).select(col("kb")).distinct()
       .collect().map(_.getInt(0)).sorted // bounded by nBuckets
     val current = spark.read.parquet(stateDir)
       .filter(col("kb").isin(kbs.map(Integer.valueOf): _*))
     val keep = current.join(
-      withKb.select(keyCols.map(col): _*), keyCols, "left_anti")
+      allKeys.select(keyCols.map(col): _*), keyCols, "left_anti")
     val staging = stateDir + "_staging"
     keep.unionByName(withKb, allowMissingColumns = false)
       .write.mode("overwrite").partitionBy("kb").parquet(staging)

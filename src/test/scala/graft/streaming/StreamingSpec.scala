@@ -308,6 +308,38 @@ class StreamingSpec extends SparkSpec {
         s"bucket $kb held no changed key but its files were rewritten")
   }
 
+  test("applyCdcState deletes keys, upserts rows, and lets a later " +
+      "upsert resurrect a deleted key") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("cdc_spec_").toString + "/state"
+    def state(): Map[String, Long] =
+      spark.read.parquet(dir).select("k", "n")
+        .as[(String, Long)].collect().toMap
+    // Delete-only batch before any state exists: a clean no-op.
+    StreamDemo.applyCdcState(spark, dir,
+      Seq(("x", 0L, "d")).toDF("k", "n", "op"), "op", Seq("k"), 4)
+    assert(!new java.io.File(dir).exists())
+    StreamDemo.applyCdcState(spark, dir,
+      Seq(("a", 1L, "u"), ("b", 2L, "u"), ("c", 3L, "u"))
+        .toDF("k", "n", "op"), "op", Seq("k"), 4)
+    assert(state() == Map("a" -> 1L, "b" -> 2L, "c" -> 3L))
+    // Tombstone b, overwrite c, insert d — one batch.
+    StreamDemo.applyCdcState(spark, dir,
+      Seq(("b", 0L, "d"), ("c", 30L, "u"), ("d", 4L, "u"))
+        .toDF("k", "n", "op"), "op", Seq("k"), 4)
+    assert(state() == Map("a" -> 1L, "c" -> 30L, "d" -> 4L),
+      "tombstone must retire b; upserts must land")
+    // A later upsert resurrects the deleted key.
+    StreamDemo.applyCdcState(spark, dir,
+      Seq(("b", 22L, "u")).toDF("k", "n", "op"), "op", Seq("k"), 4)
+    assert(state() == Map("a" -> 1L, "b" -> 22L, "c" -> 30L, "d" -> 4L))
+    // Delete-only batch against existing state.
+    StreamDemo.applyCdcState(spark, dir,
+      Seq(("a", 0L, "d"), ("d", 0L, "d")).toDF("k", "n", "op"),
+      "op", Seq("k"), 4)
+    assert(state() == Map("b" -> 22L, "c" -> 30L))
+  }
+
   test("mapGroupsWithState keeps running counts across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[(Long, Double)]
