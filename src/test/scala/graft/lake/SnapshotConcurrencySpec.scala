@@ -100,6 +100,25 @@ class SnapshotConcurrencySpec extends SparkSpec {
       spark.range(1).select(col("id"), lit(5).as("tag")), root) == 5)
   }
 
+  test("a crashed vacuum's orphan data dir is swept by the next run") {
+    val root = Lake.scratchDir("snap_vac_crash")
+    for (i <- 1 to 3)
+      Snapshots.commitVersion(
+        spark.range(3).select(col("id"), lit(i).as("tag")), root)
+    // Simulate a vacuum that removed v1's commit marker and died
+    // before deleting the data directory.
+    java.nio.file.Files.delete(
+      java.nio.file.Paths.get(root, "_commit_v1"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v=1")))
+    // v1 is no longer committed, so the next vacuum reports nothing
+    // expired — but must still sweep the orphaned directory.
+    assert(Snapshots.vacuum(root, retain = 2).isEmpty)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v=1")), "orphan dir not swept")
+    assert(Snapshots.latestVersion(root) == 3)
+  }
+
   test("vacuum leaves an in-flight claim above the cutoff untouched") {
     val root = Lake.scratchDir("snap_vac_claim")
     for (i <- 1 to 3)

@@ -109,6 +109,47 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream interval join is provider-invariant: RocksDB " +
+      "state store yields the same joins") {
+    // The ev21/ev22 argument extended to JOIN state: the state-store
+    // backend (HDFS-default vs RocksDB) is an execution choice, never
+    // a semantics one. Same fixture as the spec above, run with the
+    // RocksDB provider pinned before query start (a streaming query
+    // fixes its provider at first start).
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming." +
+      "state.RocksDBStateStoreProvider")
+    try {
+      val imps = MemoryStream[(Timestamp, String)]
+      val clks = MemoryStream[(Timestamp, String)]
+      val q = StreamDemo.intervalJoin(
+        imps.toDF().toDF("impTs", "impAd"),
+        clks.toDF().toDF("clickTs", "clickAd"))
+        .writeStream.format("memory").queryName("ij_rocks_out")
+        .outputMode(OutputMode.Append()).start()
+      try {
+        val impData = Seq((ts(1, 1), "a"), (ts(1, 3), "a"), (ts(1, 5), "b"))
+        val clkData = Seq((ts(1, 1), "a"), (ts(1, 4), "a"), (ts(2, 5), "b"))
+        imps.addData(impData: _*)
+        clks.addData(clkData: _*)
+        q.processAllAvailable()
+        val streaming = spark.table("ij_rocks_out")
+          .orderBy("ad", "impTs", "clickTs").collect().map(_.toSeq).toSeq
+        val batch = StreamDemo.intervalJoin(
+          impData.toDF("impTs", "impAd"), clkData.toDF("clickTs", "clickAd"))
+          .orderBy("ad", "impTs", "clickTs").collect().map(_.toSeq).toSeq
+        assert(streaming == batch,
+          s"RocksDB streaming $streaming vs batch $batch")
+        assert(batch.size == 2)
+      } finally q.stop()
+    } finally prev match {
+      case Some(v) => spark.conf.set(key, v)
+      case None => spark.conf.unset(key)
+    }
+  }
+
   test("interval join under bucketed replay joins across the bucket boundary") {
     // The ev13_stream_join exactness argument: with ordered ≥1h-wide
     // buckets and 2h watermark delay, an impression buffered near a
