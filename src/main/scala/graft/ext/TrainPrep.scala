@@ -445,9 +445,33 @@ object TrainPrep {
     * engine-dependent order moves the 4th decimal at the top-k
     * boundary; summing longs is exact in any order, so `score_e6` is
     * bit-stable across engines and partitionings. */
-  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int): DataFrame = {
-    val words = docs.select(col("doc_id"), isTarget.as("tgt"),
-      explode(split(col("text"), " ")).as("w"))
+  def dsirSelect(docs: DataFrame, isTarget: Column, k: Int): DataFrame =
+    dsirScore(docs.select(col("doc_id"), isTarget.as("tgt"),
+      explode(split(col("text"), " ")).as("w")), k)
+
+  /** The paper's production variant: tokens hashed into `buckets`
+    * fixed n-gram buckets (Xie et al. §2.2) — the importance model's
+    * key space becomes a CONSTANT independent of corpus vocabulary,
+    * which is what bounds the LM join's broadcast at 100 TB (a raw
+    * web-scale vocabulary is billions of keys; 10⁴ buckets is a few
+    * hundred KB). Bucket = the first 6 hex digits of md5(token) mod
+    * `buckets` — md5 bytes and the hex-parse are bit-identical in both
+    * engines, so the bucketing (and therefore every score) restates
+    * exactly. Collisions are the method's stated trade: they blur the
+    * importance weights, never break determinism. */
+  def dsirSelectHashed(docs: DataFrame, isTarget: Column, k: Int,
+      buckets: Int): DataFrame =
+    dsirScore(docs
+      .select(col("doc_id"), isTarget.as("tgt"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("tgt"),
+        (conv(substring(md5(col("tok")), 1, 6), 16, 10).cast("long")
+          % buckets).as("w")), k)
+
+  /** Shared DSIR scoring core over a (doc_id, tgt, w) token stream —
+    * `w` is a raw token ([[dsirSelect]]) or a hashed bucket
+    * ([[dsirSelectHashed]]); the dataflow is identical. */
+  private def dsirScore(words: DataFrame, k: Int): DataFrame = {
     val raw = words.groupBy(col("w")).agg(count(lit(1)).as("cr"))
     val tgtC = words.filter(col("tgt")).groupBy(col("w"))
       .agg(count(lit(1)).as("ct"))
@@ -474,8 +498,17 @@ object TrainPrep {
   private val e14Dsir: Q = (s, dir) =>
     dsirSelect(t(s, dir, "documents"), col("lang") === "en", 200)
 
+  /** E14b: the hashed-bucket DSIR variant under the same gate — the
+    * scale path e14's doc promises, proven: same target slice, same
+    * top-200, key space capped at 10⁴ buckets; the oracle re-derives
+    * the bucketing from md5 hex and both LMs over it. */
+  private val e14bDsirHashed: Q = (s, dir) =>
+    dsirSelectHashed(t(s, dir, "documents"), col("lang") === "en", 200,
+      buckets = 10000)
+
   val queries: Map[String, Q] = Map(
     "e14_dsir" -> e14Dsir,
+    "e14b_dsir_hashed" -> e14bDsirHashed,
     "e8_domain_cap" -> e8DomainCap,
     "e8_shuffle" -> e8Shuffle,
     "e8_weighted" -> e8Weighted,
@@ -489,6 +522,33 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same LM restatement as e14 over the md5-hex bucket key.
+    "e14b_dsir_hashed" ->
+      """WITH wds AS (
+        |  SELECT doc_id, tgt,
+        |    (('0x' || substr(md5(w0), 1, 6))::BIGINT % 10000) AS w
+        |  FROM (
+        |    SELECT doc_id, (lang = 'en') AS tgt,
+        |      unnest(string_split(text, ' ')) AS w0
+        |    FROM documents)),
+        |raw AS (SELECT w, count(*) AS cr FROM wds GROUP BY w),
+        |tgt AS (SELECT w, count(*) AS ct FROM wds WHERE tgt GROUP BY w),
+        |tots AS (
+        |  SELECT count(*) AS rTot,
+        |    count(*) FILTER (WHERE tgt) AS tTot,
+        |    count(DISTINCT w) AS v
+        |  FROM wds),
+        |lm AS (
+        |  SELECT r.w, round((
+        |    ln((coalesce(t.ct, 0) + 1)::DOUBLE / (tots.tTot + tots.v)) -
+        |    ln((r.cr + 1)::DOUBLE / (tots.rTot + tots.v))) * 1e6)::BIGINT
+        |    AS lw_e6
+        |  FROM raw r LEFT JOIN tgt t ON r.w = t.w, tots)
+        |SELECT w.doc_id, count(*)::BIGINT AS n_words,
+        |  sum(l.lw_e6)::BIGINT AS score_e6
+        |FROM wds w JOIN lm l USING (w)
+        |GROUP BY w.doc_id
+        |ORDER BY score_e6 DESC, doc_id LIMIT 200""".stripMargin,
     "e14_dsir" ->
       """WITH wds AS (
         |  SELECT doc_id, (lang = 'en') AS tgt,

@@ -55,6 +55,7 @@ class PlanAuditSpec extends SparkSpec {
     // one-row totals (rTot/tTot/|V|) crossJoined onto the vocab-sized
     // log-ratio table — the LM join itself is an equi-join on the token
     "e14_dsir" -> Set("BroadcastNestedLoop"),
+    "e14b_dsir_hashed" -> Set("BroadcastNestedLoop"),
     "e4_logprob" -> Set("BroadcastNestedLoop"),
     // one-row vocabulary-size scalar crossJoined onto the bigram table
     "e4_bigram_lm" -> Set("BroadcastNestedLoop"),
