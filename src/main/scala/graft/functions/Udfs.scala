@@ -149,7 +149,30 @@ object Udfs {
       .orderBy(col("grp"), col("dim"))
   }
 
+  /** X7: a SQL-DEFINED function (Spark 4's `CREATE FUNCTION …
+    * RETURN <expr>`, SPARK-46057) — the zero-JVM extension surface: the
+    * body is a SQL expression, so Catalyst INLINES it into the plan
+    * (full codegen, pushdown through it), unlike a black-box JVM UDF.
+    * Declared temporary, used inside an aggregate; the oracle restates
+    * the inlined expression directly, so a definition/resolution bug
+    * (wrong arg binding, stale function) hash-fails. */
+  private val x7SqlUdf: Q = (s, dir) => {
+    graft.Tables.register(s, dir)
+    s.sql(
+      """CREATE OR REPLACE TEMPORARY FUNCTION disc_price(
+        |  p DOUBLE, d DOUBLE) RETURNS DOUBLE
+        |RETURN round(p * (1.0 - d), 4)""".stripMargin)
+    s.sql(
+      """SELECT l_returnflag,
+        |  round(sum(disc_price(l_extendedprice, l_discount)), 2)
+        |    AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
+    "x7_sql_udf" -> x7SqlUdf,
     "x2_udf_scalar" -> x2UdfScalar,
     "x3_udaf_geomean" -> x3UdafGeomean,
     "x4_udtf_bigrams" -> x4UdtfBigrams,
@@ -157,6 +180,14 @@ object Udfs {
   )
 
   val oracles: Map[String, String] = Map(
+    // The SQL function body inlined — definition must be transparent.
+    "x7_sql_udf" ->
+      """SELECT l_returnflag,
+        |  round(sum(round(l_extendedprice * (1.0 - l_discount), 4)), 2)
+        |    AS revenue,
+        |  count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin,
     "x2_udf_scalar" ->
       """SELECT l_orderkey, l_linenumber,
         | round(l_extendedprice * (1.0 - l_discount), 4) AS net_price

@@ -373,7 +373,57 @@ object Snapshots {
       .orderBy(col("slice"))
   }
 
+  /** Row-level diff between two committed versions — the Delta
+    * CHANGE DATA FEED / `table_changes()` read surface on the snapshot
+    * log: one keyed full-outer join of the two immutable version
+    * directories classifies every key as inserted (new only), deleted
+    * (old only), or updated (both, any tracked column differs);
+    * unchanged rows drop out. Cost is one co-partitioned join of two
+    * version scans — never a log replay — and the keyed-diff shape is
+    * exactly how downstream incremental consumers (k18's IVM, ev24's
+    * CDC apply) would be fed from snapshots. */
+  def snapshotDiff(s: SparkSession, root: String, v1: Int, v2: Int,
+      keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
+    val o = readVersion(s, root, Some(v1)).as("o")
+    val n = readVersion(s, root, Some(v2)).as("n")
+    val joined = o.join(n, keyCols.map(k => o(k) === n(k)).reduce(_ && _),
+      "full_outer")
+    val oKey = o(keyCols.head); val nKey = n(keyCols.head)
+    val changed = cmpCols.map(c => o(c) =!= n(c)).reduce(_ || _)
+    val cols = Seq(
+      coalesce(oKey, nKey).as(keyCols.head),
+      when(oKey.isNull, lit("insert"))
+        .when(nKey.isNull, lit("delete"))
+        .when(changed, lit("update"))
+        .otherwise(lit("same")).as("change")) ++
+      cmpCols.map(c => n(c).as(s"new_$c")) ++
+      cmpCols.map(c => o(c).as(s"old_$c"))
+    joined.select(cols: _*).filter(col("change") =!= "same")
+  }
+
+  /** K24: change feed between two snapshots under the gate — v1 is a
+    * customer slice, v2 drops a third of it (deletes), rewrites the
+    * balance on another third (updates), and adds new keys (inserts);
+    * the diff must classify every key exactly; the oracle restates
+    * the three classes set-algebraically from the raw table. */
+  private val k24SnapshotDiff: Q = (s, dir) => {
+    val root = Lake.scratchDir("k24")
+    val c = Tables.load(s, dir, "customer").select(
+      col("c_custkey"), round(col("c_acctbal"), 2).as("bal"))
+    // v1: customers with key % 4 in {0,1,2}; v2: drop %4==0, bump the
+    // balance of %4==1, keep %4==2 unchanged, add %4==3.
+    require(commitVersion(c.filter(col("c_custkey") % 4 <= 2), root) == 1)
+    require(commitVersion(
+      c.filter(col("c_custkey") % 4 >= 1)
+        .select(col("c_custkey"),
+          when(col("c_custkey") % 4 === 1, round(col("bal") + 100.0, 2))
+            .otherwise(col("bal")).as("bal")), root) == 2)
+    snapshotDiff(s, root, 1, 2, Seq("c_custkey"), Seq("bal"))
+      .orderBy(col("c_custkey"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k24_snapshot_diff" -> k24SnapshotDiff,
     "k15_timetravel" -> k15Timetravel,
     "k16_forget" -> k16Forget,
     "k20_scd2" -> k20Scd2,
@@ -382,6 +432,21 @@ object Snapshots {
   )
 
   val oracles: Map[String, String] = Map(
+    // Set-algebraic restatement of the three change classes; the
+    // unchanged (%4 == 2) slice must be absent.
+    "k24_snapshot_diff" ->
+      """WITH c AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS bal FROM customer)
+        |SELECT c_custkey, 'insert' AS change,
+        |  bal AS new_bal, NULL::DOUBLE AS old_bal
+        |FROM c WHERE c_custkey % 4 = 3
+        |UNION ALL
+        |SELECT c_custkey, 'delete', NULL::DOUBLE, bal
+        |FROM c WHERE c_custkey % 4 = 0
+        |UNION ALL
+        |SELECT c_custkey, 'update', round(bal + 100.0, 2), bal
+        |FROM c WHERE c_custkey % 4 = 1
+        |ORDER BY c_custkey""".stripMargin,
     // The two SURVIVING slices restated from the raw table — vacuum
     // must be invisible to every retained version's read.
     "k23_vacuum" ->
