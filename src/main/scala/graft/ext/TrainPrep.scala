@@ -506,7 +506,143 @@ object TrainPrep {
     dsirSelectHashed(t(s, dir, "documents"), col("lang") === "en", 200,
       buckets = 10000)
 
+  /** Temperature-sampled mixture + epoch planning — the two published
+    * rules a data-constrained pretraining run combines: sampling
+    * weights w_s ∝ p_s^α flatten the source distribution (α = 0.3, the
+    * mC4/mT5 and XLM-R low-resource upweighting rule), and per-source
+    * epochs = target/available tokens are planned against the ~4-epoch
+    * near-free repetition regime of Muennighoff et al. (NeurIPS 2023,
+    * "Scaling Data-Constrained Language Models"), whose fitted decay
+    * R* ≈ 15.4 gives the effective-unique-token value of each plan
+    * line: eff = avail·R*·(1 − exp(−epochs/R*)). One S-row plan from
+    * one keyed token count — the whole computation past the count is
+    * broadcast-sized at any corpus scale. Shares (hence targets,
+    * epochs, eff) round per ROW before emission, the rounding-parity
+    * convention. */
+  def temperatureMixturePlan(docs: DataFrame, sourceCol: String,
+      textCol: String, alpha: Double, budgetX: Double): DataFrame = {
+    val avail = docs.groupBy(col(sourceCol))
+      .agg(sum(TextStats.bpeishTokenCount(col(textCol)).cast("long"))
+        .as("avail_tokens"))
+    val tot = avail.agg(sum(col("avail_tokens")).as("total"))
+    val w = avail.crossJoin(tot).withColumn("wgt",
+      pow(col("avail_tokens").cast("double") / col("total"), lit(alpha)))
+    val wTot = w.agg(sum(col("wgt")).as("w_tot"))
+    w.crossJoin(wTot)
+      .withColumn("share", round(col("wgt") / col("w_tot"), 6))
+      .withColumn("target_tokens",
+        round(lit(budgetX) * col("total") * col("share"), 0).cast("long"))
+      .withColumn("epochs", round(col("target_tokens").cast("double") /
+        col("avail_tokens"), 4))
+      .select(col(sourceCol), col("avail_tokens"), col("share"),
+        col("target_tokens"), col("epochs"),
+        (col("epochs") > 4.0).as("beyond_free_repetition"),
+        round(col("avail_tokens") * lit(15.4) *
+          (lit(1.0) - exp(-col("epochs") / lit(15.4))), 2)
+          .as("effective_tokens"))
+  }
+
+  private val e17MixturePlan: Q = (s, dir) =>
+    temperatureMixturePlan(t(s, dir, "documents"), "source", "text",
+      alpha = 0.3, budgetX = 8.0)
+      .orderBy(col("source"))
+
+  /** Leakage-safe train/val/test split: near-duplicate CLUSTERS, not
+    * documents, are the unit of assignment — the decontamination rule
+    * the GPT-3/Gopher train-test-overlap analyses motivate (a test doc
+    * whose near-twin sits in train is a leak no per-doc hash split can
+    * prevent; here it is structurally impossible). `pairs` is any
+    * near-dup pair set (a, b) — PPJoin, MinHash, SimHash, embedding —
+    * so the split composes with every pair generator in [[Dedup]];
+    * clusters come from the large-star/small-star connected components
+    * (O(log n) rounds at any diameter), each doc's representative is
+    * its component minimum (its own id for singletons — for them this
+    * degrades EXACTLY to [[hashSplit]]), and the representative's
+    * [[splitBucket]] hash assigns the whole cluster to one split.
+    * Returns (idCol, rep, split); map-only past the CC join. */
+  def leakSafeSplit(df: DataFrame, idCol: String, pairs: DataFrame,
+      fracs: Seq[(String, Double)]): DataFrame = {
+    val comps = Dedup.connectedComponents(pairs)
+      .withColumnRenamed("id", idCol)
+    val rep = df.select(col(idCol)).join(comps, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("comp"), col(idCol)).as("rep"))
+    hashSplit(rep, "rep", fracs)
+  }
+
+  /** E16: leakage-safe split under the gate — exact trigram-Jaccard
+    * pairs (deterministic, so both engines derive the identical
+    * cluster structure), CC clustering, cluster-keyed 80/10/10 split.
+    * The result carries per-split memberships (count + id checksum),
+    * the cluster count, and the CROSS-SPLIT LEAK COUNT — computed
+    * independently on both engines, and 0 only if clustering and
+    * assignment are both right; a lost pair or a split cluster also
+    * shifts the checksums. */
+  private val e16LeakSplit: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    // The PPJoin subtree is the expensive part — run it once; the CC
+    // operator and the leak audit both read the checkpoint.
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
+      shingleN = 3, threshold = 0.75).localCheckpoint(eager = false)
+    val lab = leakSafeSplit(docs, "doc_id", pairs,
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .localCheckpoint(eager = false)
+    val leaks = pairs
+      .join(lab.as("la"), col("a") === col("la.doc_id"))
+      .join(lab.as("lb"), col("b") === col("lb.doc_id"))
+      .filter(col("la.split") =!= col("lb.split"))
+      .agg(count(lit(1)).as("leaked_pairs"))
+    lab.groupBy(col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("rep")).as("n_clusters"),
+        sum(col("doc_id")).as("id_checksum"))
+      .crossJoin(leaks)
+      .select(col("split"), col("n_docs"), col("n_clusters"),
+        col("id_checksum"), col("leaked_pairs"))
+      .orderBy(col("split"))
+  }
+
+  /** E15: CCNet-style perplexity bucketing (Wenzek et al., LREC 2020):
+    * every document is scored by its mean unigram negative
+    * log-likelihood under the corpus LM (the e4_logprob signal
+    * standing in for CCNet's KenLM), then split PER LANGUAGE into
+    * head/middle/tail terciles — CCNet's observation is that
+    * perplexity is only comparable within a language, so the tercile
+    * window partitions by lang; downstream, head+middle is the kept
+    * slice and tail is re-reviewed. Dataflow: one vocabulary-keyed LM
+    * join (e4's shape), one per-doc agg, one lang-partitioned ntile
+    * window, one rollup. At 100 TB the tercile boundaries would come
+    * from per-language approx percentiles instead of a full
+    * within-language sort; the bucketing semantics are unchanged.
+    * Rounding parity: per-doc score rounds to 6 BEFORE the window and
+    * rollup (avg-of-rounded, per CLAUDE.md). */
+  def ccnetBuckets(docs: DataFrame): DataFrame = {
+    val words = docs.select(col("doc_id"), col("lang"),
+      explode(split(col("text"), " ")).as("w"))
+    val freq = words.groupBy(col("w")).agg(count(lit(1)).as("c"))
+    val tot = words.agg(count(lit(1)).as("total"))
+    val lm = freq.crossJoin(tot).select(col("w"),
+      (-log(col("c").cast("double") / col("total"))).as("nll"))
+    val scored = words.join(lm, Seq("w"))
+      .groupBy(col("doc_id"), col("lang"))
+      .agg(round(avg(col("nll")), 6).as("score"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("score"), col("doc_id"))
+    scored.select(col("lang"), col("score"), ntile(3).over(w).as("bucket"))
+      .groupBy(col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("score")), 4).as("avg_score"),
+        min(col("score")).as("min_score"),
+        max(col("score")).as("max_score"))
+      .orderBy(col("lang"), col("bucket"))
+  }
+
+  private val e15CcnetBuckets: Q = (s, dir) =>
+    ccnetBuckets(t(s, dir, "documents"))
+
   val queries: Map[String, Q] = Map(
+    "e17_mixture_plan" -> e17MixturePlan,
+    "e16_leak_split" -> e16LeakSplit,
+    "e15_ccnet_buckets" -> e15CcnetBuckets,
     "e14_dsir" -> e14Dsir,
     "e14b_dsir_hashed" -> e14bDsirHashed,
     "e8_domain_cap" -> e8DomainCap,
@@ -522,6 +658,110 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    // Token counts, the α-temperature shares, targets, epochs, the
+    // 4-epoch flag, and the R*-decay effective tokens all re-derived;
+    // shares round per row before targets (rounding-parity).
+    "e17_mixture_plan" -> s"""WITH avail AS (
+        |  SELECT source,
+        |    sum(len(regexp_extract_all(text,
+        |      '${TextStats.TokenRe}')))::BIGINT AS avail_tokens
+        |  FROM documents GROUP BY source),
+        |tot AS (SELECT sum(avail_tokens)::DOUBLE AS total FROM avail),
+        |w AS (
+        |  SELECT source, avail_tokens,
+        |    pow(avail_tokens / total, 0.3) AS wgt, total
+        |  FROM avail, tot),
+        |wt AS (SELECT sum(wgt) AS w_tot FROM w),
+        |sh AS (
+        |  SELECT source, avail_tokens, total,
+        |    round(wgt / w_tot, 6) AS share
+        |  FROM w, wt),
+        |tg AS (
+        |  SELECT source, avail_tokens, share,
+        |    round(8.0 * total * share, 0)::BIGINT AS target_tokens
+        |  FROM sh),
+        |ep AS (
+        |  SELECT source, avail_tokens, share, target_tokens,
+        |    round(target_tokens / avail_tokens::DOUBLE, 4) AS epochs
+        |  FROM tg)
+        |SELECT source, avail_tokens, share, target_tokens, epochs,
+        |  epochs > 4.0 AS beyond_free_repetition,
+        |  round(avail_tokens * 15.4 * (1.0 - exp(-epochs / 15.4)), 2)
+        |    AS effective_tokens
+        |FROM ep ORDER BY source""".stripMargin,
+    // Pairs (exact all-pairs trigram Jaccard), the transitive closure,
+    // the representative, the bucket arithmetic, and the leak count are
+    // ALL re-derived — a lost pair, a split cluster, or a doc assigned
+    // off its cluster's hash shifts a checksum and hash-fails.
+    "e16_leak_split" ->
+      """WITH RECURSIVE sh AS MATERIALIZED (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS s
+        |  FROM documents),
+        |pairs AS MATERIALIZED (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(a.s) > 0 AND len(b.s) > 0
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.75),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src),
+        |comp AS (
+        |  SELECT src AS doc_id, min(dst) AS component
+        |  FROM reach GROUP BY src),
+        |rep AS (
+        |  SELECT d.doc_id, coalesce(c.component, d.doc_id) AS rep
+        |  FROM documents d LEFT JOIN comp c USING (doc_id)),
+        |lab AS MATERIALIZED (
+        |  SELECT doc_id, rep,
+        |    CASE WHEN ((rep * 2654435761) % 4294967296) / 4294967296.0
+        |              < 0.8 THEN 'train'
+        |         WHEN ((rep * 2654435761) % 4294967296) / 4294967296.0
+        |              < 0.9 THEN 'val'
+        |         ELSE 'test' END AS split
+        |  FROM rep),
+        |leaks AS (
+        |  SELECT count(*) AS leaked FROM pairs p
+        |  JOIN lab la ON p.a = la.doc_id
+        |  JOIN lab lb ON p.b = lb.doc_id
+        |  WHERE la.split <> lb.split)
+        |SELECT split, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT rep)::BIGINT AS n_clusters,
+        |  sum(doc_id)::BIGINT AS id_checksum,
+        |  (SELECT leaked FROM leaks)::BIGINT AS leaked_pairs
+        |FROM lab GROUP BY split ORDER BY split""".stripMargin,
+    // LM + per-doc score + lang-partitioned terciles re-derived in
+    // full; a wrong LM denominator, an unstable tercile boundary, or
+    // cross-language score mixing all hash-fail.
+    "e15_ccnet_buckets" ->
+      """WITH wds AS (
+        |  SELECT doc_id, lang, unnest(string_split(text, ' ')) AS w
+        |  FROM documents),
+        |freq AS (SELECT w, count(*) AS c FROM wds GROUP BY w),
+        |tot AS (SELECT count(*) AS total FROM wds),
+        |lm AS (SELECT w, -ln(c::DOUBLE / total) AS nll FROM freq, tot),
+        |sc AS (
+        |  SELECT doc_id, lang, round(avg(nll), 6) AS score
+        |  FROM wds JOIN lm USING (w) GROUP BY doc_id, lang),
+        |bk AS (
+        |  SELECT lang, score, ntile(3) OVER (
+        |    PARTITION BY lang ORDER BY score, doc_id) AS bucket
+        |  FROM sc)
+        |SELECT lang, bucket, count(*)::BIGINT AS n_docs,
+        |  round(avg(score), 4) AS avg_score,
+        |  min(score) AS min_score, max(score) AS max_score
+        |FROM bk GROUP BY lang, bucket
+        |ORDER BY lang, bucket""".stripMargin,
     // Same LM restatement as e14 over the md5-hex bucket key.
     "e14b_dsir_hashed" ->
       """WITH wds AS (

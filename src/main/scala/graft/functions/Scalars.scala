@@ -177,7 +177,34 @@ object Scalars {
         round(avg(col("l_extendedprice")), 4).as("mean"))
       .orderBy(col("bucket"))
 
+  /** F16: URL parsing — Spark's `parse_url` (HOST / PATH / QUERY /
+    * REF / a named query parameter), the crawl-pipeline primitive
+    * behind per-domain caps and source attribution. URLs are
+    * synthesized deterministically from the documents columns, so the
+    * DuckDB oracle re-derives each component from the SAME columns —
+    * parse_url must exactly invert the construction (a host that eats
+    * the path, a query that keeps its '?', or a lost fragment all
+    * hash-fail). Rolled up per host: map-only parse + one dim-sized
+    * agg. */
+  private val f16ParseUrl: Q = (s, dir) => {
+    val url = concat(lit("https://"), col("source"),
+      lit(".example.com/"), col("lang"), lit("/doc/"), col("doc_id"),
+      lit("?ref=r"), col("doc_id") % 7, lit("#s"), col("doc_id") % 3)
+    t(s, dir, "documents").select(
+      parse_url(url, lit("HOST")).as("host"),
+      parse_url(url, lit("PATH")).as("path"),
+      parse_url(url, lit("QUERY"), lit("ref")).as("ref"),
+      parse_url(url, lit("REF")).as("frag"))
+      .groupBy(col("host"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("path")).as("n_paths"),
+        countDistinct(col("ref")).as("n_refs"),
+        countDistinct(col("frag")).as("n_frags"))
+      .orderBy(col("host"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "f16_parse_url" -> f16ParseUrl,
     "f15_histogram" -> f15Histogram,
     "f13_from_json" -> f13FromJson,
     "f11_string_extra" -> f11StringExtra,
@@ -193,6 +220,20 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    // Each URL component restated from the SOURCE columns the URL was
+    // built from — the oracle never parses, so parse must invert build.
+    "f16_parse_url" ->
+      """WITH u AS (
+        |  SELECT source || '.example.com' AS host,
+        |    '/' || lang || '/doc/' || doc_id AS path,
+        |    'r' || (doc_id % 7) AS ref,
+        |    's' || (doc_id % 3) AS frag
+        |  FROM documents)
+        |SELECT host, count(*)::BIGINT AS n_docs,
+        |  count(DISTINCT path)::BIGINT AS n_paths,
+        |  count(DISTINCT ref)::BIGINT AS n_refs,
+        |  count(DISTINCT frag)::BIGINT AS n_frags
+        |FROM u GROUP BY host ORDER BY host""".stripMargin,
     "f15_histogram" ->
       """SELECT least(floor(l_extendedprice / 5000.0), 20)::BIGINT AS bucket,
         |  count(*)::BIGINT AS n,

@@ -167,6 +167,52 @@ object Snapshots {
     expired
   }
 
+  // --------------------------------------------- write-audit-publish
+
+  /** WRITE-AUDIT-PUBLISH (the Iceberg/Netflix WAP pattern): stage the
+    * batch as a CLAIMED-but-uncommitted version — physically written,
+    * invisible to every reader because version resolution only lists
+    * commit markers — run the caller's audit against the staged files,
+    * and PUBLISH only on pass. A failing batch never becomes readable:
+    * its data directory is removed and its claim stays behind as a
+    * burned version number, byte-for-byte the same residue as a writer
+    * that crashed mid-commit, which the existing vacuum/orphan sweep
+    * already handles. Returns Right(version) on publish, Left(reason)
+    * on rejection (table unchanged).
+    *
+    * Scale shape: the stage is the ordinary one-parquet-write commit
+    * path; the audit is whatever the caller runs (a [[Validate]] suite
+    * is ONE aggregation pass); publish is a one-line atomic rename.
+    * Concurrency-safe by construction — the claim CAS serializes
+    * version numbers, and an audit that takes minutes blocks nobody
+    * (other writers claim higher numbers and can publish first). */
+  def commitAudited(s: SparkSession, root: String)(write: String => Unit)(
+      audit: DataFrame => Either[String, Unit]): Either[String, Int] = {
+    Files.createDirectories(Paths.get(root))
+    var v = latestVersion(root) + 1
+    while (!claim(root, v)) v += 1
+    val path = s"$root/v=$v"
+    write(path)
+    audit(s.read.parquet(path)) match {
+      case Right(()) => publish(root, v); Right(v)
+      case Left(reason) =>
+        Lake.deleteRecursively(new java.io.File(path))
+        Left(reason)
+    }
+  }
+
+  /** A [[Validate]] suite as a WAP audit: every check must pass. The
+    * verdict is decided by ONE `bool_and` over the one-pass metric
+    * rows — the only driver-side value is the check-count-sized
+    * failure list. */
+  def validateAudit(checks: Seq[Validate.Check])(
+      df: DataFrame): Either[String, Unit] = {
+    val failed = Validate.validate(df, checks)
+      .filter(!col("passed"))
+      .select(col("check_name")).collect().map(_.getString(0))
+    if (failed.isEmpty) Right(()) else Left(failed.mkString(","))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** K15: two snapshot writes, then BOTH a time-travel read of v1 and
@@ -373,6 +419,181 @@ object Snapshots {
       .orderBy(col("slice"))
   }
 
+  /** RESTORE: roll the table back to `toVersion` by committing a NEW
+    * version with that content — Delta `RESTORE TABLE … TO VERSION AS
+    * OF n` semantics: history is never rewritten, the bad version
+    * stays readable for audit, and the restore itself is an ordinary
+    * auditable commit (so it composes with vacuum retention and the
+    * change feed). Cost here is one version copy-write — the honest
+    * full-copy tradeoff k15 documents; a manifest-of-files layout
+    * would make the same operation metadata-only. */
+  def restore(s: SparkSession, root: String, toVersion: Int): Int =
+    commitVersionWith(root)(p =>
+      Lake.writeParquet(readVersion(s, root, Some(toVersion)), p))
+
+  // ------------------------------------- merge-on-read position deletes
+
+  /** DELETE as a deletion vector (Iceberg v2 position deletes / Delta
+    * deletion vectors): one scan of the immutable base version finds
+    * matching rows and records their PHYSICAL POSITIONS — Spark's
+    * parquet `_metadata.file_path` + `_metadata.row_index` — in a
+    * deletes-sized sidecar under `_dv_v<n>/`. The base parquet is
+    * never rewritten: a delete costs O(scan) + O(matches) written,
+    * not a table rewrite (the copy-on-write alternative k14 does).
+    * Repeated/overlapping delete batches append; the read side
+    * de-duplicates positions. Returns the number of positions written.
+    */
+  def deleteWhere(s: SparkSession, root: String, v: Int,
+      pred: org.apache.spark.sql.Column): Long = {
+    val base = s.read.parquet(s"$root/v=$v")
+    val hits = base.filter(pred).select(
+      col("_metadata.file_path").as("file_path"),
+      col("_metadata.row_index").as("row_index"))
+    hits.write.mode("append").parquet(s"$root/_dv_v$v")
+    s.read.parquet(s"$root/_dv_v$v").count() // positions on record
+  }
+
+  /** MERGE-ON-READ: the base version scan minus its deletion vectors,
+    * applied as a distinct (file, row_index) LEFT ANTI join. The DV
+    * side is deletes-sized and BROADCASTS — a broadcast hash anti-join
+    * IS map-side filtering, the same dataflow as Iceberg's per-file
+    * positional bitmaps; only a deletes-fraction approaching the table
+    * itself would want the shuffle anti-join (at which point compaction
+    * back into a rewritten version — [[restore]]-style — is due). */
+  def readWithDeletes(s: SparkSession, root: String, v: Int): DataFrame = {
+    val base = s.read.parquet(s"$root/v=$v")
+      .withColumn("__file", col("_metadata.file_path"))
+      .withColumn("__pos", col("_metadata.row_index"))
+    val dvDir = Paths.get(root, s"_dv_v$v")
+    val out =
+      if (!Files.isDirectory(dvDir)) base
+      else {
+        val dv = s.read.parquet(dvDir.toString).distinct()
+        base.join(broadcast(dv),
+          base("__file") === dv("file_path") &&
+            base("__pos") === dv("row_index"), "left_anti")
+      }
+    out.drop("__file", "__pos")
+  }
+
+  /** K25: RESTORE under the gate — v1 = the good orders slice, v2 = a
+    * bad deploy (drops a fifth of the rows, corrupts a third of the
+    * prices), restore(v1) commits v3. The gate reads the LATEST
+    * version (must equal v1's content — a restore that rewrites
+    * history or misses the manifest hash-fails) AND v2 (the audit
+    * trail must survive the restore). */
+  private val k25Restore: Q = (s, dir) => {
+    val root = Lake.scratchDir("k25")
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_totalprice"), col("o_orderstatus"))
+    require(commitVersion(o, root) == 1)
+    require(commitVersion(
+      o.filter(col("o_orderkey") % 5 =!= 0)
+        .select(col("o_orderkey"),
+          when(col("o_orderkey") % 3 === 0,
+            round(col("o_totalprice") + 1000.0, 2))
+            .otherwise(col("o_totalprice")).as("o_totalprice"),
+          col("o_orderstatus")), root) == 2)
+    require(restore(s, root, toVersion = 1) == 3)
+    require(latestVersion(root) == 3, "restore did not advance the log")
+    def agg(df: DataFrame, label: String) = df.agg(
+      count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_keys"),
+      round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(lit(label).as("snap"), col("n_orders"), col("sum_keys"),
+        col("sum_price"))
+    agg(readVersion(s, root), "v3_restored")
+      .unionByName(agg(readVersion(s, root, Some(2)), "v2_bad"))
+      .orderBy(col("snap"))
+  }
+
+  /** K26: deletion-vector deletes under the gate — lineitem committed
+    * once as an 8-file base version, then two OVERLAPPING delete
+    * batches and an exact REPLAY of the first (idempotence) touch only
+    * the `_dv_v1/` sidecar: the base directory's file listing is
+    * required byte-identical before/after, so any base rewrite fails
+    * loudly. The merge-on-read scan must equal the predicate
+    * restatement over the raw table — a position applied to the wrong
+    * file, a double-counted overlap, or a replayed batch deleting
+    * extra rows all hash-fail. */
+  private val k26DeletionVectors: Q = (s, dir) => {
+    val root = Lake.scratchDir("k26")
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"), col("l_discount"), col("l_returnflag"))
+    require(commitVersionWith(root)(p =>
+      li.repartition(8).write.parquet(p)) == 1)
+    def baseListing(): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(Paths.get(root, "v=1"))
+      try ls.iterator().asScala.map(p =>
+        (p.getFileName.toString, Files.size(p))).toList.sortBy(_._1)
+      finally ls.close()
+    }
+    val before = baseListing()
+    val d1 = col("l_returnflag") === "R" && col("l_quantity") >= 45
+    val d2 = col("l_discount") >= 0.09 // overlaps d1
+    deleteWhere(s, root, 1, d1)
+    deleteWhere(s, root, 1, d2)
+    deleteWhere(s, root, 1, d1) // replayed batch: must be a no-op
+    require(baseListing() == before, "delete rewrote the base version")
+    readWithDeletes(s, root, 1).agg(
+      count(lit(1)).as("n_rows"),
+      sum(col("l_orderkey")).as("sum_keys"),
+      round(sum(round(col("l_extendedprice") * (lit(1.0) - col("l_discount")),
+        4)), 2).as("sum_revenue"))
+  }
+
+  /** K27: write-audit-publish under the gate — three batches through
+    * [[commitAudited]] with a [[Validate]] suite (complete custkey,
+    * unique orderkey, prices in range): a clean initial slice publishes
+    * v1; a poisoned batch (planted NULL custkeys, duplicated keys,
+    * negated prices — each tripping a different check) is REJECTED with
+    * the table still reading v1 and version 2 burned; the clean full
+    * table then publishes as v3. The gate reads v1 AND the latest
+    * version — a rejected batch that leaked into readers, a lost
+    * initial version, or a publish that skipped the audit all
+    * hash-fail; the requires pin the protocol (reject reason names all
+    * three checks, latest unmoved across the reject, burned number). */
+  private val k27Wap: Q = (s, dir) => {
+    val root = Lake.scratchDir("k27")
+    val o = Tables.load(s, dir, "orders").select(
+      col("o_orderkey"), col("o_custkey"), col("o_totalprice"),
+      col("o_orderstatus"))
+    val checks = Seq(
+      Validate.Check("complete_custkey",
+        Validate.completeness("o_custkey"), _ === 1.0),
+      Validate.Check("unique_orderkey",
+        Validate.uniqueness(Seq("o_orderkey")), _ === 1.0),
+      Validate.Check("range_price",
+        Validate.inRange("o_totalprice", 0.0, 1e9), _ === 1.0))
+    def wap(df: DataFrame) = commitAudited(s, root)(
+      p => Lake.writeParquet(df, p))(validateAudit(checks))
+    require(wap(o.filter(col("o_orderkey") % 3 === 0)) == Right(1))
+    val poisoned = o
+      .withColumn("o_custkey",
+        when(col("o_orderkey") % 11 === 0, lit(null)).otherwise(col("o_custkey")))
+      .withColumn("o_totalprice",
+        when(col("o_orderkey") % 13 === 0, -col("o_totalprice"))
+          .otherwise(col("o_totalprice")))
+      .unionByName(o.filter(col("o_orderkey") % 7 === 0))
+    wap(poisoned) match {
+      case Left(reason) =>
+        require(Set("complete_custkey", "unique_orderkey", "range_price")
+          .subsetOf(reason.split(",").toSet), s"partial audit: $reason")
+      case Right(v) => sys.error(s"poisoned batch published as v$v")
+    }
+    require(latestVersion(root) == 1, "reject moved the table")
+    require(wap(o) == Right(3), "rejected claim was not burned")
+    def agg(df: DataFrame, label: String) = df.agg(
+      count(lit(1)).as("n_orders"), sum(col("o_orderkey")).as("sum_keys"),
+      round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .select(lit(label).as("snap"), col("n_orders"), col("sum_keys"),
+        col("sum_price"))
+    agg(readVersion(s, root, Some(1)), "v1_initial")
+      .unionByName(agg(readVersion(s, root), "v3_published"))
+      .orderBy(col("snap"))
+  }
+
   /** Row-level diff between two committed versions — the Delta
     * CHANGE DATA FEED / `table_changes()` read surface on the snapshot
     * log: one keyed full-outer join of the two immutable version
@@ -424,6 +645,9 @@ object Snapshots {
 
   val queries: Map[String, Q] = Map(
     "k24_snapshot_diff" -> k24SnapshotDiff,
+    "k25_restore" -> k25Restore,
+    "k26_deletion_vectors" -> k26DeletionVectors,
+    "k27_wap" -> k27Wap,
     "k15_timetravel" -> k15Timetravel,
     "k16_forget" -> k16Forget,
     "k20_scd2" -> k20Scd2,
@@ -447,6 +671,44 @@ object Snapshots {
         |SELECT c_custkey, 'update', round(bal + 100.0, 2), bal
         |FROM c WHERE c_custkey % 4 = 1
         |ORDER BY c_custkey""".stripMargin,
+    // v3 must equal the ORIGINAL table (the restore target), v2 the
+    // corrupted deploy — both restated from the raw table.
+    "k25_restore" ->
+      """SELECT * FROM (
+        |  SELECT 'v2_bad' AS snap, count(*)::BIGINT AS n_orders,
+        |    sum(o_orderkey)::BIGINT AS sum_keys,
+        |    round(sum(CASE WHEN o_orderkey % 3 = 0
+        |                   THEN round(o_totalprice + 1000.0, 2)
+        |                   ELSE o_totalprice END), 2) AS sum_price
+        |  FROM orders WHERE o_orderkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT 'v3_restored', count(*)::BIGINT, sum(o_orderkey)::BIGINT,
+        |    round(sum(o_totalprice), 2)
+        |  FROM orders
+        |) ORDER BY snap""".stripMargin,
+    // v1 = the initial slice, latest = the full clean table — the
+    // poisoned batch must be invisible to both reads.
+    "k27_wap" ->
+      """SELECT * FROM (
+        |  SELECT 'v1_initial' AS snap, count(*)::BIGINT AS n_orders,
+        |    sum(o_orderkey)::BIGINT AS sum_keys,
+        |    round(sum(o_totalprice), 2) AS sum_price
+        |  FROM orders WHERE o_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT 'v3_published', count(*)::BIGINT, sum(o_orderkey)::BIGINT,
+        |    round(sum(o_totalprice), 2)
+        |  FROM orders
+        |) ORDER BY snap""".stripMargin,
+    // The merge-on-read scan restated as the predicate complement over
+    // the raw table (positions are physical; semantics are row-level).
+    "k26_deletion_vectors" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(l_orderkey)::BIGINT AS sum_keys,
+        |  round(sum(round(l_extendedprice * (1.0 - l_discount), 4)), 2)
+        |    AS sum_revenue
+        |FROM lineitem
+        |WHERE NOT (l_returnflag = 'R' AND l_quantity >= 45)
+        |  AND NOT (l_discount >= 0.09)""".stripMargin,
     // The two SURVIVING slices restated from the raw table — vacuum
     // must be invisible to every retained version's read.
     "k23_vacuum" ->

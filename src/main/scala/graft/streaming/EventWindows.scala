@@ -464,6 +464,23 @@ object EventWindows {
         unix_micros(col("clickTs")).as("click_us"))
       .orderBy(col("ad"), col("imp_us"), col("click_us"))
 
+  /** EV25: stream-stream FULL OUTER interval join — completes the
+    * outer-join matrix (ev13 inner, ev17 left): BOTH unmatched sides
+    * must surface, each only when the watermark expires its state — an
+    * unclicked impression emits null-click, an impression-less click
+    * (organic traffic) emits null-impression. Same replay harness and
+    * exactness argument as ev17, applied symmetrically; keep-alive
+    * rows (ads −1/−2) surface as unmatched rows on their own side and
+    * are filtered on the coalesced ad. Oracle = DuckDB's batch FULL
+    * JOIN with both null orderings pinned NULLS FIRST. */
+  private val ev25StreamFullJoin: Q = (s, dir) =>
+    replayIntervalJoin(s, dir, StreamDemo.intervalJoinFullOuter,
+      finalFlushMs = Some(30L * 86400000L))
+      .filter(col("ad") >= 0)
+      .select(col("ad"), unix_micros(col("impTs")).as("imp_us"),
+        unix_micros(col("clickTs")).as("click_us"))
+      .orderBy(col("ad"), col("imp_us"), col("click_us"))
+
   /** EV14: watermarked tumbling-window aggregation EXECUTED AS A
     * STREAM in APPEND mode, oracle-gated — the mode where the state
     * story is real: a 1-day window only EMITS once the watermark (1 h
@@ -843,6 +860,7 @@ object EventWindows {
     "ev22_tws_sessions" -> ev22TwsSessions,
     "ev21_rocksdb_sessions" -> ev21RocksdbSessions,
     "ev17_stream_left_join" -> ev17StreamLeftJoin,
+    "ev25_stream_full_join" -> ev25StreamFullJoin,
     "ev16_stream_route" -> ev16StreamRoute,
     "ev18_stream_upsert" -> ev18StreamUpsert,
     "ev19_stream_backfill" -> ev19StreamBackfill,
@@ -1017,6 +1035,18 @@ object EventWindows {
         |  ON i.ad = c.ad AND c.ts >= i.ts
         | AND c.ts <= i.ts + INTERVAL 1 HOUR
         |ORDER BY i.ad, imp_us, click_us NULLS FIRST""".stripMargin,
+    // Batch FULL JOIN restatement of the streamed full-outer interval
+    // join; the coalesced ad keys rows that exist on only one side.
+    "ev25_stream_full_join" ->
+      """SELECT coalesce(i.ad, c.ad) AS ad,
+        |  epoch_us(i.ts) AS imp_us, epoch_us(c.ts) AS click_us
+        |FROM (SELECT user_id % 50 AS ad, ts FROM events
+        |      WHERE event_type = 'view') i
+        |FULL JOIN (SELECT user_id % 50 AS ad, ts FROM events
+        |           WHERE event_type = 'click') c
+        |  ON i.ad = c.ad AND c.ts >= i.ts
+        | AND c.ts <= i.ts + INTERVAL 1 HOUR
+        |ORDER BY ad, imp_us NULLS FIRST, click_us NULLS FIRST""".stripMargin,
     // Batch restatement of the streamed interval join: clicks within
     // one hour AFTER a same-ad impression (ad = user_id % 50).
     "ev13_stream_join" ->

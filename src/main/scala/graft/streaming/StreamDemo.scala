@@ -189,6 +189,26 @@ object StreamDemo {
       .select(col("impAd").as("ad"), col("impTs"), col("clickTs"))
   }
 
+  /** FULL OUTER variant of [[intervalJoin]] — both unmatched sides
+    * survive: an impression nobody clicked emits null-click, a click
+    * with no prior impression (organic traffic, attribution loss)
+    * emits null-impression; each appears only when the watermark
+    * expires its buffered state. Same REQUIRED watermark + in-condition
+    * time bound as the left-outer case; the result keys on
+    * coalesce(both ads) since either side may be null. */
+  def intervalJoinFullOuter(impressions: DataFrame,
+      clicks: DataFrame): DataFrame = {
+    val imp = impressions.withWatermark("impTs", "2 hours")
+    val clk = clicks.withWatermark("clickTs", "2 hours")
+    imp.join(clk,
+      col("impAd") === col("clickAd") &&
+        col("clickTs") >= col("impTs") &&
+        col("clickTs") <= col("impTs") + expr("INTERVAL 1 HOUR"),
+      "full_outer")
+      .select(coalesce(col("impAd"), col("clickAd")).as("ad"),
+        col("impTs"), col("clickTs"))
+  }
+
   /** Arbitrary stateful processing: running per-user event counts via
     * mapGroupsWithState — the custom-state primitive (the scale story:
     * state is partitioned by key in the state store, updates are

@@ -56,6 +56,13 @@ class PlanAuditSpec extends SparkSpec {
     // log-ratio table — the LM join itself is an equi-join on the token
     "e14_dsir" -> Set("BroadcastNestedLoop"),
     "e14b_dsir_hashed" -> Set("BroadcastNestedLoop"),
+    // one-row corpus-total crossJoined onto the vocab LM (the e14 shape)
+    "e15_ccnet_buckets" -> Set("BroadcastNestedLoop"),
+    // two one-row totals (token sum, weight sum) crossJoined onto the
+    // S-row source plan table
+    "e17_mixture_plan" -> Set("BroadcastNestedLoop"),
+    // one-row leaked-pair count crossJoined onto the 3-row split rollup
+    "e16_leak_split" -> Set("BroadcastNestedLoop"),
     "e4_logprob" -> Set("BroadcastNestedLoop"),
     // one-row vocabulary-size scalar crossJoined onto the bigram table
     "e4_bigram_lm" -> Set("BroadcastNestedLoop"),

@@ -6,6 +6,78 @@ import org.apache.spark.sql.functions._
 class TrainPrepSpec extends SparkSpec {
   import spark.implicits._
 
+  test("temperatureMixturePlan: α flattens shares; epochs track budget/avail") {
+    // two sources, 9:1 token ratio ("a b c" = 3 tokens per doc)
+    val docs = (Seq.fill(9)("big") ++ Seq("small")).zipWithIndex
+      .map { case (src, i) => (i.toLong, src, "a b c") }
+      .toDF("doc_id", "source", "text")
+    val plan = TrainPrep.temperatureMixturePlan(docs, "source", "text",
+      alpha = 0.3, budgetX = 8.0)
+      .select($"source", $"avail_tokens", $"share", $"epochs",
+        $"beyond_free_repetition")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getBoolean(4)))
+      .toMap
+    assert(plan("big")._1 == 27L && plan("small")._1 == 3L)
+    // α = 0.3 flattens 0.9/0.1 to 0.9^0.3 / (0.9^0.3 + 0.1^0.3)
+    val wB = math.pow(0.9, 0.3); val wS = math.pow(0.1, 0.3)
+    assert(math.abs(plan("big")._2 - wB / (wB + wS)) < 1e-6)
+    assert(math.abs(plan("small")._2 - wS / (wB + wS)) < 1e-6)
+    // small is upweighted past the 4-epoch regime at 8x budget, big not:
+    // epochs_small = 8 * 30 * share_small / 3 ≈ 27.5; epochs_big ≈ 5.8
+    assert(plan("small")._4 && plan("small")._3 > 4.0)
+    assert(plan("big")._3 < plan("small")._3)
+    // shares sum to ~1
+    assert(math.abs(plan("big")._2 + plan("small")._2 - 1.0) < 1e-5)
+  }
+
+  test("leakSafeSplit: a near-dup chain lands whole; singletons match hashSplit") {
+    // chain 1~2, 2~3 (transitive: {1,2,3} one cluster); 4 and 5 singletons
+    val docs = Seq(1L, 2L, 3L, 4L, 5L).toDF("doc_id")
+    val pairs = Seq((1L, 2L), (2L, 3L)).toDF("a", "b")
+    val fracs = Seq("train" -> 0.5, "test" -> 0.5)
+    val out = TrainPrep.leakSafeSplit(docs, "doc_id", pairs, fracs)
+      .as[(Long, Long, String)].collect()
+      .map { case (id, rep, sp) => id -> (rep, sp) }.toMap
+    // whole cluster shares the min-id representative and ONE split
+    assert(Seq(1L, 2L, 3L).map(out(_)._1).distinct == Seq(1L))
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct.size == 1)
+    // singletons are their own rep and degrade to the plain hash split
+    val plain = TrainPrep.hashSplit(docs, "doc_id", fracs)
+      .select($"doc_id", $"split").as[(Long, String)].collect().toMap
+    for (id <- Seq(4L, 5L)) {
+      assert(out(id)._1 == id)
+      assert(out(id)._2 == plain(id))
+    }
+    // the clustered docs take the REPRESENTATIVE's plain label
+    assert(Seq(1L, 2L, 3L).map(out(_)._2).distinct == Seq(plain(1L)))
+  }
+
+  test("ccnetBuckets: terciles are per-language, ordered, and balanced") {
+    // lang x: six docs on a sharply Zipfian vocabulary — docs of common
+    // words score low (head), docs of rare words high (tail). lang y:
+    // three docs, its own independent tercile split.
+    val docs = Seq(
+      ("x1", "x", "a a a a"), ("x2", "x", "a a a b"),
+      ("x3", "x", "a a b b"), ("x4", "x", "a b b c"),
+      ("x5", "x", "b b c c"), ("x6", "x", "c c d d"),
+      ("y1", "y", "a a"), ("y2", "y", "a c"), ("y3", "y", "d e"))
+      .toDF("doc_id", "lang", "text")
+    val out = TrainPrep.ccnetBuckets(docs)
+      .select($"lang", $"bucket", $"n_docs", $"min_score", $"max_score")
+      .as[(String, Int, Long, Double, Double)].collect().toSeq
+    val x = out.filter(_._1 == "x").sortBy(_._2)
+    val y = out.filter(_._1 == "y").sortBy(_._2)
+    assert(x.map(_._3) == Seq(2L, 2L, 2L), "6 docs split 2/2/2")
+    assert(y.map(_._3) == Seq(1L, 1L, 1L), "3 docs split 1/1/1")
+    // tercile boundaries are ordered: head's max <= middle's min, etc.
+    for (Seq(lo, hi) <- x.sliding(2) ++ y.sliding(2))
+      assert(lo._5 <= hi._4,
+        s"bucket ${lo._2} max ${lo._5} > bucket ${hi._2} min ${hi._4}")
+    // languages do not share boundaries: y's head is y's own lowest doc
+    assert(y.head._4 == y.head._5, "singleton bucket min == max")
+  }
+
   test("hashSplit is deterministic, exhaustive, and near the requested fractions") {
     val docs = Tables.load(spark, sf, "documents")
     val fracs = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)

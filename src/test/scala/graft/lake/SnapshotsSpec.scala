@@ -23,6 +23,65 @@ class SnapshotsSpec extends SparkSpec {
       Seq((1L, "a"), (2L, "b")))
   }
 
+  test("restore commits the old content as a NEW version, keeping history") {
+    val root = Lake.scratchDir("t_restore")
+    val v1 = Seq((1L, "a"), (2L, "b")).toDF("k", "v")
+    val v2 = Seq((1L, "CORRUPT"), (3L, "c")).toDF("k", "v")
+    assert(Snapshots.commitVersion(v1, root) == 1)
+    assert(Snapshots.commitVersion(v2, root) == 2)
+    assert(Snapshots.restore(spark, root, toVersion = 1) == 3)
+    assert(Snapshots.latestVersion(root) == 3)
+    // latest now reads v1's content…
+    assert(Snapshots.readVersion(spark, root)
+      .orderBy($"k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // …and the bad version is still readable for audit.
+    assert(Snapshots.readVersion(spark, root, Some(2))
+      .orderBy($"k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "CORRUPT"), (3L, "c")))
+  }
+
+  test("write-audit-publish: a failing audit never becomes readable") {
+    val root = Lake.scratchDir("t_wap")
+    val checks = Seq(Validate.Check("no_nulls",
+      Validate.completeness("v"), _ === 1.0))
+    def wap(df: org.apache.spark.sql.DataFrame) =
+      Snapshots.commitAudited(spark, root)(p =>
+        Lake.writeParquet(df, p))(Snapshots.validateAudit(checks))
+    assert(wap(Seq((1L, "a"), (2L, "b")).toDF("k", "v")) == Right(1))
+    // poisoned batch: audit rejects, table still reads v1, staged data gone
+    assert(wap(Seq((3L, null: String)).toDF("k", "v")) == Left("no_nulls"))
+    assert(Snapshots.latestVersion(root) == 1)
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v=2")), "rejected data dir survived")
+    assert(Snapshots.readVersion(spark, root)
+      .orderBy($"k").as[(Long, String)].collect().toSeq ==
+      Seq((1L, "a"), (2L, "b")))
+    // the rejected claim burns its number: the next publish is v3
+    assert(wap(Seq((4L, "c")).toDF("k", "v")) == Right(3))
+    assert(Snapshots.readVersion(spark, root)
+      .as[(Long, String)].collect().toSeq == Seq((4L, "c")))
+  }
+
+  test("deletion vectors: merge-on-read equals the predicate complement") {
+    val root = Lake.scratchDir("t_dv")
+    val base = (1L to 30L).map(k => (k, k % 7)).toDF("k", "tag")
+    assert(Snapshots.commitVersionWith(root)(p =>
+      base.repartition(3).write.parquet(p)) == 1)
+    Snapshots.deleteWhere(spark, root, 1, $"tag" === 0)
+    def kept = Snapshots.readWithDeletes(spark, root, 1)
+      .select($"k").as[Long].collect().toSet
+    assert(kept == (1L to 30L).filter(_ % 7 != 0).toSet)
+    // replaying the identical batch is a no-op
+    Snapshots.deleteWhere(spark, root, 1, $"tag" === 0)
+    assert(kept == (1L to 30L).filter(_ % 7 != 0).toSet)
+    // an overlapping second batch composes as the union of deletes
+    Snapshots.deleteWhere(spark, root, 1, $"k" % 2 === 0)
+    assert(kept == (1L to 30L).filter(k => k % 7 != 0 && k % 2 != 0).toSet)
+    // the base version itself was never rewritten
+    assert(Snapshots.readVersion(spark, root, Some(1)).count() == 30)
+  }
+
   test("funnel stages require strictly-later events") {
     // user 1: proper view < click < purchase → all stages
     // user 2: purchase BEFORE click → stages 1-2 only

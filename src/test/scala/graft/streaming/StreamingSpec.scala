@@ -109,6 +109,39 @@ class StreamingSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("FULL OUTER interval join flushes BOTH unmatched sides, equals batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val imps = MemoryStream[(Timestamp, String)]
+    val clks = MemoryStream[(Timestamp, String)]
+    val q = StreamDemo.intervalJoinFullOuter(
+      imps.toDF().toDF("impTs", "impAd"),
+      clks.toDF().toDF("clickTs", "clickAd"))
+      .writeStream.format("memory").queryName("fj_out")
+      .outputMode(OutputMode.Append()).start()
+    try {
+      val impData = Seq((ts(1, 1), "a"), (ts(1, 5), "b")) // b never clicked
+      val clkData = Seq((ts(1, 1), "a"), (ts(2, 5), "c")) // c organic click
+      imps.addData(impData: _*)
+      clks.addData(clkData: _*)
+      q.processAllAvailable()
+      // far-future keep-alives on BOTH sides push the (min-of-sources)
+      // watermark past every real row so unmatched state expires
+      imps.addData((ts(9, 1), "zi"))
+      clks.addData((ts(9, 1), "zc"))
+      q.processAllAvailable()
+      val streaming = spark.table("fj_out")
+        .filter(!col("ad").isin("zi", "zc"))
+        .orderBy("ad", "impTs", "clickTs").collect().map(_.toSeq).toSeq
+      val batch = StreamDemo.intervalJoinFullOuter(
+        impData.toDF("impTs", "impAd"), clkData.toDF("clickTs", "clickAd"))
+        .orderBy("ad", "impTs", "clickTs").collect().map(_.toSeq).toSeq
+      assert(streaming == batch, s"streaming $streaming vs batch $batch")
+      // a matched, b null-click, c null-impression
+      assert(batch.size == 3, s"expected 3 rows: $batch")
+      assert(batch.count(_.contains(null)) == 2)
+    } finally q.stop()
+  }
+
   test("stream-stream interval join is provider-invariant: RocksDB " +
       "state store yields the same joins") {
     // The ev21/ev22 argument extended to JOIN state: the state-store
