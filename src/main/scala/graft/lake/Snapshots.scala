@@ -154,7 +154,13 @@ object Snapshots {
     val orphanDirs = entries.filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toInt)
       .filter(v => v < cutoff && !committed.contains(v))
-    val expired = committed.filter(_ < cutoff).sorted
+    // Iceberg's expire-respects-refs rule: a TAGGED version (k28) is
+    // retained regardless of the retention window — the tag IS the
+    // statement that someone must be able to read it forever.
+    val tagged = entries.filter(n => n.startsWith("_tag_") &&
+      !n.endsWith(".tmp") && !n.endsWith(".claim"))
+      .map(n => Files.readString(dir.resolve(n)).trim.toInt).toSet
+    val expired = committed.filter(v => v < cutoff && !tagged(v)).sorted
     for (v <- expired) {
       Files.deleteIfExists(Paths.get(root, s"_commit_v$v"))
       Lake.deleteRecursively(new java.io.File(s"$root/v=$v"))
@@ -166,6 +172,38 @@ object Snapshots {
     }
     expired
   }
+
+  // ------------------------------------------------------------- tags
+
+  /** TAG: a named, immutable ref to a committed version (Iceberg
+    * `create_tag`) — the reproducibility pin: "the corpus release this
+    * model trained on". Creation is race-free and write-once via the
+    * same CAS primitive as version claims (create-fails-if-exists on a
+    * claim file, then write-temp + atomic-rename of the pointer, so a
+    * reader sees a complete pointer or none); [[vacuum]] retains tagged
+    * versions regardless of the retention window. */
+  def tag(root: String, name: String, v: Int): Unit = {
+    require(Files.exists(Paths.get(root, s"_commit_v$v")),
+      s"tag '$name': version $v is not committed")
+    try Files.createFile(Paths.get(root, s"_tag_$name.claim"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"tag '$name' already exists (tags are immutable)")
+    }
+    val tmp = Paths.get(root, s"_tag_$name.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(root, s"_tag_$name"),
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** Resolve a tag to its version number (fails fast on unknown tag). */
+  def tagVersion(root: String, name: String): Int =
+    Files.readString(Paths.get(root, s"_tag_$name")).trim.toInt
+
+  /** Read the table as of a tag — [[readVersion]] through the ref. */
+  def readTag(s: SparkSession, root: String, name: String): DataFrame =
+    readVersion(s, root, Some(tagVersion(root, name)))
 
   // --------------------------------------------- write-audit-publish
 
@@ -594,6 +632,36 @@ object Snapshots {
       .orderBy(col("snap"))
   }
 
+  /** K28: snapshot tags under the gate — v1 (the full customer dim) is
+    * tagged `train_corpus_v1`, two more versions land (a filtered v2, a
+    * 5%-repriced v3), and `vacuum(retain = 1)` must expire EXACTLY v2:
+    * the tag pins v1 past the retention window (Iceberg's
+    * expire-respects-refs rule) and v3 is the latest. The gate reads
+    * BOTH the tag and the latest — a vacuum that eats the tagged
+    * version, a tag resolving to the wrong version, or a lost v3 all
+    * fail (the first one loudly at read, the rest by hash). */
+  private val k28SnapshotTags: Q = (s, dir) => {
+    val root = Lake.scratchDir("k28")
+    val c = Tables.load(s, dir, "customer")
+      .select(col("c_custkey"), col("c_acctbal"))
+    require(commitVersion(c, root) == 1)
+    tag(root, "train_corpus_v1", 1)
+    require(commitVersion(c.filter(col("c_custkey") % 10 =!= 0), root) == 2)
+    require(commitVersion(c.select(col("c_custkey"),
+      round(col("c_acctbal") * 1.05, 4).as("c_acctbal")), root) == 3)
+    val expired = vacuum(root, retain = 1)
+    require(expired == Seq(2),
+      s"vacuum expired $expired, want Seq(2) — the tag must pin v1")
+    def agg(df: DataFrame, label: String) = df.agg(
+      count(lit(1)).as("n_rows"), sum(col("c_custkey")).as("sum_keys"),
+      round(sum(col("c_acctbal")), 2).as("sum_bal"))
+      .select(lit(label).as("snap"), col("n_rows"), col("sum_keys"),
+        col("sum_bal"))
+    agg(readTag(s, root, "train_corpus_v1"), "tagged_v1")
+      .unionByName(agg(readVersion(s, root), "v3_latest"))
+      .orderBy(col("snap"))
+  }
+
   /** Row-level diff between two committed versions — the Delta
     * CHANGE DATA FEED / `table_changes()` read surface on the snapshot
     * log: one keyed full-outer join of the two immutable version
@@ -648,6 +716,7 @@ object Snapshots {
     "k25_restore" -> k25Restore,
     "k26_deletion_vectors" -> k26DeletionVectors,
     "k27_wap" -> k27Wap,
+    "k28_snapshot_tags" -> k28SnapshotTags,
     "k15_timetravel" -> k15Timetravel,
     "k16_forget" -> k16Forget,
     "k20_scd2" -> k20Scd2,
@@ -685,6 +754,19 @@ object Snapshots {
         |  SELECT 'v3_restored', count(*)::BIGINT, sum(o_orderkey)::BIGINT,
         |    round(sum(o_totalprice), 2)
         |  FROM orders
+        |) ORDER BY snap""".stripMargin,
+    // tag = the untouched v1 dim, latest = the repriced v3 — both
+    // restated from the raw table (per-row rounding, parity rule).
+    "k28_snapshot_tags" ->
+      """SELECT * FROM (
+        |  SELECT 'tagged_v1' AS snap, count(*)::BIGINT AS n_rows,
+        |    sum(c_custkey)::BIGINT AS sum_keys,
+        |    round(sum(c_acctbal), 2) AS sum_bal
+        |  FROM customer
+        |  UNION ALL
+        |  SELECT 'v3_latest', count(*)::BIGINT, sum(c_custkey)::BIGINT,
+        |    round(sum(round(c_acctbal * 1.05, 4)), 2)
+        |  FROM customer
         |) ORDER BY snap""".stripMargin,
     // v1 = the initial slice, latest = the full clean table — the
     // poisoned batch must be invisible to both reads.

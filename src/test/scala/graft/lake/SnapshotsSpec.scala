@@ -41,6 +41,27 @@ class SnapshotsSpec extends SparkSpec {
       Seq((1L, "CORRUPT"), (3L, "c")))
   }
 
+  test("tags are immutable refs that pin versions through vacuum") {
+    val root = Lake.scratchDir("t_tags")
+    assert(Snapshots.commitVersion(
+      Seq((1L, "a")).toDF("k", "v"), root) == 1)
+    // tagging an uncommitted version fails fast
+    intercept[IllegalArgumentException](Snapshots.tag(root, "bad", 9))
+    Snapshots.tag(root, "rel", 1)
+    assert(Snapshots.tagVersion(root, "rel") == 1)
+    // tags are write-once
+    intercept[IllegalStateException](Snapshots.tag(root, "rel", 1))
+    assert(Snapshots.commitVersion(Seq((2L, "b")).toDF("k", "v"), root) == 2)
+    assert(Snapshots.commitVersion(Seq((3L, "c")).toDF("k", "v"), root) == 3)
+    // retention would expire v1 and v2; the tag pins v1
+    assert(Snapshots.vacuum(root, retain = 1) == Seq(2))
+    assert(Snapshots.readTag(spark, root, "rel")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+    assert(Snapshots.latestVersion(root) == 3)
+    // idempotent: a second vacuum expires nothing more
+    assert(Snapshots.vacuum(root, retain = 1).isEmpty)
+  }
+
   test("write-audit-publish: a failing audit never becomes readable") {
     val root = Lake.scratchDir("t_wap")
     val checks = Seq(Validate.Check("no_nulls",
