@@ -203,8 +203,43 @@ object Scalars {
       .orderBy(col("host"))
   }
 
+  /** F17: the VARIANT type (Spark 4, SPARK-45891) — the open-ended
+    * semi-structured column for 100 TB JSON logs: `parse_json` into a
+    * binary variant, typed `variant_get` path extraction (nested
+    * object field, array index), and `schema_of_variant`
+    * introspection. The nested document is BUILT deterministically
+    * from the typed events columns (the f16 discipline: the oracle
+    * restates every extraction from those SAME columns, so
+    * parse+extract must exactly invert construction), and the inferred
+    * variant schema is pinned as a literal — an engine upgrade that
+    * changes variant inference fails loudly here. Doubles survive the
+    * round trip exactly: `to_json` prints Java's shortest
+    * round-trippable repr and the variant decimal re-reads to the same
+    * double. */
+  private val f17Variant: Q = (s, dir) => {
+    Tables.register(s, dir)
+    s.sql(
+      """WITH j AS (
+        |  SELECT parse_json(to_json(named_struct(
+        |      'user', named_struct('id', user_id, 'seg', user_id % 4),
+        |      'type', event_type,
+        |      'vals', array(value, value * 2)))) AS v
+        |  FROM events),
+        |g AS (
+        |  SELECT variant_get(v, '$.type', 'string') AS event_type,
+        |    count(*) AS n,
+        |    sum(variant_get(v, '$.user.seg', 'long')) AS sum_seg,
+        |    round(sum(variant_get(v, '$.vals[1]', 'double')), 4) AS sum_v2
+        |  FROM j GROUP BY event_type)
+        |SELECT event_type, n, sum_seg, sum_v2,
+        |  schema_of_variant(parse_json(
+        |    '{"id": 1, "vals": [1.5, 2.25], "tag": "x"}')) AS vschema
+        |FROM g ORDER BY event_type""".stripMargin)
+  }
+
   val queries: Map[String, Q] = Map(
     "f16_parse_url" -> f16ParseUrl,
+    "f17_variant" -> f17Variant,
     "f15_histogram" -> f15Histogram,
     "f13_from_json" -> f13FromJson,
     "f11_string_extra" -> f11StringExtra,
@@ -220,6 +255,17 @@ object Scalars {
   )
 
   val oracles: Map[String, String] = Map(
+    // Every variant extraction restated from the raw typed columns the
+    // document was built from; the variant schema of the constant
+    // document is pinned as a literal so inference drift fails loudly.
+    "f17_variant" ->
+      """SELECT event_type, count(*)::BIGINT AS n,
+        |  sum(user_id % 4)::BIGINT AS sum_seg,
+        |  round(sum(value * 2), 4) AS sum_v2,
+        |  'OBJECT<id: BIGINT, tag: STRING, vals: ARRAY<DECIMAL(3,2)>>'
+        |    AS vschema
+        |FROM events GROUP BY event_type
+        |ORDER BY event_type""".stripMargin,
     // Each URL component restated from the SOURCE columns the URL was
     // built from — the oracle never parses, so parse must invert build.
     "f16_parse_url" ->
