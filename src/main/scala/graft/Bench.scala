@@ -41,6 +41,22 @@ object Bench {
     "e3_cosine_topk", "e4_text_stats", "e5_decode_batch", "e7_curation",
     "e8_mixture", "e9_pii_redact", "j9_range",
     "k13_zorder_prune", "e4_bm25")
+  /** Family heads for the SF-SLOPE measurement (round-9 verdict item
+    * 6): the bucketed dedup/ANN/text/graph paths whose 100×-readiness
+    * the plan-shape argument claims — measured, not argued. Each is
+    * timed fresh at the sibling sf0.01 and at the bench SF (same
+    * session, back-to-back), and the artifact records the time ratio
+    * against the 10× row ratio as an exponent: t ∝ n^e ⇒
+    * e = log₁₀(t_large/t_small). Bucketed/linear families must stay
+    * ≲ 1 (+ log factors and fixed overhead, which DEFLATES e — a
+    * super-linear reading is therefore a real red flag, checked by
+    * ScalingSpec against the committed artifact). */
+  private val scalingHeads = Seq(
+    "q1_agg", "j1_inner", "e1_dedup_exact", "e2_minhash_neardup",
+    "e2_simhash_neardup", "e2_cluster_cc", "e3_ann_search",
+    "e3_ivf_search", "e3_ivfpq_search", "e4_tfidf", "e8_hash_split",
+    "g5_kcore")
+
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is
     * now budget-bounded, so its cost is representative.) */
@@ -135,6 +151,27 @@ object Bench {
         val t3 = System.nanoTime()
         (n, (t1 - t0) / 1e9, (t2 - t1) / 1e9, (t3 - t2) / 1e9)
       }
+    // SF-slope measurement: both scales timed fresh in THIS session,
+    // small first (doubles as warm-up for the large run), one rep each
+    // — the exponent tolerates the resulting noise because the spec
+    // bound is generous and fixed overhead only deflates it.
+    val smallDir = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")
+    val scaling =
+      if (smallDir == sfDir || !Files.isDirectory(Paths.get(smallDir))) Nil
+      else scalingHeads.filter(SparkEntry.queries.contains).map { n =>
+        def timeAt(dir: String): Double = {
+          val t0 = System.nanoTime()
+          try SparkEntry.queries(n)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          catch { case _: Throwable => () }
+          val sec = (System.nanoTime() - t0) / 1e9
+          spark.catalog.clearCache()
+          sec
+        }
+        val tS = timeAt(smallDir)
+        val tL = timeAt(sfDir)
+        (n, tS, tL, math.log10(tL / tS))
+      }
     val failed = timed.collect { case (n, _, Left(_)) => n }
     def qsJson(entries: Seq[(String, Double, Either[String, Unit])]) =
       entries.map { case (n, sec, r) =>
@@ -149,8 +186,11 @@ object Bench {
     val phasesJson = phases.map { case (n, b, p, e) =>
       f""""$n":{"build":$b%.3f,"plan":$p%.3f,"exec":$e%.3f}"""
     }.mkString("{", ",", "}")
+    val scalingJson = scaling.map { case (n, tS, tL, ex) =>
+      f""""$n":{"t_small":$tS%.3f,"t_large":$tL%.3f,"exponent":$ex%.3f}"""
+    }.mkString("{", ",", "}")
     val fullLine = jsonLine(qsJson(timed), failed,
-      s""","canary":$canaryJson,"phases":$phasesJson""")
+      s""","canary":$canaryJson,"phases":$phasesJson,"scaling":$scalingJson""")
     // stdout carries at most 10 failed names — a mass failure must not
     // blow the line budget (the full list is in the out file + stderr)
     val stdoutFailed =

@@ -428,23 +428,378 @@ object Multimodal {
           val bb = java.nio.ByteBuffer.wrap(bytes)
           val n = bytes.length / 8
           val x = Array.fill(n)(bb.getDouble())
-          val power = Array.tabulate(n) { kk =>
-            var re = 0.0; var im = 0.0; var t = 0
-            while (t < n) {
-              val a = 2 * math.Pi * kk * t / n
-              re += x(t) * math.cos(a); im -= x(t) * math.sin(a); t += 1
-            }
-            re * re + im * im
-          }
-          val timeE = x.map(v => v * v).sum
-          val freqE = power.sum / n
-          val dominant = (1 until n / 2).maxBy(power)
-          val (lo, hi) = power.slice(1, n / 4).sum -> power.slice(n / 4, n / 2).sum
-          AudioFeatures(id, n, dominant,
-            math.rint(lo * 1e4) / 1e4, math.rint(hi * 1e4) / 1e4,
-            math.abs(timeE - freqE) / timeE)
+          dftFeatures(id, x)
         }
       }
+  }
+
+  /** The per-clip DFT feature kernel shared by the float64 path
+    * ([[spectralFeatures]]) and the decoded-WAV path (e5_wav_spectral):
+    * O(N²) DFT → dominant bin, band energies, Parseval residual. */
+  private[ext] def dftFeatures(id: Long, x: Array[Double]): AudioFeatures = {
+    val n = x.length
+    val power = Array.tabulate(n) { kk =>
+      var re = 0.0; var im = 0.0; var t = 0
+      while (t < n) {
+        val a = 2 * math.Pi * kk * t / n
+        re += x(t) * math.cos(a); im -= x(t) * math.sin(a); t += 1
+      }
+      re * re + im * im
+    }
+    val timeE = x.map(v => v * v).sum
+    val freqE = power.sum / n
+    val dominant = (1 until n / 2).maxBy(power)
+    val (lo, hi) = power.slice(1, n / 4).sum -> power.slice(n / 4, n / 2).sum
+    AudioFeatures(id, n, dominant,
+      math.rint(lo * 1e4) / 1e4, math.rint(hi * 1e4) / 1e4,
+      math.abs(timeE - freqE) / timeE)
+  }
+
+  // ------------------------------------------------ real PNG (zlib/IDAT)
+
+  /** Pure-JVM PNG codec for 8-bit/channel RGB (color type 2,
+    * non-interlaced) — a REAL decode of the most common image container
+    * on the web, possible without any media library because the JDK
+    * ships the two hard parts: zlib (`java.util.zip.Inflater`/
+    * `Deflater` — IDAT is a zlib stream) and CRC32 (per-chunk
+    * integrity). The decoder walks chunks verifying each CRC,
+    * concatenates IDAT payloads, inflates, and UNFILTERS scanlines —
+    * all five spec filters (None/Sub/Up/Average/Paeth) implemented;
+    * the encoder deliberately CYCLES filters 0/1/2 per row so a
+    * decoder that ignored filter bytes (the classic shortcut) produces
+    * garbage and hash-fails the value-level gate. */
+  private[ext] object PngCodec extends Serializable {
+    private val Sig = Array[Byte](0x89.toByte, 'P', 'N', 'G',
+      0x0d, 0x0a, 0x1a, 0x0a)
+
+    private def chunk(tpe: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length) // big-endian
+      bb.putInt(data.length)
+      bb.put(tpe.getBytes("US-ASCII")); bb.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(tpe.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt)
+      bb.array()
+    }
+
+    /** Encode an RGB image (row-major, 3 bytes/pixel) as a spec-valid
+      * PNG, cycling scanline filters None/Sub/Up to exercise the
+      * decoder's unfiltering. */
+    def encode(w: Int, h: Int, rgb: Array[Byte]): Array[Byte] = {
+      require(rgb.length == w * h * 3, "rgb length != w*h*3")
+      val stride = w * 3
+      val raw = new java.io.ByteArrayOutputStream()
+      for (y <- 0 until h) {
+        val f = y % 3 // 0=None, 1=Sub, 2=Up
+        raw.write(f)
+        for (i <- 0 until stride) {
+          val cur = rgb(y * stride + i) & 0xff
+          val v = f match {
+            case 0 => cur
+            case 1 => cur - (if (i >= 3) rgb(y * stride + i - 3) & 0xff else 0)
+            case 2 => cur - (if (y > 0) rgb((y - 1) * stride + i) & 0xff else 0)
+          }
+          raw.write(v & 0xff)
+        }
+      }
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw.toByteArray); d.finish()
+      val idat = new java.io.ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!d.finished()) idat.write(buf, 0, d.deflate(buf))
+      d.end()
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h)
+        .put(8.toByte)  // bit depth
+        .put(2.toByte)  // color type: truecolor RGB
+        .put(0.toByte).put(0.toByte).put(0.toByte) // deflate/adaptive/none
+        .array()
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig)
+      out.write(chunk("IHDR", ihdr))
+      out.write(chunk("IDAT", idat.toByteArray))
+      out.write(chunk("IEND", Array.empty[Byte]))
+      out.toByteArray
+    }
+
+    /** PNG spec Paeth predictor (RFC 2083 §6.6). */
+    private def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+
+    /** Decode an 8-bit RGB non-interlaced PNG → (w, h, rgb bytes).
+      * Verifies the signature and every chunk CRC; fails loudly on
+      * unsupported color types — corrupt training images must be
+      * rejected at decode, not zero-filled. */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      require(bytes.length > 8 && bytes.take(8).sameElements(Sig),
+        "not a PNG (bad signature)")
+      val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+      var w = -1; var h = -1
+      val idat = new java.io.ByteArrayOutputStream()
+      var done = false
+      while (!done) {
+        val len = bb.getInt
+        val tpe = new Array[Byte](4); bb.get(tpe)
+        val data = new Array[Byte](len); bb.get(data)
+        val crc = new java.util.zip.CRC32()
+        crc.update(tpe); crc.update(data)
+        require(bb.getInt == crc.getValue.toInt,
+          s"CRC mismatch in ${new String(tpe, "US-ASCII")} chunk")
+        new String(tpe, "US-ASCII") match {
+          case "IHDR" =>
+            val ib = java.nio.ByteBuffer.wrap(data)
+            w = ib.getInt; h = ib.getInt
+            val (depth, color, il) = (ib.get(), ib.get(), { ib.get(); ib.get(); ib.get() })
+            require(depth == 8 && color == 2 && il == 0,
+              s"unsupported PNG: depth=$depth color=$color interlace=$il")
+          case "IDAT" => idat.write(data)
+          case "IEND" => done = true
+          case _ => // ancillary chunk (tEXt, pHYs, …): skip
+        }
+      }
+      require(w > 0 && h > 0 && idat.size() > 0, "missing IHDR/IDAT")
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      val stride = w * 3
+      val raw = new Array[Byte]((stride + 1) * h)
+      var off = 0
+      while (!inf.finished() && off < raw.length)
+        off += inf.inflate(raw, off, raw.length - off)
+      inf.end()
+      require(off == raw.length, s"inflated $off of ${raw.length} bytes")
+      val out = new Array[Byte](stride * h)
+      for (y <- 0 until h) {
+        val f = raw((stride + 1) * y) & 0xff
+        for (i <- 0 until stride) {
+          val x = raw((stride + 1) * y + 1 + i) & 0xff
+          val a = if (i >= 3) out(y * stride + i - 3) & 0xff else 0
+          val b = if (y > 0) out((y - 1) * stride + i) & 0xff else 0
+          val c = if (i >= 3 && y > 0) out((y - 1) * stride + i - 3) & 0xff
+            else 0
+          val v = f match {
+            case 0 => x
+            case 1 => x + a
+            case 2 => x + b
+            case 3 => x + (a + b) / 2
+            case 4 => x + paeth(a, b, c)
+            case other => sys.error(s"bad filter byte $other")
+          }
+          out(y * stride + i) = (v & 0xff).toByte
+        }
+      }
+      (w, h, out)
+    }
+  }
+
+  final case class PngStats(doc_id: Long, width: Int, height: Int,
+      sum_r: Long, sum_g: Long, sum_b: Long, n_px: Int)
+
+  /** E5k: REAL PNG decode under a VALUE-LEVEL oracle — per document a
+    * deterministic 16×12 RGB image (integer pixel formula) is encoded
+    * as a spec-valid PNG (zlib IDAT, per-chunk CRCs, filters cycling
+    * None/Sub/Up) and decoded back through the full chunk-walk →
+    * inflate → unfilter path; the decoded channel sums must equal
+    * DuckDB's restatement of the pixel formula. A filter-byte skip, a
+    * channel swap at one end, a stride off-by-one, or a truncated
+    * inflate all corrupt the sums and hash-fail. */
+  private val e5PngDecode: Q = (s, dir) => {
+    import s.implicits._
+    val (w, h) = (16, 12)
+    val decoded = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val rgb = new Array[Byte](w * h * 3)
+          for (y <- 0 until h; x <- 0 until w) {
+            val i = (y * w + x) * 3
+            rgb(i) = (((x * 7 + y * 3) + id) % 256).toByte
+            rgb(i + 1) = (((x * 11 + y * 5) + id * 2) % 256).toByte
+            rgb(i + 2) = ((x * y + id * 3) % 256).toByte
+          }
+          (id, PngCodec.encode(w, h, rgb))
+        }
+      }.toDF("doc_id", "png")
+      .as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (dw, dh, rgb) = PngCodec.decode(bytes)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < rgb.length) {
+            sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff
+            sb += rgb(i + 2) & 0xff; i += 3
+          }
+          PngStats(id, dw, dh, sr, sg, sb, dw * dh)
+        }
+      }
+    decoded.toDF().orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------------ real WAV (RIFF/PCM16)
+
+  /** Pure-JVM RIFF/WAVE PCM16 codec — a REAL audio container decode
+    * (like [[PpmParser]] for images), replacing one more documented
+    * stub: the container needs no codec library because PCM16 WAV is
+    * just a chunked header over little-endian int16 samples. The
+    * encoder emits a spec-shaped file (RIFF size, `fmt ` chunk with
+    * PCM/mono/16-bit fields, a LIST junk chunk so decoders must
+    * actually WALK chunks rather than assume a fixed 44-byte offset,
+    * then `data`); the decoder walks chunks, validates magic/format,
+    * and honors the spec's word-alignment padding rule (odd-sized
+    * chunks are followed by a pad byte). */
+  private[ext] object WavCodec extends Serializable {
+    private def le32(bb: java.nio.ByteBuffer, v: Int): Unit = bb.putInt(v)
+    private def le16(bb: java.nio.ByteBuffer, v: Int): Unit =
+      bb.putShort(v.toShort)
+
+    /** Encode mono PCM16 samples as a RIFF/WAVE byte array (with a
+      * 7-byte LIST junk chunk + pad byte between fmt and data). */
+    def encode(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+      val dataLen = samples.length * 2
+      val junkLen = 7 // odd on purpose: exercises the pad-byte rule
+      val riffLen = 4 + (8 + 16) + (8 + junkLen + 1) + (8 + dataLen)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffLen)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes("US-ASCII")); le32(bb, riffLen)
+      bb.put("WAVE".getBytes("US-ASCII"))
+      bb.put("fmt ".getBytes("US-ASCII")); le32(bb, 16)
+      le16(bb, 1) // audioFormat = PCM
+      le16(bb, 1) // channels = mono
+      le32(bb, sampleRate)
+      le32(bb, sampleRate * 2) // byte rate
+      le16(bb, 2) // block align
+      le16(bb, 16) // bits per sample
+      bb.put("LIST".getBytes("US-ASCII")); le32(bb, junkLen)
+      bb.put(Array.fill[Byte](junkLen)(0x6a)); bb.put(0.toByte) // pad
+      bb.put("data".getBytes("US-ASCII")); le32(bb, dataLen)
+      samples.foreach(s => bb.putShort(s))
+      bb.array()
+    }
+
+    /** Decode a mono PCM16 RIFF/WAVE file → (sampleRate, samples).
+      * Fails loudly on non-RIFF bytes, non-PCM format, or a missing
+      * data chunk — a media pipeline wants corrupt files rejected at
+      * decode, not silently zero-filled. */
+    def decode(bytes: Array[Byte]): (Int, Array[Short]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def tag(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(tag() == "RIFF", "not a RIFF file")
+      bb.getInt // riff size (trust the chunk walk, not this)
+      require(tag() == "WAVE", "not a WAVE file")
+      var sampleRate = -1
+      var samples: Array[Short] = null
+      while (bb.remaining() >= 8 && samples == null) {
+        val id = tag(); val len = bb.getInt
+        id match {
+          case "fmt " =>
+            val fmt = bb.getShort; val ch = bb.getShort
+            sampleRate = bb.getInt
+            bb.getInt; bb.getShort // byte rate, block align
+            val bits = bb.getShort
+            require(fmt == 1 && ch == 1 && bits == 16,
+              s"unsupported WAV: fmt=$fmt ch=$ch bits=$bits")
+            bb.position(bb.position() + (len - 16)) // fmt extensions
+          case "data" =>
+            require(sampleRate > 0, "data chunk before fmt chunk")
+            samples = Array.fill(len / 2)(bb.getShort)
+          case _ => // skip unknown chunk + spec pad byte on odd length
+            bb.position(bb.position() + len + (len & 1))
+        }
+      }
+      require(samples != null, "no data chunk")
+      (sampleRate, samples)
+    }
+  }
+
+  final case class WavStats(id: Long, n_samples: Int, sample_rate: Int,
+      sum_s: Long, min_s: Int, max_s: Int)
+
+  /** Deterministic integer-sawtooth PCM16 synth encoded as REAL WAV
+    * bytes: sample_t = (((t·(id%7+1)) mod 200) − 100)·50. Integer
+    * arithmetic end-to-end, so the decoded sample VALUES are exactly
+    * restatable in SQL — the value-level oracle a trig synth can't
+    * give (engine `sin` ULP differences flip int16 quantization at
+    * rounding boundaries). */
+  def synthWav(df: DataFrame, idCol: String): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+      ids.map { id =>
+        val m = (id % 7 + 1).toInt
+        val samples = Array.tabulate(AudioN)(t =>
+          (((t * m) % 200 - 100) * 50).toShort)
+        (id, WavCodec.encode(samples, 8000))
+      }
+    }.toDF("id", "wav")
+  }
+
+  /** Partition-batched WAV decode → per-clip sample statistics (the
+    * value-level surface the oracle restates). Same mapPartitions
+    * shape as [[decodePartitioned]]: codec init amortizes per
+    * partition, map-only, no shuffle. */
+  def wavStats(df: DataFrame, idCol: String, wavCol: String)
+      : Dataset[WavStats] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long"), col(wavCol).cast("binary"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, x) = WavCodec.decode(bytes)
+          WavStats(id, x.length, rate, x.map(_.toLong).sum,
+            x.map(_.toInt).min, x.map(_.toInt).max)
+        }
+      }
+  }
+
+  /** E5i: REAL WAV decode under a VALUE-LEVEL oracle — the synthesized
+    * integer sawtooth round-trips through a spec-shaped RIFF container
+    * (junk chunk + odd-length padding included, so the decoder's chunk
+    * walk is load-bearing) and the decoded samples' per-clip count/
+    * sum/min/max must equal DuckDB's restatement of the synth formula.
+    * A byte-order slip, an off-by-one chunk offset, or a truncated
+    * data read all corrupt the checksums and hash-fail. */
+  private val e5WavDecode: Q = (s, dir) => {
+    val wav = synthWav(t(s, dir, "embeddings"), "vec_id")
+    wavStats(wav, "id", "wav").toDF().orderBy(col("id"))
+  }
+
+  /** E5j ✱: the decoded WAV samples feed the EXISTING DFT feature path
+    * — a trig tone at bin (id%100+3) is quantized to int16, encoded as
+    * RIFF/PCM16, decoded back, normalized to [−1, 1), and pushed
+    * through [[spectralFeatures]]' transform: every clip's dominant
+    * bin must equal the synthesized tone's bin, Parseval must hold
+    * (the identity is exact for ANY input, quantized or not — only
+    * the transform can break it), and every clip must decode to the
+    * full 256 samples. */
+  private val e5WavSpectral: Q = (s, dir) => {
+    import s.implicits._
+    val wav = t(s, dir, "embeddings")
+      .select(col("vec_id").cast("long")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val k = (id % 100 + 3).toInt
+          val samples = Array.tabulate(AudioN) { tt =>
+            val v = 0.6 * math.sin(2 * math.Pi * k * tt / AudioN) +
+              0.25 * math.sin(2 * math.Pi * (2 * k) * tt / AudioN)
+            (v * 32000.0).toInt.toShort
+          }
+          (id, WavCodec.encode(samples, 8000))
+        }
+      }.toDF("id", "wav")
+    val feats = wav.as[(Long, Array[Byte])].mapPartitions { rows =>
+      rows.map { case (id, bytes) =>
+        val (_, pcm) = WavCodec.decode(bytes)
+        val x = pcm.map(_.toDouble / 32768.0)
+        dftFeatures(id, x)
+      }
+    }
+    feats.toDF().agg(
+      expr("bool_and(dominant_bin = (id % 100 + 3))").as("tones_located"),
+      expr("bool_and(parseval_err <= 1e-9)").as("parseval_holds"),
+      expr("bool_and(n_samples = 256)").as("full_clips"),
+      (count(lit(1)) > 0).as("nonempty"))
   }
 
   /** E5f ✱: synth → byte column → partition-batched DFT, gated by
@@ -539,6 +894,9 @@ object Multimodal {
     "e5_frame_sample" -> e5FrameSample,
     "e5_phash_neardup" -> e5PhashNearDup,
     "e5_spectral" -> e5Spectral,
+    "e5_wav_decode" -> e5WavDecode,
+    "e5_wav_spectral" -> e5WavSpectral,
+    "e5_png_decode" -> e5PngDecode,
     "e5_binary_meta" -> e5BinaryMeta,
     "e5_vector_join" -> e5VectorJoin,
     "e5_decode_batch" -> e5DecodeBatch,
@@ -581,6 +939,39 @@ object Multimodal {
     "e5_spectral" ->
       """SELECT true AS tones_located, true AS parseval_holds,
         |  true AS full_clips, true AS nonempty""".stripMargin,
+    // VALUE-LEVEL restatement of the decoded samples: the integer
+    // sawtooth formula recomputed per (id, t) — a decode byte slip
+    // breaks the checksums.
+    "e5_wav_decode" ->
+      """WITH s AS (
+        |  SELECT vec_id AS id, g.t,
+        |    ((((g.t * (vec_id % 7 + 1)) % 200) - 100) * 50)::INT AS smp
+        |  FROM embeddings, generate_series(0, 255) AS g(t))
+        |SELECT id, 256::INT AS n_samples, 8000::INT AS sample_rate,
+        |  sum(smp)::BIGINT AS sum_s, min(smp)::INT AS min_s,
+        |  max(smp)::INT AS max_s
+        |FROM s GROUP BY id ORDER BY id""".stripMargin,
+    // Physics self-check (✱): bounds asserted in-plan, constant-true
+    // oracle — same convention as e5_spectral.
+    "e5_wav_spectral" ->
+      """SELECT true AS tones_located, true AS parseval_holds,
+        |  true AS full_clips, true AS nonempty""".stripMargin,
+    // VALUE-LEVEL restatement of the decoded pixels: the integer pixel
+    // formula recomputed per (doc, x, y) — a filter-byte skip, channel
+    // swap, or stride slip breaks the channel sums.
+    "e5_png_decode" ->
+      """WITH px AS (
+        |  SELECT doc_id, gx.x, gy.y,
+        |    ((gx.x * 7 + gy.y * 3) + doc_id) % 256 AS r,
+        |    ((gx.x * 11 + gy.y * 5) + doc_id * 2) % 256 AS g,
+        |    (gx.x * gy.y + doc_id * 3) % 256 AS b
+        |  FROM documents,
+        |    generate_series(0, 15) AS gx(x),
+        |    generate_series(0, 11) AS gy(y))
+        |SELECT doc_id, 16::INT AS width, 12::INT AS height,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b, 192::INT AS n_px
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Every oracle below computes over the same ASCII-stripped
     // projection as the Spark side (see asciiOnly) — char ops equal
     // byte ops only once non-ASCII is gone.

@@ -723,6 +723,58 @@ object Similarity {
       (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
   }
 
+  /** E3k ✱: IVF INDEX INGEST — the ingest-time half of the persistent
+    * ANN story (e3_ivf_indexed builds and searches an index but never
+    * grows one): a NEW embedding batch (vec_id ≡ 0 mod 4, held out of
+    * the build) is assigned to the EXISTING index's cells — broadcast
+    * frozen centroids, map-side argmax, NO retrain, resident cell data
+    * untouched — and APPENDED into the cell-partitioned layout, so the
+    * write touches only the `cell=` directories the batch lands in.
+    * This is exactly how a production IVF index absorbs a day's new
+    * embeddings at 100 TB: assignment is embarrassingly parallel, the
+    * append is partition-local, and retraining stays an offline
+    * decision. Gates (✱, constant-true oracle): (a) searching the
+    * grown index EQUALS the in-memory cell path over corpus+batch
+    * under the same frozen centroids — a lost, duplicated, or
+    * mis-assigned appended row breaks equality; (b) recall of the
+    * exact top-5 over corpus+batch clears 0.5 on centroids that never
+    * saw the batch (measured ≈ 0.8 at the gate SFs); (c) no query's
+    * probed cells cover more than half the grown corpus. */
+  private val e3IvfIncremental: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val resident = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(resident, c = 32, iters = 2) // frozen at build
+    val path = graft.lake.Lake.scratchDir("ivfinc") + "/index"
+    ivfWriteIndex(resident, cents, path)
+    // INGEST: assign only the batch, append into the cell layout.
+    ivfAssign(batch, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    val viaIndex = ivfSearchIndex(s, path, queries, cents, k = 5, nprobe = 8)
+    val inMemory = ivfTopK(emb, queries, cents, k = 5, nprobe = 8)
+    val extraAgg = viaIndex.exceptAll(inMemory).agg(count(lit(1)).as("extra"))
+    val missAgg = inMemory.exceptAll(viaIndex).agg(count(lit(1)).as("missing"))
+    val exact = bruteForceTopK(queries, emb, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val hitsAgg = exact.join(viaIndex.select(col("q_id"), col("c_id")),
+      Seq("q_id", "c_id"), "left_semi").agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val cellSizes = s.read.parquet(path).groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+    val scanAgg = ivfProbes(queries, cents, nprobe = 8)
+      .select(col("q_id"), col("cell")).join(cellSizes, Seq("cell"))
+      .groupBy(col("q_id")).agg(sum(col("sz")).as("scanned"))
+      .agg(max(col("scanned")).as("max_scanned"))
+    val nAgg = emb.agg(count(lit(1)).as("n"))
+    extraAgg.crossJoin(missAgg).crossJoin(hitsAgg).crossJoin(totalAgg)
+      .crossJoin(scanAgg).crossJoin(nAgg).select(
+        (col("extra") === 0 && col("missing") === 0)
+          .as("ingest_equals_memory"),
+        (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
+        (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
+  }
+
   /** E3f: the on-disk IVF index path — build the cell-partitioned
     * index, search it, and assert the result EQUALS the in-memory
     * `ivfTopK` answer exactly (both exceptAll counts zero; vectors
@@ -1309,6 +1361,7 @@ object Similarity {
     "e3_ann_recall" -> e3AnnRecall,
     "e3_ivf_recall" -> e3IvfRecall,
     "e3_ivf_indexed" -> e3IvfIndexed,
+    "e3_ivf_incremental" -> e3IvfIncremental,
     "e3_ann_neardup" -> e3AnnNearDup,
     "e3_cosine_neardup" -> e3CosineNearDup,
     "e3_quantized_cosine" -> e3QuantizedCosine,
@@ -1459,6 +1512,9 @@ object Similarity {
       "SELECT true AS recall_ok, true AS scan_budget_ok",
     "e3_ivf_indexed" ->
       "SELECT true AS index_equals_memory, true AS nonempty",
+    "e3_ivf_incremental" ->
+      """SELECT true AS ingest_equals_memory, true AS recall_ok,
+        |  true AS scan_budget_ok""".stripMargin,
     "e3_quantized_cosine" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

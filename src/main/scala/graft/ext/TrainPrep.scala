@@ -37,9 +37,11 @@ object TrainPrep {
     * id·2654435761 — which under Spark 4's default ANSI mode THROWS
     * (not wraps). The id is folded into [0, 2³¹) first, which keeps the
     * product under 2⁶³ for the whole long range (incl. negatives, via
-    * pmod); for in-range nonnegative ids both pmods are identities, so
-    * the SQL oracles keep the plain `%` spelling and values are
-    * unchanged. */
+    * pmod); for in-range nonnegative ids both pmods are identities —
+    * but every SQL oracle restates the FOLDED form
+    * `((id % 2147483648) * 2654435761) % 4294967296` anyway, so the
+    * restatement stays exact (and DuckDB-overflow-proof) if ids ever
+    * grow past 2³¹. */
   def splitBucket(id: Column): Column =
     pmod(pmod(id, lit(2147483648L)) * lit(2654435761L),
       lit(4294967296L)) / lit(4294967296.0)
@@ -724,9 +726,9 @@ object TrainPrep {
         |  FROM documents d LEFT JOIN comp c USING (doc_id)),
         |lab AS MATERIALIZED (
         |  SELECT doc_id, rep,
-        |    CASE WHEN ((rep * 2654435761) % 4294967296) / 4294967296.0
+        |    CASE WHEN (((rep % 2147483648) * 2654435761) % 4294967296) / 4294967296.0
         |              < 0.8 THEN 'train'
-        |         WHEN ((rep * 2654435761) % 4294967296) / 4294967296.0
+        |         WHEN (((rep % 2147483648) * 2654435761) % 4294967296) / 4294967296.0
         |              < 0.9 THEN 'val'
         |         ELSE 'test' END AS split
         |  FROM rep),
@@ -867,7 +869,7 @@ object TrainPrep {
         |x AS (
         |  SELECT d.source, d.doc_id,
         |    floor(r.rate)::BIGINT +
-        |    (CASE WHEN ((doc_id * 2654435761) % 4294967296) / 4294967296.0
+        |    (CASE WHEN (((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0
         |               < r.rate - floor(r.rate)
         |          THEN 1 ELSE 0 END) AS copies
         |  FROM documents d JOIN r USING (source))
@@ -878,7 +880,7 @@ object TrainPrep {
     "e8_hash_split" ->
       """WITH b AS (
         |  SELECT doc_id,
-        |    ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+        |    (((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0 AS u
         |  FROM documents)
         |SELECT CASE WHEN u < 0.8 THEN 'train'
         |            WHEN u < 0.9 THEN 'val' ELSE 'test' END AS split,
@@ -901,7 +903,7 @@ object TrainPrep {
     "e8_stratified" ->
       """WITH b AS (
         |  SELECT lang, doc_id,
-        |    ((doc_id * 2654435761) % 4294967296) / 4294967296.0 AS u
+        |    (((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0 AS u
         |  FROM documents),
         |r AS (
         |  SELECT lang, doc_id,
@@ -926,7 +928,7 @@ object TrainPrep {
         |k AS (
         |  SELECT d.source, d.doc_id
         |  FROM documents d JOIN r USING (source)
-        |  WHERE ((doc_id * 2654435761) % 4294967296) / 4294967296.0 < rate)
+        |  WHERE (((doc_id % 2147483648) * 2654435761) % 4294967296) / 4294967296.0 < rate)
         |SELECT r.source, r.n_s::BIGINT AS n_in, round(r.rate, 6) AS rate,
         |  coalesce(k2.n_kept, 0) AS n_kept,
         |  coalesce(k2.sum_kept_ids, 0) AS sum_kept_ids

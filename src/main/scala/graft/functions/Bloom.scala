@@ -45,6 +45,44 @@ object BloomMightContain {
     ColumnBridge.column(BloomMightContain(ColumnBridge.expression(key), bloom))
 }
 
+/** Membership probe where the FILTER is per-row data: `child` is a
+  * BINARY column holding a serialized [[BloomFilter]] (the output of
+  * [[BloomBuildAgg]]), and `key` is the constant long being looked
+  * up. This is the map-side half of the skipping-index consult (k22):
+  * the file-level bloom index is filtered DISTRIBUTEDLY — each task
+  * deserializes only the blooms in its own partition and emits a
+  * boolean — so the driver collects matching file NAMES, never
+  * `files × bloom_bytes`. At 100 TB (~10⁵ files × ~100 KB blooms)
+  * that is the difference between ~10 GB through the driver per point
+  * lookup and a few KB of paths. Same no-false-negative contract as
+  * [[BloomMightContain]]. */
+case class BloomBytesMightContain(child: Expression, key: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "bloom_bytes_might_contain"
+
+  override protected def nullSafeEval(v: Any): Any =
+    BloomFilter.readFrom(
+      new java.io.ByteArrayInputStream(v.asInstanceOf[Array[Byte]]))
+      .mightContainLong(key)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, v =>
+      s"""org.apache.spark.util.sketch.BloomFilter.readFrom(
+         |  new java.io.ByteArrayInputStream($v)).mightContainLong(${key}L)
+         |""".stripMargin.replace("\n", " "))
+
+  override protected def withNewChildInternal(
+      newChild: Expression): BloomBytesMightContain =
+    copy(child = newChild)
+}
+
+object BloomBytesMightContain {
+  def probe(bloomBytes: Column, key: Long): Column =
+    ColumnBridge.column(
+      BloomBytesMightContain(ColumnBridge.expression(bloomBytes), key))
+}
+
 /** Bloom filter BUILDER as a typed Aggregator over LONG keys — the
   * per-group sketch side of the skipping-index pattern (k22): one
   * distributed aggregation emits a serialized membership sketch per

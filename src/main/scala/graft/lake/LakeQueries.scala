@@ -734,16 +734,20 @@ object LakeQueries {
     * stats earn their keep. ONE distributed aggregation
     * (`groupBy(input_file_name())` + [[graft.functions.BloomBuildAgg]],
     * a mergeable typed Aggregator whose partial buffers bit-OR) builds
-    * a (file, bloom_bytes, rows) index; a point lookup deserializes
-    * the FILE-COUNT-sized index driver-side (the Iceberg-planner step,
-    * same shape as k19's manifest consult), keeps only files whose
-    * bloom might contain the key — no false negatives, so recall is
-    * exact; false positives only read extra files — and applies the
-    * exact predicate as a residual on that subset. At 100 TB the scan
-    * cost tracks the customer's file footprint (~|orders per customer|
-    * files of thousands), not the table. `require` asserts real
-    * pruning; the oracle restates the plain filtered scan, so an
-    * over-pruned file (a lost order) hash-fails. */
+    * a (file, bloom_bytes, rows) index; a point lookup probes the
+    * index DISTRIBUTEDLY — each task deserializes only its own
+    * partition's blooms via the native
+    * [[graft.functions.BloomBytesMightContain]] expression and the
+    * driver collects only the matching file NAMES (the Iceberg-planner
+    * step, same shape as k19's manifest consult; bloom BYTES never
+    * cross the driver — at 100 TB that's ~10 GB per lookup avoided).
+    * No false negatives, so recall is exact; false positives only read
+    * extra files — the exact predicate runs as a residual on that
+    * subset. At 100 TB the scan cost tracks the customer's file
+    * footprint (~|orders per customer| files of thousands), not the
+    * table. `require` asserts real pruning; the oracle restates the
+    * plain filtered scan, so an over-pruned file (a lost order)
+    * hash-fails. */
   private val k22BloomSkip: Q = (s, dir) => {
     val root = Lake.scratchDir("k22")
     t(s, dir, "orders")
@@ -756,15 +760,14 @@ object LakeQueries {
       .agg(bloomOf(col("o_custkey")).as("bloom"), count(lit(1)).as("rows"))
       .write.parquet(s"$root/index")
     val key = 101L
-    val idx = s.read.parquet(s"$root/index")
-      .select(col("file"), col("bloom")).collect() // file-count-sized
-    val hit = idx.filter { r =>
-      org.apache.spark.util.sketch.BloomFilter
-        .readFrom(new java.io.ByteArrayInputStream(r.getAs[Array[Byte]](1)))
-        .mightContainLong(key)
-    }.map(_.getString(0)).sorted
-    require(hit.nonEmpty && hit.length < idx.length,
-      s"bloom skip pruned nothing: ${hit.length} of ${idx.length} files")
+    val idxDf = s.read.parquet(s"$root/index")
+    val hit = idxDf
+      .filter(graft.functions.BloomBytesMightContain.probe(col("bloom"), key))
+      .select(col("file")) // only file NAMES reach the driver
+      .collect().map(_.getString(0)).sorted
+    val total = idxDf.count()
+    require(hit.nonEmpty && hit.length < total,
+      s"bloom skip pruned nothing: ${hit.length} of $total files")
     s.read.parquet(hit: _*)
       .filter(col("o_custkey") === key)
       .select(col("o_orderkey"), col("o_custkey"),

@@ -118,7 +118,10 @@ object Snapshots {
     else 0
   }
 
-  /** Read a specific version, or the manifest's latest. */
+  /** Read a specific version, or the manifest's latest. This is the
+    * RAW physical read — deletion-vector sidecars (`_dv_v<n>`) are NOT
+    * applied; use [[readWithDeletes]] for the logical rows of a version
+    * that has position deletes. */
   def readVersion(s: SparkSession, root: String,
       version: Option[Int] = None): DataFrame =
     s.read.parquet(s"$root/v=${version.getOrElse(latestVersion(root))}")
@@ -136,10 +139,17 @@ object Snapshots {
     * partial directory. Concurrency-safe by construction: the cutoff
     * derives from `latestVersion` at entry, writers only ever ADD
     * versions above it (the claim CAS starts at latest+1), so vacuum
-    * and commit never touch the same version. Driver-side work is
+    * and commit never touch the same version. The ORPHAN sweep honors a
+    * retention GRACE (Delta/Iceberg-style): an unmarked `v=` dir whose
+    * `_claim_v<n>` is younger than `orphanGraceMs` is an IN-FLIGHT
+    * stage (a [[commitAudited]] audit in progress, a slow writer), not
+    * a crash residue — sweeping it would delete data about to be
+    * published. Expired versions also drop their `_dv_v<n>` deletion-
+    * vector sidecar (otherwise orphaned forever). Driver-side work is
     * marker-count-sized, deletion is per expired directory — never
     * data-scale reads. Returns the expired version numbers. */
-  def vacuum(root: String, retain: Int): Seq[Int] = {
+  def vacuum(root: String, retain: Int,
+      orphanGraceMs: Long = 20 * 60 * 1000L): Seq[Int] = {
     require(retain >= 1, "vacuum must retain at least the latest version")
     import scala.jdk.CollectionConverters._
     val cutoff = latestVersion(root) - retain + 1
@@ -151,9 +161,16 @@ object Snapshots {
       finally ls.close()
     val committed = entries.filter(n => n.startsWith("_commit_v") &&
       !n.endsWith(".tmp")).map(_.stripPrefix("_commit_v").toInt)
+    // In-flight protection: a fresh claim means a writer/audit may still
+    // publish this dir — only stale (or claim-less) unmarked dirs sweep.
+    def claimStale(v: Int): Boolean = {
+      val c = Paths.get(root, s"_claim_v$v")
+      !Files.exists(c) || System.currentTimeMillis() -
+        Files.getLastModifiedTime(c).toMillis >= orphanGraceMs
+    }
     val orphanDirs = entries.filter(_.startsWith("v="))
       .map(_.stripPrefix("v=").toInt)
-      .filter(v => v < cutoff && !committed.contains(v))
+      .filter(v => v < cutoff && !committed.contains(v) && claimStale(v))
     // Iceberg's expire-respects-refs rule: a TAGGED version (k28) is
     // retained regardless of the retention window — the tag IS the
     // statement that someone must be able to read it forever.
@@ -164,10 +181,18 @@ object Snapshots {
     for (v <- expired) {
       Files.deleteIfExists(Paths.get(root, s"_commit_v$v"))
       Lake.deleteRecursively(new java.io.File(s"$root/v=$v"))
+      Lake.deleteRecursively(new java.io.File(s"$root/_dv_v$v"))
+      // NOTE: `_renames_v<v>` is NOT swept here — rename metadata
+      // describes the schema TRANSITION at v and is still needed to
+      // read any surviving version OLDER than v (a tagged snapshot,
+      // say) under the unified schema. Schema history outlives data
+      // history, exactly as in Iceberg's metadata log.
       Files.deleteIfExists(Paths.get(root, s"_claim_v$v"))
     }
     for (v <- orphanDirs) { // crashed-vacuum sweep
       Lake.deleteRecursively(new java.io.File(s"$root/v=$v"))
+      Lake.deleteRecursively(new java.io.File(s"$root/_dv_v$v"))
+      Files.deleteIfExists(Paths.get(root, s"_renames_v$v"))
       Files.deleteIfExists(Paths.get(root, s"_claim_v$v"))
     }
     expired
@@ -183,6 +208,17 @@ object Snapshots {
     * reader sees a complete pointer or none); [[vacuum]] retains tagged
     * versions regardless of the retention window. */
   def tag(root: String, name: String, v: Int): Unit = {
+    // The pointer file is `_tag_<name>` in the table root: the name must
+    // never collide with the `.tmp`/`.claim` suffixes vacuum's tagged-
+    // version scan EXCLUDES (a tag named `rel.tmp` would be invisible to
+    // expire-respects-refs and its "pinned forever" version silently
+    // expired), and must not contain path separators (a `../x` name
+    // escapes the root).
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag '$name': names must match [A-Za-z0-9._-]+ (no path separators)")
+    require(!name.endsWith(".tmp") && !name.endsWith(".claim"),
+      s"tag '$name': names ending in .tmp/.claim collide with commit-" +
+        "protocol temp files and would be ignored by vacuum's tag scan")
     require(Files.exists(Paths.get(root, s"_commit_v$v")),
       s"tag '$name': version $v is not committed")
     try Files.createFile(Paths.get(root, s"_tag_$name.claim"))
@@ -205,6 +241,78 @@ object Snapshots {
   def readTag(s: SparkSession, root: String, name: String): DataFrame =
     readVersion(s, root, Some(tagVersion(root, name)))
 
+  // ------------------------------------------------- schema evolution
+
+  /** Commit a version whose schema EVOLVED from its predecessors —
+    * Iceberg-style name mapping through the CAS commit log (the
+    * snapshot-layer analog of the crawler's schema-change handling,
+    * `stacks/demo_stack.py:130-187`, and of s14's mergeSchema for plain
+    * prefixes). `renames` maps each NEW column name to the name it had
+    * in PRIOR versions (`"bal" -> "c_acctbal"`); added columns need no
+    * entry (older versions simply lack them). The mapping lands in a
+    * `_renames_v<n>` sidecar BEFORE the commit marker (inert until the
+    * marker exists — a reader never sees a committed version with
+    * missing mapping), so old versions are readable under the NEW
+    * unified schema without rewriting a byte of old data — the whole
+    * point vs copy-forward migration at 100 TB. */
+  def commitEvolvedWith(root: String, renames: Map[String, String])(
+      write: String => Unit): Int = {
+    require(renames.keys.forall(_.matches("[A-Za-z0-9_]+")) &&
+      renames.values.forall(_.matches("[A-Za-z0-9_]+")),
+      "rename mapping entries must be plain column identifiers")
+    Files.createDirectories(Paths.get(root))
+    var v = latestVersion(root) + 1
+    while (!claim(root, v)) v += 1
+    write(s"$root/v=$v")
+    if (renames.nonEmpty) {
+      val tmp = Paths.get(root, s"_renames_v$v.tmp")
+      Files.writeString(tmp,
+        renames.toSeq.sorted.map { case (n, o) => s"$n=$o" }.mkString("\n"))
+      Files.move(tmp, Paths.get(root, s"_renames_v$v"),
+        StandardCopyOption.ATOMIC_MOVE)
+    }
+    publish(root, v)
+    v
+  }
+
+  /** The rename mapping version `v` introduced (empty if none). */
+  private def renamesOf(root: String, v: Int): Map[String, String] = {
+    val p = Paths.get(root, s"_renames_v$v")
+    if (!Files.exists(p)) Map.empty
+    else Files.readString(p).linesIterator.filter(_.contains("="))
+      .map { l => val Array(n, o) = l.split("=", 2); n -> o }.toMap
+  }
+
+  /** Read version `v` under the LATEST version's unified schema: each
+    * unified column resolves to its physical name at `v` by composing
+    * the rename chains of every later version (newest first), reading
+    * it under the unified name; a column `v` predates reads as typed
+    * NULL. Resolution is sidecar-count-sized driver work (one tiny file
+    * per evolved commit + one metadata-only schema read of the latest
+    * version); the data scan is the ordinary pruned scan of `v=<v>` —
+    * old versions are never rewritten. */
+  def readVersionUnified(s: SparkSession, root: String, v: Int): DataFrame = {
+    val latest = latestVersion(root)
+    val unified = s.read.parquet(s"$root/v=$latest").schema
+    // A rename hop counts iff its version was COMMITTED: marker present,
+    // or marker gone but data dir gone too (an EXPIRED committed version
+    // — vacuum keeps its rename metadata, see the expire loop). A
+    // crashed evolved commit (no marker, data dir still staged) must
+    // never corrupt the chain; its sidecar is swept with the orphan.
+    val chains = (v + 1 to latest).reverse
+      .filter(w => Files.exists(Paths.get(root, s"_commit_v$w")) ||
+        !Files.isDirectory(Paths.get(root, s"v=$w")))
+      .map(renamesOf(root, _))
+    val phys = s.read.parquet(s"$root/v=$v")
+    val physCols = phys.schema.fieldNames.toSet
+    val cols = unified.fields.toSeq.map { f =>
+      val physName = chains.foldLeft(f.name)((n, m) => m.getOrElse(n, n))
+      if (physCols(physName)) col(physName).as(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }
+    phys.select(cols: _*)
+  }
+
   // --------------------------------------------- write-audit-publish
 
   /** WRITE-AUDIT-PUBLISH (the Iceberg/Netflix WAP pattern): stage the
@@ -221,9 +329,14 @@ object Snapshots {
     * Scale shape: the stage is the ordinary one-parquet-write commit
     * path; the audit is whatever the caller runs (a [[Validate]] suite
     * is ONE aggregation pass); publish is a one-line atomic rename.
-    * Concurrency-safe by construction — the claim CAS serializes
-    * version numbers, and an audit that takes minutes blocks nobody
-    * (other writers claim higher numbers and can publish first). */
+    * Concurrency: the claim CAS serializes version numbers, and an
+    * audit that takes minutes blocks nobody (other writers claim higher
+    * numbers and can publish first). The staged-but-unmarked directory
+    * is protected from a concurrent [[vacuum]]'s orphan sweep by the
+    * claim-age GRACE period (an unmarked dir with a fresh `_claim_v<n>`
+    * is skipped) — an audit that outlives `orphanGraceMs` while other
+    * writers push the cutoff past it is NOT protected; size the grace
+    * to the slowest audit. */
   def commitAudited(s: SparkSession, root: String)(write: String => Unit)(
       audit: DataFrame => Either[String, Unit]): Either[String, Int] = {
     Files.createDirectories(Paths.get(root))
@@ -462,12 +575,16 @@ object Snapshots {
     * OF n` semantics: history is never rewritten, the bad version
     * stays readable for audit, and the restore itself is an ordinary
     * auditable commit (so it composes with vacuum retention and the
-    * change feed). Cost here is one version copy-write — the honest
-    * full-copy tradeoff k15 documents; a manifest-of-files layout
-    * would make the same operation metadata-only. */
+    * change feed). The content restored is the version's LOGICAL rows —
+    * [[readWithDeletes]], so a source version carrying a `_dv_v<n>`
+    * deletion-vector sidecar restores WITHOUT the deleted rows (and the
+    * restore doubles as DV compaction: the new version is sidecar-free).
+    * Cost here is one version copy-write — the honest full-copy
+    * tradeoff k15 documents; a manifest-of-files layout would make the
+    * same operation metadata-only. */
   def restore(s: SparkSession, root: String, toVersion: Int): Int =
     commitVersionWith(root)(p =>
-      Lake.writeParquet(readVersion(s, root, Some(toVersion)), p))
+      Lake.writeParquet(readWithDeletes(s, root, toVersion), p))
 
   // ------------------------------------- merge-on-read position deletes
 
@@ -479,7 +596,8 @@ object Snapshots {
     * never rewritten: a delete costs O(scan) + O(matches) written,
     * not a table rewrite (the copy-on-write alternative k14 does).
     * Repeated/overlapping delete batches append; the read side
-    * de-duplicates positions. Returns the number of positions written.
+    * de-duplicates positions. Returns the number of DISTINCT deleted
+    * positions on record (a replayed batch leaves the count unchanged).
     */
   def deleteWhere(s: SparkSession, root: String, v: Int,
       pred: org.apache.spark.sql.Column): Long = {
@@ -488,7 +606,7 @@ object Snapshots {
       col("_metadata.file_path").as("file_path"),
       col("_metadata.row_index").as("row_index"))
     hits.write.mode("append").parquet(s"$root/_dv_v$v")
-    s.read.parquet(s"$root/_dv_v$v").count() // positions on record
+    s.read.parquet(s"$root/_dv_v$v").distinct().count()
   }
 
   /** MERGE-ON-READ: the base version scan minus its deletion vectors,
@@ -672,9 +790,17 @@ object Snapshots {
     * exactly how downstream incremental consumers (k18's IVM, ev24's
     * CDC apply) would be fed from snapshots. */
   def snapshotDiff(s: SparkSession, root: String, v1: Int, v2: Int,
+      keyCols: Seq[String], cmpCols: Seq[String]): DataFrame =
+    diffFrames(readVersion(s, root, Some(v1)),
+      readVersion(s, root, Some(v2)), keyCols, cmpCols)
+
+  /** [[snapshotDiff]] over caller-supplied reads of the two versions —
+    * what lets the change feed run ACROSS a schema-evolution boundary
+    * (k29 feeds it two [[readVersionUnified]] scans). */
+  def diffFrames(oldDf: DataFrame, newDf: DataFrame,
       keyCols: Seq[String], cmpCols: Seq[String]): DataFrame = {
-    val o = readVersion(s, root, Some(v1)).as("o")
-    val n = readVersion(s, root, Some(v2)).as("n")
+    val o = oldDf.as("o")
+    val n = newDf.as("n")
     val joined = o.join(n, keyCols.map(k => o(k) === n(k)).reduce(_ && _),
       "full_outer")
     val oKey = o(keyCols.head); val nKey = n(keyCols.head)
@@ -711,7 +837,65 @@ object Snapshots {
       .orderBy(col("c_custkey"))
   }
 
+  /** K29: SCHEMA EVOLUTION through the CAS commit log — the Iceberg
+    * name-mapping capability (the snapshot-layer analog of the
+    * crawler's schema-change handling, `stacks/demo_stack.py:130-187`;
+    * s14/s15 cover plain prefixes, this covers the versioned log). v1
+    * commits (c_custkey, c_name, c_acctbal); v2 commits through
+    * [[commitEvolvedWith]] RENAMING c_acctbal → bal and ADDING
+    * segment, while also deleting (key % 10 = 0), repricing
+    * (key % 10 = 1, +50), and inserting new keys (key % 100 = 0 →
+    * key + 10⁶). BOTH versions then read under ONE unified schema —
+    * v1's `bal` resolves through the mapping to its physical
+    * c_acctbal, its `segment` is typed NULL, no v1 byte rewritten —
+    * and the k24 CHANGE FEED runs ACROSS the evolution boundary on the
+    * two unified reads. The oracle restates all five result rows
+    * set-algebraically from the raw table: a mapping miss (bal
+    * reading NULL for v1), a feed misclassification at the boundary,
+    * or cross-version contamination all hash-fail. */
+  private val k29SchemaEvolution: Q = (s, dir) => {
+    val root = Lake.scratchDir("k29")
+    val c = Tables.load(s, dir, "customer")
+    require(commitVersion(c.select(col("c_custkey"), col("c_name"),
+      round(col("c_acctbal"), 2).as("c_acctbal")), root) == 1)
+    val v2 = c.filter(col("c_custkey") % 10 =!= 0)
+      .select(col("c_custkey"), col("c_name"),
+        when(col("c_custkey") % 10 === 1, round(col("c_acctbal") + 50.0, 2))
+          .otherwise(round(col("c_acctbal"), 2)).as("bal"),
+        col("c_mktsegment").as("segment"))
+      .unionByName(c.filter(col("c_custkey") % 100 === 0)
+        .select((col("c_custkey") + 1000000L).as("c_custkey"), col("c_name"),
+          round(col("c_acctbal"), 2).as("bal"),
+          col("c_mktsegment").as("segment")))
+    require(commitEvolvedWith(root, Map("bal" -> "c_acctbal"))(p =>
+      Lake.writeParquet(v2, p)) == 2)
+    val u1 = readVersionUnified(s, root, 1)
+    val u2 = readVersionUnified(s, root, 2)
+    def snap(df: DataFrame, label: String) = df.agg(
+      count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_keys"),
+      round(sum(col("bal")), 2).as("sum_bal"),
+      count(col("segment")).as("n_seg"))
+      .select(lit(label).as("snap"), col("n"), col("sum_keys"),
+        col("sum_bal"), col("n_seg"))
+    val feed = diffFrames(u1, u2, Seq("c_custkey"), Seq("bal"))
+    def cls(change: String, label: String) =
+      feed.filter(col("change") === change).agg(
+        count(lit(1)).as("n"), sum(col("c_custkey")).as("sum_keys"),
+        round(sum(coalesce(col("new_bal"), col("old_bal"))), 2)
+          .as("sum_bal"),
+        lit(0L).as("n_seg"))
+        .select(lit(label).as("snap"), col("n"), col("sum_keys"),
+          col("sum_bal"), col("n_seg"))
+    snap(u1, "1_v1_unified")
+      .unionByName(snap(u2, "2_latest_unified"))
+      .unionByName(cls("delete", "3_feed_delete"))
+      .unionByName(cls("update", "4_feed_update"))
+      .unionByName(cls("insert", "5_feed_insert"))
+      .orderBy(col("snap"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "k29_schema_evolution" -> k29SchemaEvolution,
     "k24_snapshot_diff" -> k24SnapshotDiff,
     "k25_restore" -> k25Restore,
     "k26_deletion_vectors" -> k26DeletionVectors,
@@ -725,6 +909,47 @@ object Snapshots {
   )
 
   val oracles: Map[String, String] = Map(
+    // All five rows restated set-algebraically from the raw table:
+    // unified v1 (bal ← c_acctbal, segment NULL ⇒ n_seg 0), unified
+    // latest, and the three change-feed classes across the boundary.
+    "k29_schema_evolution" ->
+      """WITH c AS (
+        |  SELECT c_custkey, round(c_acctbal, 2) AS bal0, c_mktsegment
+        |  FROM customer),
+        |v2 AS (
+        |  SELECT c_custkey,
+        |    CASE WHEN c_custkey % 10 = 1 THEN round(bal0 + 50.0, 2)
+        |         ELSE bal0 END AS bal,
+        |    c_mktsegment AS segment
+        |  FROM c WHERE c_custkey % 10 <> 0
+        |  UNION ALL
+        |  SELECT c_custkey + 1000000, bal0, c_mktsegment
+        |  FROM c WHERE c_custkey % 100 = 0)
+        |SELECT * FROM (
+        |  SELECT '1_v1_unified' AS snap, count(*)::BIGINT AS n,
+        |    sum(c_custkey)::BIGINT AS sum_keys,
+        |    round(sum(bal0), 2) AS sum_bal, 0::BIGINT AS n_seg
+        |  FROM c
+        |  UNION ALL
+        |  SELECT '2_latest_unified', count(*)::BIGINT,
+        |    sum(c_custkey)::BIGINT, round(sum(bal), 2),
+        |    count(segment)::BIGINT
+        |  FROM v2
+        |  UNION ALL
+        |  SELECT '3_feed_delete', count(*)::BIGINT,
+        |    sum(c_custkey)::BIGINT, round(sum(bal0), 2), 0::BIGINT
+        |  FROM c WHERE c_custkey % 10 = 0
+        |  UNION ALL
+        |  SELECT '4_feed_update', count(*)::BIGINT,
+        |    sum(c_custkey)::BIGINT, round(sum(round(bal0 + 50.0, 2)), 2),
+        |    0::BIGINT
+        |  FROM c WHERE c_custkey % 10 = 1
+        |  UNION ALL
+        |  SELECT '5_feed_insert', count(*)::BIGINT,
+        |    sum(c_custkey + 1000000)::BIGINT, round(sum(bal0), 2),
+        |    0::BIGINT
+        |  FROM c WHERE c_custkey % 100 = 0
+        |) ORDER BY snap""".stripMargin,
     // Set-algebraic restatement of the three change classes; the
     // unchanged (%4 == 2) slice must be absent.
     "k24_snapshot_diff" ->

@@ -287,6 +287,54 @@ object EventWindows {
       .orderBy(col("digest"))
   }
 
+  /** EV26: declarative streaming dedup with CROSS-BATCH state, oracle-
+    * gated — the built-in/hand-rolled pairing ev23 gave sessionization,
+    * closed for dedup. ev11 also runs `dropDuplicatesWithinWatermark`,
+    * but it stages every file up front and drains in ONE micro-batch,
+    * so the dedup state never survives a batch boundary. Here the
+    * corpus replays through [[stageReplay]] one file per micro-batch
+    * (5 base batches in event-time order), and every doc_id ≡ 0 (mod 3)
+    * document ARRIVES AGAIN one batch later (same text ⇒ same digest,
+    * +50 ms event time): suppressing the replayed copy requires the
+    * digest state written by batch k to be consulted in batch k+1 — the
+    * cross-batch path a single-batch run never exercises. Event time is
+    * compressed (100 ms per doc_id, ~8 min span at sf0.1) so the 1-hour
+    * watermark never evicts state mid-replay and the surviving set is
+    * EXACTLY the distinct digest set, which the oracle restates; the
+    * `require` pins that replayed copies actually crossed a batch
+    * boundary (structural, not hash-visible). */
+  private val ev26StreamDropdup: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val nBatches = 5L
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) // 1 row
+    val step = maxId / nBatches + 1L
+    val base = docs.select(col("text"),
+      timestamp_millis(col("doc_id") * 100L).as("ts"),
+      (col("doc_id") / step).cast("long").as("b"))
+    val dups = docs.filter(col("doc_id") % 3 === 0).select(col("text"),
+      timestamp_millis(col("doc_id") * 100L + 50L).as("ts"),
+      ((col("doc_id") / step).cast("long") + 1L).as("b"))
+    val (files, landing) = stageReplay(s, base.unionByName(dups))
+    require(files.size.toLong == nBatches + 1L,
+      s"replays must spill into a 6th batch, staged ${files.size}")
+    val schema = s.read.parquet(files.head.toString).schema
+    val sink = "ev26_out_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try s.readStream.schema(schema).parquet(landing)
+          .withColumn("digest", sha2(col("text"), 256))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("digest")
+          .select(col("digest"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try replay(files, landing, q) finally q.stop()
+    s.table(sink).select(col("digest")).orderBy(col("digest"))
+  }
+
   /** EV12: gap sessionization EXECUTED AS A STREAM with custom state
     * (flatMapGroupsWithState), oracle-gated against the batch
     * gaps-and-islands answer. The events table is replayed through a
@@ -870,6 +918,7 @@ object EventWindows {
     "ev13_stream_join" -> ev13StreamJoin,
     "ev12_stream_sessions" -> ev12StreamSessions,
     "ev11_stream_dedup" -> ev11StreamDedup,
+    "ev26_stream_dropdup" -> ev26StreamDropdup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
     "ev1_tumbling" -> ev1Tumbling,
@@ -1089,6 +1138,13 @@ object EventWindows {
         |WHERE sha256(text) NOT IN (
         |  SELECT sha256(text) FROM documents WHERE doc_id % 5 = 0)
         |ORDER BY digest""".stripMargin,
+    // Batch restatement of the replayed stream: once every batch has
+    // drained, first-arrival-wins dedup over base + replayed copies
+    // collapses to DISTINCT over the corpus (replays carry identical
+    // text, hence identical digests).
+    "ev26_stream_dropdup" ->
+      """SELECT DISTINCT sha256(text) AS digest
+        |FROM documents ORDER BY digest""".stripMargin,
     "ev10_burstiness" ->
       """WITH g AS (
         |  SELECT user_id,

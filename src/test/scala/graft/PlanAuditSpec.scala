@@ -44,6 +44,9 @@ class PlanAuditSpec extends SparkSpec {
     "e3_pq_indexed" -> Set("BroadcastNestedLoop"),
     "e3_semdedup_run" -> Set("BroadcastNestedLoop"),
     "e3_ivf_indexed" -> Set("BroadcastNestedLoop"),
+    // six one-row gate scalars crossJoined — the ingest itself is a
+    // map-side assignment + partition-local append, no nested loop
+    "e3_ivf_incremental" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
     // one-row corpus-total scalar crossJoined onto the QI group table
     "e9_kanon" -> Set("BroadcastNestedLoop"),

@@ -1,0 +1,50 @@
+package graft
+
+import com.fasterxml.jackson.databind.ObjectMapper
+import java.nio.file.{Files, Paths}
+import scala.jdk.CollectionConverters._
+
+/** SF-slope guard over the committed bench artifact (round-9 verdict
+  * item 6): `graft.Bench` times each family head at sf0.01 AND sf0.1
+  * in one session and records e = log₁₀(t_large/t_small) against the
+  * 10× row ratio. This spec bounds the measured exponent for the
+  * BUCKETED families — the ones whose candidate generation is an
+  * equi-join on banded/blocked keys and must scale ~linearly (plus log
+  * factors): a super-linear reading means a bucket degenerated into
+  * all-pairs or a shuffle started dominating, which is exactly the
+  * 100 TB failure mode the plan-shape argument claims cannot happen.
+  *
+  * The bound is generous (1.45 ≈ n^1.45 ≈ 28× time per 10× rows) for
+  * three reasons: single-rep timings on a throttling VM, fixed
+  * per-query overhead that inflates t_small (deflating e) unevenly,
+  * and the LSH families' genuine O(n · bucket-size) tail growth at a
+  * fixed band plan. Quadratic (e = 2) and beyond stays far outside it.
+  * Turning-the-knob evidence: an all-pairs cosine join measures
+  * e ≈ 1.9-2.0 on this data — comfortably caught.
+  */
+class ScalingSpec extends SparkSpec {
+  private val maxExponent = 1.45
+  /** Families whose scale story is load-bearing (bucketed/blocked). */
+  private val bucketed = Set(
+    "e1_dedup_exact", "e2_minhash_neardup", "e2_simhash_neardup",
+    "e2_cluster_cc", "e3_ann_search", "e3_ivf_search", "e3_ivfpq_search",
+    "e4_tfidf", "e8_hash_split", "q1_agg", "j1_inner")
+
+  test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
+      "bucketed family head in the committed bench artifact") {
+    val path = Paths.get("bench_out.json")
+    assume(Files.exists(path), "no bench_out.json — run graft.Bench first")
+    val root = new ObjectMapper().readTree(Files.readString(path))
+    val scaling = root.get("scaling")
+    assume(scaling != null && scaling.fieldNames().asScala.nonEmpty,
+      "artifact has no scaling map — produced by a pre-slope Bench " +
+        "or a run without the sibling sf0.01 dir")
+    val over = scaling.fieldNames().asScala.toSeq
+      .filter(bucketed)
+      .map(n => (n, scaling.get(n).get("exponent").asDouble()))
+      .filter(_._2 > maxExponent)
+    assert(over.isEmpty,
+      s"super-linear sf-slope for bucketed families: " +
+        over.map { case (n, e) => f"$n (e=$e%.2f)" }.mkString(", "))
+  }
+}

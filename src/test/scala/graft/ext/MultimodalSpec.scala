@@ -122,4 +122,125 @@ class MultimodalSpec extends SparkSpec {
     assert(java.lang.Long.bitCount(got(1L) ^ got(3L)) == 0,
       "a 1-unit brightness change flips no bit in this clear-margin image")
   }
+
+  test("PngCodec decodes a CROSS-IMPLEMENTATION reference PNG (python " +
+      "zlib-built fixture with an ancillary chunk) to exact pixels") {
+    // Built independently with python's zlib/struct — a channel-order or
+    // filter-convention bug made symmetrically in the Scala encoder AND
+    // decoder cannot cancel out against this fixture. 2×2 RGB, rows
+    // filter-None, plus a tEXt chunk the decoder must skip.
+    val fixture = Array[Int](
+      -119, 80, 78, 71, 13, 10, 26, 10, 0, 0, 0, 13, 73, 72, 68, 82, 0, 0,
+      0, 2, 0, 0, 0, 2, 8, 2, 0, 0, 0, -3, -44, -102, 115, 0, 0, 0, 19,
+      116, 69, 88, 116, 67, 111, 109, 109, 101, 110, 116, 0, 114, 101, 102,
+      32, 102, 105, 120, 116, 117, 114, 101, -45, -80, 15, 120, 0, 0, 0,
+      22, 73, 68, 65, 84, 120, -100, 99, -32, 18, -111, -45, 48, -78, 97,
+      112, 11, -120, 58, 49, 45, 5, 0, 16, -128, 3, -123, -60, 90, -121,
+      -111, 0, 0, 0, 0, 73, 69, 78, 68, -82, 66, 96, -126).map(_.toByte)
+    val (w, h, rgb) = Multimodal.PngCodec.decode(fixture)
+    assert((w, h) == (2, 2))
+    assert(rgb.map(_ & 0xff).toSeq ==
+      Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 150, 100))
+  }
+
+  test("PngCodec: RGB round-trip through cycling filters and CRC checks") {
+    val (w, h) = (5, 7)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
+    val bytes = Multimodal.PngCodec.encode(w, h, rgb)
+    val (dw, dh, back) = Multimodal.PngCodec.decode(bytes)
+    assert((dw, dh) == (w, h))
+    assert(back.toSeq == rgb.toSeq,
+      "decoded pixels differ — unfiltering or stride bug")
+    // a flipped IDAT byte must fail the chunk CRC, loudly
+    val corrupt = bytes.clone()
+    val idatAt = bytes.sliding(4).indexWhere(
+      ww => new String(ww.toArray, "US-ASCII") == "IDAT")
+    corrupt(idatAt + 6) = (corrupt(idatAt + 6) ^ 0x40).toByte
+    intercept[IllegalArgumentException](Multimodal.PngCodec.decode(corrupt))
+  }
+
+  test("PngCodec decoder unfilters Average and Paeth rows (filters the " +
+      "encoder never emits)") {
+    // Hand-filter a 2-wide RGB image with filter 3 (Average) then 4
+    // (Paeth), per RFC 2083 §6, and wrap it in spec chunks here in the
+    // test — proving the decoder's full filter table, not just the
+    // encoder's 0/1/2 subset.
+    val w = 2
+    val px = Array(10, 200, 30, 90, 60, 250, 5, 15, 25, 35, 45, 55)
+    val stride = w * 3
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val (pa, pb, pc) = (math.abs(p - a), math.abs(p - b), math.abs(p - c))
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    val raw = new java.io.ByteArrayOutputStream()
+    raw.write(3) // row 0: Average (prior row = zeros)
+    for (i <- 0 until stride) {
+      val a = if (i >= 3) px(i - 3) else 0
+      raw.write((px(i) - (a + 0) / 2) & 0xff)
+    }
+    raw.write(4) // row 1: Paeth
+    for (i <- 0 until stride) {
+      val a = if (i >= 3) px(stride + i - 3) else 0
+      val b = px(i)
+      val c = if (i >= 3) px(i - 3) else 0
+      raw.write((px(stride + i) - paeth(a, b, c)) & 0xff)
+    }
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw.toByteArray); d.finish()
+    val idat = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1024)
+    while (!d.finished()) idat.write(buf, 0, d.deflate(buf))
+    d.end()
+    def chunk(t: String, data: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(12 + data.length)
+      bb.putInt(data.length); bb.put(t.getBytes("US-ASCII")); bb.put(data)
+      val crc = new java.util.zip.CRC32()
+      crc.update(t.getBytes("US-ASCII")); crc.update(data)
+      bb.putInt(crc.getValue.toInt); bb.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13).putInt(w).putInt(2)
+      .put(8.toByte).put(2.toByte).put(0.toByte).put(0.toByte)
+      .put(0.toByte).array()
+    val out = new java.io.ByteArrayOutputStream()
+    out.write(Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a))
+    out.write(chunk("IHDR", ihdr))
+    out.write(chunk("IDAT", idat.toByteArray))
+    out.write(chunk("IEND", Array.empty[Byte]))
+    val (dw, dh, rgb) = Multimodal.PngCodec.decode(out.toByteArray)
+    assert((dw, dh) == (2, 2))
+    assert(rgb.map(_ & 0xff).toSeq == px.toSeq,
+      "Average/Paeth unfiltering incorrect")
+  }
+
+  test("WavCodec: PCM16 round-trip through a spec-shaped RIFF container") {
+    val samples = Array.tabulate(300)(t => ((t * 13) % 200 - 100).toShort)
+    val bytes = Multimodal.WavCodec.encode(samples, 8000)
+    // container magic where the spec puts it
+    assert(new String(bytes.slice(0, 4), "US-ASCII") == "RIFF")
+    assert(new String(bytes.slice(8, 12), "US-ASCII") == "WAVE")
+    val (rate, back) = Multimodal.WavCodec.decode(bytes)
+    assert(rate == 8000)
+    assert(back.toSeq == samples.toSeq,
+      "decoded samples differ from encoded — chunk walk or endianness bug")
+  }
+
+  test("WavCodec decode rejects corrupt containers loudly") {
+    val good = Multimodal.WavCodec.encode(Array[Short](1, 2, 3), 8000)
+    // not RIFF
+    intercept[IllegalArgumentException](
+      Multimodal.WavCodec.decode("JUNKJUNKJUNK".getBytes("US-ASCII")))
+    // RIFF but data chunk renamed away
+    val noData = good.clone()
+    val dataAt = good.sliding(4).indexWhere(
+      w => new String(w.toArray, "US-ASCII") == "data")
+    noData(dataAt) = 'x'.toByte
+    intercept[IllegalArgumentException](Multimodal.WavCodec.decode(noData))
+    // stereo/wrong-format fmt chunk rejected
+    val stereo = good.clone()
+    val fmtAt = good.sliding(4).indexWhere(
+      w => new String(w.toArray, "US-ASCII") == "fmt ")
+    stereo(fmtAt + 10) = 2 // channels LE16 at fmt body offset 2
+    intercept[IllegalArgumentException](Multimodal.WavCodec.decode(stereo))
+  }
 }

@@ -34,6 +34,25 @@ class BloomBuildAggSpec extends SparkSpec {
       "bloom bytes depend on partitioning — the index would be unstable")
   }
 
+  test("BloomBytesMightContain probes the index map-side — only matching " +
+      "group names reach the driver, never bloom bytes") {
+    val agg = udaf(BloomBuildAgg(1000L, 0.01))
+    // 3 groups; key k lives in group f(k % 3).
+    val idx = (0L until 300L).map(k => (s"f${k % 3}", k)).toDF("file", "k")
+      .groupBy($"file").agg(agg($"k").as("bloom"))
+    val probe = idx
+      .filter(BloomBytesMightContain.probe($"bloom", 7L))
+      .select($"file")
+    // The collected projection carries NO binary column: the k22 consult
+    // ships file NAMES through the driver, the sketches stay distributed.
+    assert(probe.schema.fields.forall(
+      _.dataType != org.apache.spark.sql.types.BinaryType),
+      "bloom bytes would reach the driver")
+    val hits = probe.as[String].collect().toSet
+    assert(hits.contains("f1"),
+      "no false negatives: key 7 is in f1's bloom and must survive the probe")
+  }
+
   test("false-positive rate stays near the configured fpp") {
     val agg = udaf(BloomBuildAgg(1000L, 0.01))
     val bytes = (0L until 1000L).map(_ * 3L).toDF("k")

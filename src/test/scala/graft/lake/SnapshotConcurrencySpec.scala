@@ -112,11 +112,37 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "v=1")))
     // v1 is no longer committed, so the next vacuum reports nothing
-    // expired — but must still sweep the orphaned directory.
+    // expired — but must still sweep the orphaned directory. Its claim
+    // is minutes old at most, so the DEFAULT grace protects it (the dir
+    // is indistinguishable from an in-flight commitAudited stage)…
     assert(Snapshots.vacuum(root, retain = 2).isEmpty)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v=1")),
+      "fresh-claim orphan must survive the default grace")
+    // …and grace 0 models the claim having aged past the window.
+    assert(Snapshots.vacuum(root, retain = 2, orphanGraceMs = 0).isEmpty)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "v=1")), "orphan dir not swept")
     assert(Snapshots.latestVersion(root) == 3)
+  }
+
+  test("in-flight staged dir (fresh claim, no marker) survives vacuum " +
+      "even when racers push the cutoff past it") {
+    val root = Lake.scratchDir("snap_vac_grace")
+    // A slow audited writer has claimed + staged v1 but not published.
+    assert(Snapshots.commitProbe(root, 1))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "v=1"))
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(root, "v=1", "part-0.parquet"), "staged")
+    // Racing writers publish v2..v4, pushing the retention cutoff past 1.
+    for (i <- 2 to 4)
+      Snapshots.commitVersion(
+        spark.range(2).select(col("id"), lit(i).as("tag")), root)
+    assert(Snapshots.vacuum(root, retain = 1) == Seq(2, 3))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "v=1", "part-0.parquet")),
+      "vacuum swept an in-flight stage inside the grace window")
   }
 
   test("vacuum leaves an in-flight claim above the cutoff untouched") {

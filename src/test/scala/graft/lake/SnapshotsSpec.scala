@@ -103,6 +103,80 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.readVersion(spark, root, Some(1)).count() == 30)
   }
 
+  test("tag names that collide with protocol suffixes or escape the " +
+      "root are rejected") {
+    val root = Lake.scratchDir("t_tag_names")
+    assert(Snapshots.commitVersion(Seq((1L, "a")).toDF("k", "v"), root) == 1)
+    // vacuum's tag scan excludes *.tmp/*.claim — such names would be
+    // silently unpinned; '/'-bearing names escape the root dir.
+    intercept[IllegalArgumentException](Snapshots.tag(root, "rel.tmp", 1))
+    intercept[IllegalArgumentException](Snapshots.tag(root, "rel.claim", 1))
+    intercept[IllegalArgumentException](Snapshots.tag(root, "../esc", 1))
+    intercept[IllegalArgumentException](Snapshots.tag(root, "a/b", 1))
+    intercept[IllegalArgumentException](Snapshots.tag(root, "", 1))
+    Snapshots.tag(root, "rel-1.0_final", 1) // legal charset still works
+    assert(Snapshots.tagVersion(root, "rel-1.0_final") == 1)
+  }
+
+  test("deleteWhere counts distinct positions; restore applies deletion " +
+      "vectors and compacts the sidecar away") {
+    val root = Lake.scratchDir("t_dv_restore")
+    val base = (1L to 20L).map(k => (k, k % 5)).toDF("k", "tag")
+    assert(Snapshots.commitVersionWith(root)(p =>
+      base.repartition(2).write.parquet(p)) == 1)
+    assert(Snapshots.deleteWhere(spark, root, 1, $"tag" === 0) == 4)
+    // replayed batch: appended duplicates must NOT inflate the count
+    assert(Snapshots.deleteWhere(spark, root, 1, $"tag" === 0) == 4)
+    assert(Snapshots.deleteWhere(spark, root, 1, $"k" === 1L) == 5)
+    // restore(v1) must commit the LOGICAL rows (deletes applied) —
+    // a DV-blind restore would resurrect k ∈ {1,5,10,15,20}.
+    assert(Snapshots.restore(spark, root, toVersion = 1) == 2)
+    assert(Snapshots.readVersion(spark, root, Some(2))
+      .select($"k").as[Long].collect().toSet ==
+      (1L to 20L).filter(k => k % 5 != 0 && k != 1L).toSet)
+    // the restored version is sidecar-free (restore = DV compaction)
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "_dv_v2")))
+  }
+
+  test("vacuum sweeps the _dv sidecar alongside its expired version") {
+    val root = Lake.scratchDir("t_dv_vacuum")
+    val base = (1L to 10L).toDF("k")
+    assert(Snapshots.commitVersion(base, root) == 1)
+    Snapshots.deleteWhere(spark, root, 1, $"k" === 3L)
+    assert(Snapshots.commitVersion(base.filter($"k" =!= 3L), root) == 2)
+    assert(Snapshots.vacuum(root, retain = 1) == Seq(1))
+    assert(!java.nio.file.Files.isDirectory(
+      java.nio.file.Paths.get(root, "_dv_v1")),
+      "expired version's deletion-vector sidecar was orphaned")
+  }
+
+  test("readVersionUnified composes multi-hop rename chains, types " +
+      "missing columns, and keeps working after the renaming version " +
+      "itself expires") {
+    val root = Lake.scratchDir("t_evolve")
+    assert(Snapshots.commitVersion(
+      Seq((1L, 10.0), (2L, 20.0)).toDF("k", "a"), root) == 1)
+    // v2 renames a→b and adds s; v3 renames b→c. Unified = (k, c, s).
+    assert(Snapshots.commitEvolvedWith(root, Map("b" -> "a"))(p =>
+      Lake.writeParquet(Seq((1L, 11.0, "x")).toDF("k", "b", "s"), p)) == 2)
+    assert(Snapshots.commitEvolvedWith(root, Map("c" -> "b"))(p =>
+      Lake.writeParquet(Seq((1L, 12.0, "y")).toDF("k", "c", "s"), p)) == 3)
+    def u1 = Snapshots.readVersionUnified(spark, root, 1)
+    assert(u1.columns.toSeq == Seq("k", "c", "s"))
+    assert(u1.orderBy($"k").as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 10.0, null), (2L, 20.0, null)),
+      "v1's c must resolve a←b←c through two hops; s must be typed NULL")
+    // Pin v1 and expire v2: the rename metadata v2 introduced must
+    // survive its data's expiry or the pinned v1 becomes unreadable
+    // under the unified schema.
+    Snapshots.tag(root, "pin", 1)
+    assert(Snapshots.vacuum(root, retain = 1) == Seq(2))
+    assert(u1.orderBy($"k").as[(Long, Double, String)].collect().toSeq ==
+      Seq((1L, 10.0, null), (2L, 20.0, null)),
+      "rename chain broken by expiring the version that introduced it")
+  }
+
   test("funnel stages require strictly-later events") {
     // user 1: proper view < click < purchase → all stages
     // user 2: purchase BEFORE click → stages 1-2 only
