@@ -63,7 +63,10 @@ object Bench {
   private val harnessOnly = Set(
     "a4_approx", "e3_ann_recall", "e3_ivf_recall", "e3_ivf_indexed",
     "e3_ann_neardup", "e3_cosine_neardup", "e6_cms_heavyhitters",
-    "e3_semdedup", "e3_pq_recall", "e3_ivfpq_recall", "e3_pq_indexed")
+    "e3_semdedup", "e3_pq_recall", "e3_ivfpq_recall", "e3_pq_indexed",
+    // verifies ingest by running the grown index AND the in-memory
+    // path AND brute force — three searches to gate one
+    "e3_ivf_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -636,6 +636,60 @@ object Multimodal {
     decoded.toDF().orderBy(col("doc_id"))
   }
 
+  final case class ResizeStats(doc_id: Long, out_w: Int, out_h: Int,
+      ds_sum_r: Long, ds_sum_g: Long, ds_sum_b: Long)
+
+  /** REAL image resize: 2×2 box-filter downsample over decoded pixels —
+    * each output channel value is the INTEGER mean (floor) of its 2×2
+    * input block, the first pyramid level every vision pipeline builds.
+    * Integer arithmetic end-to-end, so unlike bilinear/Lanczos the
+    * result is exactly restatable in SQL. Pure-JVM, map-only. */
+  def boxDownsample2x(w: Int, h: Int, rgb: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val (ow, oh) = (w / 2, h / 2)
+    val out = new Array[Byte](ow * oh * 3)
+    for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 3) {
+      val s = (rgb(((2 * y) * w + 2 * x) * 3 + c) & 0xff) +
+        (rgb(((2 * y) * w + 2 * x + 1) * 3 + c) & 0xff) +
+        (rgb(((2 * y + 1) * w + 2 * x) * 3 + c) & 0xff) +
+        (rgb(((2 * y + 1) * w + 2 * x + 1) * 3 + c) & 0xff)
+      out((y * ow + x) * 3 + c) = (s / 4).toByte
+    }
+    (ow, oh, out)
+  }
+
+  /** E5l: REAL resize under a VALUE-LEVEL oracle — the e5_png synth
+    * image round-trips the full PNG encode→decode path, then a REAL
+    * 2×2 box downsample (replacing the resize STUB with actual pixel
+    * arithmetic); the downsampled channel sums must equal DuckDB's
+    * restatement of floor-mean over the synth formula's 2×2 blocks.
+    * A block-offset slip, a channel interleave bug, or a rounding
+    * drift all corrupt the sums and hash-fail. */
+  private val e5ResizeBox: Q = (s, dir) => {
+    import s.implicits._
+    val (w, h) = (16, 12)
+    t(s, dir, "documents")
+      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val rgb = new Array[Byte](w * h * 3)
+          for (y <- 0 until h; x <- 0 until w) {
+            val i = (y * w + x) * 3
+            rgb(i) = (((x * 7 + y * 3) + id) % 256).toByte
+            rgb(i + 1) = (((x * 11 + y * 5) + id * 2) % 256).toByte
+            rgb(i + 2) = ((x * y + id * 3) % 256).toByte
+          }
+          val (dw, dh, px) = PngCodec.decode(PngCodec.encode(w, h, rgb))
+          val (ow, oh, ds) = boxDownsample2x(dw, dh, px)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < ds.length) {
+            sr += ds(i) & 0xff; sg += ds(i + 1) & 0xff
+            sb += ds(i + 2) & 0xff; i += 3
+          }
+          ResizeStats(id, ow, oh, sr, sg, sb)
+        }
+      }.toDF().orderBy(col("doc_id"))
+  }
+
   // ------------------------------------------------ real WAV (RIFF/PCM16)
 
   /** Pure-JVM RIFF/WAVE PCM16 codec — a REAL audio container decode
@@ -897,6 +951,7 @@ object Multimodal {
     "e5_wav_decode" -> e5WavDecode,
     "e5_wav_spectral" -> e5WavSpectral,
     "e5_png_decode" -> e5PngDecode,
+    "e5_resize_box" -> e5ResizeBox,
     "e5_binary_meta" -> e5BinaryMeta,
     "e5_vector_join" -> e5VectorJoin,
     "e5_decode_batch" -> e5DecodeBatch,
@@ -972,6 +1027,25 @@ object Multimodal {
         |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
         |  sum(b)::BIGINT AS sum_b, 192::INT AS n_px
         |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // VALUE-LEVEL restatement of the 2x2 box downsample: floor-mean of
+    // each output pixel's 2x2 block recomputed from the synth formula.
+    "e5_resize_box" ->
+      """WITH px AS (
+        |  SELECT doc_id, gx.x, gy.y,
+        |    ((gx.x * 7 + gy.y * 3) + doc_id) % 256 AS r,
+        |    ((gx.x * 11 + gy.y * 5) + doc_id * 2) % 256 AS g,
+        |    (gx.x * gy.y + doc_id * 3) % 256 AS b
+        |  FROM documents,
+        |    generate_series(0, 15) AS gx(x),
+        |    generate_series(0, 11) AS gy(y)),
+        |ds AS (
+        |  SELECT doc_id, x // 2 AS ox, y // 2 AS oy,
+        |    sum(r) // 4 AS dr, sum(g) // 4 AS dg, sum(b) // 4 AS db
+        |  FROM px GROUP BY doc_id, x // 2, y // 2)
+        |SELECT doc_id, 8::INT AS out_w, 6::INT AS out_h,
+        |  sum(dr)::BIGINT AS ds_sum_r, sum(dg)::BIGINT AS ds_sum_g,
+        |  sum(db)::BIGINT AS ds_sum_b
+        |FROM ds GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Every oracle below computes over the same ASCII-stripped
     // projection as the Spark side (see asciiOnly) — char ops equal
     // byte ops only once non-ASCII is gone.

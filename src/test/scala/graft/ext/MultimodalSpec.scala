@@ -213,6 +213,21 @@ class MultimodalSpec extends SparkSpec {
       "Average/Paeth unfiltering incorrect")
   }
 
+  test("boxDownsample2x floor-averages each 2x2 block per channel") {
+    // 4x2 image: two output pixels; hand-computed means.
+    val rgb = Array[Int](
+      // row 0: (10,0,0) (20,4,0) (100,8,255) (104,12,3)
+      10, 0, 0, 20, 4, 0, 100, 8, 255, 104, 12, 3,
+      // row 1: (30,1,0) (43,2,0) (110,16,255) (111,20,2)
+      30, 1, 0, 43, 2, 0, 110, 16, 255, 111, 20, 2).map(_.toByte)
+    val (ow, oh, ds) = Multimodal.boxDownsample2x(4, 2, rgb)
+    assert((ow, oh) == (2, 1))
+    // block 1: r=(10+20+30+43)/4=25, g=(0+4+1+2)/4=1, b=0
+    // block 2: r=(100+104+110+111)/4=106, g=(8+12+16+20)/4=14,
+    //          b=(255+3+255+2)/4=128
+    assert(ds.map(_ & 0xff).toSeq == Seq(25, 1, 0, 106, 14, 128))
+  }
+
   test("WavCodec: PCM16 round-trip through a spec-shaped RIFF container") {
     val samples = Array.tabulate(300)(t => ((t * 13) % 200 - 100).toShort)
     val bytes = Multimodal.WavCodec.encode(samples, 8000)
