@@ -307,7 +307,10 @@ object Snapshots {
     val physCols = phys.schema.fieldNames.toSet
     val cols = unified.fields.toSeq.map { f =>
       val physName = chains.foldLeft(f.name)((n, m) => m.getOrElse(n, n))
-      if (physCols(physName)) col(physName).as(f.name)
+      // cast covers TYPE WIDENING across versions (int→long, float→
+      // double — Iceberg's promotion rules); it folds away when the
+      // physical type already matches.
+      if (physCols(physName)) col(physName).cast(f.dataType).as(f.name)
       else lit(null).cast(f.dataType).as(f.name)
     }
     phys.select(cols: _*)

@@ -177,6 +177,19 @@ class SnapshotsSpec extends SparkSpec {
       "rename chain broken by expiring the version that introduced it")
   }
 
+  test("readVersionUnified widens types across versions (int v1 column " +
+      "read under a long unified schema)") {
+    val root = Lake.scratchDir("t_widen")
+    assert(Snapshots.commitVersion(
+      Seq((1, 5)).toDF("k", "n"), root) == 1) // both INT at v1
+    assert(Snapshots.commitVersion(
+      Seq((2L, 6L)).toDF("k", "n"), root) == 2) // widened to LONG at v2
+    val u1 = Snapshots.readVersionUnified(spark, root, 1)
+    assert(u1.schema.map(_.dataType.simpleString) == Seq("bigint", "bigint"),
+      "v1's int columns must read as the unified bigint")
+    assert(u1.as[(Long, Long)].collect().toSeq == Seq((1L, 5L)))
+  }
+
   test("funnel stages require strictly-later events") {
     // user 1: proper view < click < purchase → all stages
     // user 2: purchase BEFORE click → stages 1-2 only
