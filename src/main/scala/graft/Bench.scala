@@ -161,19 +161,29 @@ object Bench {
     val smallDir = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")
     val scaling =
       if (smallDir == sfDir || !Files.isDirectory(Paths.get(smallDir))) Nil
-      else scalingHeads.filter(SparkEntry.queries.contains).map { n =>
-        def timeAt(dir: String): Double = {
+      else scalingHeads.filter(SparkEntry.queries.contains).flatMap { n =>
+        // A failed run must never masquerade as a measurement: a
+        // time-to-failure would fake a sub-linear (or super-linear)
+        // exponent in the committed artifact ScalingSpec gates on.
+        def timeAt(dir: String): Option[Double] = {
           val t0 = System.nanoTime()
-          try SparkEntry.queries(n)(spark, dir)
-            .write.format("noop").mode("overwrite").save()
-          catch { case _: Throwable => () }
+          val ok =
+            try {
+              SparkEntry.queries(n)(spark, dir)
+                .write.format("noop").mode("overwrite").save()
+              true
+            } catch {
+              case e: Throwable =>
+                System.err.println(s"[bench] scaling $n failed at $dir: " +
+                  Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+                false
+            }
           val sec = (System.nanoTime() - t0) / 1e9
           spark.catalog.clearCache()
-          sec
+          if (ok) Some(sec) else None
         }
-        val tS = timeAt(smallDir)
-        val tL = timeAt(sfDir)
-        (n, tS, tL, math.log10(tL / tS))
+        for (tS <- timeAt(smallDir); tL <- timeAt(sfDir))
+          yield (n, tS, tL, math.log10(tL / tS))
       }
     val failed = timed.collect { case (n, _, Left(_)) => n }
     def qsJson(entries: Seq[(String, Double, Either[String, Unit])]) =

@@ -566,8 +566,16 @@ object Multimodal {
       val stride = w * 3
       val raw = new Array[Byte]((stride + 1) * h)
       var off = 0
-      while (!inf.finished() && off < raw.length)
-        off += inf.inflate(raw, off, raw.length - off)
+      var stalled = false
+      while (!inf.finished() && off < raw.length && !stalled) {
+        val n = inf.inflate(raw, off, raw.length - off)
+        // inflate()==0 with the full IDAT already provided means the
+        // deflate stream ended short of IHDR's h×stride promise
+        // (truncated file with recomputed CRCs) — fail loudly below
+        // instead of spinning forever waiting for input that will
+        // never come.
+        if (n == 0) stalled = true else off += n
+      }
       inf.end()
       require(off == raw.length, s"inflated $off of ${raw.length} bytes")
       val out = new Array[Byte](stride * h)
@@ -597,6 +605,21 @@ object Multimodal {
   final case class PngStats(doc_id: Long, width: Int, height: Int,
       sum_r: Long, sum_g: Long, sum_b: Long, n_px: Int)
 
+  /** The deterministic synth image e5_png_decode AND e5_resize_box
+    * build (one definition so the two fixtures — and their DuckDB
+    * restatements of the same three channel formulas — can never
+    * drift apart). */
+  private def synthRgb(id: Long, w: Int, h: Int): Array[Byte] = {
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      rgb(i) = (((x * 7 + y * 3) + id) % 256).toByte
+      rgb(i + 1) = (((x * 11 + y * 5) + id * 2) % 256).toByte
+      rgb(i + 2) = ((x * y + id * 3) % 256).toByte
+    }
+    rgb
+  }
+
   /** E5k: REAL PNG decode under a VALUE-LEVEL oracle — per document a
     * deterministic 16×12 RGB image (integer pixel formula) is encoded
     * as a spec-valid PNG (zlib IDAT, per-chunk CRCs, filters cycling
@@ -610,16 +633,7 @@ object Multimodal {
     val (w, h) = (16, 12)
     val decoded = t(s, dir, "documents")
       .select(col("doc_id")).as[Long].mapPartitions { ids =>
-        ids.map { id =>
-          val rgb = new Array[Byte](w * h * 3)
-          for (y <- 0 until h; x <- 0 until w) {
-            val i = (y * w + x) * 3
-            rgb(i) = (((x * 7 + y * 3) + id) % 256).toByte
-            rgb(i + 1) = (((x * 11 + y * 5) + id * 2) % 256).toByte
-            rgb(i + 2) = ((x * y + id * 3) % 256).toByte
-          }
-          (id, PngCodec.encode(w, h, rgb))
-        }
+        ids.map(id => (id, PngCodec.encode(w, h, synthRgb(id, w, h))))
       }.toDF("doc_id", "png")
       .as[(Long, Array[Byte])].mapPartitions { rows =>
         rows.map { case (id, bytes) =>
@@ -670,14 +684,8 @@ object Multimodal {
     t(s, dir, "documents")
       .select(col("doc_id")).as[Long].mapPartitions { ids =>
         ids.map { id =>
-          val rgb = new Array[Byte](w * h * 3)
-          for (y <- 0 until h; x <- 0 until w) {
-            val i = (y * w + x) * 3
-            rgb(i) = (((x * 7 + y * 3) + id) % 256).toByte
-            rgb(i + 1) = (((x * 11 + y * 5) + id * 2) % 256).toByte
-            rgb(i + 2) = ((x * y + id * 3) % 256).toByte
-          }
-          val (dw, dh, px) = PngCodec.decode(PngCodec.encode(w, h, rgb))
+          val (dw, dh, px) =
+            PngCodec.decode(PngCodec.encode(w, h, synthRgb(id, w, h)))
           val (ow, oh, ds) = boxDownsample2x(dw, dh, px)
           var (sr, sg, sb) = (0L, 0L, 0L)
           var i = 0
@@ -750,13 +758,16 @@ object Multimodal {
         val id = tag(); val len = bb.getInt
         id match {
           case "fmt " =>
+            require(len >= 16, s"fmt chunk too short: $len bytes")
             val fmt = bb.getShort; val ch = bb.getShort
             sampleRate = bb.getInt
             bb.getInt; bb.getShort // byte rate, block align
             val bits = bb.getShort
             require(fmt == 1 && ch == 1 && bits == 16,
               s"unsupported WAV: fmt=$fmt ch=$ch bits=$bits")
-            bb.position(bb.position() + (len - 16)) // fmt extensions
+            // skip fmt extensions (cbSize etc.) + the spec's pad byte
+            // on odd chunk lengths — same rule as the default branch
+            bb.position(bb.position() + (len - 16) + (len & 1))
           case "data" =>
             require(sampleRate > 0, "data chunk before fmt chunk")
             samples = Array.fill(len / 2)(bb.getShort)

@@ -130,13 +130,17 @@ object Snapshots {
     * committed versions — the Delta `VACUUM` / Iceberg
     * `expire_snapshots` retention step, without which a snapshot lake
     * stores every version forever (the honest cost k15 documents).
-    * Per expired version the COMMIT MARKER is removed FIRST, then the
-    * data directory, then the claim — so version resolution never
-    * lists a version whose data is mid-delete, a crashed vacuum leaves
-    * only an orphaned data dir (swept by the next run: any `v=` dir
-    * below the cutoff without a marker), and a reader pinned to an
-    * expired version fails fast on resolution rather than reading a
-    * partial directory. Concurrency-safe by construction: the cutoff
+    * Per expired version the DATA DIRECTORY is removed FIRST, then the
+    * commit marker, then the claim — a crashed vacuum leaves the
+    * marker behind, so the half-expired version stays classified
+    * COMMITTED and the next run simply re-expires it; it can never be
+    * mistaken for a crashed-writer orphan (whose sweep also deletes
+    * the `_renames_v<n>` schema sidecar — metadata expiry must never
+    * break the rename chain pinned versions read through). A reader
+    * pinned to a mid-delete version fails fast at scan; version
+    * RESOLUTION is unaffected because expired < cutoff ≤ latest and
+    * latest's marker is never touched. Unmarked `v=` dirs below the
+    * cutoff (crashed WRITERS) are swept once their claim goes stale. Concurrency-safe by construction: the cutoff
     * derives from `latestVersion` at entry, writers only ever ADD
     * versions above it (the claim CAS starts at latest+1), so vacuum
     * and commit never touch the same version. The ORPHAN sweep honors a
@@ -179,9 +183,18 @@ object Snapshots {
       .map(n => Files.readString(dir.resolve(n)).trim.toInt).toSet
     val expired = committed.filter(v => v < cutoff && !tagged(v)).sorted
     for (v <- expired) {
-      Files.deleteIfExists(Paths.get(root, s"_commit_v$v"))
+      // Data dir FIRST, marker after: a vacuum that crashes mid-expire
+      // leaves the marker behind, so the half-expired version is still
+      // classified COMMITTED — the next vacuum re-expires it cleanly,
+      // and it can never be mistaken for a crashed-writer orphan
+      // (whose sweep would delete the `_renames_v<v>` sidecar and
+      // permanently break the rename chain below). A pinned reader of
+      // the expiring version fails at scan rather than at resolution —
+      // it was being expired either way; `latestVersion` is unaffected
+      // because expired < cutoff ≤ latest and latest's marker stays.
       Lake.deleteRecursively(new java.io.File(s"$root/v=$v"))
       Lake.deleteRecursively(new java.io.File(s"$root/_dv_v$v"))
+      Files.deleteIfExists(Paths.get(root, s"_commit_v$v"))
       // NOTE: `_renames_v<v>` is NOT swept here — rename metadata
       // describes the schema TRANSITION at v and is still needed to
       // read any surviving version OLDER than v (a tagged snapshot,

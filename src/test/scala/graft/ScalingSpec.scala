@@ -39,8 +39,16 @@ class ScalingSpec extends SparkSpec {
     assume(scaling != null && scaling.fieldNames().asScala.nonEmpty,
       "artifact has no scaling map — produced by a pre-slope Bench " +
         "or a run without the sibling sf0.01 dir")
-    val over = scaling.fieldNames().asScala.toSeq
-      .filter(bucketed)
+    val present = scaling.fieldNames().asScala.toSet
+    // Every load-bearing family must actually have been measured —
+    // a renamed head or a failed scaling run (Bench drops failures
+    // rather than record a time-to-failure) must fail here, not
+    // silently shrink the guard to an empty set.
+    val missing = bucketed -- present
+    assert(missing.isEmpty,
+      s"bucketed families absent from the artifact's scaling map: " +
+        missing.toSeq.sorted.mkString(", "))
+    val over = present.toSeq.filter(bucketed)
       .map(n => (n, scaling.get(n).get("exponent").asDouble()))
       .filter(_._2 > maxExponent)
     assert(over.isEmpty,

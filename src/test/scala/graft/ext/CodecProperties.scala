@@ -1,0 +1,64 @@
+package graft.ext
+
+import org.scalacheck.Gen
+import graft.SparkSpec
+
+/** Property-style round-trip checks for the pure-JVM media codecs —
+  * arbitrary shapes and contents, not just the fixture geometries the
+  * oracle queries use. Plain JVM loops (no Spark jobs): the codecs are
+  * per-row kernels, so the property surface is the function itself.
+  */
+class CodecProperties extends SparkSpec {
+
+  test("property: WavCodec round-trips arbitrary PCM16 clips") {
+    val gen = for {
+      n <- Gen.chooseNum(0, 2000)
+      rate <- Gen.oneOf(8000, 16000, 44100)
+      samples <- Gen.listOfN(n,
+        Gen.chooseNum(Short.MinValue.toInt, Short.MaxValue.toInt))
+    } yield (rate, samples.map(_.toShort).toArray)
+    (1 to 50).foreach { _ =>
+      val (rate, samples) = gen.sample.getOrElse((8000, Array.empty[Short]))
+      val (gotRate, got) =
+        Multimodal.WavCodec.decode(Multimodal.WavCodec.encode(samples, rate))
+      assert(gotRate == rate && got.toSeq == samples.toSeq,
+        s"WAV round-trip broke at n=${samples.length} rate=$rate")
+    }
+  }
+
+  test("property: PngCodec round-trips arbitrary RGB images") {
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      bytes <- Gen.listOfN(w * h * 3, Gen.chooseNum(0, 255))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    (1 to 30).foreach { _ =>
+      val (w, h, rgb) = gen.sample.getOrElse((1, 1, Array[Byte](0, 0, 0)))
+      val (dw, dh, got) =
+        Multimodal.PngCodec.decode(Multimodal.PngCodec.encode(w, h, rgb))
+      assert((dw, dh) == (w, h) && got.toSeq == rgb.toSeq,
+        s"PNG round-trip broke at ${w}x$h")
+    }
+  }
+
+  test("property: boxDownsample2x sums are conserved within flooring " +
+      "loss and every output value is the floor mean of its block") {
+    val gen = for {
+      w <- Gen.chooseNum(1, 20).map(_ * 2) // even dims
+      h <- Gen.chooseNum(1, 20).map(_ * 2)
+      bytes <- Gen.listOfN(w * h * 3, Gen.chooseNum(0, 255))
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    (1 to 30).foreach { _ =>
+      val (w, h, rgb) = gen.sample.getOrElse((2, 2, new Array[Byte](12)))
+      val (ow, oh, ds) = Multimodal.boxDownsample2x(w, h, rgb)
+      assert((ow, oh) == (w / 2, h / 2))
+      for (y <- 0 until oh; x <- 0 until ow; c <- 0 until 3) {
+        val s = (rgb(((2 * y) * w + 2 * x) * 3 + c) & 0xff) +
+          (rgb(((2 * y) * w + 2 * x + 1) * 3 + c) & 0xff) +
+          (rgb(((2 * y + 1) * w + 2 * x) * 3 + c) & 0xff) +
+          (rgb(((2 * y + 1) * w + 2 * x + 1) * 3 + c) & 0xff)
+        assert((ds((y * ow + x) * 3 + c) & 0xff) == s / 4)
+      }
+    }
+  }
+}

@@ -240,6 +240,24 @@ class MultimodalSpec extends SparkSpec {
       "decoded samples differ from encoded — chunk walk or endianness bug")
   }
 
+  test("WavCodec decode honors the pad-byte rule on an odd-length fmt " +
+      "chunk (RIFF-legal cbSize extension)") {
+    val bb = java.nio.ByteBuffer.allocate(12 + 8 + 18 + 8 + 4)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")); bb.putInt(4 + 8 + 18 + 8 + 4)
+    bb.put("WAVE".getBytes("US-ASCII"))
+    bb.put("fmt ".getBytes("US-ASCII")); bb.putInt(17) // ODD length
+    bb.putShort(1); bb.putShort(1) // PCM, mono
+    bb.putInt(8000); bb.putInt(16000); bb.putShort(2); bb.putShort(16)
+    bb.put(0.toByte) // 1-byte extension (the odd 17th byte)
+    bb.put(0.toByte) // spec pad byte — NOT part of the chunk length
+    bb.put("data".getBytes("US-ASCII")); bb.putInt(4)
+    bb.putShort(1234); bb.putShort(-42)
+    val (rate, samples) = Multimodal.WavCodec.decode(bb.array())
+    assert(rate == 8000 && samples.toSeq == Seq(1234.toShort, (-42).toShort),
+      "odd fmt chunk misaligned the walk — pad byte not honored")
+  }
+
   test("WavCodec decode rejects corrupt containers loudly") {
     val good = Multimodal.WavCodec.encode(Array[Short](1, 2, 3), 8000)
     // not RIFF

@@ -100,13 +100,16 @@ class SnapshotConcurrencySpec extends SparkSpec {
       spark.range(1).select(col("id"), lit(5).as("tag")), root) == 5)
   }
 
-  test("a crashed vacuum's orphan data dir is swept by the next run") {
+  test("an unmarked data dir below the cutoff is swept once its claim " +
+      "goes stale") {
     val root = Lake.scratchDir("snap_vac_crash")
     for (i <- 1 to 3)
       Snapshots.commitVersion(
         spark.range(3).select(col("id"), lit(i).as("tag")), root)
-    // Simulate a vacuum that removed v1's commit marker and died
-    // before deleting the data directory.
+    // Model a crashed-writer residue: claimed + written, never
+    // published (vacuum itself now deletes data BEFORE markers, so a
+    // crashed vacuum leaves a committed — re-expirable — version, not
+    // this shape).
     java.nio.file.Files.delete(
       java.nio.file.Paths.get(root, "_commit_v1"))
     assert(java.nio.file.Files.exists(
@@ -123,6 +126,33 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(Snapshots.vacuum(root, retain = 2, orphanGraceMs = 0).isEmpty)
     assert(!java.nio.file.Files.exists(
       java.nio.file.Paths.get(root, "v=1")), "orphan dir not swept")
+    assert(Snapshots.latestVersion(root) == 3)
+  }
+
+  test("a vacuum that crashed after deleting data but before the marker " +
+      "leaves a committed version the next run re-expires — and the " +
+      "rename sidecar survives") {
+    val root = Lake.scratchDir("snap_vac_reexpire")
+    Snapshots.commitVersion(
+      spark.range(2).select(col("id"), lit(1).as("tag")), root)
+    // v2 renames tag→mark; v3 is latest
+    assert(Snapshots.commitEvolvedWith(root, Map("mark" -> "tag"))(p =>
+      spark.range(2).select(col("id"), lit(2).as("mark"))
+        .write.parquet(p)) == 2)
+    Snapshots.commitVersion(
+      spark.range(2).select(col("id"), lit(3).as("mark")), root)
+    // Simulate the new crash window: v2's data gone, marker still there.
+    Lake.deleteRecursively(new java.io.File(s"$root/v=2"))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_commit_v2")))
+    // The next vacuum re-expires v2 (it is still COMMITTED), never
+    // treating it as an orphan — so _renames_v2 must survive.
+    assert(Snapshots.vacuum(root, retain = 1).contains(2))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_commit_v2")))
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_renames_v2")),
+      "re-expire must not sweep the schema sidecar")
     assert(Snapshots.latestVersion(root) == 3)
   }
 
