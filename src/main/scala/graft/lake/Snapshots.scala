@@ -382,6 +382,63 @@ object Snapshots {
 
   // ------------------------------------------------------------ queries
 
+  /** OPTIMIZE / compaction through the commit log (Delta `OPTIMIZE` /
+    * Iceberg `rewrite_data_files`): rewrite the latest version's
+    * LOGICAL rows — deletion vectors applied, so sidecar debt folds in
+    * — as a NEW version with `numFiles` bin-packed files. History is
+    * never touched; readers switch atomically at the commit marker;
+    * the old small-file version ages out under ordinary vacuum
+    * retention. This is the small-files cure every streaming-ingested
+    * lake table needs: at 100 TB the rewrite is one shuffle-free
+    * coalesce-style repartition job over one version's data. */
+  def compact(s: SparkSession, root: String, numFiles: Int): Int =
+    commitVersionWith(root)(p =>
+      readWithDeletes(s, root, latestVersion(root))
+        .repartition(numFiles).write.parquet(p))
+
+  /** K30: compaction under the gate — v1 lands as 64 small files (the
+    * streaming-ingest residue shape), a DV delete knocks out a slice,
+    * and [[compact]] publishes v2 with 4 files: the requires pin that
+    * v2 really has ≤ 4 data files, that v1's directory is untouched
+    * byte-for-byte, and that no `_dv` sidecar rides on v2 (compaction
+    * folds deletes in). The result reads BOTH versions' logical rows;
+    * the oracle restates them from the raw table, so a compaction that
+    * loses rows, resurrects deleted ones, or rewrites history
+    * hash-fails. */
+  private val k30Compact: Q = (s, dir) => {
+    val root = Lake.scratchDir("k30")
+    val li = Tables.load(s, dir, "lineitem").select(
+      col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+      col("l_extendedprice"))
+    require(commitVersionWith(root)(p =>
+      li.repartition(64).write.parquet(p)) == 1)
+    def listing(v: Int): Seq[(String, Long)] = {
+      import scala.jdk.CollectionConverters._
+      val ls = Files.list(Paths.get(root, s"v=$v"))
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map(p => (p.getFileName.toString, Files.size(p))).toList.sortBy(_._1)
+      finally ls.close()
+    }
+    val v1Before = listing(1)
+    deleteWhere(s, root, 1, col("l_quantity") >= 45)
+    require(compact(s, root, numFiles = 4) == 2)
+    require(listing(1) == v1Before, "compaction rewrote v1")
+    require(listing(2).size <= 4,
+      s"compaction produced ${listing(2).size} files, want <= 4")
+    require(!Files.isDirectory(Paths.get(root, "_dv_v2")),
+      "compaction must fold deletes in, not carry a sidecar")
+    def agg(df: DataFrame, label: String) = df.agg(
+      count(lit(1)).as("n_rows"), sum(col("l_orderkey")).as("sum_keys"),
+      round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(lit(label).as("snap"), col("n_rows"), col("sum_keys"),
+        col("sum_price"))
+    agg(readVersion(s, root), "1_v2_compacted")
+      .unionByName(agg(readWithDeletes(s, root, 1), "2_v1_logical"))
+      .unionByName(agg(readVersion(s, root, Some(1)), "3_v1_raw"))
+      .orderBy(col("snap"))
+  }
+
   /** K15: two snapshot writes, then BOTH a time-travel read of v1 and
     * a latest read of v2 in one result — the oracle reconstructs each
     * version set-algebraically, so reading the wrong version, a stale
@@ -912,6 +969,7 @@ object Snapshots {
 
   val queries: Map[String, Q] = Map(
     "k29_schema_evolution" -> k29SchemaEvolution,
+    "k30_compact" -> k30Compact,
     "k24_snapshot_diff" -> k24SnapshotDiff,
     "k25_restore" -> k25Restore,
     "k26_deletion_vectors" -> k26DeletionVectors,
@@ -925,6 +983,22 @@ object Snapshots {
   )
 
   val oracles: Map[String, String] = Map(
+    // v2 and v1-logical = the delete's complement; v1-raw = everything.
+    "k30_compact" ->
+      """SELECT * FROM (
+        |  SELECT '1_v2_compacted' AS snap, count(*)::BIGINT AS n_rows,
+        |    sum(l_orderkey)::BIGINT AS sum_keys,
+        |    round(sum(l_extendedprice), 2) AS sum_price
+        |  FROM lineitem WHERE NOT (l_quantity >= 45)
+        |  UNION ALL
+        |  SELECT '2_v1_logical', count(*)::BIGINT, sum(l_orderkey)::BIGINT,
+        |    round(sum(l_extendedprice), 2)
+        |  FROM lineitem WHERE NOT (l_quantity >= 45)
+        |  UNION ALL
+        |  SELECT '3_v1_raw', count(*)::BIGINT, sum(l_orderkey)::BIGINT,
+        |    round(sum(l_extendedprice), 2)
+        |  FROM lineitem
+        |) ORDER BY snap""".stripMargin,
     // All five rows restated set-algebraically from the raw table:
     // unified v1 (bal ← c_acctbal, segment NULL ⇒ n_seg 0), unified
     // latest, and the three change-feed classes across the boundary.

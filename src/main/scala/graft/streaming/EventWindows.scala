@@ -804,6 +804,18 @@ object EventWindows {
   private val ev21RocksdbSessions: Q = (s, dir) =>
     withRocksDb(s)(ev12StreamSessions(s, dir))
 
+  /** EV27: the ev26 cross-batch declarative dedup on the ROCKSDB state
+    * store — the backend×operator matrix cell that pairs with ev21
+    * (sessionization already has HDFS-heap and RocksDB runs pinned to
+    * one oracle; dedup now does too). `dropDuplicatesWithinWatermark`
+    * keeps its digest state in RocksDB across the same replayed
+    * micro-batches, and the surviving set must hash-match the same
+    * distinct-digest oracle: state-backend choice is execution, not
+    * semantics — the off-heap backend a 100 TB dedup state actually
+    * needs. */
+  private val ev27RocksdbDropdup: Q = (s, dir) =>
+    withRocksDb(s)(ev26StreamDropdup(s, dir))
+
   /** Scope the RocksDB state store provider to `body` and restore the
     * previous provider after (a streaming query pins its provider at
     * first start, so the toggle only affects queries started inside). */
@@ -919,6 +931,7 @@ object EventWindows {
     "ev12_stream_sessions" -> ev12StreamSessions,
     "ev11_stream_dedup" -> ev11StreamDedup,
     "ev26_stream_dropdup" -> ev26StreamDropdup,
+    "ev27_rocksdb_dropdup" -> ev27RocksdbDropdup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
     "ev1_tumbling" -> ev1Tumbling,
@@ -1143,6 +1156,10 @@ object EventWindows {
     // collapses to DISTINCT over the corpus (replays carry identical
     // text, hence identical digests).
     "ev26_stream_dropdup" ->
+      """SELECT DISTINCT sha256(text) AS digest
+        |FROM documents ORDER BY digest""".stripMargin,
+    // Same oracle as ev26: the RocksDB run must be indistinguishable.
+    "ev27_rocksdb_dropdup" ->
       """SELECT DISTINCT sha256(text) AS digest
         |FROM documents ORDER BY digest""".stripMargin,
     "ev10_burstiness" ->
