@@ -171,7 +171,35 @@ object Udfs {
         |ORDER BY l_returnflag""".stripMargin)
   }
 
+  /** X8: in-flight QC metrics via `Dataset.observe` (the
+    * CollectMetrics/Observation API) — data-quality counters gathered
+    * in THE SAME PASS as the main action, zero extra scans: at 100 TB
+    * the difference between "QC is free" and "QC doubles the read".
+    * The observed row (count, exact quantity sum, discounted-line
+    * count, null-key count) is emitted as the query RESULT, and the
+    * oracle recomputes every metric from the raw table — a metric
+    * attached to the wrong expression, dropped by an optimizer rule,
+    * or taken from a partial action hash-fails. */
+  private val x8Observe: Q = (s, dir) => {
+    val obs = new org.apache.spark.sql.Observation("x8_qc")
+    val li = Tables.load(s, dir, "lineitem")
+      .observe(obs,
+        count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        count(when(col("l_discount") >= 0.05, 1)).as("n_discounted"),
+        count(when(col("l_orderkey").isNull, 1)).as("n_null_keys"))
+    // The main action (a real pipeline's write) drives the metrics.
+    li.write.format("noop").mode("overwrite").save()
+    val m = obs.get
+    import s.implicits._
+    Seq((m("n_rows").asInstanceOf[Long], m("sum_qty").asInstanceOf[Long],
+      m("n_discounted").asInstanceOf[Long],
+      m("n_null_keys").asInstanceOf[Long]))
+      .toDF("n_rows", "sum_qty", "n_discounted", "n_null_keys")
+  }
+
   val queries: Map[String, Q] = Map(
+    "x8_observe" -> x8Observe,
     "x7_sql_udf" -> x7SqlUdf,
     "x2_udf_scalar" -> x2UdfScalar,
     "x3_udaf_geomean" -> x3UdafGeomean,
@@ -180,6 +208,15 @@ object Udfs {
   )
 
   val oracles: Map[String, String] = Map(
+    // Every observed metric recomputed from the raw table.
+    "x8_observe" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(l_quantity::BIGINT)::BIGINT AS sum_qty,
+        |  count(CASE WHEN l_discount >= 0.05 THEN 1 END)::BIGINT
+        |    AS n_discounted,
+        |  count(CASE WHEN l_orderkey IS NULL THEN 1 END)::BIGINT
+        |    AS n_null_keys
+        |FROM lineitem""".stripMargin,
     // The SQL function body inlined — definition must be transparent.
     "x7_sql_udf" ->
       """SELECT l_returnflag,

@@ -388,6 +388,38 @@ object LakeQueries {
     * of ONLY nation 7 with corrected balances; the read-back must show
     * nation 7 updated and every other partition intact — static
     * overwrite semantics would have dropped them. */
+  /** K31: FILE SIZING via `maxRecordsPerFile` — the writer-side knob
+    * that bounds output file size without an extra repartition shuffle
+    * (each write task rolls to a new file at the cap): at 100 TB this
+    * is how a table avoids both the small-files problem (k30's cure)
+    * and the giant-file problem (un-splittable row groups, skewed
+    * scans). Orders lands in 4 tasks capped at 500 rows/file; the gate
+    * checks DISTRIBUTEDLY (one `input_file_name()` aggregation — file
+    * counts never collect row data) that NO file exceeds the cap and
+    * that the file count is at least ⌈rows/cap⌉, then hash-gates the
+    * read-back content against the raw table. */
+  private val k31FileSizing: Q = (s, dir) => {
+    val root = Lake.scratchDir("k31")
+    val orders = t(s, dir, "orders").select(
+      col("o_orderkey"), round(col("o_totalprice"), 2).as("price"))
+    orders.repartition(4)
+      .write.option("maxRecordsPerFile", 500).parquet(s"$root/data")
+    val back = s.read.parquet(s"$root/data")
+    val perFile = back.groupBy(input_file_name().as("f"))
+      .agg(count(lit(1)).as("rows"))
+      .agg(max(col("rows")).as("max_rows"),
+        count(lit(1)).as("n_files"),
+        sum(col("rows")).as("total"))
+      .head() // one row: (max per-file rows, file count, total rows)
+    require(perFile.getLong(0) <= 500,
+      s"a file holds ${perFile.getLong(0)} rows > maxRecordsPerFile=500")
+    require(perFile.getLong(1) >= (perFile.getLong(2) + 499) / 500,
+      "fewer files than the cap allows — cap not applied")
+    back.agg(count(lit(1)).as("n_rows"),
+      sum(col("o_orderkey")).as("sum_keys"),
+      round(sum(col("price")), 2).as("sum_price"))
+  }
+
   private val k9DynamicOverwrite: Q = (s, dir) => {
     val root = Lake.scratchDir("k9")
     val cust = t(s, dir, "customer").select(
@@ -915,6 +947,7 @@ object LakeQueries {
     "k8_ctas_insert" -> k8CtasInsert,
     "k8b_ctas_partitioned" -> k8bCtasPartitioned,
     "k9_dynamic_overwrite" -> k9DynamicOverwrite,
+    "k31_file_sizing" -> k31FileSizing,
     "s12_sql_view" -> s12SqlView,
     "s13_msck_repair" -> s13MsckRepair,
     "s14_schema_merge" -> s14SchemaMerge,
@@ -1158,6 +1191,13 @@ object LakeQueries {
         | CASE WHEN n_nationkey >= 12 THEN n_regionkey END AS n_regionkey,
         | CASE WHEN n_nationkey < 12 THEN 1 ELSE 2 END AS batch
         |FROM nation ORDER BY n_nationkey""".stripMargin,
+    // Content restated from the raw table; the file-cap invariants are
+    // required in-plan (file layout is engine-specific).
+    "k31_file_sizing" ->
+      """SELECT count(*)::BIGINT AS n_rows,
+        |  sum(o_orderkey)::BIGINT AS sum_keys,
+        |  round(sum(round(o_totalprice, 2)), 2) AS sum_price
+        |FROM orders""".stripMargin,
     "k9_dynamic_overwrite" ->
       """SELECT c_custkey, c_name,
         | CASE WHEN c_nationkey = 7
