@@ -399,7 +399,7 @@ object Hygiene {
   }
 
   final case class CompressStats(doc_id: Long, n_bytes: Int,
-      ratio: Double, doubling_ok: Boolean)
+      deflated_len: Int, ratio: Double, doubling_ok: Boolean)
 
   /** E9i ✱: COMPRESSION-RATIO quality signal — the Gopher/CCNet-family
     * heuristic shipped in real pretraining pipelines: highly
@@ -409,41 +409,48 @@ object Hygiene {
     * via the JDK Deflater (BEST_COMPRESSION, one codec instance
     * reused per partition — the mapPartitions amortization shape).
     * Engine-specific bytes (no deflate in DuckDB), so the gate is the
-    * self-check convention: per doc, (a) ratio ∈ (0, 1.2] (deflate's
-    * worst-case expansion is a few bytes per 64 KB block, far under
-    * 20%); (b) the SELF-SIMILARITY law deflate(text·2) < 2·deflate
-    * (text) + 64 — doubling a document must compress better than
-    * twice the original because the second copy back-references the
-    * first; a broken codec or a ratio computed on the wrong bytes
-    * breaks the inequality. The output rolls ratios up per quality
-    * band so the result is band-count-sized. */
+    * self-check convention: per doc, (a) 0 < deflate(text).length ≤
+    * text.length + 64 — deflate's true worst case is stored blocks
+    * plus a fixed header (~11 bytes), so the ADDITIVE bound holds for
+    * every input including empty and sub-60-byte docs, where a pure
+    * ratio cap would legitimately exceed 1 (the short-doc overhead
+    * regime); (b) the SELF-SIMILARITY law deflate(text·2) <
+    * 2·deflate(text) + 64 — doubling a document must compress better
+    * than twice the original because the second copy back-references
+    * the first; a broken codec or a length computed on the wrong
+    * bytes breaks the inequality. The per-doc ratio column is the
+    * quality SIGNAL (unbounded above by design for tiny docs); the
+    * gates are the length laws. */
   private val e9CompressRatio: Q = (s, dir) => {
     import s.implicits._
     val stats = t(s, dir, "documents")
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
+        // ONE native zlib stream per partition, reset between docs —
+        // the mapPartitions amortization this operator exists to show.
+        val d = new java.util.zip.Deflater(
+          java.util.zip.Deflater.BEST_COMPRESSION)
         val buf = new Array[Byte](1 << 20)
         def deflatedLen(b: Array[Byte]): Int = {
-          val d = new java.util.zip.Deflater(
-            java.util.zip.Deflater.BEST_COMPRESSION)
-          d.setInput(b); d.finish()
+          d.reset(); d.setInput(b); d.finish()
           var n = 0
           while (!d.finished()) n += d.deflate(buf)
-          d.end(); n
+          n
         }
         rows.map { case (id, text) =>
           val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val one = deflatedLen(b)
           val two = deflatedLen(b ++ b)
-          CompressStats(id, b.length,
-            if (b.length == 0) 0.0 else one.toDouble / b.length,
+          CompressStats(id, b.length, one,
+            if (b.length == 0) 1.0 else one.toDouble / b.length,
             two < 2 * one + 64)
         }
       }
     stats.toDF()
       .agg(
-        expr("bool_and(ratio > 0.0 AND ratio <= 1.2)").as("ratios_sane"),
+        expr("bool_and(deflated_len > 0 AND deflated_len <= n_bytes + 64)")
+          .as("ratios_sane"),
         expr("bool_and(doubling_ok)").as("self_similarity_holds"),
         (count(lit(1)) > 0).as("nonempty"))
   }

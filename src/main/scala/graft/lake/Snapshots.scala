@@ -412,12 +412,18 @@ object Snapshots {
       col("l_extendedprice"))
     require(commitVersionWith(root)(p =>
       li.repartition(64).write.parquet(p)) == 1)
-    def listing(v: Int): Seq[(String, Long)] = {
+    // (name, size, CRC32-of-bytes) per file: content-level, so an
+    // in-place rewrite with identical names/sizes still trips the pin.
+    def listing(v: Int): Seq[(String, Long, Long)] = {
       import scala.jdk.CollectionConverters._
       val ls = Files.list(Paths.get(root, s"v=$v"))
       try ls.iterator().asScala
         .filter(_.getFileName.toString.endsWith(".parquet"))
-        .map(p => (p.getFileName.toString, Files.size(p))).toList.sortBy(_._1)
+        .map { p =>
+          val crc = new java.util.zip.CRC32()
+          crc.update(Files.readAllBytes(p))
+          (p.getFileName.toString, Files.size(p), crc.getValue)
+        }.toList.sortBy(_._1)
       finally ls.close()
     }
     val v1Before = listing(1)

@@ -100,6 +100,10 @@ class PlanAuditSpec extends SparkSpec {
     // one stats row read back from the catalog after ANALYZE TABLE —
     // a driver-local LocalTableScan has no codegen stage to span
     "s19_analyze_stats" -> Set("NoCodegen"),
+    // the observed-metrics row materializes driver-side (obs.get) and
+    // returns as a 1-row LocalTableScan — the SCAN ran inside the
+    // observed noop write, which is the point of the API
+    "x8_observe" -> Set("NoCodegen"),
     // five one-row self-check scalars crossJoined into the gate row
     "e5_phash_neardup" -> Set("BroadcastNestedLoop"),
     // one-row fixpoint certificate crossJoined onto the core rows
