@@ -181,8 +181,16 @@ object Udfs {
     * attached to the wrong expression, dropped by an optimizer rule,
     * or taken from a partial action hash-fails. */
   private val x8Observe: Q = (s, dir) => {
+    // Child session: Spark 4's ObservationManager registers a
+    // SESSION-LIFETIME listener whose onFailure RETHROWS later queries'
+    // exceptions into the listener bus — so an Observation used on the
+    // shared session makes every subsequent intentionally-failing probe
+    // (k23's expired-read Try, WAP rejects) log a spurious
+    // ExecutionListenerBus error stack. Observing on a child session
+    // (shared context, separate listener bus) isolates it.
+    val so = s.newSession()
     val obs = new org.apache.spark.sql.Observation("x8_qc")
-    val li = Tables.load(s, dir, "lineitem")
+    val li = Tables.load(so, dir, "lineitem")
       .observe(obs,
         count(lit(1)).as("n_rows"),
         sum(col("l_quantity").cast("long")).as("sum_qty"),
