@@ -7,7 +7,7 @@ import org.apache.spark.sql.SparkSession
   * pushed filters, missing whole-stage codegen. Flags are advisory;
   * some are intended (j5_cross IS a cross join).
   *
-  * Usage: runMain graft.PlanAudit [sfDir]
+  * Usage: runMain graft.PlanAudit [sfDir] [name1,name2,...]
   */
 object PlanAudit {
   /** Scale red flags in an executed-plan string. Shared by the CLI and
@@ -35,7 +35,10 @@ object PlanAudit {
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    val only = args.lift(1).map(_.split(',').toSet)
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+      .foreach { case (name, fn) =>
       try {
         val fs = flags(fn(spark, sfDir).queryExecution.executedPlan.toString())
         println(f"$name%-24s ${if (fs.isEmpty) "ok" else fs.toSeq.sorted.mkString(",")}")
