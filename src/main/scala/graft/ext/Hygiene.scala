@@ -410,11 +410,13 @@ object Hygiene {
     * reused per partition — the mapPartitions amortization shape).
     * Engine-specific bytes (no deflate in DuckDB), so the gate is the
     * self-check convention: per doc, (a) 0 < deflate(text).length ≤
-    * text.length + 64 — deflate's true worst case is stored blocks
-    * plus a fixed header (~11 bytes), so the ADDITIVE bound holds for
-    * every input including empty and sub-60-byte docs, where a pure
-    * ratio cap would legitimately exceed 1 (the short-doc overhead
-    * regime); (b) the SELF-SIMILARITY law deflate(text·2) <
+    * text.length + 11 + 5·(⌊text.length/65535⌋ + 1) — zlib's documented
+    * worst case: a fixed header plus 5 bytes of stored-block framing
+    * per started 64 KB block, so the bound holds for EVERY input — empty
+    * docs, sub-60-byte docs (where a pure ratio cap would legitimately
+    * exceed 1), and multi-megabyte incompressible ones (where a flat
+    * +64 slack would be exceeded past ~760 KB of stored blocks);
+    * (b) the SELF-SIMILARITY law deflate(text·2) <
     * 2·deflate(text) + 64 — doubling a document must compress better
     * than twice the original because the second copy back-references
     * the first; a broken codec or a length computed on the wrong
@@ -438,7 +440,7 @@ object Hygiene {
           while (!d.finished()) n += d.deflate(buf)
           n
         }
-        rows.map { case (id, text) =>
+        val out = rows.map { case (id, text) =>
           val b = text.getBytes(java.nio.charset.StandardCharsets.UTF_8)
           val one = deflatedLen(b)
           val two = deflatedLen(b ++ b)
@@ -446,10 +448,19 @@ object Hygiene {
             if (b.length == 0) 1.0 else one.toDouble / b.length,
             two < 2 * one + 64)
         }
+        // Release the native zlib buffer deterministically when the
+        // partition is exhausted — finalization-time reclaim holds
+        // off-heap memory per core for the GC's convenience, not ours.
+        // Deflater.end() is idempotent, so repeated hasNext is safe.
+        new Iterator[CompressStats] {
+          def hasNext: Boolean = { val h = out.hasNext; if (!h) d.end(); h }
+          def next(): CompressStats = out.next()
+        }
       }
     stats.toDF()
       .agg(
-        expr("bool_and(deflated_len > 0 AND deflated_len <= n_bytes + 64)")
+        expr("bool_and(deflated_len > 0 AND deflated_len <= " +
+            "n_bytes + 11 + 5 * ((n_bytes div 65535) + 1))")
           .as("ratios_sane"),
         expr("bool_and(doubling_ok)").as("self_similarity_holds"),
         (count(lit(1)) > 0).as("nonempty"))

@@ -716,6 +716,28 @@ object LakeQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** Manifest-consult guard shared by the k19/k22 skipping gates: the
+    * gate demands REAL pruning, and each degenerate branch must fail
+    * INFORMATIVELY rather than crash a downstream read or silently
+    * pass a vacuous skip. An EMPTY hit list means the index claims no
+    * file can match — on these synthetic lookups that is a stale or
+    * over-pruning index (losing rows), not a legitimate answer. A hit
+    * list covering EVERY file means the layout stopped clustering the
+    * skip column, so the "skip" would read the whole table. Returns
+    * the hits unchanged so callers can chain into the pruned read. */
+  private[lake] def consultPruningIndex(hit: Seq[String], total: Long,
+      what: String): Seq[String] = {
+    require(hit.nonEmpty,
+      s"$what index pruned ALL files: an empty hit list on a known-" +
+        "present key means the index is stale or over-pruning — " +
+        "reading nothing would silently lose rows")
+    require(hit.length < total,
+      s"$what skip pruned nothing: ${hit.length} of $total files hit " +
+        "— the layout no longer clusters the skip column, the index " +
+        "buys no file elimination")
+    hit
+  }
+
   /** K19: file-stat min/max data skipping — the Iceberg/Delta manifest
     * pruning pattern on a plain-parquet lake. Orders land range-
     * clustered on `o_orderdate` (`repartitionByRange`, so per-file
@@ -748,8 +770,7 @@ object LakeQueries {
       .filter(col("max_ts") >= lo && col("min_ts") <= hi)
       .select(col("file")).collect().map(_.getString(0)).sorted
     val total = idx.count()
-    require(hit.nonEmpty && hit.length < total,
-      s"min/max skip pruned nothing: ${hit.length} of $total files")
+    consultPruningIndex(hit, total, "min/max")
     s.read.parquet(hit: _*)
       .filter(col("o_orderdate").cast("timestamp").between(lo, hi))
       .groupBy(col("o_orderpriority"))
@@ -798,8 +819,7 @@ object LakeQueries {
       .select(col("file")) // only file NAMES reach the driver
       .collect().map(_.getString(0)).sorted
     val total = idxDf.count()
-    require(hit.nonEmpty && hit.length < total,
-      s"bloom skip pruned nothing: ${hit.length} of $total files")
+    consultPruningIndex(hit, total, "bloom")
     s.read.parquet(hit: _*)
       .filter(col("o_custkey") === key)
       .select(col("o_orderkey"), col("o_custkey"),

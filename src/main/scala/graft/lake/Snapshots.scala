@@ -1,6 +1,6 @@
 package graft.lake
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import java.nio.file.{Files, Paths, StandardCopyOption}
 import graft.Tables
@@ -68,8 +68,24 @@ object Snapshots {
     claim(root, v)
   }
 
-  /** Make claimed version `v` visible: write-temp + atomic rename. */
+  /** Make claimed version `v` visible: write-temp + atomic rename.
+    *
+    * Refuses to publish a version whose staged data directory is gone:
+    * a [[commitAudited]] stage whose audit outlives `orphanGraceMs` can
+    * be swept by a concurrent [[vacuum]] (racing writers push the
+    * retention cutoff past it) — publishing after that sweep would
+    * escalate a lost stage into a COMMITTED version with no data, which
+    * every subsequent read of that version would crash on. Failing the
+    * commit keeps the invariant: a commit marker always names a
+    * directory that exists. */
   private def publish(root: String, v: Int): Unit = {
+    val data = Paths.get(root, s"v=$v")
+    if (!Files.isDirectory(data))
+      throw new IllegalStateException(
+        s"concurrency conflict: staged directory $data vanished before " +
+          "publish (vacuum's orphan sweep outran this commit — size " +
+          "orphanGraceMs above the slowest audit); refusing to publish " +
+          "a data-less version")
     val tmp = Paths.get(root, s"_commit_v$v.tmp")
     Files.writeString(tmp, v.toString)
     // REPLACE_EXISTING keeps re-publishing a version the caller owns
@@ -352,7 +368,10 @@ object Snapshots {
     * claim-age GRACE period (an unmarked dir with a fresh `_claim_v<n>`
     * is skipped) — an audit that outlives `orphanGraceMs` while other
     * writers push the cutoff past it is NOT protected; size the grace
-    * to the slowest audit. */
+    * to the slowest audit. If that sweep does win the race, the publish
+    * path detects the vanished stage and the commit fails with
+    * Left(concurrency conflict) — it never escalates a swept stage into
+    * a committed version with no data directory. */
   def commitAudited(s: SparkSession, root: String)(write: String => Unit)(
       audit: DataFrame => Either[String, Unit]): Either[String, Int] = {
     Files.createDirectories(Paths.get(root))
@@ -361,7 +380,12 @@ object Snapshots {
     val path = s"$root/v=$v"
     write(path)
     audit(s.read.parquet(path)) match {
-      case Right(()) => publish(root, v); Right(v)
+      case Right(()) =>
+        // The stage can have been swept by a concurrent vacuum if the
+        // audit outlived orphanGraceMs — surface that as a rejected
+        // commit, not an exception (the table is unchanged either way).
+        try { publish(root, v); Right(v) }
+        catch { case e: IllegalStateException => Left(e.getMessage) }
       case Left(reason) =>
         Lake.deleteRecursively(new java.io.File(path))
         Left(reason)
@@ -380,6 +404,109 @@ object Snapshots {
     if (failed.isEmpty) Right(()) else Left(failed.mkString(","))
   }
 
+  // --------------------------------------- multi-table transaction
+
+  /** Multi-table TRANSACTIONAL commit (k32) — the one lakehouse
+    * primitive the per-table log lacks: N tables' new versions become
+    * visible through ONE atomic rename, so a reader never sees v2
+    * orders with v1 lineitem. Each table stages under the existing
+    * per-table claim CAS (physically written, invisible — txn tables
+    * get NO per-table `_commit_v` markers; the TXN LOG is their only
+    * commit point), then a `_txn_v<k>` marker file naming every
+    * (table, version) pair lands via write-temp + atomic rename.
+    * [[readTxn]] resolves versions from a marker, so consistency is
+    * structural: the marker is the unit of visibility. A crash after
+    * staging any prefix of the tables — or right before the marker
+    * rename — leaves only claimed-but-unmarked directories: invisible,
+    * the same residue as a single-table writer death, and resolution
+    * still answers from the previous marker
+    * (`SnapshotConcurrencySpec` pins the crash-between-tables case).
+    * Scale shape: staging is N ordinary parquet writes; the commit
+    * point is one rename of a file with N lines — manifest-scale, like
+    * Iceberg's multi-table catalog commit. */
+  def commitTxn(txnRoot: String,
+      writes: Seq[(String, String => Unit)]): Int = {
+    Files.createDirectories(Paths.get(txnRoot))
+    val staged = writes.map { case (name, w) =>
+      name -> stageTxnTable(txnRoot, name)(w)
+    }
+    // The txn number gets its own CAS (claim files live at the txn
+    // root; table data lives in subdirectories — no collision).
+    var k = latestTxn(txnRoot).map(_._1).getOrElse(0) + 1
+    while (!claim(txnRoot, k)) k += 1
+    // publish-guard, txn flavor: every staged directory must still
+    // exist — never escalate a swept stage into a committed marker.
+    staged.foreach { case (name, v) =>
+      val p = Paths.get(txnRoot, name, s"v=$v")
+      if (!Files.isDirectory(p))
+        throw new IllegalStateException(
+          s"concurrency conflict: staged $p vanished before the txn " +
+            "marker rename; refusing to commit a transaction with a " +
+            "data-less member")
+    }
+    val tmp = Paths.get(txnRoot, s"_txn_v$k.tmp")
+    Files.writeString(tmp,
+      staged.map { case (n, v) => s"$n=$v" }.mkString("\n"))
+    Files.move(tmp, Paths.get(txnRoot, s"_txn_v$k"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    k
+  }
+
+  /** Stage one table's next version under the claim CAS — written but
+    * invisible until a txn marker names it. Exposed package-private so
+    * the crash-between-tables spec can model a writer that died after
+    * staging (the gate also uses it for its staged-only probe). */
+  private[lake] def stageTxnTable(txnRoot: String, name: String)(
+      write: String => Unit): Int = {
+    val root = s"$txnRoot/$name"
+    Files.createDirectories(Paths.get(root))
+    var v = latestVersion(root) + 1 // txn tables have no commit markers
+    while (!claim(root, v)) v += 1  // ⇒ the CAS walks past prior claims
+    write(s"$root/v=$v")
+    v
+  }
+
+  /** Newest committed transaction: (txn id, table → version), or None
+    * if no marker has landed. One directory listing + one small-file
+    * read — manifest-scale. */
+  def latestTxn(txnRoot: String): Option[(Int, Map[String, Int])] = {
+    import scala.jdk.CollectionConverters._
+    val dir = Paths.get(txnRoot)
+    if (!Files.isDirectory(dir)) return None
+    val ls = Files.list(dir)
+    val ids =
+      try ls.iterator().asScala.map(_.getFileName.toString)
+        .filter(n => n.startsWith("_txn_v") && !n.endsWith(".tmp"))
+        .map(_.stripPrefix("_txn_v").toInt).toList
+      finally ls.close()
+    ids.maxOption.map(k => (k, txnTables(txnRoot, k)))
+  }
+
+  /** Parse txn marker `k`'s (table → version) map. */
+  private def txnTables(txnRoot: String, k: Int): Map[String, Int] = {
+    import scala.jdk.CollectionConverters._
+    Files.readAllLines(Paths.get(txnRoot, s"_txn_v$k")).asScala
+      .filter(_.nonEmpty).map { line =>
+        val Array(n, v) = line.split('='); n -> v.toInt
+      }.toMap
+  }
+
+  /** Read table `name` as of transaction `txn` (default: latest
+    * committed). All tables read through the SAME marker are mutually
+    * consistent — that is the contract the marker rename buys. */
+  def readTxn(s: SparkSession, txnRoot: String, name: String,
+      txn: Option[Int] = None): DataFrame = {
+    val k = txn.orElse(latestTxn(txnRoot).map(_._1)).getOrElse(
+      throw new IllegalStateException(
+        s"no committed transaction under $txnRoot"))
+    val tables = txnTables(txnRoot, k)
+    val v = tables.getOrElse(name,
+      throw new IllegalArgumentException(
+        s"table $name is not a member of txn $k " +
+          s"(members: ${tables.keys.toSeq.sorted.mkString(",")})"))
+    s.read.parquet(s"$txnRoot/$name/v=$v")
+  }
+
   // ------------------------------------------------------------ queries
 
   /** OPTIMIZE / compaction through the commit log (Delta `OPTIMIZE` /
@@ -389,8 +516,12 @@ object Snapshots {
     * never touched; readers switch atomically at the commit marker;
     * the old small-file version ages out under ordinary vacuum
     * retention. This is the small-files cure every streaming-ingested
-    * lake table needs: at 100 TB the rewrite is one shuffle-free
-    * coalesce-style repartition job over one version's data. */
+    * lake table needs: at 100 TB the rewrite is ONE round-robin shuffle
+    * of one version's data — `repartition`, not `coalesce`, on purpose:
+    * coalesce would fold the scan's parallelism down to `numFiles`
+    * tasks and inherit the input's skew, while the shuffle buys evenly
+    * sized output files (the whole point of compaction) for one extra
+    * pass over data that is being rewritten anyway. */
   def compact(s: SparkSession, root: String, numFiles: Int): Int =
     commitVersionWith(root)(p =>
       readWithDeletes(s, root, latestVersion(root))
@@ -442,6 +573,58 @@ object Snapshots {
     agg(readVersion(s, root), "1_v2_compacted")
       .unionByName(agg(readWithDeletes(s, root, 1), "2_v1_logical"))
       .unionByName(agg(readVersion(s, root, Some(1)), "3_v1_raw"))
+      .orderBy(col("snap"))
+  }
+
+  /** K32: multi-table transactional commit under the gate — two
+    * transactions each publish a consistent (orders, lineitem) pair
+    * (orders filtered by a key predicate; lineitem semi-joined to
+    * exactly those orders), plus a staged-but-unpublished third write
+    * modeling a writer crash. The result restates cross-table
+    * consistency SET-ALGEBRAICALLY: per transaction, the orphan count
+    * (lineitem rows whose order is absent from the SAME txn's orders)
+    * must be 0, and the deliberately TORN pair — txn1's lineitem
+    * against txn2's orders, the read the marker protocol makes
+    * impossible — must show a positive orphan count (the consistency
+    * predicate is non-vacuous). The oracle recomputes all three rows
+    * from the raw tables (lineitem→orders referential integrity holds
+    * in the testdata, so the torn count is `%2 = 0 AND %3 <> 0`). */
+  private val k32MultiTableTxn: Q = (s, dir) => {
+    val root = Lake.scratchDir("k32")
+    val orders = Tables.load(s, dir, "orders")
+      .select(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+    val li = Tables.load(s, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+    def pair(pred: Column): Seq[(String, String => Unit)] = {
+      val o = orders.filter(pred)
+      val l = li.join(o.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      Seq("orders" -> (p => Lake.writeParquet(o, p)),
+        "lineitem" -> (p => Lake.writeParquet(l, p)))
+    }
+    require(commitTxn(root, pair(col("o_orderkey") % 2 === 0)) == 1)
+    require(commitTxn(root, pair(col("o_orderkey") % 3 === 0)) == 2)
+    // Crash probe: a staged-but-unmarked orders write must not move
+    // resolution — the marker is the only commit point.
+    stageTxnTable(root, "orders")(p => Lake.writeParquet(orders.limit(1), p))
+    require(latestTxn(root).map(_._1).contains(2),
+      "a staged-only transaction member became visible")
+    def audit(label: String, o: DataFrame, l: DataFrame): DataFrame = {
+      val orphanAgg = l.join(o, l("l_orderkey") === o("o_orderkey"),
+        "left_anti").agg(count(lit(1)).as("n_orphans"))
+      o.agg(count(lit(1)).as("n_orders"))
+        .crossJoin(l.agg(count(lit(1)).as("n_li"),
+          sum(col("l_orderkey")).as("sum_li_keys")))
+        .crossJoin(orphanAgg)
+        .select(lit(label).as("snap"), col("n_orders"), col("n_li"),
+          col("sum_li_keys"), col("n_orphans"))
+    }
+    audit("1_txn1", readTxn(s, root, "orders", Some(1)),
+        readTxn(s, root, "lineitem", Some(1)))
+      .unionByName(audit("2_txn2", readTxn(s, root, "orders", Some(2)),
+        readTxn(s, root, "lineitem", Some(2))))
+      .unionByName(audit("3_torn", readTxn(s, root, "orders", Some(2)),
+        readTxn(s, root, "lineitem", Some(1))))
       .orderBy(col("snap"))
   }
 
@@ -976,6 +1159,7 @@ object Snapshots {
   val queries: Map[String, Q] = Map(
     "k29_schema_evolution" -> k29SchemaEvolution,
     "k30_compact" -> k30Compact,
+    "k32_multi_table_txn" -> k32MultiTableTxn,
     "k24_snapshot_diff" -> k24SnapshotDiff,
     "k25_restore" -> k25Restore,
     "k26_deletion_vectors" -> k26DeletionVectors,
@@ -989,6 +1173,31 @@ object Snapshots {
   )
 
   val oracles: Map[String, String] = Map(
+    // Each txn's pair restated from the raw tables; consistency ⇒
+    // orphans 0 within a txn; the torn pair's orphans = lineitem keys
+    // in txn1's orders predicate but not txn2's (RI holds in testdata).
+    "k32_multi_table_txn" ->
+      """SELECT * FROM (
+        |  SELECT '1_txn1' AS snap,
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey % 2 = 0)::BIGINT AS n_orders,
+        |    count(*)::BIGINT AS n_li,
+        |    sum(l_orderkey)::BIGINT AS sum_li_keys, 0::BIGINT AS n_orphans
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |  UNION ALL
+        |  SELECT '2_txn2',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey % 3 = 0)::BIGINT,
+        |    count(*)::BIGINT, sum(l_orderkey)::BIGINT, 0::BIGINT
+        |  FROM lineitem WHERE l_orderkey % 3 = 0
+        |  UNION ALL
+        |  SELECT '3_torn',
+        |    (SELECT count(*) FROM orders
+        |     WHERE o_orderkey % 3 = 0)::BIGINT,
+        |    count(*)::BIGINT, sum(l_orderkey)::BIGINT,
+        |    (count(*) FILTER (WHERE l_orderkey % 3 <> 0))::BIGINT
+        |  FROM lineitem WHERE l_orderkey % 2 = 0
+        |) ORDER BY snap""".stripMargin,
     // v2 and v1-logical = the delete's complement; v1-raw = everything.
     "k30_compact" ->
       """SELECT * FROM (

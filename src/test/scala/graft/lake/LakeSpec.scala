@@ -184,4 +184,25 @@ class LakeSpec extends SparkSpec {
       Option(ex.getCause).exists(_.getMessage.contains("Malformed")),
       s"unexpected failure: ${ex.getMessage}")
   }
+
+  test("k19/k22 manifest consult fails informatively when the index " +
+      "prunes everything or nothing") {
+    // all-pruned: an empty hit list on a known-present key = a stale
+    // or over-pruning index; reading nothing would lose rows silently
+    val allPruned = intercept[IllegalArgumentException] {
+      LakeQueries.consultPruningIndex(Nil, total = 8, what = "min/max")
+    }
+    assert(allPruned.getMessage.contains("pruned ALL files"),
+      s"wrong all-pruned message: ${allPruned.getMessage}")
+    // nothing-pruned: every file hit = the layout stopped clustering
+    val nothingPruned = intercept[IllegalArgumentException] {
+      LakeQueries.consultPruningIndex(Seq("f1", "f2"), total = 2,
+        what = "bloom")
+    }
+    assert(nothingPruned.getMessage.contains("pruned nothing"),
+      s"wrong nothing-pruned message: ${nothingPruned.getMessage}")
+    // the healthy branch passes hits through for the pruned read
+    assert(LakeQueries.consultPruningIndex(Seq("f1"), total = 2,
+      what = "bloom") == Seq("f1"))
+  }
 }

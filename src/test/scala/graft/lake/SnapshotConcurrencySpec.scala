@@ -201,4 +201,55 @@ class SnapshotConcurrencySpec extends SparkSpec {
     assert(v == 3, s"next committer skips the orphaned claim, got v$v")
     assert(Snapshots.latestVersion(root) == 3)
   }
+
+  test("a commit whose staged directory was swept fails, never " +
+      "publishing a data-less version") {
+    val root = Lake.scratchDir("snap_swept")
+    assert(Snapshots.commitVersion(
+      spark.range(3).select(col("id")), root) == 1)
+    // Model the vacuum-outlives-audit race: the audit passes but the
+    // staged v=2 directory is gone by publish time.
+    val res = Snapshots.commitAudited(spark, root)(
+      p => spark.range(2).select(col("id")).write.parquet(p)) { df =>
+      df.collect() // audit reads the stage, then the sweep hits it
+      Lake.deleteRecursively(new java.io.File(s"$root/v=2"))
+      Right(())
+    }
+    assert(res.isLeft, s"commit over a swept stage must fail, got $res")
+    assert(res.left.exists(_.contains("concurrency conflict")))
+    assert(Snapshots.latestVersion(root) == 1,
+      "a data-less version must never become committed")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(root, "_commit_v2")),
+      "no commit marker may exist for the swept stage")
+    // The table is not wedged: the next commit walks past the burned
+    // claim and publishes normally.
+    assert(Snapshots.commitVersion(
+      spark.range(4).select(col("id")), root) == 3)
+  }
+
+  test("crash between multi-table txn stages stays invisible; the " +
+      "marker is the only commit point") {
+    val root = Lake.scratchDir("txn_crash")
+    def writer(n: Int): String => Unit =
+      p => spark.range(n).select(col("id")).write.parquet(p)
+    assert(Snapshots.commitTxn(root,
+      Seq("orders" -> writer(4), "lineitem" -> writer(6))) == 1)
+    // Writer dies after staging ONE of the two tables of txn 2.
+    Snapshots.stageTxnTable(root, "orders")(writer(99))
+    val resolved = Snapshots.latestTxn(root)
+    assert(resolved.map(_._1).contains(1),
+      s"staged-only txn member leaked into resolution: $resolved")
+    assert(Snapshots.readTxn(spark, root, "orders").count() == 4)
+    assert(Snapshots.readTxn(spark, root, "lineitem").count() == 6)
+    // A later full transaction commits past the residue and both
+    // members flip together.
+    assert(Snapshots.commitTxn(root,
+      Seq("orders" -> writer(5), "lineitem" -> writer(7))) == 2)
+    assert(Snapshots.readTxn(spark, root, "orders").count() == 5)
+    assert(Snapshots.readTxn(spark, root, "lineitem").count() == 7)
+    // Time travel through the old marker still yields the OLD pair.
+    assert(Snapshots.readTxn(spark, root, "orders", Some(1)).count() == 4)
+    assert(Snapshots.readTxn(spark, root, "lineitem", Some(1)).count() == 6)
+  }
 }
