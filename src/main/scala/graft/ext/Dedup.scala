@@ -772,14 +772,18 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), Seq("dst"))
         .groupBy(col("src")).agg(min(col("comp")).as("ncomp"))
         .withColumnRenamed("src", "id")
+      // The adopted label and a per-row CHANGED flag come out of the
+      // same select, so the round's single count action both
+      // materializes the lazy checkpoint AND answers convergence —
+      // one driver sync per round, same as the default CC path (the
+      // old shape re-joined next against labels for a second action).
+      val newComp = least(col("comp"), coalesce(col("ncomp"), col("comp")))
       val next = labels.join(viaNeighbors, Seq("id"), "left")
-        .select(col("id"),
-          least(col("comp"), coalesce(col("ncomp"), col("comp"))).as("comp"))
-        .localCheckpoint() // eager: consumed by the count AND next round
-      val changed = next.withColumnRenamed("comp", "ncomp")
-        .join(labels, Seq("id"))
-        .filter(col("ncomp") =!= col("comp")).count()
-      labels = next
+        .select(col("id"), newComp.as("comp"),
+          (newComp =!= col("comp")).as("changed"))
+        .localCheckpoint(eager = false)
+      val changed = next.filter(col("changed")).count()
+      labels = next.select(col("id"), col("comp"))
       if (changed == 0) return labels
       iter += 1
       if (iter >= maxIter)

@@ -447,20 +447,41 @@ object Similarity {
   def ivfPqSearch(corpus: DataFrame, queries: DataFrame,
       cents: Seq[(Int, Seq[Double])],
       books: IndexedSeq[IndexedSeq[Seq[Double]]],
-      k: Int, nprobe: Int, rerank: Int): DataFrame = {
-    val cl = centsLit(cents)
-    val codedCorpus = ivfAssign(corpus, cents)
+      k: Int, nprobe: Int, rerank: Int): DataFrame =
+    ivfPqSearchCoded(ivfPqCode(corpus, cents, books), corpus, queries,
+      cents, books, k, nprobe, rerank)
+
+  /** Residual-encode a vector set against FROZEN artifacts (cells +
+    * codebooks): (c_id, cell, codes). Entirely map-side — assignment
+    * is a literal-centroid argmax, encoding m native argmin kernels;
+    * nothing shuffles. The same function is the index BUILD (whole
+    * corpus) and the index INGEST (a new batch encodes against the
+    * frozen artifacts and appends partition-locally — no retrain). */
+  def ivfPqCode(vecs: DataFrame, cents: Seq[(Int, Seq[Double])],
+      books: IndexedSeq[IndexedSeq[Seq[Double]]]): DataFrame =
+    ivfAssign(vecs, cents)
       .withColumn("res",
-        zip_with(col("uv"), element_at(cl, col("cell") + 1), (a, b) => a - b))
+        zip_with(col("uv"), element_at(centsLit(cents), col("cell") + 1),
+          (a, b) => a - b))
       .select(col("vec_id").as("c_id"), col("cell"),
         graft.functions.Pq.pqCodes(col("res"), booksArray(books)).as("codes"))
+
+  /** The ADC scan + bounded exact re-rank over an ALREADY-CODED corpus
+    * (in-memory, or read back from the cell-partitioned on-disk
+    * index). `rawVecs` supplies raw floats for the re-rank only —
+    * ≤ rerank·|queries| of them are ever fetched. */
+  def ivfPqSearchCoded(coded: DataFrame, rawVecs: DataFrame,
+      queries: DataFrame, cents: Seq[(Int, Seq[Double])],
+      books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      k: Int, nprobe: Int, rerank: Int): DataFrame = {
+    val cl = centsLit(cents)
     val probes = ivfProbes(queries, cents, nprobe)
       .withColumn("qc", dot(col("qv"), element_at(cl, col("cell") + 1)))
       .withColumn("lut", graft.functions.Pq.pqLut(col("qv"), booksArray(books)))
       .select(col("q_id"), col("cell"), col("qc"), col("lut"))
     val wA = Window.partitionBy(col("q_id"))
       .orderBy(col("approx").desc, col("c_id"))
-    val cand = codedCorpus.join(broadcast(probes), Seq("cell"))
+    val cand = coded.join(broadcast(probes), Seq("cell"))
       .filter(col("q_id") =!= col("c_id"))
       .withColumn("approx",
         col("qc") + graft.functions.Pq.pqAdc(col("lut"), col("codes")))
@@ -468,8 +489,31 @@ object Similarity {
       .withColumn("_ar", row_number().over(wA))
       .filter(col("_ar") <= rerank)
       .select(col("q_id"), col("c_id"))
-    exactRerank(cand, corpus, queries, k)
+    exactRerank(cand, rawVecs, queries, k)
   }
+
+  /** Persist the IVFADC index: the coded corpus laid out as a
+    * cell-partitioned parquet table — codes only (m small ints per
+    * vector), never raw floats; at 100 TB this artifact is ~1-2% of
+    * the embedding table it indexes. */
+  def ivfPqWriteIndex(corpus: DataFrame, cents: Seq[(Int, Seq[Double])],
+      books: IndexedSeq[IndexedSeq[Seq[Double]]], path: String): Unit =
+    ivfPqCode(corpus, cents, books)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** Search the on-disk IVFADC index. The broadcast probe list joins
+    * the index on its PARTITION column, so dynamic partition pruning
+    * skips unprobed cell directories (the ivfSearchIndex shape); the
+    * ADC scan reads codes only, and `rawVecs` (the raw embedding
+    * table) is consulted just for the bounded exact re-rank. */
+  def ivfPqSearchIndex(spark: SparkSession, path: String,
+      rawVecs: DataFrame, queries: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      k: Int, nprobe: Int, rerank: Int): DataFrame =
+    ivfPqSearchCoded(
+      spark.read.parquet(path).select(col("c_id"), col("cell"), col("codes")),
+      rawVecs, queries, cents, books, k, nprobe, rerank)
 
   /** k-NN label classification by majority vote over the exact top-k
     * cosine neighbors (leave-one-out: a query never votes for itself).
@@ -769,6 +813,71 @@ object Similarity {
     val nAgg = emb.agg(count(lit(1)).as("n"))
     extraAgg.crossJoin(missAgg).crossJoin(hitsAgg).crossJoin(totalAgg)
       .crossJoin(scanAgg).crossJoin(nAgg).select(
+        (col("extra") === 0 && col("missing") === 0)
+          .as("ingest_equals_memory"),
+        (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
+        (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
+  }
+
+  /** E3n ✱: IVF-PQ INDEX INGEST — the append-without-retrain gate for
+    * the COMPOSED IVFADC artifact (e3_ivf_incremental covers the coarse
+    * IVF layer only; this is the index a 100 TB deployment actually
+    * stores). A held-out batch (vec_id ≡ 0 mod 4) is assigned to the
+    * FROZEN cells and residual-encoded against the FROZEN codebooks —
+    * both trained on the resident corpus alone — then appended into the
+    * cell-partitioned coded layout; resident files, centroids, and
+    * codebooks are never touched. Gates (✱, constant-true oracle):
+    * (a) codes_frozen_ok — the grown on-disk coded table EQUALS a fresh
+    * in-memory frozen-artifact encode of corpus+batch (catches a lost/
+    * duplicated append, a mis-assigned cell, or a code drifting from
+    * the frozen books, even where search ranking would hide it);
+    * (b) ingest_equals_memory — searching the grown index EQUALS the
+    * in-memory IVFADC path over corpus+batch; (c) recall of the exact
+    * top-5 clears 0.5 on artifacts that never saw the batch; (d) no
+    * query's probed cells cover more than half the grown corpus. */
+  private val e3IvfPqIncremental: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val resident = emb.filter(col("vec_id") % 4 =!= 0)
+    val batch = emb.filter(col("vec_id") % 4 === 0)
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(resident, c = 32, iters = 2) // frozen at build
+    val books = ivfPqTrain(resident, cents, m = 8, ksub = 32, iters = 2)
+    val path = graft.lake.Lake.scratchDir("ivfpqinc") + "/index"
+    ivfPqWriteIndex(resident, cents, books, path)
+    // INGEST: encode only the batch against the frozen artifacts,
+    // append into the cell layout — no retrain, residents untouched.
+    ivfPqCode(batch, cents, books)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    val onDisk = s.read.parquet(path)
+      .select(col("c_id"), col("cell"), col("codes"))
+    val freshCoded = ivfPqCode(emb, cents, books)
+    val codeExtraAgg = onDisk.exceptAll(freshCoded)
+      .agg(count(lit(1)).as("code_extra"))
+    val codeMissAgg = freshCoded.exceptAll(onDisk)
+      .agg(count(lit(1)).as("code_missing"))
+    val viaIndex = ivfPqSearchIndex(s, path, emb, queries, cents, books,
+      k = 5, nprobe = 8, rerank = 100)
+    val inMemory = ivfPqSearch(emb, queries, cents, books,
+      k = 5, nprobe = 8, rerank = 100)
+    val extraAgg = viaIndex.exceptAll(inMemory).agg(count(lit(1)).as("extra"))
+    val missAgg = inMemory.exceptAll(viaIndex).agg(count(lit(1)).as("missing"))
+    val exact = bruteForceTopK(queries, emb, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val hitsAgg = exact.join(viaIndex.select(col("q_id"), col("c_id")),
+      Seq("q_id", "c_id"), "left_semi").agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val cellSizes = onDisk.groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+    val scanAgg = ivfProbes(queries, cents, nprobe = 8)
+      .select(col("q_id"), col("cell")).join(cellSizes, Seq("cell"))
+      .groupBy(col("q_id")).agg(sum(col("sz")).as("scanned"))
+      .agg(max(col("scanned")).as("max_scanned"))
+    val nAgg = emb.agg(count(lit(1)).as("n"))
+    codeExtraAgg.crossJoin(codeMissAgg).crossJoin(extraAgg)
+      .crossJoin(missAgg).crossJoin(hitsAgg).crossJoin(totalAgg)
+      .crossJoin(scanAgg).crossJoin(nAgg).select(
+        (col("code_extra") === 0 && col("code_missing") === 0)
+          .as("codes_frozen_ok"),
         (col("extra") === 0 && col("missing") === 0)
           .as("ingest_equals_memory"),
         (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
@@ -1362,6 +1471,7 @@ object Similarity {
     "e3_ivf_recall" -> e3IvfRecall,
     "e3_ivf_indexed" -> e3IvfIndexed,
     "e3_ivf_incremental" -> e3IvfIncremental,
+    "e3_ivfpq_incremental" -> e3IvfPqIncremental,
     "e3_ann_neardup" -> e3AnnNearDup,
     "e3_cosine_neardup" -> e3CosineNearDup,
     "e3_quantized_cosine" -> e3QuantizedCosine,
@@ -1515,6 +1625,9 @@ object Similarity {
     "e3_ivf_incremental" ->
       """SELECT true AS ingest_equals_memory, true AS recall_ok,
         |  true AS scan_budget_ok""".stripMargin,
+    "e3_ivfpq_incremental" ->
+      """SELECT true AS codes_frozen_ok, true AS ingest_equals_memory,
+        |  true AS recall_ok, true AS scan_budget_ok""".stripMargin,
     "e3_quantized_cosine" ->
       """WITH v AS (
         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),

@@ -47,6 +47,10 @@ class PlanAuditSpec extends SparkSpec {
     // six one-row gate scalars crossJoined — the ingest itself is a
     // map-side assignment + partition-local append, no nested loop
     "e3_ivf_incremental" -> Set("BroadcastNestedLoop"),
+    // eight one-row gate scalars crossJoined (code-equality, search-
+    // equality, recall, scan budget) — the IVFADC ingest is a frozen-
+    // artifact encode + partition-local append, no nested loop
+    "e3_ivfpq_incremental" -> Set("BroadcastNestedLoop"),
     "e6_cms_heavyhitters" -> Set("BroadcastNestedLoop"),
     // one-row corpus-total scalar crossJoined onto the QI group table
     "e9_kanon" -> Set("BroadcastNestedLoop"),
@@ -75,6 +79,10 @@ class PlanAuditSpec extends SparkSpec {
     "a11_sketch_table" -> Set("BroadcastNestedLoop"),
     // per-table one-row before/after audit scalars crossJoined pairwise
     "k16_forget" -> Set("BroadcastNestedLoop"),
+    // per-snapshot one-row (n_orders × n_li × orphans) audit scalars
+    // crossJoined — the txn commit itself is N parquet writes + one
+    // marker rename, no join anywhere
+    "k32_multi_table_txn" -> Set("BroadcastNestedLoop"),
     // min/max over STRING columns have immutable aggregation buffers,
     // which HashAggregate can't hold — Spark's canonical plan is
     // SortAggregate, and with ZERO grouping keys it performs no sort

@@ -222,6 +222,26 @@ class DedupSpec extends SparkSpec {
     assert(star(5L) == 5L) // self-loop node keeps its own component
   }
 
+  test("min-label fast path matches star contraction on a chain and " +
+      "a clique (single-action convergence)") {
+    // A 7-node chain (worst case for label propagation: the min walks
+    // one hop per round) plus an 8-clique (the quasi-clique shape the
+    // fast path exists for) in one edge set — both paths must agree
+    // node-for-node, and the chain exercises the changed-flag
+    // convergence over multiple rounds.
+    val chain = (0L until 6L).map(i => (i, i + 1))
+    val clique = for { i <- 0L until 8L; j <- (i + 1) until 8L }
+      yield (i + 100L, j + 100L)
+    val pairs = (chain ++ clique).toDF("a", "b")
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val star = toMap(Dedup.connectedComponents(pairs))
+    val ml = toMap(Dedup.connectedComponentsMinLabel(pairs))
+    assert(star == ml, s"star $star vs minlabel $ml")
+    assert((0L to 6L).forall(ml(_) == 0L), s"chain labels: $ml")
+    assert((100L to 107L).forall(ml(_) == 100L), s"clique labels: $ml")
+  }
+
   test("incrementalDedup admits novel docs, rejects exact and near dups of old") {
     val old = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight again"),

@@ -36,4 +36,63 @@ class QualityModelSpec extends SparkSpec {
       assert(math.abs(a - b) < 1e-9, s"$w1 vs $w2")
     }
   }
+
+  test("hashedNgramFeatures: binary-presence sparse grams plus a bias row") {
+    val docs = Seq((1L, "a b a")).toDF("doc_id", "text")
+    val dim = 64
+    val rows = QualityModel.hashedNgramFeatures(docs, "doc_id", "text", dim)
+      .collect().map(r => (r.getInt(1), r.getDouble(2)))
+    val bias = rows.filter(_._1 == dim).toSeq
+    assert(bias == Seq((dim, 1.0)), s"bias rows: $bias")
+    val feat = rows.filter(_._1 != dim)
+    // distinct grams of "a b a": a, b, "a b", "b a" — ≤ 4 buckets
+    // (hash collisions can only merge), each present exactly once
+    assert(feat.nonEmpty && feat.length <= 4, s"buckets: ${feat.toSeq}")
+    assert(feat.forall(_._2 == 1.0), s"presence must be 1.0: ${feat.toSeq}")
+    assert(feat.map(_._1).distinct.length == feat.length,
+      "bucket ids must be deduplicated per doc")
+  }
+
+  test("sparse hashed trainer learns a token rule that generalizes to " +
+      "a held-out split") {
+    val docs = (1 to 150).map { i =>
+      val tail = if (i % 3 == 0) s"spamword extra$i" else s"cleanword extra$i"
+      (i.toLong, s"common words appear here $tail")
+    }.toDF("doc_id", "text")
+    val dim = 1 << 10
+    val feats = QualityModel.hashedNgramFeatures(docs, "doc_id", "text", dim)
+      .localCheckpoint(eager = false)
+    val labels = docs.select($"doc_id",
+      when($"doc_id" % 3 === 0, 1.0).otherwise(0.0).as("y"))
+    val isTest = $"doc_id" % 5 === 0
+    val (w, losses) = QualityModel.trainLogisticSparse(
+      feats.filter(!isTest), labels.filter(!isTest), dim,
+      iters = 15, lr = 5.0)
+    assert(losses.last < 0.7 * losses.head,
+      s"loss ${losses.head} -> ${losses.last}")
+    val acc = QualityModel.scoreSparse(feats.filter(isTest), w)
+      .join(labels, Seq("doc_id"))
+      .select(avg(when(($"p" >= 0.5) === ($"y" === 1.0), 1.0)
+        .otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc >= 0.9, s"held-out accuracy $acc")
+  }
+
+  test("sparse training is deterministic across partitionings up to " +
+      "FP noise") {
+    val docs = (1 to 60).map { i =>
+      (i.toLong, s"tok${i % 5} tok${i % 7} shared words ${i % 2}")
+    }.toDF("doc_id", "text")
+    val dim = 256
+    val labels = docs.select($"doc_id",
+      when($"doc_id" % 2 === 0, 1.0).otherwise(0.0).as("y"))
+    val f1 = QualityModel.hashedNgramFeatures(docs, "doc_id", "text", dim)
+    val f2 = QualityModel.hashedNgramFeatures(
+      docs.repartition(13), "doc_id", "text", dim).repartition(7)
+    val (w1, _) = QualityModel.trainLogisticSparse(f1, labels, dim, 5, 1.0)
+    val (w2, _) = QualityModel.trainLogisticSparse(f2, labels, dim, 5, 1.0)
+    w1.zip(w2).foreach { case (a, b) =>
+      assert(math.abs(a - b) < 1e-9, s"weight drift: $a vs $b")
+    }
+  }
 }

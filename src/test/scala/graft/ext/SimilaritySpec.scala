@@ -179,6 +179,26 @@ class SimilaritySpec extends SparkSpec {
       mem.exceptAll(search).count() == 0)
   }
 
+  test("IVF-PQ on-disk index search dynamically prunes unprobed cells " +
+      "and equals the in-memory coded path") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.ivfTrain(emb, c = 8, iters = 1)
+    val books = Similarity.ivfPqTrain(emb, cents, m = 4, ksub = 8, iters = 1)
+    val path = graft.lake.Lake.scratchDir("ivfpqidx_spec") + "/index"
+    Similarity.ivfPqWriteIndex(emb, cents, books, path)
+    val q = emb.filter(col("vec_id") < 3)
+    val search = Similarity.ivfPqSearchIndex(spark, path, emb, q,
+      cents, books, k = 3, nprobe = 2, rerank = 20)
+    val plan = search.queryExecution.executedPlan.toString()
+    assert(plan.contains("dynamicpruningexpression"),
+      s"coded index scan must prune cells via DPP:\n${plan.take(1500)}")
+    val mem = Similarity.ivfPqSearch(emb, q, cents, books,
+      k = 3, nprobe = 2, rerank = 20)
+    assert(search.exceptAll(mem).count() == 0 &&
+      mem.exceptAll(search).count() == 0)
+  }
+
   test("annCandidates is deterministic across evaluations") {
     val emb = Tables.load(spark, sf, "embeddings").limit(40)
     val q = emb.limit(5)
