@@ -55,7 +55,14 @@ object Bench {
     "q1_agg", "j1_inner", "e1_dedup_exact", "e2_minhash_neardup",
     "e2_simhash_neardup", "e2_cluster_cc", "e3_ann_search",
     "e3_ivf_search", "e3_ivfpq_search", "e4_tfidf", "e8_hash_split",
-    "g5_kcore")
+    "g5_kcore",
+    // The most expensive non-stream queries (r10 verdict item 2):
+    // their linearity was argued from plan shape — frontier equi-joins
+    // (g3), wedge closure (g2), df-capped shingle join (e8), length-
+    // bucketed edit-distance candidates (e2), and the fused curation
+    // pipeline (e7) — now it's measured like the rest.
+    "g3_bfs", "g2_triangles", "e8_contamination", "e2_edit_join",
+    "e7_curation")
 
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is
@@ -64,9 +71,9 @@ object Bench {
     "a4_approx", "e3_ann_recall", "e3_ivf_recall", "e3_ivf_indexed",
     "e3_ann_neardup", "e3_cosine_neardup", "e6_cms_heavyhitters",
     "e3_semdedup", "e3_pq_recall", "e3_ivfpq_recall", "e3_pq_indexed",
-    // verifies ingest by running the grown index AND the in-memory
+    // verify ingest by running the grown index AND the in-memory
     // path AND brute force — three searches to gate one
-    "e3_ivf_incremental")
+    "e3_ivf_incremental", "e3_ivfpq_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -452,6 +452,33 @@ object Snapshots {
     k
   }
 
+  /** Exactly-once STREAMING commit (the Delta-streaming-sink txn
+    * pattern): micro-batch `batchId` commits as version batchId+1, and
+    * the version's commit marker IS the idempotency ledger — a
+    * re-delivered batch (foreachBatch replay after a restart, the
+    * at-least-once residue every checkpointed stream carries) finds
+    * its marker and SKIPS, so readers never see a batch's rows twice.
+    * An attempt that crashed after staging but before its marker
+    * re-runs safely: this writer owns the claim (Structured Streaming
+    * guarantees one active query per sink — single-writer per table
+    * root by contract), the stage is rewritten in place (`write` must
+    * overwrite), and the atomic marker rename still lands exactly
+    * once. Returns true if THIS call committed, false on duplicate. */
+  def commitStreamBatch(root: String, batchId: Long)(
+      write: String => Unit): Boolean = {
+    require(batchId >= 0 && batchId < Int.MaxValue - 1,
+      s"batchId out of range: $batchId")
+    val v = batchId.toInt + 1
+    Files.createDirectories(Paths.get(root))
+    if (Files.exists(Paths.get(root, s"_commit_v$v"))) false
+    else {
+      claim(root, v) // a false return = a crashed attempt we own
+      write(s"$root/v=$v")
+      publish(root, v)
+      true
+    }
+  }
+
   /** Stage one table's next version under the claim CAS — written but
     * invisible until a txn marker names it. Exposed package-private so
     * the crash-between-tables spec can model a writer that died after

@@ -914,7 +914,70 @@ object EventWindows {
       .orderBy(col("user_id"))
   }
 
+  /** EV28: STREAMING INGEST INTO THE ACID SNAPSHOT LOG — the
+    * Delta-streaming-sink pattern that closes the loop between the
+    * streaming (ev*) and lakehouse (k*) families: each micro-batch
+    * commits as a table VERSION through
+    * [[graft.lake.Snapshots.commitStreamBatch]], whose commit marker
+    * doubles as the idempotency ledger. The replay drives one
+    * micro-batch per 5-day event bucket, and EVERY batch is delivered
+    * TWICE (the foreachBatch body immediately re-runs itself —
+    * modeling the at-least-once redelivery a restarted checkpointed
+    * stream performs); the duplicate must be a no-op, `require`d
+    * batch-by-batch. The result reads every committed version back
+    * THROUGH the log — version v = batch v−1 = the v-th event bucket
+    * — and the oracle restates each version's rollup from the raw
+    * table via dense_rank over the bucket expression, so a dropped
+    * batch, a double-committed batch, or rows leaking across versions
+    * all hash-fail. At 100 TB this is exactly-once streaming ingest
+    * with time travel for free; nothing here is driver-sized except
+    * the marker files. */
+  private val ev28StreamTxnSink: Q = (s, dir) => {
+    val dayMs = 86400000L
+    val (files, landing) = stageReplay(s,
+      t(s, dir, "events")
+        .select(col("event_id"), col("ts").cast("timestamp").as("ts"),
+          col("value"))
+        .withColumn("b", expr(s"unix_millis(ts) div ${5 * dayMs}")))
+    val schema = s.read.parquet(files.head.toString).schema
+    val root = graft.lake.Lake.scratchDir("ev28") + "/table"
+    var committed = 0
+    var duplicates = 0
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try s.readStream.schema(schema).parquet(landing)
+        .writeStream.outputMode("append")
+        .foreachBatch { (batch: DataFrame, batchId: Long) =>
+          def attempt(): Boolean =
+            graft.lake.Snapshots.commitStreamBatch(root, batchId)(p =>
+              batch.write.mode("overwrite").parquet(p))
+          if (attempt()) committed += 1
+          // at-least-once redelivery, immediately: must be a no-op
+          require(!attempt(),
+            s"duplicate delivery of batch $batchId committed twice")
+          duplicates += 1
+          ()
+        }
+        .start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try replay(files, landing, q) finally q.stop()
+    require(committed == files.size && duplicates == files.size,
+      s"committed $committed, duplicates $duplicates of ${files.size}")
+    require(graft.lake.Snapshots.latestVersion(root) == files.size,
+      "version count diverged from batch count")
+    (1 to files.size).map { v =>
+      graft.lake.Snapshots.readVersion(s, root, Some(v))
+        .agg(count(lit(1)).as("n_events"),
+          sum(col("event_id")).as("sum_ids"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .select(lit(v).as("version"), col("n_events"), col("sum_ids"),
+          col("sum_value"))
+    }.reduce(_.unionByName(_)).orderBy(col("version"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "ev28_stream_txn_sink" -> ev28StreamTxnSink,
     "ev24_stream_cdc" -> ev24StreamCdc,
     "ev23_session_window" -> ev23SessionWindow,
     "ev22_tws_sessions" -> ev22TwsSessions,
@@ -945,6 +1008,22 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Each committed version = one 5-day event bucket, in bucket
+    // order: dense_rank over the SAME bucket expression restates the
+    // version ↦ rows mapping from the raw table.
+    "ev28_stream_txn_sink" ->
+      """WITH e AS (
+        |  SELECT event_id, value,
+        |    epoch_ms(ts) // 432000000 AS b
+        |  FROM events),
+        |v AS (
+        |  SELECT event_id, value,
+        |    dense_rank() OVER (ORDER BY b) AS version
+        |  FROM e)
+        |SELECT version, count(*)::BIGINT AS n_events,
+        |  sum(event_id)::BIGINT AS sum_ids,
+        |  round(sum(value), 4) AS sum_value
+        |FROM v GROUP BY version ORDER BY version""".stripMargin,
     // Whole-table restatement of last-op-wins CDC: each user's
     // globally last event (ts, then event_id) decides — an upsert
     // keeps its row, a tombstone removes the key.

@@ -24,11 +24,27 @@ import scala.jdk.CollectionConverters._
   */
 class ScalingSpec extends SparkSpec {
   private val maxExponent = 1.45
+  /** Per-head overrides where a steeper slope IS the designed behavior
+    * at this particular SF pair. e8_contamination's candidate join is
+    * bounded by the df ≤ 100 per-shingle cap — asymptotically linear —
+    * but BETWEEN sf0.01 and sf0.1 typical shingle document-frequency
+    * is still far below the cap, so pair fanout grows ~quadratically
+    * until the cap saturates (measured e ≈ 1.29 at this pair; the cap
+    * then flattens the next decade). 1.7 keeps the gap to an
+    * uncapped all-pairs reading (~1.9-2.0) while absorbing the VM's
+    * single-rep timing noise. */
+  private val boundOverrides = Map("e8_contamination" -> 1.7)
   /** Families whose scale story is load-bearing (bucketed/blocked). */
   private val bucketed = Set(
     "e1_dedup_exact", "e2_minhash_neardup", "e2_simhash_neardup",
     "e2_cluster_cc", "e3_ann_search", "e3_ivf_search", "e3_ivfpq_search",
-    "e4_tfidf", "e8_hash_split", "q1_agg", "j1_inner")
+    "e4_tfidf", "e8_hash_split", "q1_agg", "j1_inner",
+    // the heaviest non-stream queries (r10 verdict item 2): frontier
+    // equi-join BFS, degree-oriented triangle closure, df-capped
+    // contamination join, length-bucketed edit-distance join, and the
+    // fused curation pipeline — linear-by-design, now bounded here
+    "g3_bfs", "g2_triangles", "e8_contamination", "e2_edit_join",
+    "e7_curation")
 
   test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
       "bucketed family head in the committed bench artifact") {
@@ -49,10 +65,12 @@ class ScalingSpec extends SparkSpec {
       s"bucketed families absent from the artifact's scaling map: " +
         missing.toSeq.sorted.mkString(", "))
     val over = present.toSeq.filter(bucketed)
-      .map(n => (n, scaling.get(n).get("exponent").asDouble()))
-      .filter(_._2 > maxExponent)
+      .map(n => (n, scaling.get(n).get("exponent").asDouble(),
+        boundOverrides.getOrElse(n, maxExponent)))
+      .filter { case (_, e, bound) => e > bound }
     assert(over.isEmpty,
       s"super-linear sf-slope for bucketed families: " +
-        over.map { case (n, e) => f"$n (e=$e%.2f)" }.mkString(", "))
+        over.map { case (n, e, b) => f"$n (e=$e%.2f > $b%.2f)" }
+          .mkString(", "))
   }
 }

@@ -228,6 +228,26 @@ class SnapshotConcurrencySpec extends SparkSpec {
       spark.range(4).select(col("id")), root) == 3)
   }
 
+  test("streaming batch commit: duplicate delivery is a no-op, a " +
+      "crashed attempt recovers in place") {
+    val root = Lake.scratchDir("stream_txn")
+    def w(n: Int): String => Unit =
+      p => spark.range(n).select(col("id")).write.mode("overwrite").parquet(p)
+    assert(Snapshots.commitStreamBatch(root, 0L)(w(3)))
+    // at-least-once redelivery after the marker landed: skipped
+    assert(!Snapshots.commitStreamBatch(root, 0L)(w(3)))
+    assert(Snapshots.latestVersion(root) == 1)
+    // a crashed attempt at batch 1: claim taken, partial stage, no
+    // marker — the retry (same single writer) rewrites and publishes
+    assert(Snapshots.commitProbe(root, 2))
+    java.nio.file.Files.createDirectories(
+      java.nio.file.Paths.get(root, "v=2"))
+    assert(Snapshots.commitStreamBatch(root, 1L)(w(5)))
+    assert(Snapshots.latestVersion(root) == 2)
+    assert(Snapshots.readVersion(spark, root, Some(2)).count() == 5)
+    assert(Snapshots.readVersion(spark, root, Some(1)).count() == 3)
+  }
+
   test("crash between multi-table txn stages stays invisible; the " +
       "marker is the only commit point") {
     val root = Lake.scratchDir("txn_crash")
