@@ -1282,7 +1282,69 @@ object Dedup {
       .orderBy(col("decision"))
   }
 
+  // ------------------------------------------------------- line dedup
+
+  /** The boilerplate lines the gate plants (shared verbatim with the
+    * oracle): the first on EVERY doc, the second on every 3rd. */
+  val BoilerSubscribe =
+    "subscribe to our newsletter and click here to unsubscribe today"
+  val BoilerCopyright = "copyright acme corp all rights reserved"
+
+  /** Newline-structured corpus with planted boilerplate: every doc
+    * carries the subscribe footer, every 3rd additionally a copyright
+    * line, and every 10th doc is duplicated wholesale under
+    * doc_id + 100000 (so its unique body line dups too). `concat_ws`
+    * skips the NULL third line on both engines. */
+  private[ext] def withPlantedLines(docs: DataFrame): DataFrame = {
+    val base = docs.select(col("doc_id"), col("lang"),
+      concat_ws("\n", col("text"), lit(BoilerSubscribe),
+        when(col("doc_id") % 3 === 0, lit(BoilerCopyright))
+          .otherwise(lit(null).cast("string"))).as("text"))
+    base.unionAll(base.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("lang"),
+        col("text")))
+  }
+
+  /** E2i: corpus-level exact LINE dedup — the RefinedWeb/CCNet pass
+    * that strips boilerplate (nav bars, subscribe footers, copyright
+    * lines) repeated verbatim across pages: every line instance is
+    * kept iff it is the FIRST occurrence of its text corpus-wide
+    * (minimal (doc_id, line_no)). Shuffle key is the line's sha2-256
+    * digest — fixed width regardless of line length, the exact-dedup
+    * convention — and each digest partition holds one line's
+    * instances, so the window never sorts more than a duplicate
+    * family. Map-only explode before it, one rollup after: linear at
+    * 100 TB. The rollup value-checks which instances were removed
+    * (checksum over removed (doc_id, line_no)), how many docs were
+    * touched, and the surviving character mass, all per language. */
+  def lineDedupStats(docs: DataFrame, idCol: String, langCol: String,
+      textCol: String): DataFrame = {
+    val lines = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+        posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
+      .filter(col("line") =!= "")
+    val w = Window.partitionBy(sha2(col("line"), 256))
+      .orderBy(col("doc_id"), col("line_no"))
+    lines.withColumn("rn", row_number().over(w))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_lines"),
+        sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_kept"),
+        countDistinct(when(col("rn") > 1, col("doc_id")))
+          .as("n_docs_affected"),
+        sum(when(col("rn") > 1,
+          col("doc_id") * (col("line_no") + 1)).otherwise(0L))
+          .as("removed_checksum"),
+        sum(when(col("rn") === 1, length(col("line")).cast("long"))
+          .otherwise(0L)).as("kept_chars"))
+      .orderBy(col("lang"))
+  }
+
+  private val e2LineDedup: Q = (s, dir) =>
+    lineDedupStats(withPlantedLines(t(s, dir, "documents")),
+      "doc_id", "lang", "text")
+
   val queries: Map[String, Q] = Map(
+    "e2_line_dedup" -> e2LineDedup,
     "e2_cdc_chunks" -> e2CdcChunks,
     "e13_linkage" -> e13Linkage,
     "e2_substring_trim" -> e2SubstringTrim,
@@ -1302,6 +1364,42 @@ object Dedup {
 
   /** The planted-pair ground truth, written directly in SQL. */
   val oracles: Map[String, String] = Map(
+    // Full restatement: DuckDB replants the same newline corpus
+    // (concat_ws skips the NULL third line identically), re-derives
+    // every (doc, line_no, line) instance, and applies the same
+    // global keep-first rule.
+    "e2_line_dedup" ->
+      s"""WITH base AS (
+         |  SELECT doc_id, lang,
+         |    concat_ws(chr(10), text, '$BoilerSubscribe',
+         |      CASE WHEN doc_id % 3 = 0 THEN '$BoilerCopyright'
+         |           ELSE NULL END) AS text
+         |  FROM documents),
+         |planted AS (
+         |  SELECT * FROM base
+         |  UNION ALL
+         |  SELECT doc_id + 100000, lang, text FROM base
+         |  WHERE doc_id % 10 = 0),
+         |lines AS (
+         |  SELECT doc_id, lang, i - 1 AS line_no, ls[i] AS line
+         |  FROM (SELECT doc_id, lang, string_split(text, chr(10)) AS ls
+         |        FROM planted),
+         |    unnest(range(1, len(ls) + 1)) AS t(i)
+         |  WHERE ls[i] <> ''),
+         |r AS (
+         |  SELECT lang, doc_id, line_no, line,
+         |    row_number() OVER (PARTITION BY line
+         |      ORDER BY doc_id, line_no) AS rn
+         |  FROM lines)
+         |SELECT lang, count(*)::BIGINT AS n_lines,
+         |  sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+         |  count(DISTINCT CASE WHEN rn > 1 THEN doc_id END)::BIGINT
+         |    AS n_docs_affected,
+         |  sum(CASE WHEN rn > 1 THEN doc_id * (line_no + 1)
+         |      ELSE 0 END)::BIGINT AS removed_checksum,
+         |  sum(CASE WHEN rn = 1 THEN length(line) ELSE 0 END)::BIGINT
+         |    AS kept_chars
+         |FROM r GROUP BY lang ORDER BY lang""".stripMargin,
     "e2_cdc_chunks" ->
       """WITH w AS (
         |  SELECT doc_id, i AS pos, ws[i] AS w

@@ -466,7 +466,76 @@ object Hygiene {
         (count(lit(1)) > 0).as("nonempty"))
   }
 
+  // -------------------------------------------- Unicode normalization
+
+  /** Characters the cleaner strips outright: C0 controls, DEL, the
+    * zero-width space/joiner family, and the BOM. One constant
+    * interpolated into both engines (Java∩RE2: `\x{hhhh}` classes). */
+  val StripRe = "[\\x{0000}-\\x{0008}\\x{000B}-\\x{001F}\\x{007F}" +
+    "\\x{200B}-\\x{200D}\\x{FEFF}]"
+
+  /** Run-of-spaces collapse (post-strip). */
+  val MultiSpaceRe = " {2,}"
+
+  /** Planted-char audit class: the two combining marks (gone after NFC
+    * composes them into é/ï) plus the control and zero-width plants. */
+  val PlantedMarkRe = "[\\x{0301}\\x{0308}\\x{0007}\\x{200B}]"
+
+  /** The corpus is ASCII, so the gate plants the pathologies a web
+    * crawl actually carries: decomposed accents (e + U+0301, i +
+    * U+0308) on every 7th doc, a C0 control (BEL) and a zero-width
+    * space on every 11th, a double space on every 13th. Mirrors
+    * [[withPlantedPii]]. */
+  private[ext] def withPlantedMojibake(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 7 === 0,
+          lit(" cafe\u0301 nai\u0308ve")).otherwise(lit("")),
+        when(col("doc_id") % 11 === 0,
+          lit("\u0007alert\u200Bzero")).otherwise(lit("")),
+        when(col("doc_id") % 13 === 0, lit(" end  here"))
+          .otherwise(lit(""))).as("text"))
+
+  /** The standard text-cleaning composition, each stage map-only:
+    * NFC-compose (native [[graft.functions.NfcNormalize]]) → strip
+    * controls/zero-widths → collapse space runs → trim. */
+  def nfcClean(text: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(
+        graft.functions.NfcNormalize.nfcNormalize(text),
+        StripRe, ""),
+      MultiSpaceRe, " "))
+
+  /** E9k: Unicode NFC normalization + control stripping — the cleaning
+    * pass that runs before any hash-based dedup (decomposed `cafe´`
+    * and precomposed `café` must hash identically or near-dup misses
+    * them). Value-level parity with DuckDB's `nfc_normalize` on the
+    * planted corpus: per-language doc counts, changed-doc counts,
+    * codepoint totals before/after, composed-accent occurrences on
+    * the CLEANED text, and the residual planted-mark count (0 — NFC
+    * composed the accents, the strip removed the rest). Every column
+    * is recomputed by the oracle from the same planted corpus, so a
+    * normalizer that skips composition, a strip that eats the wrong
+    * class, or a collapse that misses an edge hash-fails. */
+  private val e9NfcClean: Q = (s, dir) => {
+    val planted = withPlantedMojibake(t(s, dir, "documents"))
+    planted.withColumn("cleaned", nfcClean(col("text")))
+      .groupBy(col("lang"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("cleaned") =!= col("text"), 1L).otherwise(0L))
+          .as("n_changed"),
+        sum(length(col("text")).cast("long")).as("chars_before"),
+        sum(length(col("cleaned")).cast("long")).as("chars_after"),
+        sum(regexp_count(col("cleaned"), lit("caf\u00e9 na\u00efve"))
+          .cast("long")).as("n_composed"),
+        sum(regexp_count(col("cleaned"), lit(PlantedMarkRe)).cast("long"))
+          .as("residual_marks"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e9_nfc_clean" -> e9NfcClean,
     "e9_compress_ratio" -> e9CompressRatio,
     "e9_dp_release" -> e9DpRelease,
     "e9_kanon" -> e9Kanon,
@@ -479,6 +548,39 @@ object Hygiene {
   )
 
   val oracles: Map[String, String] = Map(
+    // Full restatement: DuckDB replants the same mojibake (chr() for
+    // the combining marks / control / zero-width so no raw control
+    // bytes ride in the SQL), runs its utf8proc nfc_normalize against
+    // the JDK Normalizer, and the shared strip/collapse regexes.
+    "e9_nfc_clean" ->
+      s"""WITH planted AS (
+         |  SELECT lang, text ||
+         |    (CASE WHEN doc_id % 7 = 0
+         |          THEN ' cafe' || chr(769) || ' nai' || chr(776) || 've'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0
+         |          THEN chr(7) || 'alert' || chr(8203) || 'zero'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 13 = 0 THEN ' end  here'
+         |          ELSE '' END) AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, text,
+         |    trim(regexp_replace(regexp_replace(
+         |      nfc_normalize(text), '$StripRe', '', 'g'),
+         |      '$MultiSpaceRe', ' ', 'g')) AS cleaned
+         |  FROM planted)
+         |SELECT lang, count(*)::BIGINT AS n_docs,
+         |  sum(CASE WHEN cleaned <> text THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_changed,
+         |  sum(length(text))::BIGINT AS chars_before,
+         |  sum(length(cleaned))::BIGINT AS chars_after,
+         |  sum(len(regexp_extract_all(cleaned,
+         |    'caf' || chr(233) || ' na' || chr(239) || 've')))::BIGINT
+         |    AS n_composed,
+         |  sum(len(regexp_extract_all(cleaned, '$PlantedMarkRe')))::BIGINT
+         |    AS residual_marks
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // Self-check (✱): deflate bytes are engine-specific; bounds and the
     // self-similarity law asserted in-plan, constant-true oracle.
     "e9_compress_ratio" ->

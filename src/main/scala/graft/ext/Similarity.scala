@@ -663,6 +663,101 @@ object Similarity {
       .orderBy(col("q_id"), col("rnk"))
   }
 
+  // --------------------------------------------------- hybrid retrieval
+
+  /** Lexical top-k: 3-word-shingle Jaccard of each query doc against
+    * the corpus, ranked per query. At gate SF this is the exact
+    * broadcast-query scan (the verification harness shape); at 100 TB
+    * the candidate set comes from the banded MinHash/prefix-filter
+    * index (gated separately by the `e2_*` family) and only the
+    * rank-k list below survives — the fusion never sees the corpus. */
+  def lexicalTopK(queries: DataFrame, corpus: DataFrame, k: Int): DataFrame = {
+    val q = queries.select(col("doc_id").as("q_id"),
+      Dedup.shingles(col("text"), 3).as("qsh"))
+    val c = corpus.select(col("doc_id").as("c_id"),
+      Dedup.shingles(col("text"), 3).as("csh"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("jac").desc, col("c_id"))
+    c.join(broadcast(q), col("q_id") =!= col("c_id"))
+      .withColumn("jac",
+        graft.functions.JaccardSim.jaccardSim(col("qsh"), col("csh")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("c_id"), col("rnk"))
+  }
+
+  /** Reciprocal-rank fusion (Cormack et al., SIGIR'09): score =
+    * Σ 1/(c + rank) over the retrievers that returned the candidate.
+    * Rank-only — the two score scales (Jaccard vs cosine) never mix,
+    * which is exactly why RRF is the default fuser in hybrid search.
+    * Both inputs are top-k lists, so the fusion join touches
+    * |queries|·k rows regardless of corpus size. */
+  def rrfFuse(lex: DataFrame, dense: DataFrame, k: Int,
+      c: Int = 60): DataFrame = {
+    val l = lex.select(col("q_id"), col("c_id"), col("rnk").as("lex_rank"))
+    val d = dense.select(col("q_id"), col("c_id"),
+      col("rnk").as("dense_rank"))
+    val fused = l.join(d, Seq("q_id", "c_id"), "full_outer")
+      .withColumn("rrf",
+        coalesce(lit(1.0) / (lit(c) + col("lex_rank")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(c) + col("dense_rank")), lit(0.0)))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("rrf").desc, col("c_id"))
+    fused.withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("rrf"), 6).as("rrf"),
+        coalesce(col("lex_rank"), lit(0)).cast("long").as("lex_rank"),
+        coalesce(col("dense_rank"), lit(0)).cast("long").as("dense_rank"))
+  }
+
+  /** E3m: HYBRID retrieval — the RAG-stack default: a lexical ranker
+    * (shingle Jaccard, the BM25 stand-in with an exact SQL
+    * restatement) and a dense ranker (cosine over the embedding
+    * column) fused by reciprocal rank. Query set `doc_id % 167 = 3`
+    * (scale-proportional, non-empty from sf0.001 up); embeddings join
+    * positionally (vec_id = doc_id, the corpus contract). Full
+    * value-level oracle: DuckDB re-derives both rankings, the fusion
+    * arithmetic (identical double ops), and the final top-5 — a wrong
+    * rank on EITHER side, a lost candidate, or a tie broken the other
+    * way all hash-fail. */
+  private val e3HybridRrf: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val emb = t(s, dir, "embeddings")
+    val lex = lexicalTopK(docs.filter(col("doc_id") % 167 === 3), docs,
+      k = 20)
+    val dense = bruteForceTopK(emb.filter(col("vec_id") % 167 === 3), emb,
+      k = 20).select(col("q_id"), col("c_id"), col("rnk"))
+    rrfFuse(lex, dense, k = 5).orderBy(col("q_id"), col("rnk"))
+  }
+
+  /** E3n: MATRYOSHKA (truncated-dimension) retrieval — the MRL
+    * serving pattern (Kusupati et al., NeurIPS'22): rank with only the
+    * FIRST 16 of 64 dimensions (4× less memory traffic and index
+    * footprint — at 100 TB the short prefix IS the index and the full
+    * vector only re-ranks), then report each query's top-5 under the
+    * truncated metric plus its overlap with the full-dimension top-5
+    * (the quality-vs-cost signal that decides the serving dim). Both
+    * rankings and the overlap are exact and fully DuckDB-restated —
+    * a wrong slice bound, an unrenormalized norm, or a tie broken the
+    * other way all hash-fail. */
+  private val e3Matryoshka: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val t16 = emb.select(col("vec_id"),
+      slice(col("embedding"), 1, 16).as("embedding"))
+    val qPred = col("vec_id") % 167 === 3
+    val short = bruteForceTopK(t16.filter(qPred), t16, k = 5)
+    val full = bruteForceTopK(emb.filter(qPred), emb, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val overlap = short.select(col("q_id"), col("c_id"))
+      .join(full, Seq("q_id", "c_id"), "left_semi")
+      .groupBy(col("q_id")).agg(count(lit(1)).as("overlap5"))
+    short.join(overlap, Seq("q_id"), "left")
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"),
+        coalesce(col("overlap5"), lit(0L)).as("overlap5"))
+      .orderBy(col("q_id"), col("rnk"))
+  }
+
   /** E3: exact cosine top-5 for the first 5 vectors, against the full
     * corpus — DuckDB recomputes it from the same parquet. */
   private val e3CosineTopk: Q = (s, dir) => {
@@ -1452,6 +1547,8 @@ object Similarity {
   }
 
   val queries: Map[String, Q] = Map(
+    "e3_hybrid_rrf" -> e3HybridRrf,
+    "e3_matryoshka" -> e3Matryoshka,
     "e3_semdedup" -> e3SemDedup,
     "e3_pq_recall" -> e3PqRecall,
     "e3_pq_search" -> e3PqSearch,
@@ -1479,6 +1576,107 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // Both rankings recomputed on the sliced list; bruteForceTopK's
+    // exact double arithmetic mirrored per the e3_cosine_topk shape.
+    "e3_matryoshka" ->
+      """WITH n16 AS (
+        |  SELECT vec_id, (embedding::DOUBLE[])[1:16] AS v
+        |  FROM embeddings),
+        |s16 AS (
+        |  SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm
+        |  FROM n16),
+        |p16 AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM s16 q, s16 c
+        |  WHERE q.vec_id % 167 = 3 AND c.vec_id <> q.vec_id),
+        |short AS (
+        |  SELECT q_id, c_id, cos, rnk FROM (
+        |    SELECT q_id, c_id, cos,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, c_id) AS rnk
+        |    FROM p16) WHERE rnk <= 5),
+        |nf AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[],
+        |      embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |pf AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM nf q, nf c
+        |  WHERE q.vec_id % 167 = 3 AND c.vec_id <> q.vec_id),
+        |full5 AS (
+        |  SELECT q_id, c_id FROM (
+        |    SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, c_id) AS rnk
+        |    FROM pf) WHERE rnk <= 5),
+        |ov AS (
+        |  SELECT s.q_id, count(*)::BIGINT AS overlap5
+        |  FROM short s JOIN full5 f
+        |    ON s.q_id = f.q_id AND s.c_id = f.c_id
+        |  GROUP BY s.q_id)
+        |SELECT s.q_id, s.rnk, s.c_id, round(s.cos, 6) AS sim,
+        |  coalesce(o.overlap5, 0)::BIGINT AS overlap5
+        |FROM short s LEFT JOIN ov o ON s.q_id = o.q_id
+        |ORDER BY s.q_id, s.rnk""".stripMargin,
+    // Full restatement of both retrievers and the fusion: the lexical
+    // Jaccard uses the same inter/(na+nb-inter) spelling as the native
+    // JaccardSim kernel, the dense side the e3_cosine_topk shape, and
+    // the RRF arithmetic is the identical double expression.
+    "e3_hybrid_rrf" ->
+      """WITH sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS s
+        |  FROM documents),
+        |lexp AS (
+        |  SELECT q.doc_id AS q_id, c.doc_id AS c_id,
+        |    len(list_intersect(q.s, c.s))::DOUBLE
+        |      / (len(q.s) + len(c.s) - len(list_intersect(q.s, c.s)))
+        |      AS jac
+        |  FROM sh q, sh c
+        |  WHERE q.doc_id % 167 = 3 AND c.doc_id <> q.doc_id),
+        |lx AS (
+        |  SELECT q_id, c_id, rnk FROM (
+        |    SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY jac DESC, c_id) AS rnk
+        |    FROM lexp) WHERE rnk <= 20),
+        |n AS (
+        |  SELECT vec_id, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[],
+        |      embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |denp AS (
+        |  SELECT q.vec_id AS q_id, c.vec_id AS c_id,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c
+        |  WHERE q.vec_id % 167 = 3 AND c.vec_id <> q.vec_id),
+        |dn AS (
+        |  SELECT q_id, c_id, rnk FROM (
+        |    SELECT q_id, c_id,
+        |      row_number() OVER (PARTITION BY q_id
+        |        ORDER BY cos DESC, c_id) AS rnk
+        |    FROM denp) WHERE rnk <= 20),
+        |f AS (
+        |  SELECT coalesce(l.q_id, d.q_id) AS q_id,
+        |    coalesce(l.c_id, d.c_id) AS c_id,
+        |    l.rnk AS lex_rank, d.rnk AS dense_rank,
+        |    coalesce(1.0::DOUBLE / (60 + l.rnk), 0.0)
+        |      + coalesce(1.0::DOUBLE / (60 + d.rnk), 0.0) AS rrf
+        |  FROM lx l FULL JOIN dn d
+        |    ON l.q_id = d.q_id AND l.c_id = d.c_id)
+        |SELECT q_id, rnk, c_id, round(rrf, 6) AS rrf,
+        |  coalesce(lex_rank, 0)::BIGINT AS lex_rank,
+        |  coalesce(dense_rank, 0)::BIGINT AS dense_rank
+        |FROM (SELECT *, row_number() OVER (PARTITION BY q_id
+        |        ORDER BY rrf DESC, c_id) AS rnk FROM f)
+        |WHERE rnk <= 5 ORDER BY q_id, rnk""".stripMargin,
     "e3_hard_negatives" ->
       """WITH n AS (
         |  SELECT vec_id, label, embedding::DOUBLE[] AS v,

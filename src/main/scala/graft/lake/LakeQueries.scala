@@ -232,6 +232,60 @@ object LakeQueries {
       .orderBy(col("s_suppkey"))
   }
 
+  /** Grok-style access-log line pattern, shared verbatim with the
+    * oracle (Java∩RE2: classes, bounded repetition, groups — no
+    * lookaround). Group order: ip, user, epoch, path, status, bytes. */
+  val LogLineRe = "^(\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}) - " +
+    "(\\S+) \\[(\\d+)\\] \"GET (\\S+) HTTP/1\\.1\" (\\d{3}) (\\d+)$"
+
+  /** S22: grok/log classifier — the Glue-crawler feature the S-family
+    * still lacked: a custom classifier that turns RAW LOG TEXT into a
+    * typed table (the reference's crawler+classifier chain,
+    * `demo_stack.py` `with_classifier_` prefix, applied to the log
+    * format instead of TSV). Deterministic Apache-style access-log
+    * lines are synthesized from `orders` (epoch-seconds timestamp
+    * field — month-name formats are locale bait), written as a real
+    * text file, re-read as raw lines, and parsed by the SHARED regex
+    * into typed columns — the schema-on-read path a 100 TB log lake
+    * runs map-only behind the scan. The rollup value-checks every
+    * parsed field (count, distinct IPs, byte mass, epoch range per
+    * status) plus a zero unparsed-line audit; the oracle synthesizes
+    * the same lines from the same table and re-parses them with the
+    * same regex. */
+  private val s22GrokLog: Q = (s, dir) => {
+    val out = Lake.scratchDir("s22")
+    t(s, dir, "orders").select(concat(
+        lit("10.0."), (col("o_custkey") % 256).cast("string"),
+        lit("."), (col("o_orderkey") % 256).cast("string"),
+        lit(" - u"), col("o_custkey").cast("string"),
+        lit(" ["),
+        (unix_micros(col("o_orderdate").cast("timestamp")) / 1000000L)
+          .cast("long").cast("string"),
+        lit("] \"GET /order/"), col("o_orderkey").cast("string"),
+        lit(" HTTP/1.1\" "),
+        when(col("o_orderstatus") === "F", lit("200"))
+          .when(col("o_orderstatus") === "O", lit("302"))
+          .otherwise(lit("404")),
+        lit(" "), (col("o_orderkey") % 9973 + 100).cast("string"))
+        .as("value"))
+      .write.mode("overwrite").text(out)
+    val raw = s.read.text(out)
+    val parsed = raw.select(
+      regexp_extract(col("value"), LogLineRe, 1).as("ip"),
+      regexp_extract(col("value"), LogLineRe, 3).cast("long").as("ts"),
+      regexp_extract(col("value"), LogLineRe, 5).cast("long").as("status"),
+      regexp_extract(col("value"), LogLineRe, 6).cast("long").as("bytes"),
+      col("value").rlike(LogLineRe).as("ok"))
+    parsed.groupBy(col("status"))
+      .agg(count(lit(1)).as("n_req"),
+        countDistinct(col("ip")).as("n_ips"),
+        sum(col("bytes")).as("sum_bytes"),
+        min(col("ts")).as("min_ts"),
+        max(col("ts")).as("max_ts"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_unparsed"))
+      .orderBy(col("status"))
+  }
+
   /** K7: small-file compaction — a fragmented zone (32 files) compacts
     * to target-sized files with byte-identical data; the oracle reads
     * the ORIGINAL table, so the fragment+compact+scan cycle must be
@@ -963,6 +1017,7 @@ object LakeQueries {
     "s10_jsonl_rt" -> s10JsonlRt,
     "s11_orc_rt" -> s11OrcRt,
     "s21_xml_rt" -> s21XmlRt,
+    "s22_grok_log" -> s22GrokLog,
     "k7_compact" -> k7Compact,
     "k8_ctas_insert" -> k8CtasInsert,
     "k8b_ctas_partitioned" -> k8bCtasPartitioned,
@@ -1181,6 +1236,33 @@ object LakeQueries {
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal,
         |  '<deal & co> ' || s_name AS note
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
+    // DuckDB synthesizes the SAME log lines from the same table and
+    // re-parses them with the SAME regex constant — a drifting field,
+    // a regex that over/under-matches, or a lost line all hash-fail.
+    "s22_grok_log" ->
+      s"""WITH lines AS (
+         |  SELECT '10.0.' || (o_custkey % 256) || '.' ||
+         |    (o_orderkey % 256) || ' - u' || o_custkey || ' [' ||
+         |    (epoch_us(o_orderdate) // 1000000) ||
+         |    '] "GET /order/' || o_orderkey || ' HTTP/1.1" ' ||
+         |    (CASE WHEN o_orderstatus = 'F' THEN '200'
+         |          WHEN o_orderstatus = 'O' THEN '302'
+         |          ELSE '404' END) ||
+         |    ' ' || (o_orderkey % 9973 + 100) AS value
+         |  FROM orders),
+         |p AS (
+         |  SELECT regexp_extract(value, '$LogLineRe', 1) AS ip,
+         |    regexp_extract(value, '$LogLineRe', 3)::BIGINT AS ts,
+         |    regexp_extract(value, '$LogLineRe', 5)::BIGINT AS status,
+         |    regexp_extract(value, '$LogLineRe', 6)::BIGINT AS bytes,
+         |    regexp_matches(value, '$LogLineRe') AS ok
+         |  FROM lines)
+         |SELECT status, count(*)::BIGINT AS n_req,
+         |  count(DISTINCT ip)::BIGINT AS n_ips,
+         |  sum(bytes)::BIGINT AS sum_bytes,
+         |  min(ts)::BIGINT AS min_ts, max(ts)::BIGINT AS max_ts,
+         |  sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_unparsed
+         |FROM p GROUP BY status ORDER BY status""".stripMargin,
     "k7_compact" ->
       """SELECT o_orderkey, o_orderstatus, round(o_totalprice,2) AS price
         |FROM orders ORDER BY o_orderkey""".stripMargin,

@@ -655,6 +655,115 @@ object Snapshots {
       .orderBy(col("snap"))
   }
 
+  // ----------------------------------------------------- shallow clone
+
+  /** SHALLOW CLONE (Delta `CLONE ... SHALLOW` / an Iceberg snapshot
+    * ref): a new table whose LOG points at the source's data files —
+    * zero bytes of data move. The clone root receives copies of the
+    * source's commit MARKERS (metadata-sized) plus a `_clone_src`
+    * sidecar pinning (srcRoot, srcVersion); reads of a cloned version
+    * redirect through the sidecar, while NEW commits to the clone
+    * claim versions above the pin and land locally — the source never
+    * sees them, and source commits after the clone are not in the
+    * clone's marker set, so isolation holds in both directions.
+    * Standard shallow-clone caveat (same as Delta's): vacuuming the
+    * SOURCE can expire data a clone still references — run clones on
+    * vacuum-exempt sources or re-materialize before expiry. Returns
+    * the pinned source version. */
+  def cloneTable(srcRoot: String, cloneRoot: String): Int = {
+    val vs = latestVersion(srcRoot)
+    Files.createDirectories(Paths.get(cloneRoot))
+    (0 to vs).foreach { v =>
+      if (Files.exists(Paths.get(srcRoot, s"_commit_v$v"))) {
+        // claim first, marker second — the same publish ordering as a
+        // real commit, so a crash mid-clone leaves claimed-not-
+        // committed versions (invisible), never a marker without its
+        // claim.
+        try Files.createFile(Paths.get(cloneRoot, s"_claim_v$v"))
+        catch { case _: java.nio.file.FileAlreadyExistsException => () }
+        Files.writeString(Paths.get(cloneRoot, s"_commit_v$v.tmp"),
+          v.toString)
+        Files.move(Paths.get(cloneRoot, s"_commit_v$v.tmp"),
+          Paths.get(cloneRoot, s"_commit_v$v"),
+          StandardCopyOption.ATOMIC_MOVE,
+          StandardCopyOption.REPLACE_EXISTING)
+      }
+    }
+    val tmp = Paths.get(cloneRoot, "_clone_src.tmp")
+    Files.writeString(tmp, s"$srcRoot\n$vs")
+    Files.move(tmp, Paths.get(cloneRoot, "_clone_src"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+    vs
+  }
+
+  /** Version read that resolves through a `_clone_src` redirect: a
+    * version with a LOCAL data directory (a post-clone commit, or a
+    * non-clone table) reads locally; a cloned version at or below the
+    * pin reads the source's directory. */
+  def readCloneVersion(s: SparkSession, root: String,
+      version: Option[Int] = None): DataFrame = {
+    val v = version.getOrElse(latestVersion(root))
+    if (Files.isDirectory(Paths.get(root, s"v=$v")))
+      s.read.parquet(s"$root/v=$v")
+    else {
+      val sidecar = Paths.get(root, "_clone_src")
+      require(Files.exists(sidecar),
+        s"version $v has no data directory and $root is not a clone")
+      val lines = Files.readAllLines(sidecar)
+      val (src, pin) = (lines.get(0), lines.get(1).toInt)
+      require(v <= pin,
+        s"version $v is above the clone pin $pin but has no local data")
+      s.read.parquet(s"$src/v=$v")
+    }
+  }
+
+  /** K33: SHALLOW CLONE under the gate — src commits v1 (even keys)
+    * and v2 (price-adjusted full table); the clone pins v2 without
+    * copying a byte; the clone then DIVERGES (v3 drops `%5 = 0` keys)
+    * and the source independently commits its own v3 (odd keys).
+    * Audited set-algebraically in one result: the clone's pinned v2
+    * equals the source's v2 content, the clone's head is its divergent
+    * write, the source's head is ITS OWN v3 (clone writes never leak
+    * back), and the zero-copy row pins the physical layout — exactly
+    * ONE local `v=` directory under the clone (its divergent commit),
+    * exactly 3 commit markers, pin = 2. The oracle restates every
+    * content row from `part` and the layout row as constants. */
+  private val k33ShallowClone: Q = (s, dir) => {
+    val src = Lake.scratchDir("k33src")
+    val cl = Lake.scratchDir("k33cl")
+    val part = Tables.load(s, dir, "part")
+    val v2 = part.withColumn("p_retailprice",
+      when(col("p_partkey") % 3 === 0,
+        round(col("p_retailprice") + 10, 2))
+        .otherwise(col("p_retailprice")))
+    writeVersion(part.filter(col("p_partkey") % 2 === 0), src, 1)
+    writeVersion(v2, src, 2)
+    val pin = cloneTable(src, cl)
+    require(pin == 2, s"clone pinned $pin, expected 2")
+    writeVersion(readCloneVersion(s, cl)
+      .filter(col("p_partkey") % 5 =!= 0), cl, 3)
+    writeVersion(part.filter(col("p_partkey") % 2 =!= 0), src, 3)
+    def agg(df: DataFrame, label: String) = df.agg(
+      count(lit(1)).as("n"), sum(col("p_partkey")).as("sum_keys"),
+      round(sum(col("p_retailprice")), 2).as("sum_price"))
+      .select(lit(label).as("snap"), col("n"), col("sum_keys"),
+        col("sum_price"))
+    import scala.jdk.CollectionConverters._
+    val ls = Files.list(Paths.get(cl))
+    val names = try ls.iterator().asScala.map(_.getFileName.toString).toList
+      finally ls.close()
+    val zeroCopy = s.range(1).select(lit("4_zero_copy").as("snap"),
+      lit(names.count(_.startsWith("v=")).toLong).as("n"),
+      lit(names.count(n => n.startsWith("_commit_v") &&
+        !n.endsWith(".tmp")).toLong).as("sum_keys"),
+      lit(pin.toDouble).as("sum_price"))
+    agg(readCloneVersion(s, cl, Some(2)), "1_clone_pin_v2")
+      .unionByName(agg(readCloneVersion(s, cl), "2_clone_diverged"))
+      .unionByName(agg(readVersion(s, src), "3_src_after"))
+      .unionByName(zeroCopy)
+      .orderBy(col("snap"))
+  }
+
   /** K15: two snapshot writes, then BOTH a time-travel read of v1 and
     * a latest read of v2 in one result — the oracle reconstructs each
     * version set-algebraically, so reading the wrong version, a stale
@@ -1184,6 +1293,7 @@ object Snapshots {
   }
 
   val queries: Map[String, Q] = Map(
+    "k33_shallow_clone" -> k33ShallowClone,
     "k29_schema_evolution" -> k29SchemaEvolution,
     "k30_compact" -> k30Compact,
     "k32_multi_table_txn" -> k32MultiTableTxn,
@@ -1203,6 +1313,30 @@ object Snapshots {
     // Each txn's pair restated from the raw tables; consistency ⇒
     // orphans 0 within a txn; the torn pair's orphans = lineitem keys
     // in txn1's orders predicate but not txn2's (RI holds in testdata).
+    // Content rows restated from `part`; the zero-copy layout row is
+    // the pinned physical contract (1 local dir, 3 markers, pin 2).
+    "k33_shallow_clone" ->
+      """SELECT * FROM (
+        |  SELECT '1_clone_pin_v2' AS snap, count(*)::BIGINT AS n,
+        |    sum(p_partkey)::BIGINT AS sum_keys,
+        |    round(sum(CASE WHEN p_partkey % 3 = 0
+        |                   THEN round(p_retailprice + 10, 2)
+        |                   ELSE p_retailprice END), 2) AS sum_price
+        |  FROM part
+        |  UNION ALL
+        |  SELECT '2_clone_diverged', count(*)::BIGINT,
+        |    sum(p_partkey)::BIGINT,
+        |    round(sum(CASE WHEN p_partkey % 3 = 0
+        |                   THEN round(p_retailprice + 10, 2)
+        |                   ELSE p_retailprice END), 2)
+        |  FROM part WHERE p_partkey % 5 <> 0
+        |  UNION ALL
+        |  SELECT '3_src_after', count(*)::BIGINT, sum(p_partkey)::BIGINT,
+        |    round(sum(p_retailprice), 2)
+        |  FROM part WHERE p_partkey % 2 <> 0
+        |  UNION ALL
+        |  SELECT '4_zero_copy', 1::BIGINT, 3::BIGINT, 2.0::DOUBLE
+        |) ORDER BY snap""".stripMargin,
     "k32_multi_table_txn" ->
       """SELECT * FROM (
         |  SELECT '1_txn1' AS snap,

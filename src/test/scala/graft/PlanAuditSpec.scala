@@ -22,6 +22,14 @@ class PlanAuditSpec extends SparkSpec {
   private val expected: Map[String, Set[String]] = Map(
     "e2_simhash_neardup" -> Set("BroadcastNestedLoop"),
     "e3_ann_neardup" -> Set("BroadcastNestedLoop"),
+    // gate-SF exact retrievers (broadcast-query non-equi scans) feeding
+    // the rank-only fusion; the production candidates come from the
+    // gated ANN / prefix-filter indexes
+    "e3_hybrid_rrf" -> Set("BroadcastNestedLoop"),
+    // two exact broadcast-query scans (16-dim ranking + 64-dim
+    // reference top-5) feeding the overlap join — at scale the short
+    // prefix rides the gated ANN index shapes
+    "e3_matryoshka" -> Set("BroadcastNestedLoop"),
     "e3_ann_recall" -> Set("BroadcastNestedLoop"),
     "e3_cosine_neardup" -> Set("BroadcastNestedLoop"),
     "e3_cosine_topk" -> Set("BroadcastNestedLoop"),

@@ -487,6 +487,22 @@ class DedupSpec extends SparkSpec {
     assert(link.exists(_._3 * 2 > nCust), "links should hold most true pairs")
   }
 
+  test("lineDedupStats keeps the global first instance of each line") {
+    val docs = Seq(
+      (1L, "en", "alpha beta\nshared footer"),
+      (2L, "en", "gamma delta\nshared footer"),
+      (3L, "fr", "alpha beta\nshared footer"),
+    ).toDF("doc_id", "lang", "text")
+    val got = Dedup.lineDedupStats(docs, "doc_id", "lang", "text")
+      .as[(String, Long, Long, Long, Long, Long)].collect()
+      .map(r => r._1 -> (r._2, r._3, r._4, r._5, r._6)).toMap
+    // "alpha beta" first at (1,0); "shared footer" first at (1,1):
+    // en removes doc2's footer (checksum 2·(1+1)=4); fr loses both of
+    // doc3's lines (checksum 3·1 + 3·2 = 9) and keeps no chars.
+    assert(got("en") == ((4L, 3L, 1L, 4L, 34L)), s"en ${got("en")}")
+    assert(got("fr") == ((2L, 0L, 1L, 9L, 0L)), s"fr ${got("fr")}")
+  }
+
   test("simhash64 codegen and interpreted paths agree") {
     val df = Tables.load(spark, sf, "documents").limit(50)
       .select(simhash64(split($"text", " ")).as("fp"))

@@ -149,4 +149,31 @@ class HygieneSpec extends SparkSpec {
     val moved = exact.count { case (l, s, n) => math.abs(got((l, s)) - n) > 1e-6 }
     assert(moved > 0, "every cell released exactly — noise not applied")
   }
+
+  test("nfcClean composes accents, strips controls, collapses spaces") {
+    import spark.implicits._
+    val got = Seq(
+      "cafe\u0301",      // decomposed accent → composed é
+      "a\u0007b\u200Bc", // BEL + zero-width space stripped
+      "x  y   z",        // space runs collapse
+      " plain ",         // trimmed
+    ).toDF("t").select(Hygiene.nfcClean($"t").as("c"))
+      .as[String].collect().toSeq
+    assert(got == Seq("caf\u00e9", "abc", "x y z", "plain"), got)
+    // idempotent: cleaning the cleaned text is the identity
+    val twice = got.toDF("t").select(Hygiene.nfcClean($"t").as("c"))
+      .as[String].collect().toSeq
+    assert(twice == got)
+  }
+
+  test("nfc_normalize codegen and interpreted paths agree") {
+    import spark.implicits._
+    val df = Seq("cafe\u0301 nai\u0308ve", "plain", "A\u030a").toDF("t")
+      .select(graft.functions.NfcNormalize.nfcNormalize($"t").as("n"))
+    val cg = df.as[String].collect().toSeq
+    spark.conf.set("spark.sql.codegen.wholeStage", "false")
+    try assert(df.as[String].collect().toSeq == cg)
+    finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    assert(cg == Seq("caf\u00e9 na\u00efve", "plain", "\u00c5"), cg)
+  }
 }

@@ -275,6 +275,19 @@ class SimilaritySpec extends SparkSpec {
     assert(mipsTop == 2L, "reduction must rank by inner product")
   }
 
+  test("rrfFuse ranks dual-retriever candidates above single-list ones") {
+    import spark.implicits._
+    val lex = Seq((1L, 10L, 1), (1L, 11L, 2)).toDF("q_id", "c_id", "rnk")
+    val dense = Seq((1L, 11L, 1), (1L, 12L, 2)).toDF("q_id", "c_id", "rnk")
+    val got = Similarity.rrfFuse(lex, dense, k = 3)
+      .select($"rnk", $"c_id", $"lex_rank", $"dense_rank")
+      .as[(Int, Long, Long, Long)].collect().toSeq.sortBy(_._1)
+    // 11 appears in both lists (1/62 + 1/61) and must beat 10 (1/61
+    // alone) and 12 (1/62 alone); absent ranks surface as 0.
+    assert(got == Seq((1, 11L, 2L, 1L), (2, 10L, 1L, 0L),
+      (3, 12L, 0L, 2L)), got)
+  }
+
   test("topEigen recovers a known spectrum with deflation") {
     // diag(3, 1) rotated by 45°: eigenvalues 3 and 1, eigenvectors
     // (1,1)/√2 and (1,−1)/√2

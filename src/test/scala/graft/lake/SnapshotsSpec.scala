@@ -216,4 +216,32 @@ class SnapshotsSpec extends SparkSpec {
     assert(s3.select($"user_id").as[Long].collect().toSeq == Seq(1L),
       "user 2's pre-click purchase must not advance the funnel")
   }
+
+  test("shallow clone pins the source version and isolates divergence") {
+    import java.nio.file.{Files, Paths}
+    val src = Lake.scratchDir("clonesrc")
+    val cl = Lake.scratchDir("clonecl")
+    Snapshots.writeVersion(Seq((1L, "a"), (2L, "b")).toDF("id", "v"), src, 1)
+    val pin = Snapshots.cloneTable(src, cl)
+    assert(pin == 1)
+    // zero-copy: no data directory materialized under the clone
+    assert(!Files.isDirectory(Paths.get(cl, "v=1")))
+    assert(Snapshots.readCloneVersion(spark, cl).orderBy($"id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    // clone diverges locally; the source head must not move
+    Snapshots.writeVersion(Seq((9L, "z")).toDF("id", "v"), cl, 2)
+    assert(Snapshots.latestVersion(src) == 1)
+    assert(Snapshots.readCloneVersion(spark, cl)
+      .as[(Long, String)].collect().toSeq == Seq((9L, "z")))
+    // the source moves on; the clone's pinned read is unaffected
+    Snapshots.writeVersion(Seq((7L, "y")).toDF("id", "v"), src, 2)
+    assert(Snapshots.readCloneVersion(spark, cl, Some(1)).orderBy($"id")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a"), (2L, "b")))
+    assert(Snapshots.latestVersion(cl) == 2)
+    // error paths: above-pin hole, and a non-clone table
+    intercept[IllegalArgumentException](
+      Snapshots.readCloneVersion(spark, cl, Some(5)))
+    intercept[IllegalArgumentException](
+      Snapshots.readCloneVersion(spark, src, Some(9)))
+  }
 }
