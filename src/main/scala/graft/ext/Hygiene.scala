@@ -534,7 +534,83 @@ object Hygiene {
       .orderBy(col("lang"))
   }
 
+  // ------------------------------------------------- URL canonicalization
+
+  /** URL canonicalization constants — ONE each, shared verbatim with
+    * the oracle. Replacements are all LITERAL (Java spells group
+    * backreferences `$1`, RE2 spells them `\1` — so replacement
+    * backrefs are banned from the shared dialect, same as lookaround
+    * in patterns). */
+  val UrlFragmentRe = "#.*$"
+  val UrlUtmRe = "utm_[a-z]+=[^&#]*&?"
+  val UrlTrailSepRe = "[?&]$"
+  val UrlSchemeHostRe = "^([^/]*//[^/]*)"
+  val UrlAfterHostRe = "^[^/]*//[^/]*"
+  val UrlPortRe = ":443/"
+  val UrlDotSegRe = "/[^/]+/\\.\\./"
+
+  /** Canonicalize a URL column — the step before any URL-keyed dedup
+    * or frontier merge in a crawler (the same page arrives as
+    * `HTTPS://Host:443/a/../b#frag?utm_...` and `https://host/b`; raw
+    * string dedup misses every variant). Scheme+host lowercase (path
+    * and query stay case-sensitive per RFC 3986), fragment dropped,
+    * `utm_*` tracking params dropped, explicit default port `:443`
+    * dropped, one `/seg/../` dot-segment resolved. Map-only. */
+  def urlCanon(u: Column): Column = {
+    val lowered = concat(
+      lower(regexp_extract(u, UrlSchemeHostRe, 1)),
+      regexp_replace(u, UrlAfterHostRe, ""))
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lowered, UrlFragmentRe, ""),
+            UrlUtmRe, ""),
+          UrlTrailSepRe, ""),
+        UrlPortRe, "/"),
+      UrlDotSegRe, "/")
+  }
+
+  /** Deterministic URL plant: even docs carry an UPPERCASE scheme+host
+    * variant of the same logical URL odd docs carry lowercase — so the
+    * canonical forms MERGE across the case split while the raw strings
+    * do not, and the distinct-count drop proves the canonicalization
+    * does real work. */
+  private[ext] def withPlantedUrls(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), col("lang"),
+      concat(
+        when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.EXAMPLE"))
+          .otherwise(lit("https://www.example")),
+        (col("doc_id") % 7).cast("string"),
+        when(col("doc_id") % 2 === 0, lit(".COM")).otherwise(lit(".com")),
+        lit(":443/path/../p"), (col("doc_id") % 13).cast("string"),
+        lit("/?utm_source=x"),
+        when(col("doc_id") % 3 === 0, lit("&utm_campaign=y"))
+          .otherwise(lit("")),
+        lit("&id="), (col("doc_id") % 5).cast("string"),
+        lit("#s"), (col("doc_id") % 4).cast("string")).as("url"))
+
+  /** E9l: URL canonicalization audit — per language: url count, how
+    * many changed (all of them — every plant has a fragment), raw vs
+    * canonical distinct counts (the merge the canonicalizer exists to
+    * produce), and the canonical character mass. Full value-level
+    * restatement: the oracle replants the same URLs and applies the
+    * same regex chain in the same order. */
+  private val e9UrlCanon: Q = (s, dir) => {
+    withPlantedUrls(t(s, dir, "documents"))
+      .withColumn("canon", urlCanon(col("url")))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_urls"),
+        sum(when(col("canon") =!= col("url"), 1L).otherwise(0L))
+          .as("n_changed"),
+        countDistinct(col("url")).as("n_raw_distinct"),
+        countDistinct(col("canon")).as("n_canon_distinct"),
+        sum(length(col("canon")).cast("long")).as("canon_chars"))
+      .orderBy(col("lang"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e9_url_canon" -> e9UrlCanon,
     "e9_nfc_clean" -> e9NfcClean,
     "e9_compress_ratio" -> e9CompressRatio,
     "e9_dp_release" -> e9DpRelease,
@@ -548,6 +624,39 @@ object Hygiene {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same plants, same regex chain in the same order ('g' — Spark's
+    // regexp_replace is replace-all by default, DuckDB's is not).
+    "e9_url_canon" ->
+      s"""WITH planted AS (
+         |  SELECT lang,
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.EXAMPLE'
+         |          ELSE 'https://www.example' END) ||
+         |    (doc_id % 7) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END) ||
+         |    ':443/path/../p' || (doc_id % 13) || '/?utm_source=x' ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=y'
+         |          ELSE '' END) ||
+         |    '&id=' || (doc_id % 5) || '#s' || (doc_id % 4) AS url
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang, url,
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(
+         |        lower(regexp_extract(url, '$UrlSchemeHostRe', 1)) ||
+         |          regexp_replace(url, '$UrlAfterHostRe', '', 'g'),
+         |      '$UrlFragmentRe', '', 'g'),
+         |      '$UrlUtmRe', '', 'g'),
+         |      '$UrlTrailSepRe', '', 'g'),
+         |      '$UrlPortRe', '/', 'g'),
+         |      '$UrlDotSegRe', '/', 'g') AS canon
+         |  FROM planted)
+         |SELECT lang, count(*)::BIGINT AS n_urls,
+         |  sum(CASE WHEN canon <> url THEN 1 ELSE 0 END)::BIGINT
+         |    AS n_changed,
+         |  count(DISTINCT url)::BIGINT AS n_raw_distinct,
+         |  count(DISTINCT canon)::BIGINT AS n_canon_distinct,
+         |  sum(length(canon))::BIGINT AS canon_chars
+         |FROM c GROUP BY lang ORDER BY lang""".stripMargin,
     // Full restatement: DuckDB replants the same mojibake (chr() for
     // the combining marks / control / zero-width so no raw control
     // bytes ride in the SQL), runs its utf8proc nfc_normalize against

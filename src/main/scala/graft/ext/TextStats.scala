@@ -570,7 +570,61 @@ object TextStats {
         sum(col("n")).over(Window.partitionBy(col("lang"))), 4))
       .orderBy(col("lang"), col("pred"))
 
+  // ------------------------------------------------------ script ID
+
+  /** Unicode script ranges — ONE constant each, interpolated into the
+    * oracle (Java∩RE2: `\x{hhhh}` class ranges). */
+  val CyrillicRe = "[\\x{0400}-\\x{04FF}]"
+  val CjkRe = "[\\x{4E00}-\\x{9FFF}]"
+  val GreekRe = "[\\x{0370}-\\x{03FF}]"
+
+  /** Planted script snippets (escapes in Scala, interpolated verbatim
+    * into the oracle SQL): Cyrillic "привет мир", CJK "你好世界",
+    * Greek "γεια σου". */
+  val CyrSnippet = "привет мир"
+  val CjkSnippet = "你好世界"
+  val GreekSnippet = "γεια σου"
+
+  /** E4z: SCRIPT detection — the stage BEFORE language ID in every
+    * multilingual crawl pipeline (script is a hard partition: Cyrillic
+    * text can be Russian/Ukrainian/Serbian, but it is never English —
+    * and CJK text defeats whitespace tokenizers entirely, so it must
+    * route to a different pipeline). Map-only: per-doc counts of
+    * characters in each script's Unicode range (shared class
+    * constants), dominant script by a fixed threshold (≥ 4 chars) and
+    * a pinned tie-break order. The gate plants snippets on modular
+    * doc_id slices (a doc can carry several scripts — the tie-break
+    * must resolve them identically in both engines) and rolls up per
+    * (lang, script) with per-script char masses, all value-checked. */
+  private val e4ScriptId: Q = (s, dir) => {
+    val planted = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      concat(col("text"),
+        when(col("doc_id") % 5 === 0, lit(" " + CyrSnippet))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" " + CjkSnippet))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit(" " + GreekSnippet))
+          .otherwise(lit(""))).as("text"))
+    val counted = planted.select(col("lang"),
+      regexp_count(col("text"), lit(CyrillicRe)).cast("long").as("c_cyr"),
+      regexp_count(col("text"), lit(CjkRe)).cast("long").as("c_cjk"),
+      regexp_count(col("text"), lit(GreekRe)).cast("long").as("c_greek"))
+    val script = when(col("c_cyr") >= 4 && col("c_cyr") >= col("c_cjk") &&
+        col("c_cyr") >= col("c_greek"), "cyrillic")
+      .when(col("c_cjk") >= 4 && col("c_cjk") >= col("c_greek"), "cjk")
+      .when(col("c_greek") >= 4, "greek")
+      .otherwise("latin")
+    counted.withColumn("script", script)
+      .groupBy(col("lang"), col("script"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("c_cyr")).as("cyr_chars"),
+        sum(col("c_cjk")).as("cjk_chars"),
+        sum(col("c_greek")).as("greek_chars"))
+      .orderBy(col("lang"), col("script"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e4_script_id" -> e4ScriptId,
     "e4_langid" -> e4Langid,
     "e4_bigram_lm" -> e4BigramLm,
     "e4_winnow" -> e4Winnow,
@@ -627,6 +681,34 @@ object TextStats {
       |         THEN substr(best, 7, 2) ELSE 'und' END""".stripMargin
 
   val oracles: Map[String, String] = Map(
+    // Same plants (interpolated verbatim), same class constants, same
+    // threshold + tie-break — argmax restated as the ordered CASE.
+    "e4_script_id" ->
+      s"""WITH planted AS (
+         |  SELECT lang, text ||
+         |    (CASE WHEN doc_id % 5 = 0 THEN ' $CyrSnippet'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 7 = 0 THEN ' $CjkSnippet'
+         |          ELSE '' END) ||
+         |    (CASE WHEN doc_id % 11 = 0 THEN ' $GreekSnippet'
+         |          ELSE '' END) AS text
+         |  FROM documents),
+         |c AS (
+         |  SELECT lang,
+         |    len(regexp_extract_all(text, '$CyrillicRe'))::BIGINT AS c_cyr,
+         |    len(regexp_extract_all(text, '$CjkRe'))::BIGINT AS c_cjk,
+         |    len(regexp_extract_all(text, '$GreekRe'))::BIGINT AS c_greek
+         |  FROM planted)
+         |SELECT lang,
+         |  CASE WHEN c_cyr >= 4 AND c_cyr >= c_cjk AND c_cyr >= c_greek
+         |       THEN 'cyrillic'
+         |       WHEN c_cjk >= 4 AND c_cjk >= c_greek THEN 'cjk'
+         |       WHEN c_greek >= 4 THEN 'greek'
+         |       ELSE 'latin' END AS script,
+         |  count(*)::BIGINT AS n_docs, sum(c_cyr)::BIGINT AS cyr_chars,
+         |  sum(c_cjk)::BIGINT AS cjk_chars,
+         |  sum(c_greek)::BIGINT AS greek_chars
+         |FROM c GROUP BY lang, script ORDER BY lang, script""".stripMargin,
     "e4_langid" ->
       s"""WITH p AS (
          |  SELECT lang, $langidBestSql AS best

@@ -166,6 +166,19 @@ class HygieneSpec extends SparkSpec {
     assert(twice == got)
   }
 
+  test("urlCanon lowercases scheme+host, strips frag/utm/port/dot-segment") {
+    import spark.implicits._
+    val got = Seq(
+      "HTTPS://WWW.EXAMPLE3.COM:443/path/../p10/?utm_source=x&id=0#s2",
+      "https://www.example3.com/p10/?id=0",          // already canonical
+      "https://host.org/A/B?utm_source=x&utm_campaign=y#f", // path case kept
+    ).toDF("u").select(Hygiene.urlCanon($"u").as("c"))
+      .as[String].collect().toSeq
+    assert(got(0) == "https://www.example3.com/p10/?id=0", got(0))
+    assert(got(1) == "https://www.example3.com/p10/?id=0")
+    assert(got(2) == "https://host.org/A/B", got(2))
+  }
+
   test("nfc_normalize codegen and interpreted paths agree") {
     import spark.implicits._
     val df = Seq("cafe\u0301 nai\u0308ve", "plain", "A\u030a").toDF("t")

@@ -189,4 +189,25 @@ class TextStatsSpec extends SparkSpec {
       (2, "a b", "ab", 2L),
       (3, "za b", "zab", 1L)), s"got $got")
   }
+
+  test("script detection thresholds and tie-break order") {
+    import org.apache.spark.sql.functions._
+    val df = Seq(
+      (1L, "plain ascii only"),
+      (2L, "mixed " + TextStats.CyrSnippet + " " + TextStats.CjkSnippet),
+      (3L, "short " + TextStats.GreekSnippet.take(3)), // 3 greek < 4
+      (4L, TextStats.CjkSnippet),                      // exactly 4 cjk
+    ).toDF("doc_id", "text")
+    val cyr = regexp_count($"text", lit(TextStats.CyrillicRe)).cast("long")
+    val cjk = regexp_count($"text", lit(TextStats.CjkRe)).cast("long")
+    val grk = regexp_count($"text", lit(TextStats.GreekRe)).cast("long")
+    val script = when(cyr >= 4 && cyr >= cjk && cyr >= grk, "cyrillic")
+      .when(cjk >= 4 && cjk >= grk, "cjk")
+      .when(grk >= 4, "greek")
+      .otherwise("latin")
+    val got = df.select($"doc_id", script.as("s"))
+      .as[(Long, String)].collect().toMap
+    assert(got == Map(1L -> "latin", 2L -> "cyrillic",
+      3L -> "latin", 4L -> "cjk"), got)
+  }
 }
