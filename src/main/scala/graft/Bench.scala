@@ -62,7 +62,10 @@ object Bench {
     // bucketed edit-distance candidates (e2), and the fused curation
     // pipeline (e7) — now it's measured like the rest.
     "g3_bfs", "g2_triangles", "e8_contamination", "e2_edit_join",
-    "e7_curation")
+    "e7_curation",
+    // round-11 additions: line-level dedup is a new digest-keyed
+    // family head — measure it like the others
+    "e2_line_dedup")
 
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is

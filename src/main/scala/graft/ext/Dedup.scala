@@ -1282,6 +1282,47 @@ object Dedup {
       .orderBy(col("decision"))
   }
 
+  /** E13b: BLOCKING-QUALITY metrics — the two numbers every
+    * entity-resolution survey reports for a candidate generator
+    * (Christen, TKDE 2012): reduction ratio RR = 1 − |candidates|/n²
+    * (how much of the quadratic pair space the blocking avoids) and
+    * pairs completeness PC = |true ∩ candidates|/|true| (how much
+    * recall it kept). Evaluated for TWO schemes over e13's corrupted
+    * customer pair: the name-substring block (key untouched by the
+    * corruption → PC = 1) and a nation block (every 7th B-side nation
+    * shifted → its true pairs leave the block, PC < 1) — so the
+    * metric separates a good scheme from a leaky one on the same
+    * data. Counts come from the blocking equi-joins themselves plus
+    * one-row totals crossJoined on (the gate-scalar pattern); the
+    * oracle re-derives both schemes' joins and the closed-form RR/PC
+    * arithmetic. */
+  private val e13bBlockingMetrics: Q = (s, dir) => {
+    val cust = t(s, dir, "customer")
+    val a = cust.select(col("c_custkey").as("ak"),
+      substring(col("c_name"), 16, 3).as("ablk"),
+      col("c_nationkey").as("anat"))
+    val b = cust.select(col("c_custkey").as("bk"),
+      substring(col("c_name"), 16, 3).as("bblk"),
+      when(col("c_custkey") % 7 === 0, col("c_nationkey") + 1)
+        .otherwise(col("c_nationkey")).as("bnat"))
+    val tot = a.agg(count(lit(1)).as("n_records"))
+    def scheme(label: String, cond: Column): DataFrame = {
+      val cand = a.join(b, cond)
+        .agg(count(lit(1)).as("cand_pairs"),
+          sum(when(col("ak") === col("bk"), 1L).otherwise(0L))
+            .as("true_in_cand"))
+      tot.crossJoin(cand).select(lit(label).as("scheme"),
+        col("n_records"), col("cand_pairs"), col("true_in_cand"),
+        round(lit(1.0) - col("cand_pairs").cast("double") /
+          (col("n_records") * col("n_records")), 6).as("rr"),
+        round(col("true_in_cand").cast("double") / col("n_records"), 6)
+          .as("pc"))
+    }
+    scheme("name_block", col("ablk") === col("bblk"))
+      .unionByName(scheme("nation_block", col("anat") === col("bnat")))
+      .orderBy(col("scheme"))
+  }
+
   // ------------------------------------------------------- line dedup
 
   /** The boilerplate lines the gate plants (shared verbatim with the
@@ -1344,6 +1385,7 @@ object Dedup {
       "doc_id", "lang", "text")
 
   val queries: Map[String, Q] = Map(
+    "e13b_blocking_metrics" -> e13bBlockingMetrics,
     "e2_line_dedup" -> e2LineDedup,
     "e2_cdc_chunks" -> e2CdcChunks,
     "e13_linkage" -> e13Linkage,
@@ -1364,6 +1406,42 @@ object Dedup {
 
   /** The planted-pair ground truth, written directly in SQL. */
   val oracles: Map[String, String] = Map(
+    // Both schemes' candidate joins re-derived, RR/PC restated from
+    // the same integer counts with identical double arithmetic.
+    "e13b_blocking_metrics" ->
+      """WITH a AS (
+        |  SELECT c_custkey AS ak, substring(c_name, 16, 3) AS ablk,
+        |    c_nationkey AS anat
+        |  FROM customer),
+        |b AS (
+        |  SELECT c_custkey AS bk, substring(c_name, 16, 3) AS bblk,
+        |    CASE WHEN c_custkey % 7 = 0 THEN c_nationkey + 1
+        |         ELSE c_nationkey END AS bnat
+        |  FROM customer),
+        |n AS (SELECT count(*)::BIGINT AS n_records FROM a),
+        |nameb AS (
+        |  SELECT count(*)::BIGINT AS cand_pairs,
+        |    sum(CASE WHEN ak = bk THEN 1 ELSE 0 END)::BIGINT
+        |      AS true_in_cand
+        |  FROM a JOIN b ON a.ablk = b.bblk),
+        |natb AS (
+        |  SELECT count(*)::BIGINT AS cand_pairs,
+        |    sum(CASE WHEN ak = bk THEN 1 ELSE 0 END)::BIGINT
+        |      AS true_in_cand
+        |  FROM a JOIN b ON a.anat = b.bnat)
+        |SELECT * FROM (
+        |  SELECT 'name_block' AS scheme, n_records, cand_pairs,
+        |    true_in_cand,
+        |    round(1.0 - cand_pairs::DOUBLE / (n_records * n_records), 6)
+        |      AS rr,
+        |    round(true_in_cand::DOUBLE / n_records, 6) AS pc
+        |  FROM n, nameb
+        |  UNION ALL
+        |  SELECT 'nation_block', n_records, cand_pairs, true_in_cand,
+        |    round(1.0 - cand_pairs::DOUBLE / (n_records * n_records), 6),
+        |    round(true_in_cand::DOUBLE / n_records, 6)
+        |  FROM n, natb
+        |) ORDER BY scheme""".stripMargin,
     // Full restatement: DuckDB replants the same newline corpus
     // (concat_ws skips the NULL third line identically), re-derives
     // every (doc, line_no, line) instance, and applies the same

@@ -522,6 +522,60 @@ object Multimodal {
       out.toByteArray
     }
 
+    /** Walk a PNG into (type, payload) chunks, verifying every CRC. */
+    def chunkList(bytes: Array[Byte]): List[(String, Array[Byte])] = {
+      require(bytes.length > 8 && bytes.take(8).sameElements(Sig),
+        "not a PNG (bad signature)")
+      val bb = java.nio.ByteBuffer.wrap(bytes, 8, bytes.length - 8)
+      val out = scala.collection.mutable.ListBuffer[(String, Array[Byte])]()
+      var done = false
+      while (!done) {
+        val len = bb.getInt
+        val tpe = new Array[Byte](4); bb.get(tpe)
+        val data = new Array[Byte](len); bb.get(data)
+        val crc = bb.getInt
+        val c = new java.util.zip.CRC32(); c.update(tpe); c.update(data)
+        require(c.getValue.toInt == crc,
+          s"CRC mismatch in ${new String(tpe, "US-ASCII")}")
+        val t = new String(tpe, "US-ASCII")
+        out += ((t, data))
+        if (t == "IEND") done = true
+      }
+      out.toList
+    }
+
+    /** The chunk types a stripped image keeps — everything else
+      * (tEXt/zTXt/iTXt author strings, eXIf blocks with GPS
+      * coordinates, tIME, pHYs, …) is metadata a training corpus must
+      * not carry. */
+    val Critical = Set("IHDR", "PLTE", "IDAT", "IEND")
+
+    /** Drop every ancillary chunk, re-emitting the critical ones with
+      * fresh CRCs — pixels untouched by construction (IDAT passes
+      * through byte-identical). */
+    def stripAncillary(bytes: Array[Byte]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig)
+      chunkList(bytes).foreach { case (t, d) =>
+        if (Critical(t)) out.write(chunk(t, d))
+      }
+      out.toByteArray
+    }
+
+    /** Fixture builder: insert metadata chunks right after IHDR (the
+      * spec position for tEXt/eXIf). */
+    def withMeta(bytes: Array[Byte],
+        metas: Seq[(String, Array[Byte])]): Array[Byte] = {
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(Sig)
+      chunkList(bytes).foreach { case (t, d) =>
+        out.write(chunk(t, d))
+        if (t == "IHDR")
+          metas.foreach { case (mt, md) => out.write(chunk(mt, md)) }
+      }
+      out.toByteArray
+    }
+
     /** PNG spec Paeth predictor (RFC 2083 §6.6). */
     private def paeth(a: Int, b: Int, c: Int): Int = {
       val p = a + b - c
@@ -648,6 +702,54 @@ object Multimodal {
         }
       }
     decoded.toDF().orderBy(col("doc_id"))
+  }
+
+  final case class MetaStripStats(doc_id: Long, n_before: Long,
+      n_after: Long, bytes_removed: Long, residual_meta: Long,
+      sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** E5o: image METADATA SCRUBBING — the multimodal twin of PII
+    * redaction: web images carry tEXt author strings, eXIf blocks
+    * (camera serials, GPS coordinates), and timestamps that a training
+    * corpus must not memorize. Each doc's synth image is wrapped with
+    * a tEXt Author record, a 16-byte eXIf stand-in, and a tIME chunk;
+    * the scrubber walks chunks (verifying every CRC) and re-emits only
+    * the critical set — map-only, pixels pass through byte-identical.
+    * Value gates per image: chunk counts before/after (6 → 3), the
+    * EXACT byte mass removed (the tEXt payload length depends on the
+    * doc_id's digit count — the oracle restates it as 70 +
+    * len(doc_id)), zero residual ancillary chunks, and the decoded
+    * channel sums of the SCRUBBED image equal to the synth formula
+    * (scrubbing must not touch a pixel). */
+  private val e5MetaStrip: Q = (s, dir) => {
+    import s.implicits._
+    val (w, h) = (16, 12)
+    t(s, dir, "documents")
+      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val png = PngCodec.encode(w, h, synthRgb(id, w, h))
+          val metas = Seq(
+            "tEXt" -> ("Author".getBytes("US-ASCII") ++ Array(0.toByte) ++
+              s"user$id".getBytes("US-ASCII")),
+            "eXIf" -> Array.fill(16)(0x47.toByte), // fake GPS block
+            "tIME" -> Array.fill(7)(1.toByte))
+          val tagged = PngCodec.withMeta(png, metas)
+          val stripped = PngCodec.stripAncillary(tagged)
+          val before = PngCodec.chunkList(tagged)
+          val after = PngCodec.chunkList(stripped)
+          val (_, _, rgb) = PngCodec.decode(stripped)
+          var (sr, sg, sb) = (0L, 0L, 0L)
+          var i = 0
+          while (i < rgb.length) {
+            sr += rgb(i) & 0xff; sg += rgb(i + 1) & 0xff
+            sb += rgb(i + 2) & 0xff; i += 3
+          }
+          MetaStripStats(id, before.size.toLong, after.size.toLong,
+            (tagged.length - stripped.length).toLong,
+            after.count(c => !PngCodec.Critical(c._1)).toLong,
+            sr, sg, sb)
+        }
+      }.toDF().orderBy(col("doc_id"))
   }
 
   final case class ResizeStats(doc_id: Long, out_w: Int, out_h: Int,
@@ -962,6 +1064,7 @@ object Multimodal {
     "e5_wav_decode" -> e5WavDecode,
     "e5_wav_spectral" -> e5WavSpectral,
     "e5_png_decode" -> e5PngDecode,
+    "e5_meta_strip" -> e5MetaStrip,
     "e5_resize_box" -> e5ResizeBox,
     "e5_binary_meta" -> e5BinaryMeta,
     "e5_vector_join" -> e5VectorJoin,
@@ -1025,6 +1128,25 @@ object Multimodal {
     // VALUE-LEVEL restatement of the decoded pixels: the integer pixel
     // formula recomputed per (doc, x, y) — a filter-byte skip, channel
     // swap, or stride slip breaks the channel sums.
+    // Chunk counts and removed-byte mass are closed-form (3 metadata
+    // chunks of 12-byte framing + 11+digits/16/7 payloads = 70 +
+    // digit count); pixel sums restate the synth formula — scrubbing
+    // must not touch a pixel.
+    "e5_meta_strip" ->
+      """WITH px AS (
+        |  SELECT doc_id, gx.x, gy.y,
+        |    ((gx.x * 7 + gy.y * 3) + doc_id) % 256 AS r,
+        |    ((gx.x * 11 + gy.y * 5) + doc_id * 2) % 256 AS g,
+        |    (gx.x * gy.y + doc_id * 3) % 256 AS b
+        |  FROM documents,
+        |    generate_series(0, 15) AS gx(x),
+        |    generate_series(0, 11) AS gy(y))
+        |SELECT doc_id, 6::BIGINT AS n_before, 3::BIGINT AS n_after,
+        |  (70 + length(doc_id::VARCHAR))::BIGINT AS bytes_removed,
+        |  0::BIGINT AS residual_meta,
+        |  sum(r)::BIGINT AS sum_r, sum(g)::BIGINT AS sum_g,
+        |  sum(b)::BIGINT AS sum_b
+        |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     "e5_png_decode" ->
       """WITH px AS (
         |  SELECT doc_id, gx.x, gy.y,

@@ -26,6 +26,9 @@ class PlanAuditSpec extends SparkSpec {
     // the rank-only fusion; the production candidates come from the
     // gated ANN / prefix-filter indexes
     "e3_hybrid_rrf" -> Set("BroadcastNestedLoop"),
+    // one-row n_records total crossJoined onto each scheme's
+    // candidate-count row — the blocking joins themselves are equi
+    "e13b_blocking_metrics" -> Set("BroadcastNestedLoop"),
     // two exact broadcast-query scans (16-dim ranking + 64-dim
     // reference top-5) feeding the overlap join — at scale the short
     // prefix rides the gated ANN index shapes

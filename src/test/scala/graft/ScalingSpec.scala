@@ -44,7 +44,9 @@ class ScalingSpec extends SparkSpec {
     // contamination join, length-bucketed edit-distance join, and the
     // fused curation pipeline — linear-by-design, now bounded here
     "g3_bfs", "g2_triangles", "e8_contamination", "e2_edit_join",
-    "e7_curation")
+    "e7_curation",
+    // round-11: the line-dedup family head (digest-keyed keep-first)
+    "e2_line_dedup")
 
   test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
       "bucketed family head in the committed bench artifact") {

@@ -276,4 +276,27 @@ class MultimodalSpec extends SparkSpec {
     stereo(fmtAt + 10) = 2 // channels LE16 at fmt body offset 2
     intercept[IllegalArgumentException](Multimodal.WavCodec.decode(stereo))
   }
+
+  test("stripAncillary drops metadata chunks, preserves pixels, idempotent") {
+    val rgb = Array.tabulate(2 * 2 * 3)(i => (i * 37 % 256).toByte)
+    val png = Multimodal.PngCodec.encode(2, 2, rgb)
+    val tagged = Multimodal.PngCodec.withMeta(png, Seq(
+      "tEXt" -> "Author someone".getBytes("US-ASCII"),
+      "eXIf" -> Array.fill(4)(9.toByte)))
+    assert(Multimodal.PngCodec.chunkList(tagged).map(_._1) ==
+      List("IHDR", "tEXt", "eXIf", "IDAT", "IEND"))
+    val stripped = Multimodal.PngCodec.stripAncillary(tagged)
+    assert(Multimodal.PngCodec.chunkList(stripped).map(_._1) ==
+      List("IHDR", "IDAT", "IEND"))
+    // pixels byte-identical, strip idempotent
+    val (_, _, out) = Multimodal.PngCodec.decode(stripped)
+    assert(out.toSeq == rgb.toSeq)
+    assert(Multimodal.PngCodec.stripAncillary(stripped).toSeq ==
+      stripped.toSeq)
+    // a corrupted metadata CRC fails the walk loudly, not silently
+    val bad = tagged.clone()
+    bad(bad.length - 1) = (bad(bad.length - 1) ^ 0x1).toByte
+    intercept[IllegalArgumentException](
+      Multimodal.PngCodec.stripAncillary(bad))
+  }
 }
