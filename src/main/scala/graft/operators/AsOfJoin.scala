@@ -48,6 +48,36 @@ object AsOfJoin {
       .drop("_ts", "_side", "_p")
   }
 
+  /** As-of join WITH TOLERANCE (pandas `merge_asof(tolerance=…)`, the
+    * market-data staleness bound): the match is dropped — payload
+    * NULL — when the latest preceding right row is older than
+    * `tolMicros`. Same single-shuffle window composition as
+    * [[asofJoin]]; the struct marker additionally carries the matched
+    * right timestamp so staleness is a map-side comparison after the
+    * window pass. Timestamps are LONG micros columns (callers convert
+    * with `unix_micros` — exact under the UTC session). */
+  def asofJoinTolerance(
+      left: DataFrame, right: DataFrame,
+      key: String, leftTs: String, rightTs: String,
+      payload: String, tolMicros: Long): DataFrame = {
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(0))
+    val r = right.select(
+      col(key), col(rightTs).as("_ts"), lit(1).as("_side"),
+      struct(col(rightTs).as("_rts"), col(payload)).as("_p"))
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("_ts"), col("_side").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    l.unionByName(r, allowMissingColumns = true)
+      .withColumn("_m", last(col("_p"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .withColumn(payload,
+        when(col("_ts") - col("_m").getField("_rts") <= tolMicros,
+          col("_m").getField(payload)))
+      .drop("_ts", "_side", "_p", "_m")
+  }
+
   type Q = (SparkSession, String) => DataFrame
 
   /** J7: each view event matched to the user's latest click at or
@@ -155,13 +185,54 @@ object AsOfJoin {
       .orderBy(col("month"))
   }
 
+  /** J13: tolerance-bounded as-of — each view matched to the user's
+    * latest click at or before it, but only if that click is at most
+    * ONE HOUR old; staler matches surface as NULL (exactly pandas
+    * merge_asof's tolerance semantics). The oracle is DuckDB's native
+    * ASOF LEFT JOIN with the match's timestamp exposed and the same
+    * staleness CASE applied — a tolerance applied before the as-of
+    * selection (which would wrongly promote an OLDER in-window row)
+    * produces different rows and hash-fails. */
+  private val j13AsofTolerance: Q = (s, dir) => {
+    val events = Tables.load(s, dir, "events")
+    val clicks = events.filter(col("event_type") === "click")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(round(max(col("value")), 2).as("click_value"))
+      .select(col("user_id"), unix_micros(col("ts")).as("cts"),
+        col("click_value"))
+    val views = events.filter(col("event_type") === "view")
+      .select(col("event_id"), col("user_id"),
+        unix_micros(col("ts")).as("vts"))
+    asofJoinTolerance(views, clicks, "user_id", "vts", "cts",
+        "click_value", tolMicros = 3600000000L)
+      .select(col("event_id"), col("click_value"))
+      .orderBy(col("event_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "j13_asof_tolerance" -> j13AsofTolerance,
     "j7_asof" -> j7Asof,
     "j9_range" -> j9Range,
     "j10_interval_overlap" -> j10Overlap,
   )
 
   val oracles: Map[String, String] = Map(
+    // Native ASOF LEFT JOIN picks the match; the SAME staleness CASE
+    // then nulls payloads older than the tolerance.
+    "j13_asof_tolerance" ->
+      """WITH clicks AS (
+        |  SELECT user_id, epoch_us(ts) AS cts,
+        |    round(max(value), 2) AS click_value
+        |  FROM events WHERE event_type = 'click' GROUP BY user_id, ts),
+        |views AS (
+        |  SELECT event_id, user_id, epoch_us(ts) AS vts FROM events
+        |  WHERE event_type = 'view')
+        |SELECT v.event_id,
+        |  CASE WHEN v.vts - c.cts <= 3600000000 THEN c.click_value
+        |       END AS click_value
+        |FROM views v ASOF LEFT JOIN clicks c
+        |  ON v.user_id = c.user_id AND v.vts >= c.cts
+        |ORDER BY v.event_id""".stripMargin,
     "j10_interval_overlap" ->
       """WITH base AS (
         |  SELECT o_orderkey AS id, epoch_us(o_orderdate) AS s,

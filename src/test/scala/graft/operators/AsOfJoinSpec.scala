@@ -27,6 +27,25 @@ class AsOfJoinSpec extends SparkSpec {
       4L -> Some(11.0), 5L -> Some(20.0), 6L -> None))
   }
 
+  test("asofJoinTolerance nulls stale matches, never promotes older rows") {
+    val quotes = Seq(("A", 100L, 10.0), ("A", 500L, 11.0))
+      .toDF("sym", "qts", "px")
+    val trades = Seq(
+      ("A", 120L, 1L), // gap 20 ≤ 50 → 10.0
+      ("A", 400L, 2L), // latest preceding is 100, gap 300 > 50 → null
+      //   (a tolerance applied BEFORE selection would also yield null
+      //    here, but…)
+      ("A", 540L, 3L), // latest is 500 (gap 40 → 11.0); the OLDER 100
+      //    is out of tolerance — selection must pick latest first
+      ("B", 540L, 4L)) // no quotes → null
+      .toDF("sym", "tts", "id")
+    val out = AsOfJoin.asofJoinTolerance(trades, quotes, "sym", "tts",
+        "qts", "px", tolMicros = 50L)
+      .select("id", "px").as[(Long, Option[Double])].collect().toMap
+    assert(out == Map(1L -> Some(10.0), 2L -> None,
+      3L -> Some(11.0), 4L -> None), out)
+  }
+
   test("rangeJoinBucketed equals the naive range join, boundaries half-open") {
     import org.apache.spark.sql.functions._
     // intervals of length ≤ 10 (bucketW 10): one bucket-aligned, one
