@@ -576,7 +576,7 @@ object Hygiene {
     * canonical forms MERGE across the case split while the raw strings
     * do not, and the distinct-count drop proves the canonicalization
     * does real work. */
-  private[ext] def withPlantedUrls(docs: DataFrame): DataFrame =
+  private[graft] def withPlantedUrls(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), col("lang"),
       concat(
         when(col("doc_id") % 2 === 0, lit("HTTPS://WWW.EXAMPLE"))

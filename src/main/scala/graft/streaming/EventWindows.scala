@@ -335,6 +335,62 @@ object EventWindows {
     s.table(sink).select(col("digest")).orderBy(col("digest"))
   }
 
+  /** EV29: streaming dedup on a DERIVED canonical key — the crawler
+    * frontier shape: URLs arrive as case/tracking/port variants across
+    * micro-batches, are canonicalized MAP-SIDE inside the stream
+    * ([[graft.ext.Hygiene.urlCanon]]), and
+    * `dropDuplicatesWithinWatermark` keys its state on the canonical
+    * form — so variants of one logical URL that arrive in DIFFERENT
+    * batches still collapse to one row (raw-string dedup would pass
+    * both). Same bucket-replay harness as ev26 (collect-free landing
+    * dir, one micro-batch per staged file); every 3rd doc's URL is
+    * re-fed in the NEXT batch under the opposite case variant, so the
+    * cross-batch merge is actually exercised. Oracle = the batch
+    * distinct over the canonicalized plant. */
+  private val ev29StreamUrlDedup: Q = (s, dir) => {
+    import graft.ext.Hygiene
+    val docs = t(s, dir, "documents")
+    val nBatches = 5L
+    val maxId = docs.agg(max(col("doc_id"))).head().getLong(0) // 1 row
+    val step = maxId / nBatches + 1L
+    val planted = Hygiene.withPlantedUrls(docs)
+    val base = planted.select(col("url"),
+      timestamp_millis(col("doc_id") * 100L).as("ts"),
+      (col("doc_id") / step).cast("long").as("b"))
+    // A VARIANT of every 3rd URL lands one batch LATER: the +455
+    // offset preserves every content modulus (455 = 7·13·5, so host
+    // number, path segment, and id param are unchanged → SAME
+    // canonical form) while flipping the %2 case bit and changing the
+    // stripped utm/fragment parts — a raw-string dedup passes it, the
+    // canonical dedup must not.
+    val revisits = Hygiene.withPlantedUrls(
+        docs.filter(col("doc_id") % 3 === 0)
+          .select((col("doc_id") + 455L).as("doc_id"), col("lang"),
+            col("text")))
+      .select(col("url"),
+        timestamp_millis((col("doc_id") - 455L) * 100L + 50L).as("ts"),
+        (((col("doc_id") - 455L) / step).cast("long") + 1L).as("b"))
+    val (files, landing) = stageReplay(s, base.unionByName(revisits))
+    require(files.size.toLong == nBatches + 1L,
+      s"revisits must spill into a 6th batch, staged ${files.size}")
+    val schema = s.read.parquet(files.head.toString).schema
+    val sink = "ev29_out_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try s.readStream.schema(schema).parquet(landing)
+          .withColumn("canon", Hygiene.urlCanon(col("url")))
+          .withWatermark("ts", "1 hour")
+          .dropDuplicatesWithinWatermark("canon")
+          .select(col("canon"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("append").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try replay(files, landing, q) finally q.stop()
+    s.table(sink).select(col("canon")).orderBy(col("canon"))
+  }
+
   /** EV12: gap sessionization EXECUTED AS A STREAM with custom state
     * (flatMapGroupsWithState), oracle-gated against the batch
     * gaps-and-islands answer. The events table is replayed through a
@@ -994,6 +1050,7 @@ object EventWindows {
     "ev12_stream_sessions" -> ev12StreamSessions,
     "ev11_stream_dedup" -> ev11StreamDedup,
     "ev26_stream_dropdup" -> ev26StreamDropdup,
+    "ev29_stream_url_dedup" -> ev29StreamUrlDedup,
     "ev27_rocksdb_dropdup" -> ev27RocksdbDropdup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
@@ -1237,6 +1294,35 @@ object EventWindows {
     "ev26_stream_dropdup" ->
       """SELECT DISTINCT sha256(text) AS digest
         |FROM documents ORDER BY digest""".stripMargin,
+    // Distinct CANONICAL urls of the base plant — the +455 revisits
+    // share every content modulus (455 = 7·13·5), so a correct
+    // canonical dedup adds no row for them; a leaked variant makes the
+    // stream emit MORE rows and hash-fail.
+    "ev29_stream_url_dedup" ->
+      s"""WITH planted AS (
+         |  SELECT
+         |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTPS://WWW.EXAMPLE'
+         |          ELSE 'https://www.example' END) ||
+         |    (doc_id % 7) ||
+         |    (CASE WHEN doc_id % 2 = 0 THEN '.COM' ELSE '.com' END) ||
+         |    ':443/path/../p' || (doc_id % 13) || '/?utm_source=x' ||
+         |    (CASE WHEN doc_id % 3 = 0 THEN '&utm_campaign=y'
+         |          ELSE '' END) ||
+         |    '&id=' || (doc_id % 5) || '#s' || (doc_id % 4) AS url
+         |  FROM documents),
+         |c AS (
+         |  SELECT
+         |    regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+         |      regexp_replace(
+         |        lower(regexp_extract(url, '${graft.ext.Hygiene.UrlSchemeHostRe}', 1)) ||
+         |          regexp_replace(url, '${graft.ext.Hygiene.UrlAfterHostRe}', '', 'g'),
+         |      '${graft.ext.Hygiene.UrlFragmentRe}', '', 'g'),
+         |      '${graft.ext.Hygiene.UrlUtmRe}', '', 'g'),
+         |      '${graft.ext.Hygiene.UrlTrailSepRe}', '', 'g'),
+         |      '${graft.ext.Hygiene.UrlPortRe}', '/', 'g'),
+         |      '${graft.ext.Hygiene.UrlDotSegRe}', '/', 'g') AS canon
+         |  FROM planted)
+         |SELECT DISTINCT canon FROM c ORDER BY canon""".stripMargin,
     // Same oracle as ev26: the RocksDB run must be indistinguishable.
     "ev27_rocksdb_dropdup" ->
       """SELECT DISTINCT sha256(text) AS digest
