@@ -609,7 +609,56 @@ object Hygiene {
       .orderBy(col("lang"))
   }
 
+  // ------------------------------------------------- HTML strip/decode
+
+  /** Tag + entity patterns — ONE constant in both engines (Java∩RE2:
+    * classes, alternation, bounded repetition only). */
+  val HtmlTagRe = "<[^>]*>"
+  val HtmlEntityRe = "&[a-z]+;|&#[0-9]+;"
+
+  /** Strip markup then decode the six common entities — the first
+    * transform every crawl-scale corpus applies. `&amp;` decodes LAST
+    * (the standard order: decoding it first would re-introduce
+    * decodable text — `&amp;lt;` must yield `&lt;`, not `<`).
+    * Map-only, no shuffle. */
+  def htmlStrip(html: Column): Column =
+    Seq("&lt;" -> "<", "&gt;" -> ">", "&quot;" -> "\"",
+      "&#39;" -> "'", "&nbsp;" -> " ", "&amp;" -> "&")
+      .foldLeft(regexp_replace(html, HtmlTagRe, "")) {
+        case (c, (e, r)) => regexp_replace(c, e, r)
+      }
+
+  /** Deterministic markup plant: every doc gets an id-keyed tag shell
+    * plus the six common entities; every third doc also carries an
+    * attribute URL with an encoded ampersand (the case that breaks
+    * decode-&amp;-first implementations). */
+  private[graft] def withPlantedHtml(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      concat(
+        lit("<p id=\"d"), col("doc_id").cast("string"),
+        lit("\"><b>Title</b> "), col("text"),
+        when(col("doc_id") % 3 === 0,
+          lit(" <a href=\"http://x/?a=1&amp;b=2\">link</a>"))
+          .otherwise(lit("")),
+        lit(" &lt;raw&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; tail</p>"))
+        .as("html"))
+
+  /** E9m: HTML strip + entity decode, full value-level oracle — the
+    * cleaned string itself is hash-compared per document, so a missed
+    * tag, a wrong decode order, or an extra space all fail. */
+  private val e9HtmlStrip: Q = (s, dir) => {
+    withPlantedHtml(t(s, dir, "documents"))
+      .select(col("doc_id"),
+        regexp_count(col("html"), lit(HtmlTagRe)).cast("long").as("n_tags"),
+        regexp_count(col("html"), lit(HtmlEntityRe)).cast("long")
+          .as("n_entities"),
+        htmlStrip(col("html")).as("clean"))
+      .withColumn("clean_chars", length(col("clean")).cast("long"))
+      .orderBy(col("doc_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e9_html_strip" -> e9HtmlStrip,
     "e9_url_canon" -> e9UrlCanon,
     "e9_nfc_clean" -> e9NfcClean,
     "e9_compress_ratio" -> e9CompressRatio,
@@ -624,6 +673,32 @@ object Hygiene {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same plant, same tag regex ('g' — DuckDB replaces first-only by
+    // default), same entity decode chain with &amp; last. Entity
+    // replacements use plain `replace` (the patterns are literal).
+    "e9_html_strip" ->
+      s"""WITH planted AS (
+         |  SELECT doc_id,
+         |    '<p id="d' || doc_id || '"><b>Title</b> ' || text ||
+         |    (CASE WHEN doc_id % 3 = 0
+         |          THEN ' <a href="http://x/?a=1&amp;b=2">link</a>'
+         |          ELSE '' END) ||
+         |    ' &lt;raw&gt; &quot;q&quot; &#39;s&#39;&nbsp;&amp; tail</p>'
+         |      AS html
+         |  FROM documents),
+         |c AS (
+         |  SELECT doc_id, html,
+         |    replace(replace(replace(replace(replace(replace(
+         |      regexp_replace(html, '$HtmlTagRe', '', 'g'),
+         |      '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+         |      '&#39;', ''''), '&nbsp;', ' '), '&amp;', '&') AS clean
+         |  FROM planted)
+         |SELECT doc_id,
+         |  len(regexp_extract_all(html, '$HtmlTagRe'))::BIGINT AS n_tags,
+         |  len(regexp_extract_all(html, '$HtmlEntityRe'))::BIGINT
+         |    AS n_entities,
+         |  clean, length(clean)::BIGINT AS clean_chars
+         |FROM c ORDER BY doc_id""".stripMargin,
     // Same plants, same regex chain in the same order ('g' — Spark's
     // regexp_replace is replace-all by default, DuckDB's is not).
     "e9_url_canon" ->

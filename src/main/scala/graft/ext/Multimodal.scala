@@ -1057,7 +1057,45 @@ object Multimodal {
       .orderBy(col("doc_id"), col("frame_idx"))
   }
 
+  final case class ResampleStats(id: Long, n_out: Int, out_rate: Int,
+      sum_out: Long, min_out: Int, max_out: Int)
+
+  /** 2:1 box (pair-average) resample over decoded PCM16 samples —
+    * out[t] = (x[2t] + x[2t+1]) / 2, the audio analog of
+    * [[boxDownsample2x]]. The synth sawtooth's samples are all
+    * multiples of 50, so every pair sum is even and the halving is
+    * EXACT integer arithmetic — no floor-direction ambiguity crosses
+    * the engine boundary. */
+  private[ext] def resamplePairs(x: Array[Short]): Array[Short] = {
+    val out = new Array[Short](x.length / 2)
+    var i = 0
+    while (i < out.length) {
+      out(i) = ((x(2 * i) + x(2 * i + 1)) / 2).toShort
+      i += 1
+    }
+    out
+  }
+
+  /** E5m: decode → 2:1 resample → per-clip stats under a VALUE-LEVEL
+    * oracle (the formula's pair means restated in SQL). Same
+    * partition-batched map-only shape as [[wavStats]]: decode cost
+    * amortizes per partition, no shuffle — the 100 TB audio-prep
+    * plan. */
+  private val e5AudioResample: Q = (s, dir) => {
+    import s.implicits._
+    synthWav(t(s, dir, "embeddings"), "vec_id")
+      .as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (rate, x) = WavCodec.decode(bytes)
+          val y = resamplePairs(x)
+          ResampleStats(id, y.length, rate / 2, y.map(_.toLong).sum,
+            y.map(_.toInt).min, y.map(_.toInt).max)
+        }
+      }.toDF().orderBy(col("id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e5_audio_resample" -> e5AudioResample,
     "e5_frame_sample" -> e5FrameSample,
     "e5_phash_neardup" -> e5PhashNearDup,
     "e5_spectral" -> e5Spectral,
@@ -1111,6 +1149,19 @@ object Multimodal {
     // VALUE-LEVEL restatement of the decoded samples: the integer
     // sawtooth formula recomputed per (id, t) — a decode byte slip
     // breaks the checksums.
+    // Pair means of the synth formula; every pair sum is even (samples
+    // are ×50), so `// 2` is exact — truncation vs floor can't differ.
+    "e5_audio_resample" ->
+      """WITH s AS (
+        |  SELECT vec_id AS id, g.t,
+        |    (((((2 * g.t) * (vec_id % 7 + 1)) % 200) - 100) * 50
+        |     + ((((2 * g.t + 1) * (vec_id % 7 + 1)) % 200) - 100) * 50)
+        |      // 2 AS smp
+        |  FROM embeddings, generate_series(0, 127) AS g(t))
+        |SELECT id, 128::INT AS n_out, 4000::INT AS out_rate,
+        |  sum(smp)::BIGINT AS sum_out, min(smp)::INT AS min_out,
+        |  max(smp)::INT AS max_out
+        |FROM s GROUP BY id ORDER BY id""".stripMargin,
     "e5_wav_decode" ->
       """WITH s AS (
         |  SELECT vec_id AS id, g.t,

@@ -1546,7 +1546,43 @@ object Similarity {
       (col("n_dropped") < col("n")).as("kept_nonempty"))
   }
 
+  /** E3: retrieval-quality evaluation — precision@10, MRR, and average
+    * precision for the exact cosine retriever with relevance = shared
+    * class label (the standard labeled-corpus eval a pipeline runs
+    * before swapping retrievers). Every metric is a small-denominator
+    * rational: AP sums per-rank micro-ints (round(10⁶·hits_k/k), k ≤ 10
+    * — no .5 can occur) so cross-engine addition order cannot move the
+    * 4th decimal. Gate-SF exact scan; at 100 TB the ranked lists come
+    * from the gated ANN indexes and the evaluator consumes |Q|·k rows
+    * regardless of corpus size. */
+  private val e3EvalRank: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val labels = emb.select(col("vec_id"), col("label"))
+    val judged = bruteForceTopK(emb.filter(col("vec_id") < 10), emb, k = 10)
+      .join(labels.select(col("vec_id").as("q_id"),
+        col("label").as("q_label")), "q_id")
+      .join(labels.select(col("vec_id").as("c_id"),
+        col("label").as("c_label")), "c_id")
+      .withColumn("rel",
+        when(col("q_label") === col("c_label"), 1L).otherwise(0L))
+    val cum = Window.partitionBy(col("q_id")).orderBy(col("rnk"))
+    judged.withColumn("hits_k", sum(col("rel")).over(cum))
+      .withColumn("ap_term",
+        when(col("rel") === 1,
+          round(col("hits_k") * 1000000.0 / col("rnk"), 0).cast("long"))
+          .otherwise(0L))
+      .groupBy(col("q_id")).agg(
+        sum(col("rel")).as("n_hits"),
+        round(sum(col("rel")) / 10.0, 4).as("prec10"),
+        round(coalesce(
+          lit(1.0) / min(when(col("rel") === 1, col("rnk"))),
+          lit(0.0)), 4).as("mrr"),
+        sum(col("ap_term")).as("ap_micro"))
+      .orderBy(col("q_id"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e3_eval_rank" -> e3EvalRank,
     "e3_hybrid_rrf" -> e3HybridRrf,
     "e3_matryoshka" -> e3Matryoshka,
     "e3_semdedup" -> e3SemDedup,
@@ -1576,6 +1612,40 @@ object Similarity {
   )
 
   val oracles: Map[String, String] = Map(
+    // Exact cosine ranking restated (the e3_cosine_topk recipe), then
+    // the same rational metrics: double-literal divisions only, AP as
+    // micro-int sums — addition order can't move the hash.
+    "e3_eval_rank" ->
+      """WITH n AS (
+        |  SELECT vec_id, label, embedding::DOUBLE[] AS v,
+        |    sqrt(list_dot_product(embedding::DOUBLE[],
+        |                          embedding::DOUBLE[])) AS nrm
+        |  FROM embeddings),
+        |p AS (
+        |  SELECT q.vec_id AS q_id, q.label AS q_label,
+        |    c.vec_id AS c_id, c.label AS c_label,
+        |    list_dot_product(q.v, c.v) / (q.nrm * c.nrm) AS cos
+        |  FROM n q, n c WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+        |r AS (
+        |  SELECT q_id,
+        |    CASE WHEN q_label = c_label THEN 1 ELSE 0 END AS rel,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY cos DESC, c_id) AS rnk
+        |  FROM p),
+        |t AS (
+        |  SELECT q_id, rnk, rel,
+        |    sum(rel) OVER (PARTITION BY q_id ORDER BY rnk) AS hits_k
+        |  FROM r WHERE rnk <= 10)
+        |SELECT q_id,
+        |  sum(rel)::BIGINT AS n_hits,
+        |  round(sum(rel)::DOUBLE / 10.0, 4) AS prec10,
+        |  round(coalesce(
+        |    1.0::DOUBLE / min(CASE WHEN rel = 1 THEN rnk END),
+        |    0.0), 4) AS mrr,
+        |  sum(CASE WHEN rel = 1
+        |      THEN round(hits_k * 1e6 / rnk, 0)::BIGINT
+        |      ELSE 0 END)::BIGINT AS ap_micro
+        |FROM t GROUP BY q_id ORDER BY q_id""".stripMargin,
     // Both rankings recomputed on the sliced list; bruteForceTopK's
     // exact double arithmetic mirrored per the e3_cosine_topk shape.
     "e3_matryoshka" ->

@@ -623,8 +623,93 @@ object TextStats {
       .orderBy(col("lang"), col("script"))
   }
 
+  // ------------------------------------------------------- readability
+
+  /** Vowel-group syllable surrogate — ONE constant in both engines. */
+  val VowelRe = "[aeiouy]+"
+
+  /** E4: Flesch reading-ease components per document. The corpus has no
+    * sentence punctuation, so sentence count is the fixed-width
+    * surrogate ⌈words/15⌉ — computed as exact integer arithmetic
+    * ((words+14) div 15) so no float crosses the ceil boundary. The
+    * score itself is the standard 206.835 − 1.015·(w/s) − 84.6·(syl/w)
+    * over exactly-representable integer counts (the oracle casts its
+    * DECIMAL literals to DOUBLE so both engines run the identical IEEE
+    * expression). Three map-only counts + arithmetic: one narrow
+    * projection, no shuffle — the same plan at 100 TB. */
+  private val e4Readability: Q = (s, dir) => {
+    val words = tokenCount(col("text")).cast("long")
+    val syl = regexp_count(col("text"), lit(VowelRe)).cast("long")
+    // Spark's Column./ is fractional even on longs — floor to match
+    // DuckDB's integral `//`. (w+14)/15 is exact in double for any
+    // plausible word count, so the floor boundary is safe.
+    val sents = floor((words + lit(14L)) / lit(15L)).cast("long")
+    t(s, dir, "documents").select(
+      col("doc_id"),
+      words.as("n_words"),
+      syl.as("n_syllables"),
+      sents.as("n_sentences"),
+      round(lit(206.835)
+        - lit(1.015) * words / greatest(sents, lit(1L))
+        - lit(84.6) * syl / greatest(words, lit(1L)), 4).as("flesch"))
+      .orderBy(col("doc_id"))
+  }
+
+  // ---------------------------------------------- RAKE keyword extract
+
+  /** E4: RAKE keyword extraction (Rose et al. 2010) — candidate phrases
+    * are maximal stopword-free word runs; within each document a word
+    * scores degree/frequency (degree = Σ lengths of phrases containing
+    * it) and a phrase scores the sum of its words' scores. Scores are
+    * micro-scaled to exact integers (round(10⁶·deg/freq) — within-doc
+    * freq < 64 can never land on a .5, see the w8/q11 integer-cents
+    * convention) so the cross-engine sum is order-independent. One
+    * posexplode then doc-keyed equi-joins/groupBys throughout: linear
+    * in corpus size, shuffles keyed on doc_id only — the 100 TB
+    * keyword shape. Top-3 per doc keeps its WindowGroupLimit. */
+  def rakeTopK(docs: DataFrame, k: Int): DataFrame = {
+    val w = docs
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val marked = w.withColumn("is_stop",
+      col("word").isin(StopWords: _*) || col("word") === "")
+    val win = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val phased = marked.withColumn("phrase_id",
+      sum(when(col("is_stop"), 1L).otherwise(0L)).over(win))
+    // Reused three times below (phrase table, word stats, phrase score).
+    val content = phased.filter(!col("is_stop"))
+      .select(col("doc_id"), col("phrase_id"), col("pos"), col("word"))
+      .localCheckpoint(eager = false)
+    val phrases = content.groupBy(col("doc_id"), col("phrase_id")).agg(
+      array_join(transform(
+        array_sort(collect_list(struct(col("pos"), col("word")))),
+        _.getField("word")), " ").as("phrase"),
+      count(lit(1)).as("plen"))
+    val wordScores = content.join(phrases, Seq("doc_id", "phrase_id"))
+      .groupBy(col("doc_id"), col("word"))
+      .agg(sum(col("plen")).as("deg"), count(lit(1)).as("freq"))
+      .withColumn("wscore_micro",
+        round(col("deg") * 1000000.0 / col("freq"), 0).cast("long"))
+    val rankW = Window.partitionBy(col("doc_id"))
+      .orderBy(col("score_micro").desc, col("phrase"), col("phrase_id"))
+    content.join(wordScores, Seq("doc_id", "word"))
+      .groupBy(col("doc_id"), col("phrase_id"))
+      .agg(sum(col("wscore_micro")).as("score_micro"))
+      .join(phrases, Seq("doc_id", "phrase_id"))
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= k)
+      .select(col("doc_id"), col("rnk"), col("phrase"), col("plen"),
+        col("score_micro"))
+      .orderBy(col("doc_id"), col("rnk"))
+  }
+
+  private val e4RakeKeywords: Q = (s, dir) =>
+    rakeTopK(t(s, dir, "documents"), k = 3)
+
   val queries: Map[String, Q] = Map(
     "e4_script_id" -> e4ScriptId,
+    "e4_readability" -> e4Readability,
+    "e4_rake_keywords" -> e4RakeKeywords,
     "e4_langid" -> e4Langid,
     "e4_bigram_lm" -> e4BigramLm,
     "e4_winnow" -> e4Winnow,
@@ -680,7 +765,67 @@ object TextStats {
     """CASE WHEN substr(best, 1, 6) <> '000000'
       |         THEN substr(best, 7, 2) ELSE 'und' END""".stripMargin
 
+  /** Stopword list as a SQL IN-list — ONE constant, both engines. */
+  private def stopSql: String = StopWords.map(w => s"'$w'").mkString(",")
+
   val oracles: Map[String, String] = Map(
+    // Same integer sentence surrogate, same IEEE double expression —
+    // the DECIMAL literals are cast to DOUBLE so DuckDB's exact-decimal
+    // arithmetic can't diverge from Spark's double math.
+    "e4_readability" ->
+      s"""SELECT doc_id,
+         |  len(string_split(text, ' '))::BIGINT AS n_words,
+         |  len(regexp_extract_all(text, '$VowelRe'))::BIGINT
+         |    AS n_syllables,
+         |  ((len(string_split(text, ' ')) + 14) // 15)::BIGINT
+         |    AS n_sentences,
+         |  round(206.835::DOUBLE
+         |    - 1.015::DOUBLE * n_words / greatest(n_sentences, 1)
+         |    - 84.6::DOUBLE * n_syllables / greatest(n_words, 1), 4)
+         |    AS flesch
+         |FROM documents ORDER BY doc_id""".stripMargin,
+    // Full RAKE restatement: same stopword boundaries (running-count
+    // phrase ids over unique positions — identical default window
+    // frames), same micro-int word scores, same tie order.
+    "e4_rake_keywords" ->
+      s"""WITH w AS (
+         |  SELECT d.doc_id, i - 1 AS pos, d.l[i::INT] AS word,
+         |    (d.l[i::INT] IN ($stopSql) OR d.l[i::INT] = '') AS is_stop
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+         |        FROM documents) d,
+         |    unnest(range(1, len(d.l) + 1)) AS t(i)),
+         |ph AS (
+         |  SELECT doc_id, pos, word, is_stop,
+         |    sum(CASE WHEN is_stop THEN 1 ELSE 0 END)
+         |      OVER (PARTITION BY doc_id ORDER BY pos) AS phrase_id
+         |  FROM w),
+         |content AS (
+         |  SELECT doc_id, phrase_id, pos, word FROM ph WHERE NOT is_stop),
+         |phrases AS (
+         |  SELECT doc_id, phrase_id,
+         |    string_agg(word, ' ' ORDER BY pos) AS phrase,
+         |    count(*) AS plen
+         |  FROM content GROUP BY doc_id, phrase_id),
+         |ws AS (
+         |  SELECT c.doc_id, c.word,
+         |    round(sum(p.plen) * 1e6 / count(*), 0)::BIGINT
+         |      AS wscore_micro
+         |  FROM content c JOIN phrases p USING (doc_id, phrase_id)
+         |  GROUP BY c.doc_id, c.word),
+         |sc AS (
+         |  SELECT c.doc_id, c.phrase_id,
+         |    sum(s.wscore_micro)::BIGINT AS score_micro
+         |  FROM content c
+         |  JOIN ws s ON s.doc_id = c.doc_id AND s.word = c.word
+         |  GROUP BY c.doc_id, c.phrase_id),
+         |rk AS (
+         |  SELECT s.doc_id, p.phrase, p.plen::BIGINT AS plen,
+         |    s.score_micro,
+         |    row_number() OVER (PARTITION BY s.doc_id
+         |      ORDER BY s.score_micro DESC, p.phrase, s.phrase_id) AS rnk
+         |  FROM sc s JOIN phrases p USING (doc_id, phrase_id))
+         |SELECT doc_id, rnk, phrase, plen, score_micro
+         |FROM rk WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin,
     // Same plants (interpolated verbatim), same class constants, same
     // threshold + tie-break — argmax restated as the ordered CASE.
     "e4_script_id" ->

@@ -641,7 +641,39 @@ object TrainPrep {
   private val e15CcnetBuckets: Q = (s, dir) =>
     ccnetBuckets(t(s, dir, "documents"))
 
+  /** E8: curriculum schedule — difficulty = chars per whitespace token
+    * (rounded to 4 so no raw float crosses the rank boundary), quartile
+    * buckets via ntile over (difficulty, doc_id), then the standard
+    * interleaved pacing: position p takes the p-th easiest from each
+    * bucket round-robin (row_number within bucket, then bucket). All
+    * three windows are rank-only. The partition-less windows are the
+    * gate-SF spelling of ONE global range-partitioned sort (ntile's
+    * bucket boundaries come from the same sort at any scale); the
+    * schedule itself is consumed top-N. */
+  def curriculumSchedule(docs: DataFrame, nBuckets: Int,
+      limit: Int): DataFrame = {
+    val d = docs.select(col("doc_id"),
+      round(col("n_chars").cast("double") /
+        greatest(size(split(col("text"), " ")), lit(1)), 4)
+        .as("difficulty"))
+    val bw = Window.orderBy(col("difficulty"), col("doc_id"))
+    val iw = Window.partitionBy(col("bucket"))
+      .orderBy(col("difficulty"), col("doc_id"))
+    d.withColumn("bucket", ntile(nBuckets).over(bw))
+      .withColumn("rn", row_number().over(iw))
+      .withColumn("pos", row_number().over(
+        Window.orderBy(col("rn"), col("bucket"), col("doc_id"))))
+      .filter(col("pos") <= limit)
+      .select(col("pos"), col("doc_id"), col("bucket"), col("rn"),
+        col("difficulty"))
+      .orderBy(col("pos"))
+  }
+
+  private val e8Curriculum: Q = (s, dir) =>
+    curriculumSchedule(t(s, dir, "documents"), nBuckets = 4, limit = 40)
+
   val queries: Map[String, Q] = Map(
+    "e8_curriculum" -> e8Curriculum,
     "e17_mixture_plan" -> e17MixturePlan,
     "e16_leak_split" -> e16LeakSplit,
     "e15_ccnet_buckets" -> e15CcnetBuckets,
@@ -660,6 +692,29 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same difficulty rounding, same ntile/row_number tie order.
+    "e8_curriculum" ->
+      """WITH d AS (
+        |  SELECT doc_id,
+        |    round(n_chars::DOUBLE
+        |      / greatest(len(string_split(text, ' ')), 1), 4)
+        |      AS difficulty
+        |  FROM documents),
+        |b AS (
+        |  SELECT doc_id, difficulty,
+        |    ntile(4) OVER (ORDER BY difficulty, doc_id) AS bucket
+        |  FROM d),
+        |r AS (
+        |  SELECT doc_id, difficulty, bucket,
+        |    row_number() OVER (PARTITION BY bucket
+        |      ORDER BY difficulty, doc_id) AS rn
+        |  FROM b),
+        |sched AS (
+        |  SELECT row_number() OVER (ORDER BY rn, bucket, doc_id) AS pos,
+        |    doc_id, bucket, rn, difficulty
+        |  FROM r)
+        |SELECT pos, doc_id, bucket, rn, difficulty
+        |FROM sched WHERE pos <= 40 ORDER BY pos""".stripMargin,
     // Token counts, the α-temperature shares, targets, epochs, the
     // 4-epoch flag, and the R*-decay effective tokens all re-derived;
     // shares round per row before targets (rounding-parity).

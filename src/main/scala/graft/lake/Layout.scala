@@ -143,8 +143,123 @@ object Layout {
         max(col("event_id")).as("max_id"))
   }
 
+  // ----------------------------------------- hidden partition transforms
+
+  /** Iceberg-style hidden partitioning (Iceberg spec, "Partition
+    * Transforms"): the table is laid out by a TRANSFORM of a data
+    * column — day(ts) or bucket(n, key) — recorded as table metadata,
+    * and queries filter on the RAW column only; the engine derives the
+    * partition predicate from the transform. The reference's layout
+    * story is explicit Hive partitioning (csv_to_parquet.py:58) where
+    * every query must name the partition column; hidden transforms are
+    * the 100 TB successor — the layout can change without rewriting a
+    * single query, and a mis-derived predicate is a correctness bug
+    * (an oracle hash mismatch), never a silent slowdown. */
+  sealed trait HiddenTransform {
+    def sourceCol: String
+    /** The partition value expression (written as the `_p` column). */
+    def partitionOf: Column
+    /** Serialized spec line for the `_hidden_spec` sidecar. */
+    def spec: String
+  }
+
+  final case class DayTransform(sourceCol: String) extends HiddenTransform {
+    def partitionOf: Column = date_format(col(sourceCol), "yyyy-MM-dd")
+    def spec: String = s"day $sourceCol"
+    /** Day partitions for [from, until) — driver date arithmetic over
+      * the range, no data read (the derivation step). */
+    def daysBetween(from: String, until: String): Seq[String] = {
+      val u = java.time.LocalDate.parse(until)
+      Iterator.iterate(java.time.LocalDate.parse(from))(_.plusDays(1))
+        .takeWhile(_.isBefore(u)).map(_.toString).toSeq
+    }
+  }
+
+  final case class BucketTransform(n: Int, sourceCol: String)
+      extends HiddenTransform {
+    /** Knuth multiplicative hash with the id folded BEFORE the multiply
+      * (the TrainPrep.splitBucket pattern — Spark 4 ANSI mode throws on
+      * long-multiply overflow). */
+    def partitionOf: Column =
+      pmod(pmod(pmod(col(sourceCol), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)), lit(n.toLong))
+    /** The same hash driver-side, for predicate derivation. */
+    def bucketOf(key: Long): Long =
+      (key % 2147483648L) * 2654435761L % 4294967296L % n
+    def spec: String = s"bucket $n $sourceCol"
+  }
+
+  /** Lay `df` out by the hidden transform: one repartition on the
+    * derived `_p` (so each partition dir gets one file at gate SF),
+    * Hive dirs on `_p`, spec recorded in an underscore-prefixed sidecar
+    * (invisible to the parquet reader, like `_SUCCESS`). */
+  def hiddenWrite(df: DataFrame, root: String, t: HiddenTransform): Unit = {
+    Lake.writeParquet(
+      df.withColumn("_p", t.partitionOf).repartition(col("_p")),
+      root, Seq("_p"))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(root, "_hidden_spec"),
+      t.spec.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+  }
+
+  /** The table's recorded transform spec. */
+  def hiddenSpec(root: String): String =
+    new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(root, "_hidden_spec")),
+      java.nio.charset.StandardCharsets.UTF_8)
+
+  /** Time-range scan on the RAW timestamp column: the day transform
+    * turns [from, until) into a `_p` IN-list (PartitionFilters prune
+    * the directories — plan-pinned in LayoutSpec); the raw predicate
+    * still applies inside, so exactness never depends on the
+    * derivation being more than a superset. */
+  def hiddenScanRange(s: SparkSession, root: String, t: DayTransform,
+      from: String, until: String): DataFrame =
+    s.read.parquet(root)
+      .filter(col("_p").isin(t.daysBetween(from, until): _*))
+      .filter(col(t.sourceCol) >= lit(from).cast("timestamp") &&
+        col(t.sourceCol) < lit(until).cast("timestamp"))
+
+  /** Key-equality scan on the RAW key column: one derived bucket dir. */
+  def hiddenScanKey(s: SparkSession, root: String, t: BucketTransform,
+      key: Long): DataFrame =
+    s.read.parquet(root)
+      .filter(col("_p") === lit(t.bucketOf(key)))
+      .filter(col(t.sourceCol) === key)
+
+  /** K34: hidden-partitioning round trip — events laid out by day(ts),
+    * orders by bucket(8, o_custkey), both queried through RAW-column
+    * predicates only. The partition counts are computed on the
+    * partition-pruned frames BEFORE the raw predicate, so an
+    * over-derived IN-list (an extra directory scanned) shifts
+    * n_day_partitions and hash-fails. */
+  private val k34HiddenPartition: Q = (s, dir) => {
+    val evRoot = Lake.scratchDir("k34ev")
+    val ordRoot = Lake.scratchDir("k34ord")
+    val day = DayTransform("ts")
+    val buck = BucketTransform(8, "o_custkey")
+    hiddenWrite(Tables.load(s, dir, "events"), evRoot, day)
+    hiddenWrite(Tables.load(s, dir, "orders"), ordRoot, buck)
+    require(hiddenSpec(evRoot) == "day ts" &&
+      hiddenSpec(ordRoot) == "bucket 8 o_custkey", "sidecar round-trip")
+    val (from, until) = ("2024-01-08", "2024-01-16")
+    val ev = hiddenScanRange(s, evRoot, day, from, until)
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 4).as("sum_value"))
+    val evDirs = s.read.parquet(evRoot)
+      .filter(col("_p").isin(day.daysBetween(from, until): _*))
+      .agg(countDistinct(col("_p")).as("n_day_partitions"))
+    val ord = hiddenScanKey(s, ordRoot, buck, key = 421L)
+      .agg(count(lit(1)).as("n_key_orders"))
+    val ordDirs = s.read.parquet(ordRoot)
+      .filter(col("_p") === lit(buck.bucketOf(421L)))
+      .agg(countDistinct(col("_p")).as("n_bucket_partitions"))
+    ev.crossJoin(evDirs).crossJoin(ord).crossJoin(ordDirs)
+  }
+
   val queries: Map[String, Q] = Map(
     "k13_zorder_prune" -> k13ZorderPrune,
+    "k34_hidden_partition" -> k34HiddenPartition,
   )
 
   val oracles: Map[String, String] = Map(
@@ -156,5 +271,28 @@ object Layout {
         |WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
         |  AND ts < TIMESTAMP '2024-01-16 00:00:00'
         |  AND user_id BETWEEN 5 AND 60""".stripMargin,
+    // The range/key answers restated over the raw tables; the partition
+    // counts restated set-algebraically (days-with-rows in the range =
+    // directories the derivation may touch; the key's bucket = 1 dir).
+    "k34_hidden_partition" ->
+      """WITH r AS (
+        |  SELECT count(*)::BIGINT AS n_events,
+        |    round(sum(value), 4) AS sum_value
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |d AS (
+        |  SELECT count(DISTINCT date_trunc('day', ts))::BIGINT
+        |      AS n_day_partitions
+        |  FROM events
+        |  WHERE ts >= TIMESTAMP '2024-01-08 00:00:00'
+        |    AND ts < TIMESTAMP '2024-01-16 00:00:00'),
+        |k AS (
+        |  SELECT count(*)::BIGINT AS n_key_orders
+        |  FROM orders WHERE o_custkey = 421),
+        |b AS (SELECT 1::BIGINT AS n_bucket_partitions)
+        |SELECT n_events, sum_value, n_day_partitions, n_key_orders,
+        |  n_bucket_partitions
+        |FROM r, d, k, b""".stripMargin,
   )
 }

@@ -288,7 +288,66 @@ object Graph {
     kCore(edges, k = 75, rounds = 8).orderBy(col("node"))
   }
 
+  /** HITS hubs/authorities (Kleinberg JACM'99), weighted: a_k(v) =
+    * Σ_{u→v} h_{k-1}(u)·w, h_k(u) = Σ_{u→v} a_k(v)·w, each vector
+    * MAX-normalized per iteration (max, not L2 — no sqrt ulp crosses
+    * the engine boundary) and rounded to 12 (the g1 grid: after
+    * rounding both engines hold EXACTLY equal scores each round, so
+    * double drift can't compound across iterations). One iteration =
+    * two rank×edge equi-joins + two keyed aggs — linear in |E|, the
+    * Pregel dataflow; the normalization scalars are one-row
+    * crossJoins; lineage cut lazily per round (the pageRank rule —
+    * without it Catalyst analysis goes superlinear in rounds). */
+  def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    val e = edges.localCheckpoint(eager = false)
+    var h = nodes.select(col("node"), lit(1.0).as("h"))
+    var a = h.select(col("node"), col("h").as("a")) // set by iteration 1
+    for (_ <- 1 to iters) {
+      val araw = h.join(e, col("node") === col("src"))
+        .groupBy(col("dst")).agg(sum(col("h") * col("w")).as("ar"))
+      a = nodes.join(araw, col("node") === col("dst"), "left")
+        .crossJoin(araw.agg(max(col("ar")).as("am")))
+        .select(col("node"),
+          round(coalesce(col("ar"), lit(0.0)) / col("am"), 12).as("a"))
+        .localCheckpoint(eager = false)
+      val hraw = a.join(e, col("node") === col("dst"))
+        .groupBy(col("src")).agg(sum(col("a") * col("w")).as("hr"))
+      h = nodes.join(hraw, col("node") === col("src"), "left")
+        .crossJoin(hraw.agg(max(col("hr")).as("hm")))
+        .select(col("node"),
+          round(coalesce(col("hr"), lit(0.0)) / col("hm"), 12).as("h"))
+        .localCheckpoint(eager = false)
+    }
+    nodes.join(h, "node").join(a, "node")
+      .select(col("node"), round(col("h"), 8).as("hub"),
+        round(col("a"), 8).as("authority"))
+  }
+
+  /** G6: HITS over the same revenue-weighted nation trade graph as G1
+    * — hubs = nations whose suppliers fund important buyers,
+    * authorities = nations whose customers attract important sellers
+    * (the two sides PageRank's single score conflates). 5 iterations,
+    * full unrolled-CTE DuckDB restatement. */
+  private val g6Hits: Q = (s, dir) => {
+    Tables.register(s, dir)
+    val rev = s.sql(
+      """SELECT s_nationkey AS src, c_nationkey AS dst,
+        |  round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS rv
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY s_nationkey, c_nationkey""".stripMargin)
+    val edges = rev.select(col("src"), col("dst"),
+      round(col("rv") / sum(col("rv")).over(Window.partitionBy(col("src"))),
+        12).as("w"))
+    val nodes = t(s, dir, "nation")
+      .select(col("n_nationkey").as("node")).distinct()
+    hits(nodes, edges, iters = 5).orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g6_hits" -> g6Hits,
     "g1_pagerank" -> g1PageRank,
     "g2_triangles" -> g2Triangles,
     "g3_bfs" -> g3Bfs,
@@ -309,6 +368,29 @@ object Graph {
        |  SELECT u, v FROM $prev
        |  WHERE u IN (SELECT n FROM d$i WHERE c >= $k)
        |    AND v IN (SELECT n FROM d$i WHERE c >= $k))""".stripMargin
+  }
+
+  /** One unrolled HITS round (authority then hub), every CTE
+    * MATERIALIZED — each raw CTE is referenced twice (values + its max
+    * scalar), so inlining would re-run the chain 2^rounds times. */
+  private def hitsIter(k: Int): String = {
+    val prev = if (k == 1) "h0" else s"h${k - 1}"
+    s"""a${k}raw AS MATERIALIZED (
+       |  SELECT e.dst, sum(p.h * e.w) AS ar
+       |  FROM $prev p JOIN edges e ON p.node = e.src GROUP BY e.dst),
+       |a$k AS MATERIALIZED (
+       |  SELECT n.node,
+       |    round(coalesce(x.ar, 0) / (SELECT max(ar) FROM a${k}raw), 12)
+       |      AS a
+       |  FROM nodes n LEFT JOIN a${k}raw x ON n.node = x.dst),
+       |h${k}raw AS MATERIALIZED (
+       |  SELECT e.src, sum(p.a * e.w) AS hr
+       |  FROM a$k p JOIN edges e ON p.node = e.dst GROUP BY e.src),
+       |h$k AS MATERIALIZED (
+       |  SELECT n.node,
+       |    round(coalesce(x.hr, 0) / (SELECT max(hr) FROM h${k}raw), 12)
+       |      AS h
+       |  FROM nodes n LEFT JOIN h${k}raw x ON n.node = x.src)""".stripMargin
   }
 
   private def oracleIter(k: Int): String = {
@@ -436,5 +518,28 @@ object Graph {
          |${(1 to 10).map(oracleIter).mkString(",\n")}
          |SELECT node, round(r, 8) AS rank FROM r10
          |ORDER BY node""".stripMargin,
+    "g6_hits" ->
+      s"""WITH rev AS MATERIALIZED (
+         |  SELECT s_nationkey AS src, c_nationkey AS dst,
+         |    round(sum(l_extendedprice * (1.0 - l_discount)), 4) AS rv
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey
+         |  GROUP BY s_nationkey, c_nationkey),
+         |edges AS MATERIALIZED (
+         |  SELECT src, dst,
+         |    round(rv / sum(rv) OVER (PARTITION BY src), 12) AS w
+         |  FROM rev),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT n_nationkey AS node FROM nation),
+         |h0 AS (SELECT node, 1.0::DOUBLE AS h FROM nodes),
+         |${(1 to 5).map(hitsIter).mkString(",\n")}
+         |SELECT n.node, round(h5.h, 8) AS hub,
+         |  round(a5.a, 8) AS authority
+         |FROM nodes n
+         |JOIN h5 ON n.node = h5.node
+         |JOIN a5 ON n.node = a5.node
+         |ORDER BY n.node""".stripMargin,
   )
 }

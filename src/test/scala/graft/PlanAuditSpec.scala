@@ -34,6 +34,9 @@ class PlanAuditSpec extends SparkSpec {
     // prefix rides the gated ANN index shapes
     "e3_matryoshka" -> Set("BroadcastNestedLoop"),
     "e3_ann_recall" -> Set("BroadcastNestedLoop"),
+    // gate-SF exact broadcast-query scan feeding the rank metrics; at
+    // scale the ranked lists come from the gated ANN indexes
+    "e3_eval_rank" -> Set("BroadcastNestedLoop"),
     "e3_cosine_neardup" -> Set("BroadcastNestedLoop"),
     "e3_cosine_topk" -> Set("BroadcastNestedLoop"),
     "e3_quantized_cosine" -> Set("BroadcastNestedLoop"),
@@ -88,12 +91,19 @@ class PlanAuditSpec extends SparkSpec {
     "e4_bm25" -> Set("BroadcastNestedLoop"),
     // two one-row global est/exact scalars crossJoined onto a one-row agg
     "a11_sketch_table" -> Set("BroadcastNestedLoop"),
+    // the one-row sketch result crossJoined onto the scan for the
+    // in-plan rank recount — map-side, no data join
+    "a21_approx_quantile" -> Set("BroadcastNestedLoop"),
     // per-table one-row before/after audit scalars crossJoined pairwise
     "k16_forget" -> Set("BroadcastNestedLoop"),
     // per-snapshot one-row (n_orders × n_li × orphans) audit scalars
     // crossJoined — the txn commit itself is N parquet writes + one
     // marker rename, no join anywhere
     "k32_multi_table_txn" -> Set("BroadcastNestedLoop"),
+    // four one-row gate scalars crossJoined (range agg, pruned-dir
+    // count, key agg, bucket-dir count) — both scans are
+    // PartitionFilters-pruned Hive reads, no data join anywhere
+    "k34_hidden_partition" -> Set("BroadcastNestedLoop"),
     // min/max over STRING columns have immutable aggregation buffers,
     // which HashAggregate can't hold — Spark's canonical plan is
     // SortAggregate, and with ZERO grouping keys it performs no sort

@@ -189,4 +189,16 @@ class HygieneSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
     assert(cg == Seq("caf\u00e9 na\u00efve", "plain", "\u00c5"), cg)
   }
+
+  test("htmlStrip removes tags and decodes entities with &amp; last") {
+    def strip(s: String): String =
+      Seq(s).toDF("h").select(Hygiene.htmlStrip($"h")).head().getString(0)
+    assert(strip("""<p id="x"><b>hi</b> there</p>""") == "hi there")
+    // double-encoded: &amp;lt; must yield the LITERAL "&lt;", not "<"
+    assert(strip("a &amp;lt; b") == "a &lt; b")
+    assert(strip("q&#39;s &quot;x&quot;&nbsp;&lt;t&gt; a &amp; b") ==
+      "q's \"x\" <t> a & b")
+    // unterminated tag survives (the regex requires a closing '>')
+    assert(strip("end <unclosed") == "end <unclosed")
+  }
 }

@@ -210,4 +210,45 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Map(1L -> "latin", 2L -> "cyrillic",
       3L -> "latin", 4L -> "cjk"), got)
   }
+
+  test("RAKE scores degree/frequency and ranks phrases — hand example") {
+    // Doc: "red apple of green pear and red apple to x"
+    //   phrases: "red apple" (×2), "green pear", "x"
+    //   freq: red 2, apple 2, green 1, pear 1, x 1
+    //   deg (Σ plen of containing phrases): red 4, apple 4, green 2,
+    //     pear 2, x 1
+    //   wscore_micro: red/apple 2e6, green/pear 2e6, x 1e6
+    //   phrase scores: "red apple" 4e6, "green pear" 4e6, "x" 1e6
+    //   tie at 4e6 → phrase string ascending: "green pear" first
+    val docs = Seq((7L, "red apple of green pear and red apple to x"))
+      .toDF("doc_id", "text")
+    val got = TextStats.rakeTopK(docs, 3)
+      .select($"rnk", $"phrase", $"plen", $"score_micro")
+      .as[(Int, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1, "green pear", 2L, 4000000L),
+      (2, "red apple", 2L, 4000000L),
+      (3, "red apple", 2L, 4000000L)), got)
+  }
+
+  test("RAKE favors longer phrases over frequent singletons") {
+    // "alpha beta of alpha of alpha": phrases "alpha beta", "alpha",
+    // "alpha". freq alpha 3, deg alpha 2+1+1=4; beta freq 1 deg 2.
+    // wscore alpha = round(4e6/3) = 1333333, beta = 2e6.
+    // "alpha beta" = 1333333 + 2000000 = 3333333 > "alpha" = 1333333.
+    val docs = Seq((1L, "alpha beta of alpha of alpha"))
+      .toDF("doc_id", "text")
+    val got = TextStats.rakeTopK(docs, 1)
+      .select($"phrase", $"score_micro")
+      .as[(String, Long)].head()
+    assert(got == ("alpha beta", 3333333L), got)
+  }
+
+  test("readability syllable surrogate counts vowel groups") {
+    // ea|a|i|i|y (5) + ou (1) + o|e (2) + ou (1) = 9
+    assert(one(regexp_count($"text", lit(TextStats.VowelRe)),
+      "readability counts vowel groups") == 9)
+    assert(one(regexp_count($"text", lit(TextStats.VowelRe)),
+      "xyz zz") == 1)
+  }
 }

@@ -214,4 +214,19 @@ class TrainPrepSpec extends SparkSpec {
     val h = (7L % 2147483648L) * 2654435761L % 4294967296L
     assert(got == (h % 16).toInt)
   }
+
+  test("curriculum interleaves buckets round-robin, easiest first") {
+    // 8 docs, difficulty = n_chars/words = n_chars (one word each):
+    // doc i has difficulty i → buckets {1,2}{3,4}{5,6}{7,8} (ntile 4
+    // over 8 rows), rn 1..2 within each. Schedule: rn=1 sweep across
+    // buckets (docs 1,3,5,7) then rn=2 sweep (2,4,6,8).
+    val docs = (1 to 8).map(i => (i.toLong, "w", i.toLong))
+      .toDF("doc_id", "text", "n_chars")
+    val got = TrainPrep.curriculumSchedule(docs, nBuckets = 4, limit = 8)
+      .select($"pos", $"doc_id", $"bucket", $"rn")
+      .as[(Int, Long, Int, Int)].collect().toSeq
+    assert(got.map(_._2) == Seq(1L, 3L, 5L, 7L, 2L, 4L, 6L, 8L), got)
+    assert(got.map(_._3) == Seq(1, 2, 3, 4, 1, 2, 3, 4), got)
+    assert(got.map(_._4) == Seq(1, 1, 1, 1, 2, 2, 2, 2), got)
+  }
 }

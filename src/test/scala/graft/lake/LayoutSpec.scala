@@ -63,4 +63,48 @@ class LayoutSpec extends SparkSpec {
       case _ =>
     }
   }
+
+  test("hidden day-transform scan equals the raw filter and prunes dirs") {
+    val root = Lake.scratchDir("t_hidden_day")
+    val day = Layout.DayTransform("ts")
+    val src = Tables.load(spark, sf, "events")
+    Layout.hiddenWrite(src, root, day)
+    assert(Layout.hiddenSpec(root) == "day ts")
+    val scan = Layout.hiddenScanRange(spark, root, day,
+      "2024-01-05", "2024-01-09")
+    val expected = src.filter(
+      $"ts" >= lit("2024-01-05").cast("timestamp") &&
+        $"ts" < lit("2024-01-09").cast("timestamp"))
+      .select($"event_id").as[Long].collect().sorted.toSeq
+    val got = scan.select($"event_id").as[Long].collect().sorted.toSeq
+    assert(got == expected, "hidden scan must equal the raw ts filter")
+    // pruning is real: PartitionFilters on _p, strict directory subset
+    val plan = physicalPlan(scan)
+    assert(plan.contains("PartitionFilters") && plan.contains("_p"),
+      s"_p pruning missing in:\n$plan")
+    val total = spark.read.parquet(root).select($"_p").distinct().count()
+    assert(day.daysBetween("2024-01-05", "2024-01-09").size < total,
+      "range should touch a strict subset of day directories")
+  }
+
+  test("hidden bucket-transform: expression and driver hash agree") {
+    val buck = Layout.BucketTransform(8, "k")
+    val keys = Seq(0L, 1L, 7L, 421L, 999999L, 2147483647L)
+    val got = keys.toDF("k").select(buck.partitionOf).as[Long].collect()
+    assert(got.toSeq == keys.map(buck.bucketOf),
+      "column hash and driver derivation must match")
+  }
+
+  test("hidden bucket scan returns exactly the key's rows") {
+    val root = Lake.scratchDir("t_hidden_buck")
+    val buck = Layout.BucketTransform(8, "o_custkey")
+    val src = Tables.load(spark, sf, "orders")
+    Layout.hiddenWrite(src, root, buck)
+    val key = src.select($"o_custkey").as[Long].head()
+    val got = Layout.hiddenScanKey(spark, root, buck, key)
+      .select($"o_orderkey").as[Long].collect().sorted.toSeq
+    val expected = src.filter($"o_custkey" === key)
+      .select($"o_orderkey").as[Long].collect().sorted.toSeq
+    assert(got == expected && got.nonEmpty)
+  }
 }

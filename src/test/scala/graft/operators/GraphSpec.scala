@@ -145,4 +145,17 @@ class GraphSpec extends SparkSpec {
     // Whole graph below k: empty core, empty output.
     assert(Graph.kCore(edges, k = 4, rounds = 4).count() == 0)
   }
+
+  test("HITS separates pure hubs from the pure authority") {
+    // 1→3, 2→3 (unit weights): 3 is the only authority, 1 and 2 are
+    // equal hubs, and the fixpoint is reached in one iteration —
+    // hub(1)=hub(2)=1, hub(3)=0; authority(3)=1, authority(1,2)=0.
+    val nodes = Seq(1L, 2L, 3L).toDF("node")
+    val edges = Seq((1L, 3L, 1.0), (2L, 3L, 1.0)).toDF("src", "dst", "w")
+    val got = Graph.hits(nodes, edges, iters = 3)
+      .orderBy($"node")
+      .select($"node", $"hub", $"authority")
+      .as[(Long, Double, Double)].collect().toSeq
+    assert(got == Seq((1L, 1.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0)), got)
+  }
 }
