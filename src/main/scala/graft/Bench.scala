@@ -64,8 +64,9 @@ object Bench {
     "g3_bfs", "g2_triangles", "e8_contamination", "e2_edit_join",
     "e7_curation",
     // round-11 additions: line-level dedup is a new digest-keyed
-    // family head — measure it like the others
-    "e2_line_dedup")
+    // family head, RAKE a new posexplode+doc-keyed-join family head —
+    // measure them like the others
+    "e2_line_dedup", "e4_rake_keywords")
 
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is

@@ -302,6 +302,56 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Containment (asymmetric resemblance, Broder 1997) self-join — the
+    * doc-IN-doc detector symmetric Jaccard misses: a page embedded in a
+    * page-plus-boilerplate has low Jaccard but containment ≈ 1. EXACT
+    * via asymmetric prefix filtering: C(A→B) = |S(A)∩S(B)|/|S(A)| ≥ p/q
+    * means B misses at most |S(A)| − ⌈p·|S(A)|/q⌉ of A's shingles, so B
+    * shares at least one of ANY (misses+1)-sized subset of A (the
+    * AllPairs pigeonhole, asymmetric flavor) — we block on the globally
+    * RAREST such prefix (order by (df, tok)). The threshold is a
+    * RATIONAL p/q and both prefix length and the verification predicate
+    * (q·shared ≥ p·|A|) are pure integer arithmetic — no float boundary
+    * can drop an exactly-at-threshold pair in either engine.
+    *
+    * Scale posture: token stats + one global vocab rank (a sorted
+    * dimension table — its window is vocab-sized, not corpus-sized),
+    * prefix equi-join on the rarest tokens, then ONE keyed
+    * verification join restricted to candidates. Nothing all-pairs. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+      p: Int, q: Int, shingleN: Int = 3): DataFrame = {
+    val toksRaw = df.select(col(idCol).as("id"),
+      explode(shingles(col(textCol), shingleN)).as("tok"))
+    val dfc = toksRaw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val ranked = dfc.select(col("tok"),
+      row_number().over(Window.orderBy(col("df"), col("tok"))).as("gr"))
+    val toks = toksRaw.join(ranked, Seq("tok"))
+      .localCheckpoint(eager = false)
+    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("na"))
+    val prefix = toks
+      .withColumn("pos", row_number().over(
+        Window.partitionBy(col("id")).orderBy(col("gr"))))
+      .join(sizes, Seq("id"))
+      .filter(col("pos") <=
+        col("na") - expr(s"($p * na + $q - 1) div $q") + 1)
+    val cands = prefix.select(col("id").as("a"), col("tok"))
+      .join(toks.select(col("id").as("b"), col("tok")), Seq("tok"))
+      .filter(col("a") =!= col("b"))
+      .select(col("a"), col("b")).distinct()
+    val shared = cands
+      .join(toks.select(col("id").as("a"), col("tok")), Seq("a"))
+      .join(toks.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
+      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
+    shared
+      .join(sizes.select(col("id").as("a"), col("na")), Seq("a"))
+      .filter(col("shared") * q >= col("na") * p)
+      .select(col("a").as("contained_id"), col("b").as("container_id"),
+        col("na").as("n_shingles"),
+        round(col("shared").cast("double") / col("na"), 4)
+          .as("containment"))
+      .orderBy(col("contained_id"), col("container_id"))
+  }
+
   /** Deletion-neighborhood (SymSpell-family) edit-distance similarity
     * join: the EXACT set of pairs with Levenshtein(a,b) ≤ maxDist inside
     * a blocking key, without comparing all pairs.
@@ -797,6 +847,23 @@ object Dedup {
     ngramJaccardPairs(t(s, dir, "documents"), "doc_id", "text",
       shingleN = 3, threshold = 0.75)
       .orderBy(col("a"), col("b"))
+
+  /** E2i: containment self-join over the corpus + PLANTED sub-documents
+    * — every doc_id ≡ 0 (mod 9) re-emits its first ⌈n/2⌉ words as
+    * doc_id+10⁶, whose shingle set is a subset by construction, so
+    * each plant must surface against its base with containment 1.0
+    * (natural exact-dup pairs surface too; the oracle's all-pairs
+    * list-intersect restatement pins the complete pair set). */
+  private val e2Containment: Q = (s, dir) => {
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val w = split(col("text"), " ")
+    val plants = t(s, dir, "documents").filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 1000000L).as("doc_id"),
+        array_join(slice(w, lit(1), ((size(w) + 1) / 2).cast("int")), " ")
+          .as("text"))
+    containmentPairs(docs.unionByName(plants), "doc_id", "text",
+      p = 4, q = 5)
+  }
 
   private val e12JaroEr: Q = (s, dir) =>
     jaroWinklerPairs(t(s, dir, "part"), "p_partkey", "p_name",
@@ -1396,6 +1463,7 @@ object Dedup {
     "e1_dedup_exact" -> e1DedupExact,
     "e2_minhash_neardup" -> e2MinhashNearDup,
     "e2_ngram_jaccard" -> e2NgramJaccard,
+    "e2_containment" -> e2Containment,
     "e2_edit_join" -> e2EditJoin,
     "e12_jaro_er" -> e12JaroEr,
     "e2_cluster_cc" -> e2ClusterCc,
@@ -1688,6 +1756,41 @@ object Dedup {
         |ORDER BY a, b""".stripMargin,
     // Exact all-pairs 3-word-shingle Jaccard — the prefix-filter path
     // must reproduce it bit for bit.
+    // Token-join restatement over corpus + the same plants (pairs via
+    // shared-shingle GROUP BY — Σ df² rows, ~3M at sf0.1, where the
+    // all-pairs list-intersect form ran past 10 min); the integer
+    // threshold (5·shared ≥ 4·|A|) mirrored so no float boundary can
+    // disagree. A pair sharing zero shingles can't reach any positive
+    // threshold, so the token join loses nothing; shingle-less docs
+    // drop from the explode in both engines.
+    "e2_containment" ->
+      """WITH base AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000 AS doc_id,
+        |    array_to_string(l[1:(len(l) + 1) // 2], ' ') AS text
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |        FROM documents) d
+        |  WHERE doc_id % 9 = 0),
+        |tok AS (
+        |  SELECT doc_id,
+        |    unnest(list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2]))) AS tok
+        |  FROM base),
+        |sizes AS (SELECT doc_id, count(*) AS na FROM tok GROUP BY doc_id),
+        |shared AS (
+        |  SELECT a.doc_id AS ca, b.doc_id AS cb, count(*) AS sh
+        |  FROM tok a JOIN tok b ON a.tok = b.tok AND a.doc_id <> b.doc_id
+        |  GROUP BY ca, cb)
+        |SELECT ca AS contained_id, cb AS container_id,
+        |  na::BIGINT AS n_shingles,
+        |  round(sh::DOUBLE / na, 4) AS containment
+        |FROM shared JOIN sizes ON sizes.doc_id = ca
+        |WHERE 5 * sh >= 4 * na
+        |ORDER BY contained_id, container_id""".stripMargin,
     "e2_ngram_jaccard" ->
       """WITH sh AS (
         |  SELECT doc_id,

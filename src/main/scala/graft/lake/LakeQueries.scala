@@ -194,6 +194,26 @@ object LakeQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S23: multiLine JSON-ARRAY ingest — the API-dump layout (one JSON
+    * array per file, records spanning lines), the sibling of s10's
+    * JSONL: multiLine=true makes each FILE one parse unit. The write
+    * side builds one array per partition via mapPartitions (no driver
+    * collect — a real dump arrives as many array files, and this is
+    * exactly that shape), the read side is the surface under test. */
+  private val s23MultilineJson: Q = (s, dir) => {
+    import s.implicits._
+    val out = Lake.scratchDir("s23")
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(4).toJSON
+      .mapPartitions(rows => Iterator(rows.mkString("[\n", ",\n", "\n]")))
+      .write.mode("overwrite").text(out)
+    s.read.option("multiLine", "true")
+      .schema("doc_id bigint, lang string, text string")
+      .json(out)
+      .orderBy(col("doc_id"))
+  }
+
   /** S11: ORC round trip — the second columnar format the provisioned
     * SQL surface reads; types and values must survive exactly. */
   private val s11OrcRt: Q = (s, dir) => {
@@ -1015,6 +1035,7 @@ object LakeQueries {
     "s5_catalog_sql" -> s5CatalogSql,
     "s5b_catalog_db" -> s5bCatalogDb,
     "s10_jsonl_rt" -> s10JsonlRt,
+    "s23_multiline_json" -> s23MultilineJson,
     "s11_orc_rt" -> s11OrcRt,
     "s21_xml_rt" -> s21XmlRt,
     "s22_grok_log" -> s22GrokLog,
@@ -1228,6 +1249,8 @@ object LakeQueries {
         |JOIN nation n ON p.s_nationkey = n.n_nationkey
         |ORDER BY n.n_name""".stripMargin,
     "s10_jsonl_rt" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
+    "s23_multiline_json" ->
       """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
     "s11_orc_rt" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal

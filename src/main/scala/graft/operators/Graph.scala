@@ -346,7 +346,61 @@ object Graph {
     hits(nodes, edges, iters = 5).orderBy(col("node"))
   }
 
+  /** Single-source shortest paths by synchronous Bellman-Ford rounds:
+    * dist_k(v) = min(dist_{k-1}(v), min_{u→v}(dist_{k-1}(u) + cost)).
+    * One round = one frontier×edge equi-join + one dst-keyed min —
+    * linear in |E| per round, the Pregel dataflow (g3's BFS is the
+    * cost≡1 special case). Costs are INTEGERS, so relaxation is exact
+    * arithmetic in both engines — no float can reorder a min. Null
+    * distance = not yet reached; the null/least interplay is spelled
+    * as an explicit CASE because the engines' least() null rules are
+    * not part of the shared dialect. */
+  def sssp(nodes: DataFrame, edges: DataFrame, src: Long,
+      rounds: Int): DataFrame = {
+    val e = edges.localCheckpoint(eager = false)
+    var dist = nodes.select(col("node"),
+      when(col("node") === src, 0L).otherwise(lit(null).cast("long"))
+        .as("d"))
+    for (_ <- 1 to rounds) {
+      val relaxed = dist.filter(col("d").isNotNull)
+        .join(e, col("node") === col("src_n"))
+        .groupBy(col("dst_n"))
+        .agg(min(col("d") + col("cost")).as("cand"))
+      dist = dist.join(relaxed, col("node") === col("dst_n"), "left")
+        .select(col("node"),
+          when(col("d").isNull, col("cand"))
+            .when(col("cand").isNull, col("d"))
+            .otherwise(least(col("d"), col("cand"))).as("d"))
+        .localCheckpoint(eager = false)
+    }
+    dist
+  }
+
+  /** G7: weighted SSSP over the directed nation trade graph with
+    * deterministic small-integer costs (1 + (7·src + 13·dst) mod 5 —
+    * provenance is irrelevant to the dataflow under test, integrality
+    * is what buys exact cross-engine mins). Costs vary 1..5, so a
+    * 2-hop path can beat a direct edge and the relaxation rounds do
+    * real work; 6 rounds ≫ the graph's hop diameter. */
+  private val g7Sssp: Q = (s, dir) => {
+    Tables.register(s, dir)
+    val edges = s.sql(
+      """SELECT DISTINCT s_nationkey AS src_n, c_nationkey AS dst_n,
+        |  1 + (7 * s_nationkey + 13 * c_nationkey) % 5 AS cost
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin)
+      .select(col("src_n"), col("dst_n"), col("cost").cast("long"))
+    val nodes = t(s, dir, "nation")
+      .select(col("n_nationkey").as("node")).distinct()
+    sssp(nodes, edges, src = 1L, rounds = 6)
+      .select(col("node"), col("d").as("dist"))
+      .orderBy(col("node"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "g7_sssp" -> g7Sssp,
     "g6_hits" -> g6Hits,
     "g1_pagerank" -> g1PageRank,
     "g2_triangles" -> g2Triangles,
@@ -368,6 +422,22 @@ object Graph {
        |  SELECT u, v FROM $prev
        |  WHERE u IN (SELECT n FROM d$i WHERE c >= $k)
        |    AND v IN (SELECT n FROM d$i WHERE c >= $k))""".stripMargin
+  }
+
+  /** One unrolled Bellman-Ford round — MATERIALIZED: d{k-1} is
+    * referenced twice (carry + relax), so inlining doubles per round. */
+  private def ssspIter(k: Int): String = {
+    val prev = if (k == 1) "d0" else s"d${k - 1}"
+    s"""d$k AS MATERIALIZED (
+       |  SELECT p.node,
+       |    CASE WHEN p.d IS NULL THEN r.cand
+       |         WHEN r.cand IS NULL THEN p.d
+       |         ELSE least(p.d, r.cand) END AS d
+       |  FROM $prev p LEFT JOIN (
+       |    SELECT e.dst_n AS node, min(p2.d + e.cost) AS cand
+       |    FROM $prev p2 JOIN edges e ON p2.node = e.src_n
+       |    WHERE p2.d IS NOT NULL GROUP BY e.dst_n) r
+       |    ON p.node = r.node)""".stripMargin
   }
 
   /** One unrolled HITS round (authority then hub), every CTE
@@ -518,6 +588,23 @@ object Graph {
          |${(1 to 10).map(oracleIter).mkString(",\n")}
          |SELECT node, round(r, 8) AS rank FROM r10
          |ORDER BY node""".stripMargin,
+    "g7_sssp" ->
+      s"""WITH edges AS MATERIALIZED (
+         |  SELECT DISTINCT s_nationkey AS src_n, c_nationkey AS dst_n,
+         |    (1 + (7 * s_nationkey + 13 * c_nationkey) % 5)::BIGINT
+         |      AS cost
+         |  FROM lineitem
+         |  JOIN orders ON l_orderkey = o_orderkey
+         |  JOIN customer ON o_custkey = c_custkey
+         |  JOIN supplier ON l_suppkey = s_suppkey),
+         |nodes AS MATERIALIZED (
+         |  SELECT DISTINCT n_nationkey AS node FROM nation),
+         |d0 AS (
+         |  SELECT node,
+         |    CASE WHEN node = 1 THEN 0::BIGINT ELSE NULL END AS d
+         |  FROM nodes),
+         |${(1 to 6).map(ssspIter).mkString(",\n")}
+         |SELECT node, d AS dist FROM d6 ORDER BY node""".stripMargin,
     "g6_hits" ->
       s"""WITH rev AS MATERIALIZED (
          |  SELECT s_nationkey AS src, c_nationkey AS dst,

@@ -335,6 +335,53 @@ object EventWindows {
     s.table(sink).select(col("digest")).orderBy(col("digest"))
   }
 
+  /** EV30 ✱: streaming cardinality via the DataSketches HLL built-in
+    * (Spark 4 `hll_sketch_agg`) — the fixed-state mergeable way to
+    * track distinct users per event type in a stream at 100 TB: exact
+    * streaming COUNT(DISTINCT) holds every key in state, the sketch
+    * holds 2^lgK registers regardless of cardinality. Complete-mode
+    * aggregation accumulates sketch state ACROSS micro-batches — the
+    * events replay one day-bucket per batch and users recur across
+    * days, so the final estimate is only right if batch k's registers
+    * survive into batch k+1 (all_events_seen pins that every batch
+    * was delivered into the same state). Gate: per type, the exact
+    * distinct count value-gated vs DuckDB, plus the estimate's
+    * relative error asserted in-plan ≤ 4% (lgK=12 ⇒ RSE ≈ 0.8%,
+    * bounded at ~5σ). */
+  private val ev30StreamHll: Q = (s, dir) => {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("user_id"),
+        (dayofmonth(col("ts")) % 5).cast("long").as("b"))
+    val (files, landing) = stageReplay(s, ev)
+    require(files.size == 5, s"expected 5 day buckets, got ${files.size}")
+    val schema = s.read.parquet(files.head.toString).schema
+    val sink = "ev30_out_" +
+      java.util.UUID.randomUUID.toString.replace("-", "")
+    val prevShuffle = s.conf.get("spark.sql.shuffle.partitions")
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    val q =
+      try s.readStream.schema(schema).parquet(landing)
+          .groupBy(col("event_type"))
+          .agg(expr("hll_sketch_agg(user_id, 12)").as("sk"),
+            count(lit(1)).as("n_events"))
+          .select(col("event_type"),
+            expr("hll_sketch_estimate(sk)").as("est"), col("n_events"))
+          .writeStream.format("memory").queryName(sink)
+          .outputMode("complete").start()
+      finally s.conf.set("spark.sql.shuffle.partitions", prevShuffle)
+    try replay(files, landing, q) finally q.stop()
+    val exact = t(s, dir, "events").groupBy(col("event_type"))
+      .agg(countDistinct(col("user_id")).as("n_exact"),
+        count(lit(1)).as("n_events_batch"))
+    s.table(sink)
+      .join(exact, "event_type")
+      .select(col("event_type"), col("n_exact"),
+        (col("n_events") === col("n_events_batch")).as("all_events_seen"),
+        (abs(col("est") - col("n_exact")) <=
+          col("n_exact") * 0.04 + lit(1.0)).as("estimate_ok"))
+      .orderBy(col("event_type"))
+  }
+
   /** EV29: streaming dedup on a DERIVED canonical key — the crawler
     * frontier shape: URLs arrive as case/tracking/port variants across
     * micro-batches, are canonicalized MAP-SIDE inside the stream
@@ -1051,6 +1098,7 @@ object EventWindows {
     "ev11_stream_dedup" -> ev11StreamDedup,
     "ev26_stream_dropdup" -> ev26StreamDropdup,
     "ev29_stream_url_dedup" -> ev29StreamUrlDedup,
+    "ev30_stream_hll" -> ev30StreamHll,
     "ev27_rocksdb_dropdup" -> ev27RocksdbDropdup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
@@ -1296,6 +1344,12 @@ object EventWindows {
         |FROM documents ORDER BY digest""".stripMargin,
     // Distinct CANONICAL urls of the base plant — the +455 revisits
     // share every content modulus (455 = 7·13·5), so a correct
+    // Exact distinct counts value-gated; the sketch estimate bound is
+    // asserted in-plan (✱ — sketch registers are engine-specific).
+    "ev30_stream_hll" ->
+      """SELECT event_type, count(DISTINCT user_id)::BIGINT AS n_exact,
+        |  true AS all_events_seen, true AS estimate_ok
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
     // canonical dedup adds no row for them; a leaked variant makes the
     // stream emit MORE rows and hash-fail.
     "ev29_stream_url_dedup" ->

@@ -46,7 +46,8 @@ class ScalingSpec extends SparkSpec {
     "g3_bfs", "g2_triangles", "e8_contamination", "e2_edit_join",
     "e7_curation",
     // round-11: the line-dedup family head (digest-keyed keep-first)
-    "e2_line_dedup")
+    // and RAKE (one posexplode + doc-keyed joins — linear by design)
+    "e2_line_dedup", "e4_rake_keywords")
 
   test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
       "bucketed family head in the committed bench artifact") {

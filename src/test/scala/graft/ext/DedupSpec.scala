@@ -513,4 +513,22 @@ class DedupSpec extends SparkSpec {
       assert(withCodegen == interpreted)
     } finally spark.conf.set("spark.sql.codegen.wholeStage", "true")
   }
+
+  test("containmentPairs finds sub-documents incl. the exact-threshold " +
+      "boundary the integer arithmetic exists for") {
+    // doc 2 ("a b c d") ⊂ doc 1 ("a b c d e f"): C(2→1) = 2/2 = 1;
+    // the reverse is 2/4 = 0.5 < 0.8 and must NOT surface.
+    // docs 4/5: S(4) = 5 shingles, S(5) = 4 of them → C(4→5) = 4/5 =
+    // 0.8 EXACTLY — a float-boundary pair (0.8·5 = 4.0000000000000004
+    // in doubles) that the q·shared ≥ p·|A| integer predicate and the
+    // integer prefix length must both keep.
+    val docs = Seq(
+      (1L, "a b c d e f"), (2L, "a b c d"), (3L, "x y z w"),
+      (4L, "p q r s t u v"), (5L, "p q r s t u"))
+      .toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(docs, "doc_id", "text", p = 4, q = 5)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == Seq(
+      (2L, 1L, 2L, 1.0), (4L, 5L, 5L, 0.8), (5L, 4L, 4L, 1.0)), got)
+  }
 }

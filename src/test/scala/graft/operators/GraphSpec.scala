@@ -146,6 +146,21 @@ class GraphSpec extends SparkSpec {
     assert(Graph.kCore(edges, k = 4, rounds = 4).count() == 0)
   }
 
+  test("SSSP relaxes a 2-hop shortcut below the direct edge") {
+    // 1→2 cost 5, 1→3 cost 1, 3→2 cost 1, 2→4 cost 1:
+    // dist 1=0, 3=1, 2=min(5, 1+1)=2, 4=3; 5 unreachable → null.
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("node")
+    val edges = Seq((1L, 2L, 5L), (1L, 3L, 1L), (3L, 2L, 1L),
+      (2L, 4L, 1L)).toDF("src_n", "dst_n", "cost")
+    val got = Graph.sssp(nodes, edges, src = 1L, rounds = 4)
+      .orderBy($"node")
+      .select($"node", $"d")
+      .collect().map(r => (r.getLong(0),
+        if (r.isNullAt(1)) None else Some(r.getLong(1)))).toSeq
+    assert(got == Seq(1L -> Some(0L), 2L -> Some(2L), 3L -> Some(1L),
+      4L -> Some(3L), 5L -> None), got)
+  }
+
   test("HITS separates pure hubs from the pure authority") {
     // 1→3, 2→3 (unit weights): 3 is the only authority, 1 and 2 are
     // equal hubs, and the fixpoint is reached in one iteration —
