@@ -706,10 +706,72 @@ object TextStats {
   private val e4RakeKeywords: Q = (s, dir) =>
     rakeTopK(t(s, dir, "documents"), k = 3)
 
+  // -------------------------------------------- ROUGE overlap scoring
+
+  /** E4: ROUGE-1/-2 overlap scoring (Lin 2004) — the reference-vs-
+    * hypothesis n-gram metric generation pipelines gate output quality
+    * on. Hypothesis = the stopword-stripped document (a deterministic
+    * "summary" both engines rebuild identically); reference = the full
+    * text. Counts are MULTISET matches with standard clipping
+    * (Σ min(count_h, count_r) per gram — exact integers via one
+    * doc+gram-keyed join), so precision/recall are exact rationals and
+    * F1 is computed from bit-identical doubles. Stopword removal
+    * creates NEW bigram adjacencies, so ROUGE-2 precision < 1 and the
+    * clipping path does real work. Everything is doc-keyed explode →
+    * groupBy → join: linear, the 100 TB eval shape. */
+  def rougeScores(input: DataFrame): DataFrame = {
+    val docs = input
+      .select(col("doc_id"), split(col("text"), " ").as("ref_w"))
+      .withColumn("hyp_w",
+        filter(col("ref_w"), w => !w.isin(StopWords: _*) && w =!= ""))
+    def grams(wordsCol: String, n: Int, side: String) = {
+      val w = col(wordsCol)
+      // Guard: Spark's sequence(1, 0) DESCENDS — an under-n-word list
+      // must yield an empty gram array, not [1,0]-indexed garbage.
+      val g =
+        if (n == 1) w
+        else when(size(w) >= n,
+          transform(sequence(lit(1), size(w) - (n - 1)),
+            i => concat_ws(" ", slice(w, i, lit(n)))))
+          .otherwise(array().cast("array<string>"))
+      docs.select(col("doc_id"), explode(g).as("gram"))
+        .filter(col("gram") =!= "")
+        .groupBy(col("doc_id"), col("gram"))
+        .agg(count(lit(1)).as(s"c_$side"))
+    }
+    def rouge(n: Int, tag: String) = {
+      val h = grams("hyp_w", n, "h")
+      val r = grams("ref_w", n, "r")
+      val m = h.join(r, Seq("doc_id", "gram"))
+        .groupBy(col("doc_id"))
+        .agg(sum(least(col("c_h"), col("c_r"))).as("m"))
+      val ht = h.groupBy(col("doc_id")).agg(sum(col("c_h")).as("ht"))
+      val rt = r.groupBy(col("doc_id")).agg(sum(col("c_r")).as("rt"))
+      ht.join(rt, Seq("doc_id")).join(m, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("m"), lit(0L)).as(s"m$tag"),
+          col("ht").as(s"h$tag"), col("rt").as(s"r$tag"),
+          round(coalesce(col("m"), lit(0L)) / col("ht").cast("double"), 4)
+            .as(s"p$tag"),
+          round(coalesce(col("m"), lit(0L)) / col("rt").cast("double"), 4)
+            .as(s"rec$tag"))
+    }
+    rouge(1, "1").join(rouge(2, "2"), Seq("doc_id"))
+      .withColumn("f2", round(
+        when(col("p2") + col("rec2") > 0,
+          lit(2.0) * col("p2") * col("rec2") / (col("p2") + col("rec2")))
+          .otherwise(0.0), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val e4Rouge: Q = (s, dir) =>
+    rougeScores(t(s, dir, "documents").filter(col("doc_id") % 4 === 0))
+
   val queries: Map[String, Q] = Map(
     "e4_script_id" -> e4ScriptId,
     "e4_readability" -> e4Readability,
     "e4_rake_keywords" -> e4RakeKeywords,
+    "e4_rouge" -> e4Rouge,
     "e4_langid" -> e4Langid,
     "e4_bigram_lm" -> e4BigramLm,
     "e4_winnow" -> e4Winnow,
@@ -784,6 +846,71 @@ object TextStats {
          |    - 84.6::DOUBLE * n_syllables / greatest(n_words, 1), 4)
          |    AS flesch
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Full restatement: same stopword-stripped hypothesis, same
+    // multiset clipping (Σ least of per-gram counts), same inner-join
+    // drop of gram-less docs, F1 computed from the ROUNDED p2/rec2.
+    "e4_rouge" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ref_w,
+         |    list_filter(string_split(text, ' '),
+         |      w -> w NOT IN ($stopSql) AND w <> '') AS hyp_w
+         |  FROM documents WHERE doc_id % 4 = 0),
+         |h1 AS (
+         |  SELECT doc_id, g.gram, count(*) AS c_h
+         |  FROM d, unnest(hyp_w) AS g(gram)
+         |  WHERE g.gram <> '' GROUP BY doc_id, g.gram),
+         |r1 AS (
+         |  SELECT doc_id, g.gram, count(*) AS c_r
+         |  FROM d, unnest(ref_w) AS g(gram)
+         |  WHERE g.gram <> '' GROUP BY doc_id, g.gram),
+         |h2 AS (
+         |  SELECT doc_id, gram, count(*) AS c_h FROM (
+         |    SELECT doc_id, hyp_w[i::INT] || ' ' || hyp_w[(i+1)::INT]
+         |      AS gram
+         |    FROM d, unnest(range(1, greatest(len(hyp_w) - 1, 0) + 1))
+         |      AS t(i)) g
+         |  WHERE gram <> '' GROUP BY doc_id, gram),
+         |r2 AS (
+         |  SELECT doc_id, gram, count(*) AS c_r FROM (
+         |    SELECT doc_id, ref_w[i::INT] || ' ' || ref_w[(i+1)::INT]
+         |      AS gram
+         |    FROM d, unnest(range(1, greatest(len(ref_w) - 1, 0) + 1))
+         |      AS t(i)) g
+         |  WHERE gram <> '' GROUP BY doc_id, gram),
+         |m1 AS (
+         |  SELECT doc_id, sum(least(c_h, c_r)) AS m
+         |  FROM h1 JOIN r1 USING (doc_id, gram) GROUP BY doc_id),
+         |m2 AS (
+         |  SELECT doc_id, sum(least(c_h, c_r)) AS m
+         |  FROM h2 JOIN r2 USING (doc_id, gram) GROUP BY doc_id),
+         |t1 AS (
+         |  SELECT a.doc_id, a.ht, b.rt FROM
+         |    (SELECT doc_id, sum(c_h) AS ht FROM h1 GROUP BY doc_id) a
+         |    JOIN (SELECT doc_id, sum(c_r) AS rt FROM r1
+         |          GROUP BY doc_id) b USING (doc_id)),
+         |t2 AS (
+         |  SELECT a.doc_id, a.ht, b.rt FROM
+         |    (SELECT doc_id, sum(c_h) AS ht FROM h2 GROUP BY doc_id) a
+         |    JOIN (SELECT doc_id, sum(c_r) AS rt FROM r2
+         |          GROUP BY doc_id) b USING (doc_id)),
+         |s1 AS (
+         |  SELECT t1.doc_id, coalesce(m1.m, 0)::BIGINT AS m1,
+         |    t1.ht::BIGINT AS h1, t1.rt::BIGINT AS r1,
+         |    round(coalesce(m1.m, 0) / t1.ht::DOUBLE, 4) AS p1,
+         |    round(coalesce(m1.m, 0) / t1.rt::DOUBLE, 4) AS rec1
+         |  FROM t1 LEFT JOIN m1 USING (doc_id)),
+         |s2 AS (
+         |  SELECT t2.doc_id, coalesce(m2.m, 0)::BIGINT AS m2,
+         |    t2.ht::BIGINT AS h2, t2.rt::BIGINT AS r2,
+         |    round(coalesce(m2.m, 0) / t2.ht::DOUBLE, 4) AS p2,
+         |    round(coalesce(m2.m, 0) / t2.rt::DOUBLE, 4) AS rec2
+         |  FROM t2 LEFT JOIN m2 USING (doc_id))
+         |SELECT s1.doc_id, s1.m1, s1.h1, s1.r1, s1.p1, s1.rec1,
+         |  s2.m2, s2.h2, s2.r2, s2.p2, s2.rec2,
+         |  round(CASE WHEN s2.p2 + s2.rec2 > 0
+         |    THEN 2.0 * s2.p2 * s2.rec2 / (s2.p2 + s2.rec2)
+         |    ELSE 0.0 END, 4) AS f2
+         |FROM s1 JOIN s2 USING (doc_id) ORDER BY s1.doc_id""".stripMargin,
     // Full RAKE restatement: same stopword boundaries (running-count
     // phrase ids over unique positions — identical default window
     // frames), same micro-int word scores, same tie order.

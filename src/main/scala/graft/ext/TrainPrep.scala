@@ -672,8 +672,42 @@ object TrainPrep {
   private val e8Curriculum: Q = (s, dir) =>
     curriculumSchedule(t(s, dir, "documents"), nBuckets = 4, limit = 40)
 
+  /** E8: length-bucketed batching — sort docs by token length before
+    * cutting fixed-size batches so padding-to-max inside each batch is
+    * minimal (the bucketing trick that saves real FLOPs at training
+    * time; random batches pad every short doc up to the batch's
+    * longest). Per batch, waste = n_docs·max(tokens) − Σ tokens; the
+    * gate emits the sorted and arrival-order rollups side by side so
+    * the oracle pins both the bucketing arithmetic AND the saving it
+    * exists to produce. Pure integer arithmetic; rank-only windows
+    * (gate-SF global sort — range-partitioned at scale). */
+  def lengthBatchingRollup(input: DataFrame, batchSize: Int): DataFrame = {
+    val docs = input.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n_tok"))
+    def rollup(order: Seq[Column], strategy: String) =
+      docs.withColumn("batch",
+          ((row_number().over(Window.orderBy(order: _*)) - 1) /
+            lit(batchSize)).cast("long"))
+        .groupBy(col("batch"))
+        .agg(count(lit(1)).as("n_docs"), max(col("n_tok")).as("mx"),
+          sum(col("n_tok")).as("tok"))
+        .agg(count(lit(1)).as("n_batches"),
+          sum(col("tok")).as("total_tokens"),
+          sum(col("n_docs") * col("mx") - col("tok")).as("total_padding"))
+        .withColumn("strategy", lit(strategy))
+    rollup(Seq(col("n_tok"), col("doc_id")), "sorted")
+      .unionByName(rollup(Seq(col("doc_id")), "arrival"))
+      .select(col("strategy"), col("n_batches"), col("total_tokens"),
+        col("total_padding"))
+      .orderBy(col("strategy"))
+  }
+
+  private val e8LengthBatching: Q = (s, dir) =>
+    lengthBatchingRollup(t(s, dir, "documents"), batchSize = 32)
+
   val queries: Map[String, Q] = Map(
     "e8_curriculum" -> e8Curriculum,
+    "e8_length_batching" -> e8LengthBatching,
     "e17_mixture_plan" -> e17MixturePlan,
     "e16_leak_split" -> e16LeakSplit,
     "e15_ccnet_buckets" -> e15CcnetBuckets,
@@ -692,6 +726,40 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same batch cut ((rn−1)//32), same per-batch waste formula.
+    "e8_length_batching" ->
+      """WITH d AS (
+        |  SELECT doc_id, len(string_split(text, ' '))::BIGINT AS n_tok
+        |  FROM documents),
+        |s AS (
+        |  SELECT n_tok,
+        |    (row_number() OVER (ORDER BY n_tok, doc_id) - 1) // 32
+        |      AS batch
+        |  FROM d),
+        |sb AS (
+        |  SELECT batch, count(*) AS n_docs, max(n_tok) AS mx,
+        |    sum(n_tok) AS tok
+        |  FROM s GROUP BY batch),
+        |sr AS (
+        |  SELECT 'sorted' AS strategy, count(*)::BIGINT AS n_batches,
+        |    sum(tok)::BIGINT AS total_tokens,
+        |    sum(n_docs * mx - tok)::BIGINT AS total_padding
+        |  FROM sb),
+        |a AS (
+        |  SELECT n_tok,
+        |    (row_number() OVER (ORDER BY doc_id) - 1) // 32 AS batch
+        |  FROM d),
+        |ab AS (
+        |  SELECT batch, count(*) AS n_docs, max(n_tok) AS mx,
+        |    sum(n_tok) AS tok
+        |  FROM a GROUP BY batch),
+        |ar AS (
+        |  SELECT 'arrival' AS strategy, count(*)::BIGINT AS n_batches,
+        |    sum(tok)::BIGINT AS total_tokens,
+        |    sum(n_docs * mx - tok)::BIGINT AS total_padding
+        |  FROM ab)
+        |SELECT * FROM ar UNION ALL SELECT * FROM sr
+        |ORDER BY strategy""".stripMargin,
     // Same difficulty rounding, same ntile/row_number tie order.
     "e8_curriculum" ->
       """WITH d AS (

@@ -244,6 +244,23 @@ class TextStatsSpec extends SparkSpec {
     assert(got == ("alpha beta", 3333333L), got)
   }
 
+  test("ROUGE clips multiset matches and scores the stopword-free " +
+      "hypothesis — hand example") {
+    // ref = "the cat sat on the mat cat" → hyp = "cat sat on mat cat"
+    // R1: m=5 (cat2 sat1 on1 mat1), h=5, r=7 → p1=1, rec1=5/7=.7143
+    // R2: hyp bigrams {cat sat, sat on, on mat, mat cat} (4); ref has
+    //   all but "on mat" → m=3, h=4, r=6 → p2=.75, rec2=.5, f2=.6
+    val docs = Seq((4L, "the cat sat on the mat cat"))
+      .toDF("doc_id", "text")
+    val got = TextStats.rougeScores(docs)
+      .select($"m1", $"h1", $"r1", $"p1", $"rec1",
+        $"m2", $"h2", $"r2", $"p2", $"rec2", $"f2")
+      .as[(Long, Long, Long, Double, Double,
+        Long, Long, Long, Double, Double, Double)].head()
+    assert(got == ((5L, 5L, 7L, 1.0, 0.7143, 3L, 4L, 6L, 0.75, 0.5, 0.6)),
+      got)
+  }
+
   test("readability syllable surrogate counts vowel groups") {
     // ea|a|i|i|y (5) + ou (1) + o|e (2) + ou (1) = 9
     assert(one(regexp_count($"text", lit(TextStats.VowelRe)),

@@ -215,6 +215,20 @@ class TrainPrepSpec extends SparkSpec {
     assert(got == (h % 16).toInt)
   }
 
+  test("length batching: sorted batches waste less padding — hand case") {
+    // lengths by arrival: 1, 10, 2, 20; batchSize 2.
+    //   arrival: (1,10) waste 2·10−11 = 9; (2,20) waste 2·20−22 = 18 → 27
+    //   sorted:  (1,2)  waste 2·2−3  = 1; (10,20) waste 2·20−30 = 10 → 11
+    val docs = Seq(
+      (1L, "w"), (2L, Seq.fill(10)("w").mkString(" ")),
+      (3L, "w w"), (4L, Seq.fill(20)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val got = TrainPrep.lengthBatchingRollup(docs, batchSize = 2)
+      .as[(String, Long, Long, Long)].collect().toSeq
+    assert(got == Seq(("arrival", 2L, 33L, 27L), ("sorted", 2L, 33L, 11L)),
+      got)
+  }
+
   test("curriculum interleaves buckets round-robin, easiest first") {
     // 8 docs, difficulty = n_chars/words = n_chars (one word each):
     // doc i has difficulty i → buckets {1,2}{3,4}{5,6}{7,8} (ntile 4
