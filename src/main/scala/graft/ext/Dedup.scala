@@ -1363,6 +1363,57 @@ object Dedup {
     * one-row totals crossJoined on (the gate-scalar pattern); the
     * oracle re-derives both schemes' joins and the closed-form RR/PC
     * arithmetic. */
+  /** E13c: SURVIVORSHIP — the golden-record step after linkage: each
+    * logical entity arrives as three source variants (deterministic
+    * perturbations of customer: nulled segments, renamed, repriced,
+    * overlapping freshness timestamps) and one record survives per
+    * attribute by rule: name = LATEST WINS (max by (ts, src, name) —
+    * struct max, ties exercised by overlapping ts and broken by the
+    * source tag), segment = MOST FREQUENT non-null (tie → smallest
+    * value), balance = MAX. Two doc-keyed aggregations + one join —
+    * the MDM merge shape, linear in records. */
+  private val e13cGoldenRecord: Q = (s, dir) => {
+    val cust = t(s, dir, "customer").filter(col("c_custkey") % 5 === 0)
+    val k = col("c_custkey")
+    def v(src: String, name: Column, seg: Column, bal: Column,
+        ts: Column) =
+      cust.select(k.as("key"), lit(src).as("src"), name.as("name"),
+        seg.as("seg"), round(bal, 2).as("bal"), ts.cast("long").as("ts"))
+    val values =
+      v("a", col("c_name"),
+        when(k % 4 === 0, lit(null).cast("string"))
+          .otherwise(col("c_mktsegment")),
+        col("c_acctbal"), lit(100) + (k % 7) * 20)
+      .unionByName(v("b",
+        when(k % 3 === 0, upper(col("c_name"))).otherwise(col("c_name")),
+        col("c_mktsegment"), col("c_acctbal") + 0.10,
+        lit(150) + (k % 5) * 20))
+      .unionByName(v("c", concat(col("c_name"), lit("-c")),
+        when(k % 2 === 0, reverse(col("c_mktsegment")))
+          .otherwise(col("c_mktsegment")),
+        col("c_acctbal") - 0.05, lit(180)))
+      .localCheckpoint(eager = false)
+    val latest = values.groupBy(col("key")).agg(
+      max(struct(col("ts"), col("src"), col("name"))).as("w"),
+      max(col("bal")).as("golden_bal"),
+      sum(when(col("seg").isNotNull, 1L).otherwise(0L))
+        .as("n_seg_sources"))
+      .select(col("key"), col("w").getField("name").as("golden_name"),
+        col("w").getField("src").as("latest_src"),
+        col("golden_bal"), col("n_seg_sources"))
+    val segW = Window.partitionBy(col("key"))
+      .orderBy(col("votes").desc, col("seg"))
+    val mode = values.filter(col("seg").isNotNull)
+      .groupBy(col("key"), col("seg")).agg(count(lit(1)).as("votes"))
+      .withColumn("rn", row_number().over(segW))
+      .filter(col("rn") === 1)
+      .select(col("key"), col("seg").as("golden_seg"))
+    latest.join(mode, Seq("key"))
+      .select(col("key"), col("golden_name"), col("latest_src"),
+        col("golden_seg"), col("golden_bal"), col("n_seg_sources"))
+      .orderBy(col("key"))
+  }
+
   private val e13bBlockingMetrics: Q = (s, dir) => {
     val cust = t(s, dir, "customer")
     val a = cust.select(col("c_custkey").as("ak"),
@@ -1456,6 +1507,7 @@ object Dedup {
     "e2_line_dedup" -> e2LineDedup,
     "e2_cdc_chunks" -> e2CdcChunks,
     "e13_linkage" -> e13Linkage,
+    "e13c_golden_record" -> e13cGoldenRecord,
     "e2_substring_trim" -> e2SubstringTrim,
     "e2_substring_cov" -> e2SubstringCov,
     "e2_repeated_ngrams" -> e2RepeatedNgrams,
@@ -1756,6 +1808,53 @@ object Dedup {
         |ORDER BY a, b""".stripMargin,
     // Exact all-pairs 3-word-shingle Jaccard — the prefix-filter path
     // must reproduce it bit for bit.
+    // Same variants, same rules: latest = row_number over (ts DESC,
+    // src DESC, name DESC) = 1 (the struct-max order), mode = votes
+    // DESC then value ASC, balance = max of the same rounded values.
+    "e13c_golden_record" ->
+      """WITH c AS (SELECT * FROM customer WHERE c_custkey % 5 = 0),
+        |vals AS (
+        |  SELECT c_custkey AS key, 'a' AS src, c_name AS name,
+        |    CASE WHEN c_custkey % 4 = 0 THEN NULL
+        |         ELSE c_mktsegment END AS seg,
+        |    round(c_acctbal, 2) AS bal,
+        |    (100 + (c_custkey % 7) * 20)::BIGINT AS ts
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, 'b',
+        |    CASE WHEN c_custkey % 3 = 0 THEN upper(c_name)
+        |         ELSE c_name END,
+        |    c_mktsegment, round(c_acctbal + 0.10, 2),
+        |    (150 + (c_custkey % 5) * 20)::BIGINT
+        |  FROM c
+        |  UNION ALL
+        |  SELECT c_custkey, 'c', c_name || '-c',
+        |    CASE WHEN c_custkey % 2 = 0 THEN reverse(c_mktsegment)
+        |         ELSE c_mktsegment END,
+        |    round(c_acctbal - 0.05, 2), 180::BIGINT
+        |  FROM c),
+        |latest AS (
+        |  SELECT key, name AS golden_name, src AS latest_src FROM (
+        |    SELECT key, name, src,
+        |      row_number() OVER (PARTITION BY key
+        |        ORDER BY ts DESC, src DESC, name DESC) AS rn
+        |    FROM vals) x WHERE rn = 1),
+        |aggs AS (
+        |  SELECT key, max(bal) AS golden_bal,
+        |    sum(CASE WHEN seg IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+        |      AS n_seg_sources
+        |  FROM vals GROUP BY key),
+        |mode AS (
+        |  SELECT key, seg AS golden_seg FROM (
+        |    SELECT key, seg,
+        |      row_number() OVER (PARTITION BY key
+        |        ORDER BY count(*) DESC, seg) AS rn
+        |    FROM vals WHERE seg IS NOT NULL GROUP BY key, seg) x
+        |  WHERE rn = 1)
+        |SELECT l.key, l.golden_name, l.latest_src, m.golden_seg,
+        |  a.golden_bal, a.n_seg_sources
+        |FROM latest l JOIN aggs a USING (key) JOIN mode m USING (key)
+        |ORDER BY l.key""".stripMargin,
     // Token-join restatement over corpus + the same plants (pairs via
     // shared-shingle GROUP BY — Σ df² rows, ~3M at sf0.1, where the
     // all-pairs list-intersect form ran past 10 min); the integer

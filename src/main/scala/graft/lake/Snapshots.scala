@@ -786,6 +786,74 @@ object Snapshots {
       .orderBy(col("snap"))
   }
 
+  // ------------------------------------------------ AS OF timestamp
+
+  /** Record a LOGICAL commit timestamp for an AS OF index. Delta
+    * resolves `TIMESTAMP AS OF` from commit-file mtimes — wall-clock,
+    * unreproducible; a replayable pipeline records the event-time
+    * watermark the commit covers instead, which is both deterministic
+    * and the question readers actually ask ("the table as of end of
+    * day X"). Timestamps must be strictly increasing across versions —
+    * the Delta contract (it silently ADJUSTS non-monotonic mtimes;
+    * refusing is the honest version). */
+  def commitVersionAt(df: DataFrame, root: String, tsMicros: Long): Int = {
+    val existing = versionTimestamps(root)
+    require(existing.forall(_._2 < tsMicros),
+      s"non-monotonic commit timestamp $tsMicros; existing $existing")
+    val v = commitVersion(df, root)
+    Files.writeString(Paths.get(root, s"_ts_v$v"), tsMicros.toString)
+    v
+  }
+
+  /** (version, logical ts) for every timestamped COMMITTED version. */
+  def versionTimestamps(root: String): Seq[(Int, Long)] = {
+    val dir = Paths.get(root)
+    if (!Files.isDirectory(dir)) return Nil
+    import scala.jdk.CollectionConverters._
+    Files.list(dir).iterator().asScala
+      .map(_.getFileName.toString)
+      .filter(_.startsWith("_ts_v"))
+      .map(n => n.stripPrefix("_ts_v").toInt)
+      .filter(v => Files.exists(Paths.get(root, s"_commit_v$v")))
+      .map(v => v ->
+        Files.readString(Paths.get(root, s"_ts_v$v")).trim.toLong)
+      .toSeq.sortBy(_._1)
+  }
+
+  /** The newest version whose recorded timestamp is ≤ `tsMicros` —
+    * the `TIMESTAMP AS OF` resolution rule. Errors below the first
+    * commit (Delta's behavior: there is no table state to show). */
+  def versionAsOf(root: String, tsMicros: Long): Int = {
+    val hits = versionTimestamps(root).filter(_._2 <= tsMicros)
+    require(hits.nonEmpty,
+      s"no version at or before ts $tsMicros in $root")
+    hits.map(_._1).max
+  }
+
+  def readAsOf(s: SparkSession, root: String, tsMicros: Long): DataFrame =
+    readVersion(s, root, Some(versionAsOf(root, tsMicros)))
+
+  /** K35: TIMESTAMP AS OF time travel — three commits carrying logical
+    * timestamps 1000/2000/3000; reads AS OF 2500 (between commits — the
+    * newest ≤ rule), 2000 (exactly at — inclusive), and 9999 (after
+    * all — the head). Rollups restated set-algebraically per slice. */
+  private val k35TimetravelTs: Q = (s, dir) => {
+    val root = Lake.scratchDir("k35")
+    val part = Tables.load(s, dir, "part")
+    require(commitVersionAt(
+      part.filter(col("p_partkey") % 3 === 0), root, 1000L) == 1)
+    require(commitVersionAt(
+      part.filter(col("p_partkey") % 3 <= 1), root, 2000L) == 2)
+    require(commitVersionAt(part, root, 3000L) == 3)
+    def agg(df: DataFrame, label: String) = df.agg(
+      count(lit(1)).as("n"), sum(col("p_partkey")).as("sum_keys"))
+      .select(lit(label).as("slice"), col("n"), col("sum_keys"))
+    agg(readAsOf(s, root, 2500L), "t2500_v2")
+      .unionByName(agg(readAsOf(s, root, 2000L), "t2000_v2"))
+      .unionByName(agg(readAsOf(s, root, 9999L), "t9999_v3"))
+      .orderBy(col("slice"))
+  }
+
   /** K16: right-to-be-forgotten cascade purge — the compliance delete
     * every lake must support: a subject list (customers with
     * c_custkey % 97 = 0 stands in for the real request queue) removes
@@ -1303,6 +1371,7 @@ object Snapshots {
     "k27_wap" -> k27Wap,
     "k28_snapshot_tags" -> k28SnapshotTags,
     "k15_timetravel" -> k15Timetravel,
+    "k35_timetravel_ts" -> k35TimetravelTs,
     "k16_forget" -> k16Forget,
     "k20_scd2" -> k20Scd2,
     "k21_partition_evolution" -> k21PartitionEvolution,
@@ -1577,6 +1646,18 @@ object Snapshots {
         |    (SELECT sum(l_orderkey) FROM lineitem
         |     WHERE l_orderkey NOT IN (SELECT o_orderkey FROM ro))::BIGINT
         |) ORDER BY tbl""".stripMargin,
+    // Each AS OF slice restated set-algebraically from the raw table.
+    "k35_timetravel_ts" ->
+      """SELECT 't2000_v2' AS slice, count(*)::BIGINT AS n,
+        |  sum(p_partkey)::BIGINT AS sum_keys
+        |FROM part WHERE p_partkey % 3 <= 1
+        |UNION ALL
+        |SELECT 't2500_v2', count(*)::BIGINT, sum(p_partkey)::BIGINT
+        |FROM part WHERE p_partkey % 3 <= 1
+        |UNION ALL
+        |SELECT 't9999_v3', count(*)::BIGINT, sum(p_partkey)::BIGINT
+        |FROM part
+        |ORDER BY slice""".stripMargin,
     "k15_timetravel" ->
       """SELECT * FROM (
         |  SELECT 'v1_travel' AS snap, count(*)::BIGINT AS n,

@@ -244,4 +244,23 @@ class SnapshotsSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Snapshots.readCloneVersion(spark, src, Some(9)))
   }
+
+  test("AS OF timestamp: newest-≤ resolution, inclusive boundary, " +
+      "error below first, non-monotonic append refused") {
+    val root = Lake.scratchDir("t_asof")
+    val df = Seq(1L, 2L, 3L).toDF("x")
+    assert(Snapshots.commitVersionAt(df.filter($"x" === 1), root, 100L) == 1)
+    assert(Snapshots.commitVersionAt(df.filter($"x" <= 2), root, 200L) == 2)
+    assert(Snapshots.versionAsOf(root, 150L) == 1) // between → older
+    assert(Snapshots.versionAsOf(root, 200L) == 2) // exactly at → incl.
+    assert(Snapshots.versionAsOf(root, 9999L) == 2) // after all → head
+    intercept[IllegalArgumentException](Snapshots.versionAsOf(root, 99L))
+    // timestamps must strictly increase (Delta silently adjusts; we
+    // refuse) — and the refusal happens BEFORE any version is claimed
+    intercept[IllegalArgumentException](
+      Snapshots.commitVersionAt(df, root, 200L))
+    assert(Snapshots.latestVersion(root) == 2)
+    assert(Snapshots.readAsOf(spark, root, 500L)
+      .as[Long].collect().sorted.toSeq == Seq(1L, 2L))
+  }
 }
