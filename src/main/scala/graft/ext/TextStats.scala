@@ -767,11 +767,68 @@ object TextStats {
   private val e4Rouge: Q = (s, dir) =>
     rougeScores(t(s, dir, "documents").filter(col("doc_id") % 4 === 0))
 
+  // --------------------------------------- distribution drift (JSD)
+
+  /** E4: Jensen–Shannon divergence between per-source unigram
+    * distributions — the corpus-drift monitor a pipeline runs when a
+    * new crawl lands ("did src17 change under us?"). JSD(P,Q) =
+    * ½KL(P‖M) + ½KL(Q‖M), M = (P+Q)/2, in NATS (plain `ln` on both
+    * engines — log2 built-ins differ more than an ulp). Probabilities
+    * are exact count/total doubles; each word's contribution rounds to
+    * a nano-int before the sum, so engine `ln` ulp differences and
+    * addition order can't move the result. Pair expansion is a UNION
+    * of two equi-joins (never an OR-condition nested loop); everything
+    * else is (pair, word)-keyed — linear in sources²·vocab, which is a
+    * dimension table, not the corpus. */
+  def jsdPairs(docs: DataFrame): DataFrame = {
+    val words = docs
+      .select(col("source").as("src"),
+        explode(split(col("text"), " ")).as("word"))
+      .filter(col("word") =!= "")
+    val counts = words.groupBy(col("src"), col("word"))
+      .agg(count(lit(1)).as("c"))
+    val totals = words.groupBy(col("src")).agg(count(lit(1)).as("tot"))
+    val dist = counts.join(totals, Seq("src"))
+      .select(col("src"), col("word"),
+        (col("c").cast("double") / col("tot")).as("p"))
+      .localCheckpoint(eager = false)
+    val srcs = dist.select(col("src")).distinct()
+    val pairs = srcs.select(col("src").as("src_a"))
+      .join(srcs.select(col("src").as("src_b")),
+        col("src_a") < col("src_b"))
+    val sideA = pairs.join(dist.withColumnRenamed("src", "src_a"),
+      Seq("src_a")).select(col("src_a"), col("src_b"), col("word"),
+      col("p").as("pa"), lit(null).cast("double").as("pb"))
+    val sideB = pairs.join(dist.withColumnRenamed("src", "src_b"),
+      Seq("src_b")).select(col("src_a"), col("src_b"), col("word"),
+      lit(null).cast("double").as("pa"), col("p").as("pb"))
+    val grid = sideA.unionByName(sideB)
+      .groupBy(col("src_a"), col("src_b"), col("word"))
+      .agg(coalesce(max(col("pa")), lit(0.0)).as("p"),
+        coalesce(max(col("pb")), lit(0.0)).as("q"))
+    val m = col("p") + col("q")
+    val term = lit(0.5) *
+      (when(col("p") > 0, col("p") * log(lit(2.0) * col("p") / m))
+        .otherwise(0.0) +
+       when(col("q") > 0, col("q") * log(lit(2.0) * col("q") / m))
+        .otherwise(0.0))
+    grid.withColumn("term_nano",
+        round(term * 1000000000.0, 0).cast("long"))
+      .groupBy(col("src_a"), col("src_b"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("term_nano")).as("jsd_nano"))
+      .withColumn("jsd", round(col("jsd_nano") / 1000000000.0, 6))
+      .orderBy(col("src_a"), col("src_b"))
+  }
+
+  private val e4Jsd: Q = (s, dir) => jsdPairs(t(s, dir, "documents"))
+
   val queries: Map[String, Q] = Map(
     "e4_script_id" -> e4ScriptId,
     "e4_readability" -> e4Readability,
     "e4_rake_keywords" -> e4RakeKeywords,
     "e4_rouge" -> e4Rouge,
+    "e4_jsd" -> e4Jsd,
     "e4_langid" -> e4Langid,
     "e4_bigram_lm" -> e4BigramLm,
     "e4_winnow" -> e4Winnow,
@@ -846,6 +903,48 @@ object TextStats {
          |    - 84.6::DOUBLE * n_syllables / greatest(n_words, 1), 4)
          |    AS flesch
          |FROM documents ORDER BY doc_id""".stripMargin,
+    // Same nats-JSD with per-word nano-int rounding before the sum —
+    // ln-ulp differences and addition order can't move the hash; the
+    // jsd display column derives from the summed ints, not raw floats.
+    "e4_jsd" ->
+      """WITH w AS (
+        |  SELECT source AS src, g.word
+        |  FROM documents, unnest(string_split(text, ' ')) AS g(word)
+        |  WHERE g.word <> ''),
+        |counts AS (
+        |  SELECT src, word, count(*) AS c FROM w GROUP BY src, word),
+        |totals AS (SELECT src, count(*) AS tot FROM w GROUP BY src),
+        |dist AS (
+        |  SELECT c.src, c.word, c.c::DOUBLE / t.tot AS p
+        |  FROM counts c JOIN totals t USING (src)),
+        |srcs AS (SELECT DISTINCT src FROM dist),
+        |pairs AS (
+        |  SELECT a.src AS src_a, b.src AS src_b
+        |  FROM srcs a, srcs b WHERE a.src < b.src),
+        |grid AS (
+        |  SELECT src_a, src_b, word,
+        |    coalesce(max(pa), 0.0) AS p, coalesce(max(pb), 0.0) AS q
+        |  FROM (
+        |    SELECT pr.src_a, pr.src_b, d.word, d.p AS pa,
+        |      NULL::DOUBLE AS pb
+        |    FROM pairs pr JOIN dist d ON d.src = pr.src_a
+        |    UNION ALL
+        |    SELECT pr.src_a, pr.src_b, d.word, NULL::DOUBLE, d.p
+        |    FROM pairs pr JOIN dist d ON d.src = pr.src_b) u
+        |  GROUP BY src_a, src_b, word),
+        |terms AS (
+        |  SELECT src_a, src_b,
+        |    round(0.5::DOUBLE * (
+        |      CASE WHEN p > 0 THEN p * ln(2.0::DOUBLE * p / (p + q))
+        |           ELSE 0.0 END +
+        |      CASE WHEN q > 0 THEN q * ln(2.0::DOUBLE * q / (p + q))
+        |           ELSE 0.0 END) * 1e9, 0)::BIGINT AS term_nano
+        |  FROM grid)
+        |SELECT src_a, src_b, count(*)::BIGINT AS n_words,
+        |  sum(term_nano)::BIGINT AS jsd_nano,
+        |  round(sum(term_nano)::DOUBLE / 1e9, 6) AS jsd
+        |FROM terms GROUP BY src_a, src_b
+        |ORDER BY src_a, src_b""".stripMargin,
     // Full restatement: same stopword-stripped hypothesis, same
     // multiset clipping (Σ least of per-gram counts), same inner-join
     // drop of gram-less docs, F1 computed from the ROUNDED p2/rec2.

@@ -73,6 +73,9 @@ class PlanAuditSpec extends SparkSpec {
     "e8_upsample" -> Set("BroadcastNestedLoop"),
     // one-row corpus count crossJoined onto the vocabulary table
     "e4_tfidf" -> Set("BroadcastNestedLoop"),
+    // the source-pair grid (20×20 dim×dim, `<` condition) — the j5
+    // dim-cross shape; the distributions join the grid equi-keyed
+    "e4_jsd" -> Set("BroadcastNestedLoop"),
     // one-row totals (rTot/tTot/|V|) crossJoined onto the vocab-sized
     // log-ratio table — the LM join itself is an equi-join on the token
     "e14_dsir" -> Set("BroadcastNestedLoop"),
@@ -104,6 +107,13 @@ class PlanAuditSpec extends SparkSpec {
     // count, key agg, bucket-dir count) — both scans are
     // PartitionFilters-pruned Hive reads, no data join anywhere
     "k34_hidden_partition" -> Set("BroadcastNestedLoop"),
+    // two one-row ECE scalars (raw vs calibrated) crossJoined — the
+    // binning/scoring underneath is map-only + keyed aggregation
+    "e10c_calibration" -> Set("BroadcastNestedLoop"),
+    // latest-wins survivorship = max(struct(ts, src, name)) — STRING
+    // fields make the buffer immutable, same rule as a13 below; the
+    // partial agg still combines per group before the shuffle
+    "e13c_golden_record" -> Set("SortAggregate"),
     // min/max over STRING columns have immutable aggregation buffers,
     // which HashAggregate can't hold — Spark's canonical plan is
     // SortAggregate, and with ZERO grouping keys it performs no sort

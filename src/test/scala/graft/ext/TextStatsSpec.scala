@@ -261,6 +261,23 @@ class TextStatsSpec extends SparkSpec {
       got)
   }
 
+  test("JSD is 0 for identical sources and ln 2 for disjoint ones") {
+    // Identical unigram distributions → every term 0; fully disjoint
+    // vocabularies → JSD = ln 2 nats (the metric's maximum).
+    val docs = Seq(
+      ("s1", "a a b"), ("s2", "a a b"), ("s3", "c c d"))
+      .toDF("source", "text")
+    val got = TextStats.jsdPairs(docs)
+      .select($"src_a", $"src_b", $"jsd_nano", $"jsd")
+      .as[(String, String, Long, Double)].collect().toSeq
+    val byPair = got.map(r => (r._1, r._2) -> r).toMap
+    assert(byPair(("s1", "s2"))._3 == 0L)
+    assert(byPair(("s1", "s2"))._4 == 0.0)
+    // 2 · round(0.5·ln2·1e9) = 693147180 → 0.693147
+    assert(byPair(("s1", "s3"))._3 == 693147180L, got)
+    assert(byPair(("s2", "s3"))._4 == 0.693147)
+  }
+
   test("readability syllable surrogate counts vowel groups") {
     // ea|a|i|i|y (5) + ou (1) + o|e (2) + ou (1) = 9
     assert(one(regexp_count($"text", lit(TextStats.VowelRe)),
