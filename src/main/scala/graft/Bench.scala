@@ -66,7 +66,7 @@ object Bench {
     // round-11 additions: line-level dedup is a new digest-keyed
     // family head, RAKE a new posexplode+doc-keyed-join family head —
     // measure them like the others
-    "e2_line_dedup", "e4_rake_keywords")
+    "e2_line_dedup", "e4_rake_keywords", "e2_containment")
 
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is

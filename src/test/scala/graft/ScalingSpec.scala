@@ -47,7 +47,9 @@ class ScalingSpec extends SparkSpec {
     "e7_curation",
     // round-11: the line-dedup family head (digest-keyed keep-first)
     // and RAKE (one posexplode + doc-keyed joins — linear by design)
-    "e2_line_dedup", "e4_rake_keywords")
+    "e2_line_dedup", "e4_rake_keywords",
+    // prefix-filtered containment join (asymmetric AllPairs)
+    "e2_containment")
 
   test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
       "bucketed family head in the committed bench artifact") {
