@@ -1094,7 +1094,53 @@ object Multimodal {
       }.toDF().orderBy(col("id"))
   }
 
+  /** Energy-delta audio fingerprint over decoded PCM16: 32 frames of 8
+    * samples, integer energy E_i = Σ s², bit i set iff E_{i+1} > E_i
+    * (strict — ties are 0 in both engines). Chromaprint's shape with
+    * the float DFT replaced by exact integer energies, so the
+    * fingerprint itself is value-level oracle-able. */
+  private[ext] def energyFingerprint(x: Array[Short]): Long = {
+    val frames = 32
+    val flen = x.length / frames
+    val e = Array.tabulate(frames) { f =>
+      var s = 0L; var t = f * flen
+      while (t < (f + 1) * flen) { s += x(t).toLong * x(t); t += 1 }
+      s
+    }
+    var fp = 0L
+    var i = 0
+    while (i < frames - 1) {
+      if (e(i + 1) > e(i)) fp |= 1L << i
+      i += 1
+    }
+    fp
+  }
+
+  /** E5n: audio near-dup via energy fingerprints — decode the synth
+    * clips, fingerprint each, group identical prints: the sawtooth has
+    * exactly 7 waveform classes (m = id mod 7 + 1), so the groups ARE
+    * the duplicate classes and a single wrong energy or flipped bit
+    * splits a group and hash-fails. DuckDB recomputes frame energies
+    * from the synth formula and rebuilds each print bit by bit —
+    * value-level end to end (integer energies make that possible where
+    * a float-DFT print would be engine-specific). Map-only decode +
+    * one fingerprint-keyed rollup. */
+  private val e5AudioPhash: Q = (s, dir) => {
+    import s.implicits._
+    synthWav(t(s, dir, "embeddings"), "vec_id")
+      .as[(Long, Array[Byte])].mapPartitions { rows =>
+        rows.map { case (id, bytes) =>
+          val (_, x) = WavCodec.decode(bytes)
+          (id, energyFingerprint(x))
+        }
+      }.toDF("id", "fp")
+      .groupBy(col("fp"))
+      .agg(count(lit(1)).as("n_clips"), min(col("id")).as("min_id"))
+      .orderBy(col("fp"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e5_audio_phash" -> e5AudioPhash,
     "e5_audio_resample" -> e5AudioResample,
     "e5_frame_sample" -> e5FrameSample,
     "e5_phash_neardup" -> e5PhashNearDup,
@@ -1149,6 +1195,29 @@ object Multimodal {
     // VALUE-LEVEL restatement of the decoded samples: the integer
     // sawtooth formula recomputed per (id, t) — a decode byte slip
     // breaks the checksums.
+    // Frame energies recomputed from the synth formula (exact BIGINT
+    // sums of squares), bits rebuilt with the same strict-> rule via
+    // lead(), prints summed as bit<<i — integer end to end.
+    "e5_audio_phash" ->
+      """WITH s AS (
+        |  SELECT vec_id AS id, g.t // 8 AS frame,
+        |    ((((g.t * (vec_id % 7 + 1)) % 200) - 100) * 50)::BIGINT
+        |      AS smp
+        |  FROM embeddings, generate_series(0, 255) AS g(t)),
+        |e AS (
+        |  SELECT id, frame, sum(smp * smp)::BIGINT AS en
+        |  FROM s GROUP BY id, frame),
+        |b AS (
+        |  SELECT id, frame,
+        |    CASE WHEN lead(en) OVER (PARTITION BY id ORDER BY frame)
+        |              > en THEN 1::BIGINT ELSE 0::BIGINT END AS bit
+        |  FROM e),
+        |fp AS (
+        |  SELECT id,
+        |    sum(bit * (1::BIGINT << frame::INT))::BIGINT AS fp
+        |  FROM b WHERE frame < 31 GROUP BY id)
+        |SELECT fp, count(*)::BIGINT AS n_clips, min(id) AS min_id
+        |FROM fp GROUP BY fp ORDER BY fp""".stripMargin,
     // Pair means of the synth formula; every pair sum is even (samples
     // are ×50), so `// 2` is exact — truncation vs floor can't differ.
     "e5_audio_resample" ->

@@ -705,9 +705,50 @@ object TrainPrep {
   private val e8LengthBatching: Q = (s, dir) =>
     lengthBatchingRollup(t(s, dir, "documents"), batchSize = 32)
 
+  /** E8: span-corruption plan (the T5 masking step, made
+    * REPRODUCIBLE): token i of doc d STARTS a 3-token span iff the
+    * [[splitBucket]]-style multiplicative hash of (d·1000 + i) lands
+    * in 1/20 of its range — no RNG state, so any engine or rerun
+    * regenerates the identical plan, and the expected budget is the
+    * canonical ~15% of tokens (measured 0.1505 on this corpus). A
+    * token masks iff a start sits within its 2 preceding positions
+    * (windowed max — overlapping spans would merge); span count is
+    * the gaps-and-islands pass over the mask column. One posexplode +
+    * one doc-keyed window — linear, map-only at tokenization time at
+    * 100 TB. */
+  def spanMaskStats(input: DataFrame): DataFrame = {
+    val toks = input
+      .select(col("doc_id"),
+        posexplode(split(col("text"), " ")).as(Seq("pos", "word")))
+    val key = col("doc_id") * 1000L + col("pos")
+    val h = pmod(pmod(key, lit(2147483648L)) * lit(2654435761L),
+      lit(4294967296L))
+    val w = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    val cover = w.rowsBetween(-2, 0)
+    toks.withColumn("start0", (h % 20 === 0).cast("long"))
+      .withColumn("m",
+        when(max(col("start0")).over(cover) === 1L, 1L).otherwise(0L))
+      .withColumn("island",
+        when(col("m") === 1L &&
+          coalesce(lag(col("m"), 1).over(w), lit(0L)) === 0L, 1L)
+          .otherwise(0L))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        sum(col("start0")).as("n_starts"),
+        sum(col("m")).as("n_masked"),
+        sum(col("island")).as("n_spans"))
+      .withColumn("mask_ratio",
+        round(col("n_masked") / col("n_tok").cast("double"), 4))
+      .orderBy(col("doc_id"))
+  }
+
+  private val e8SpanMask: Q = (s, dir) =>
+    spanMaskStats(t(s, dir, "documents"))
+
   val queries: Map[String, Q] = Map(
     "e8_curriculum" -> e8Curriculum,
     "e8_length_batching" -> e8LengthBatching,
+    "e8_span_mask" -> e8SpanMask,
     "e17_mixture_plan" -> e17MixturePlan,
     "e16_leak_split" -> e16LeakSplit,
     "e15_ccnet_buckets" -> e15CcnetBuckets,
@@ -726,6 +767,37 @@ object TrainPrep {
   )
 
   val oracles: Map[String, String] = Map(
+    // Same multiplicative hash (the e14b in-SQL spelling), same
+    // 3-token cover window, same gaps-and-islands span count.
+    "e8_span_mask" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i - 1 AS pos
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS l
+        |        FROM documents) d,
+        |    unnest(range(1, len(d.l) + 1)) AS t(i)),
+        |st AS (
+        |  SELECT doc_id, pos,
+        |    CASE WHEN ((doc_id * 1000 + pos) % 2147483648)
+        |              * 2654435761 % 4294967296 % 20 = 0
+        |         THEN 1 ELSE 0 END AS start0
+        |  FROM tok),
+        |mk AS (
+        |  SELECT doc_id, pos, start0,
+        |    CASE WHEN max(start0) OVER (PARTITION BY doc_id ORDER BY pos
+        |        ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1
+        |      THEN 1 ELSE 0 END AS m
+        |  FROM st),
+        |sp AS (
+        |  SELECT doc_id, start0, m,
+        |    CASE WHEN m = 1 AND coalesce(lag(m) OVER (
+        |        PARTITION BY doc_id ORDER BY pos), 0) = 0
+        |      THEN 1 ELSE 0 END AS island
+        |  FROM mk)
+        |SELECT doc_id, count(*)::BIGINT AS n_tok,
+        |  sum(start0)::BIGINT AS n_starts, sum(m)::BIGINT AS n_masked,
+        |  sum(island)::BIGINT AS n_spans,
+        |  round(sum(m)::DOUBLE / count(*), 4) AS mask_ratio
+        |FROM sp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
     // Same batch cut ((rn−1)//32), same per-batch waste formula.
     "e8_length_batching" ->
       """WITH d AS (

@@ -299,4 +299,19 @@ class MultimodalSpec extends SparkSpec {
     intercept[IllegalArgumentException](
       Multimodal.PngCodec.stripAncillary(bad))
   }
+
+  test("energy fingerprint sets exactly the rising-energy bits") {
+    // 256 samples in 32 frames of 8; amplitude grows per frame →
+    // all 31 delta bits set; constant amplitude → none.
+    val rising = Array.tabulate(256)(t => ((t / 8 + 1) * 10).toShort)
+    assert(Multimodal.energyFingerprint(rising) == (1L << 31) - 1)
+    val flat = Array.fill(256)(100.toShort)
+    assert(Multimodal.energyFingerprint(flat) == 0L)
+    // one dip at frame 5: bit 4 (E5 < E4... falling) clears, bit 5
+    // (E6 > E5) stays — the strict-> rule on a hand-built shape
+    val dip = rising.clone()
+    (40 until 48).foreach(i => dip(i) = 1.toShort)
+    val fp = Multimodal.energyFingerprint(dip)
+    assert((fp & (1L << 4)) == 0L && (fp & (1L << 5)) != 0L)
+  }
 }

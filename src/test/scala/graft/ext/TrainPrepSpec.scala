@@ -215,6 +215,32 @@ class TrainPrepSpec extends SparkSpec {
     assert(got == (h % 16).toInt)
   }
 
+  test("span-mask plan is hash-deterministic — hand case at doc_id 0") {
+    // key = 0·1000 + pos; h(0) % 20 = 0 → a span starts at pos 0 and
+    // covers pos 0..2; h(1), h(2) are non-starts. Over "a b c d":
+    // 1 start, 3 masked, 1 span, ratio 0.75.
+    val got = TrainPrep.spanMaskStats(Seq((0L, "a b c d"))
+        .toDF("doc_id", "text"))
+      .select($"n_tok", $"n_starts", $"n_masked", $"n_spans",
+        $"mask_ratio")
+      .as[(Long, Long, Long, Long, Double)].head()
+    assert(got == ((4L, 1L, 3L, 1L, 0.75)), got)
+  }
+
+  test("span-mask invariants: spans cover ≤ 3 tokens, budget ≈ 15%") {
+    val docs = (0L until 50L)
+      .map(d => (d, Seq.fill(60)("w").mkString(" ")))
+      .toDF("doc_id", "text")
+    val rows = TrainPrep.spanMaskStats(docs)
+      .select($"n_starts", $"n_masked", $"n_spans", $"n_tok")
+      .as[(Long, Long, Long, Long)].collect()
+    rows.foreach { case (st, m, sp, _) =>
+      assert(m <= 3 * st && sp <= st, (st, m, sp))
+    }
+    val ratio = rows.map(_._2).sum.toDouble / rows.map(_._4).sum
+    assert(ratio > 0.10 && ratio < 0.20, s"budget drifted: $ratio")
+  }
+
   test("length batching: sorted batches waste less padding — hand case") {
     // lengths by arrival: 1, 10, 2, 20; batchSize 2.
     //   arrival: (1,10) waste 2·10−11 = 9; (2,20) waste 2·20−22 = 18 → 27
