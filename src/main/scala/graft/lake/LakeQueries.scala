@@ -214,6 +214,30 @@ object LakeQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S24: CSV with a CUSTOM timestamp format — the locale-shaped feed
+    * (dd/MM/yyyy HH:mm, ';' separator) every integration eventually
+    * ships: the writer renders orders through date_format, the reader
+    * parses back with an explicit schema + timestampFormat. Order
+    * dates are whole minutes, so the format round-trips exactly and
+    * the oracle is the raw table. */
+  private val s24CsvTsFormat: Q = (s, dir) => {
+    val out = Lake.scratchDir("s24")
+    t(s, dir, "orders")
+      .select(col("o_orderkey"),
+        date_format(col("o_orderdate").cast("timestamp"),
+          "dd/MM/yyyy HH:mm").as("ts_str"),
+        round(col("o_totalprice"), 2).as("price"))
+      .write.mode("overwrite").option("header", "true").option("sep", ";")
+      .csv(out)
+    s.read.option("header", "true").option("sep", ";")
+      .option("timestampFormat", "dd/MM/yyyy HH:mm")
+      .schema("o_orderkey bigint, ts_str timestamp, price double")
+      .csv(out)
+      .select(col("o_orderkey"), col("ts_str").as("o_orderdate"),
+        col("price"))
+      .orderBy(col("o_orderkey"))
+  }
+
   /** S11: ORC round trip — the second columnar format the provisioned
     * SQL surface reads; types and values must survive exactly. */
   private val s11OrcRt: Q = (s, dir) => {
@@ -1036,6 +1060,7 @@ object LakeQueries {
     "s5b_catalog_db" -> s5bCatalogDb,
     "s10_jsonl_rt" -> s10JsonlRt,
     "s23_multiline_json" -> s23MultilineJson,
+    "s24_csv_tsformat" -> s24CsvTsFormat,
     "s11_orc_rt" -> s11OrcRt,
     "s21_xml_rt" -> s21XmlRt,
     "s22_grok_log" -> s22GrokLog,
@@ -1252,6 +1277,10 @@ object LakeQueries {
       """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
     "s23_multiline_json" ->
       """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""",
+    "s24_csv_tsformat" ->
+      """SELECT o_orderkey, o_orderdate,
+        |  round(o_totalprice, 2) AS price
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
     "s11_orc_rt" ->
       """SELECT s_suppkey, s_name, s_nationkey, round(s_acctbal,2) AS bal
         |FROM supplier ORDER BY s_suppkey""".stripMargin,
