@@ -314,23 +314,23 @@ object Dedup {
     * (q·shared ≥ p·|A|) are pure integer arithmetic — no float boundary
     * can drop an exactly-at-threshold pair in either engine.
     *
-    * Scale posture: token stats + one global vocab rank (a sorted
-    * dimension table — its window is vocab-sized, not corpus-sized),
-    * prefix equi-join on the rarest tokens, then ONE keyed
-    * verification join restricted to candidates. Nothing all-pairs. */
+    * Scale posture: token document frequencies (a keyed aggregation),
+    * then a PER-DOC prefix window ordered by (df, tok) — that pair IS
+    * the global-rarity total order, so no global rank (and no
+    * single-partition sort) is ever materialized — prefix equi-join on
+    * the rarest tokens, then ONE keyed verification join restricted to
+    * candidates. Nothing all-pairs, nothing unpartitioned. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       p: Int, q: Int, shingleN: Int = 3): DataFrame = {
     val toksRaw = df.select(col(idCol).as("id"),
       explode(shingles(col(textCol), shingleN)).as("tok"))
     val dfc = toksRaw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-    val ranked = dfc.select(col("tok"),
-      row_number().over(Window.orderBy(col("df"), col("tok"))).as("gr"))
-    val toks = toksRaw.join(ranked, Seq("tok"))
+    val toks = toksRaw.join(dfc, Seq("tok"))
       .localCheckpoint(eager = false)
     val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("na"))
     val prefix = toks
       .withColumn("pos", row_number().over(
-        Window.partitionBy(col("id")).orderBy(col("gr"))))
+        Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
       .join(sizes, Seq("id"))
       .filter(col("pos") <=
         col("na") - expr(s"($p * na + $q - 1) div $q") + 1)

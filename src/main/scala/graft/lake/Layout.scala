@@ -183,9 +183,14 @@ object Layout {
     def partitionOf: Column =
       pmod(pmod(pmod(col(sourceCol), lit(2147483648L)) * lit(2654435761L),
         lit(4294967296L)), lit(n.toLong))
-    /** The same hash driver-side, for predicate derivation. */
+    /** The same hash driver-side, for predicate derivation. floorMod at
+      * each step: Scala % is a SIGNED remainder, so a negative key would
+      * disagree with the in-plan pmod and hiddenScanKey would silently
+      * scan the wrong (empty) bucket directory. */
     def bucketOf(key: Long): Long =
-      (key % 2147483648L) * 2654435761L % 4294967296L % n
+      Math.floorMod(Math.floorMod(
+        Math.floorMod(key, 2147483648L) * 2654435761L,
+        4294967296L), n.toLong)
     def spec: String = s"bucket $n $sourceCol"
   }
 

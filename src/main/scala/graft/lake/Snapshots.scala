@@ -810,7 +810,8 @@ object Snapshots {
     val dir = Paths.get(root)
     if (!Files.isDirectory(dir)) return Nil
     import scala.jdk.CollectionConverters._
-    Files.list(dir).iterator().asScala
+    val ls = Files.list(dir)
+    try ls.iterator().asScala
       .map(_.getFileName.toString)
       .filter(_.startsWith("_ts_v"))
       .map(n => n.stripPrefix("_ts_v").toInt)
@@ -818,6 +819,7 @@ object Snapshots {
       .map(v => v ->
         Files.readString(Paths.get(root, s"_ts_v$v")).trim.toLong)
       .toSeq.sortBy(_._1)
+    finally ls.close()
   }
 
   /** The newest version whose recorded timestamp is ≤ `tsMicros` —

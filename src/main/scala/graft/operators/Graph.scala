@@ -299,6 +299,16 @@ object Graph {
     * crossJoins; lineage cut lazily per round (the pageRank rule —
     * without it Catalyst analysis goes superlinear in rounds). */
   def hits(nodes: DataFrame, edges: DataFrame, iters: Int): DataFrame = {
+    require(iters >= 1,
+      s"hits needs at least one iteration to define authorities, got $iters")
+    // Degenerate input (no edge touches the node set) would make the
+    // max-normalization scalar NULL and silently publish NULL scores —
+    // fail loudly instead, like connectedComponents does on its
+    // contract violations.
+    def guarded(m: org.apache.spark.sql.Column,
+        which: String): org.apache.spark.sql.Column =
+      when(m.isNotNull, m).otherwise(raise_error(lit(
+        s"hits: no edges matched the node set ($which max is NULL)")))
     val e = edges.localCheckpoint(eager = false)
     var h = nodes.select(col("node"), lit(1.0).as("h"))
     var a = h.select(col("node"), col("h").as("a")) // set by iteration 1
@@ -308,14 +318,16 @@ object Graph {
       a = nodes.join(araw, col("node") === col("dst"), "left")
         .crossJoin(araw.agg(max(col("ar")).as("am")))
         .select(col("node"),
-          round(coalesce(col("ar"), lit(0.0)) / col("am"), 12).as("a"))
+          round(coalesce(col("ar"), lit(0.0)) /
+            guarded(col("am"), "authority"), 12).as("a"))
         .localCheckpoint(eager = false)
       val hraw = a.join(e, col("node") === col("dst"))
         .groupBy(col("src")).agg(sum(col("a") * col("w")).as("hr"))
       h = nodes.join(hraw, col("node") === col("src"), "left")
         .crossJoin(hraw.agg(max(col("hr")).as("hm")))
         .select(col("node"),
-          round(coalesce(col("hr"), lit(0.0)) / col("hm"), 12).as("h"))
+          round(coalesce(col("hr"), lit(0.0)) /
+            guarded(col("hm"), "hub"), 12).as("h"))
         .localCheckpoint(eager = false)
     }
     nodes.join(h, "node").join(a, "node")

@@ -153,6 +153,28 @@ class PlanAuditSpec extends SparkSpec {
     "e3_mips_ann" -> Set("BroadcastNestedLoop"),
     "j5_cross" -> Set("BroadcastNestedLoop"),
     "j5_theta" -> Set("BroadcastNestedLoop"),
+    // --- SinglePartitionWindow adjudications (round 12). The flag marks
+    // a Window whose shuffle input is SinglePartition; these seven are
+    // benign because the frame reaching the window is NOT corpus-sized:
+    // WITH TIES top-k: the WindowGroupLimit above the exchange caps the
+    // single partition at ~k rows (plan-pinned in RelationalPlanSpec)
+    "l6_topk_ties" -> Set("SinglePartitionWindow"),
+    // sliding-uniques window over the ~date-count daily rollup, not rows
+    "a12_rolling_uniques" -> Set("SinglePartitionWindow"),
+    // χ² marginals: windows over the C-row observed-cell table
+    // (|lang|×|source| cells); the fact table aggregated first
+    "e4_chi2" -> Set("SinglePartitionWindow"),
+    // Zipf rank over the vocabulary frequency table — vocab-sized and
+    // a documented gate-SF spelling of a range-partitioned sort
+    // (TextStats.scala zipfFit scaladoc)
+    "e4_zipf" -> Set("SinglePartitionWindow"),
+    // curriculum / length-batching global orderings: documented gate-SF
+    // spellings of range-partitioned sorts (TrainPrep.scala scaladoc)
+    "e8_curriculum" -> Set("SinglePartitionWindow"),
+    "e8_length_batching" -> Set("SinglePartitionWindow"),
+    // DP release rank window over the lang×source released-cell frame —
+    // dim-sized like the mixture tables, never document-sized
+    "e9_dp_release" -> Set("SinglePartitionWindow"),
   )
 
   test("plan audit: every query's flag set matches the benign baseline") {
@@ -163,7 +185,7 @@ class PlanAuditSpec extends SparkSpec {
       val diffs = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
         case (name, fn) =>
           val got = PlanAudit.flags(
-            fn(spark, sf).queryExecution.executedPlan.toString())
+            fn(spark, sf).queryExecution.executedPlan)
           val want = expected.getOrElse(name, Set.empty)
           if (got == want) None
           else Some(s"$name: got ${got.toSeq.sorted.mkString(",")} " +

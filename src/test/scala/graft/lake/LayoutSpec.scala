@@ -78,10 +78,14 @@ class LayoutSpec extends SparkSpec {
       .select($"event_id").as[Long].collect().sorted.toSeq
     val got = scan.select($"event_id").as[Long].collect().sorted.toSeq
     assert(got == expected, "hidden scan must equal the raw ts filter")
-    // pruning is real: PartitionFilters on _p, strict directory subset
+    // pruning is real: a NON-EMPTY PartitionFilters entry naming _p —
+    // FileSourceScanExec always prints "PartitionFilters: []", so mere
+    // substring presence would pass with no pruning at all
     val plan = physicalPlan(scan)
-    assert(plan.contains("PartitionFilters") && plan.contains("_p"),
-      s"_p pruning missing in:\n$plan")
+    val pf = "PartitionFilters: \\[([^\\]]*)\\]".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    assert(pf.trim.nonEmpty && pf.contains("_p"),
+      s"non-empty _p PartitionFilters missing in:\n$plan")
     val total = spark.read.parquet(root).select($"_p").distinct().count()
     assert(day.daysBetween("2024-01-05", "2024-01-09").size < total,
       "range should touch a strict subset of day directories")
@@ -89,7 +93,8 @@ class LayoutSpec extends SparkSpec {
 
   test("hidden bucket-transform: expression and driver hash agree") {
     val buck = Layout.BucketTransform(8, "k")
-    val keys = Seq(0L, 1L, 7L, 421L, 999999L, 2147483647L)
+    val keys = Seq(0L, 1L, 7L, 421L, 999999L, 2147483647L,
+      -1L, -421L, Long.MinValue + 1)
     val got = keys.toDF("k").select(buck.partitionOf).as[Long].collect()
     assert(got.toSeq == keys.map(buck.bucketOf),
       "column hash and driver derivation must match")

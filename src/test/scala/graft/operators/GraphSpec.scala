@@ -173,4 +173,21 @@ class GraphSpec extends SparkSpec {
       .as[(Long, Double, Double)].collect().toSeq
     assert(got == Seq((1L, 1.0, 0.0), (2L, 1.0, 0.0), (3L, 0.0, 1.0)), got)
   }
+
+  test("HITS fails loudly on degenerate inputs instead of NULL scores") {
+    val nodes = Seq(1L, 2L).toDF("node")
+    val edges = Seq((1L, 2L, 1.0)).toDF("src", "dst", "w")
+    // iters = 0 would relabel the initial h vector as authorities
+    intercept[IllegalArgumentException] {
+      Graph.hits(nodes, edges, iters = 0)
+    }
+    // no edge touches the node set → normalization max is NULL; the
+    // in-plan guard must raise, not publish NULL scores
+    val offGraph = Seq((7L, 8L, 1.0)).toDF("src", "dst", "w")
+    val ex = intercept[Exception] {
+      Graph.hits(nodes, offGraph, iters = 1).collect()
+    }
+    assert(ex.getMessage.contains("no edges matched"),
+      s"expected the loud guard, got: ${ex.getMessage}")
+  }
 }
