@@ -62,6 +62,67 @@ object QualityModel {
     (w, losses)
   }
 
+  /** Newton–Raphson logistic fit for SMALL dim (the Platt refit): per
+    * step ONE aggregation returns the gradient (d doubles), the
+    * upper-triangle Hessian (d(d+1)/2 doubles — for mean log-loss
+    * H = avg(p(1−p)·x xᵀ)) and the loss; the driver solves the d×d
+    * system (Gaussian elimination + a tiny ridge) and updates.
+    * Quadratic convergence: ~4 driver-synced rounds where first-order
+    * needed 20+, with driver traffic still O(d²) doubles per step —
+    * strictly better latency at the same scan count per step. */
+  def trainLogisticNewton(labeled: DataFrame, dim: Int, iters: Int,
+      ridge: Double = 1e-9): (Seq[Double], Seq[Double]) = {
+    var w: Seq[Double] = Seq.fill(dim)(0.0)
+    val losses = (0 until iters).map { _ =>
+      val p = sigmoid(dot(col("x"), w))
+      val gradCols = (0 until dim).map(i =>
+        avg((p - col("y")) * element_at(col("x"), i + 1)).as(s"g$i"))
+      val hessCols = for { i <- 0 until dim; j <- i until dim } yield
+        avg(p * (lit(1.0) - p) * element_at(col("x"), i + 1) *
+          element_at(col("x"), j + 1)).as(s"h${i}_$j")
+      val eps = 1e-12
+      val lossCol = avg(-(col("y") * log(greatest(p, lit(eps))) +
+        (lit(1.0) - col("y")) * log(greatest(lit(1.0) - p, lit(eps)))))
+        .as("loss")
+      val cols = (gradCols ++ hessCols) :+ lossCol
+      val row = labeled.agg(cols.head, cols.tail: _*).head()
+      val g = Array.tabulate(dim)(row.getDouble)
+      val h = Array.ofDim[Double](dim, dim)
+      var k = dim
+      for { i <- 0 until dim; j <- i until dim } {
+        h(i)(j) = row.getDouble(k); h(j)(i) = h(i)(j); k += 1
+      }
+      for (i <- 0 until dim) h(i)(i) += ridge
+      val delta = solveLinear(h, g)
+      w = w.zipWithIndex.map { case (wi, i) => wi - delta(i) }
+      row.getDouble(k)
+    }
+    (w, losses)
+  }
+
+  /** Gaussian elimination with partial pivoting; d is a handful. */
+  private def solveLinear(a: Array[Array[Double]],
+      b: Array[Double]): Array[Double] = {
+    val n = b.length
+    val m = Array.tabulate(n)(i => a(i) :+ b(i))
+    for (c <- 0 until n) {
+      val piv = (c until n).maxBy(r => math.abs(m(r)(c)))
+      val t = m(c); m(c) = m(piv); m(piv) = t
+      require(math.abs(m(c)(c)) > 0.0, "singular Hessian despite ridge")
+      for (r <- c + 1 until n) {
+        val f = m(r)(c) / m(c)(c)
+        for (j <- c to n) m(r)(j) -= f * m(c)(j)
+      }
+    }
+    val x = new Array[Double](n)
+    for (r <- n - 1 to 0 by -1) {
+      var s = m(r)(n)
+      for (j <- r + 1 until n) s -= m(r)(j) * x(j)
+      x(r) = s / m(r)(r)
+    }
+    x
+  }
+
   /** Score with a trained model — map-only, model as literals. */
   def score(df: DataFrame, textCol: String, w: Seq[Double]): Column =
     sigmoid(dot(features(col(textCol)), w))
@@ -226,8 +287,9 @@ object QualityModel {
 
   /** E10c ✱: probability CALIBRATION — Platt scaling (Platt 1999): a
     * 1-D logistic σ(a·s+b) refit over the trained classifier's raw
-    * held-out scores, by the SAME one-aggregation-per-step gradient
-    * (2 doubles to the driver per step). The gate a scoring pipeline
+    * held-out scores by Newton–Raphson — one aggregation per step
+    * returning gradient + 2×2 Hessian (5 doubles), ~4 quadratic
+    * rounds instead of 20+ first-order. The gate a scoring pipeline
     * runs before treating scores as probabilities: Expected
     * Calibration Error over 10 equal-width bins (Σ (n_b/n)·|conf_b −
     * acc_b|), computed for raw and calibrated scores in-plan.
@@ -248,8 +310,10 @@ object QualityModel {
       .select(array(lit(1.0), sigmoid(dot(col("x"), w))).as("x"),
         col("y"))
       .localCheckpoint(eager = false)
-    val (ab, plattLoss) = trainLogistic(scored, dim = 2, iters = 60,
-      lr = 4.0)
+    // Newton on the same per-step aggregates (gradient + 2×2 Hessian):
+    // ~4 quadratic rounds replace 60 first-order ones — the fit is the
+    // same MLE, reached with 10× fewer driver-synced scans.
+    val (ab, plattLoss) = trainLogisticNewton(scored, dim = 2, iters = 6)
     def eceOf(p: Column): DataFrame =
       scored.select(p.as("p"), col("y"))
         .withColumn("bin", least(floor(col("p") * 10), lit(9.0)))

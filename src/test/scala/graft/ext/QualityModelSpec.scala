@@ -25,6 +25,29 @@ class QualityModelSpec extends SparkSpec {
     assert(preds.forall { case (p, t) => p == t })
   }
 
+  test("trainLogisticNewton matches the first-order MLE in a fraction " +
+      "of the rounds") {
+    // NON-separable noisy logistic data (separable data has no finite
+    // MLE for either trainer): y flips near the boundary
+    val labeled = (-20 to 20).map { f =>
+      val noisy = if (f == 1 || f == -1) f < 0 else f > 0
+      (Seq(1.0, f / 10.0), if (noisy) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val (wN, lossesN) = QualityModel.trainLogisticNewton(
+      labeled, dim = 2, iters = 6)
+    val (wG, lossesG) = QualityModel.trainLogistic(
+      labeled, dim = 2, iters = 60, lr = 1.0)
+    // Newton's 6 rounds reach at-or-below first-order's 60-round loss
+    assert(lossesN.last <= lossesG.last + 1e-6,
+      s"newton ${lossesN.last} vs gd ${lossesG.last}")
+    assert(lossesN.last < 0.8 * lossesN.head, s"no descent: $lossesN")
+    // same direction (GD at 60 rounds is still far from the MLE —
+    // which is exactly why the Platt refit moved to Newton)
+    assert(wN.zip(wG).forall { case (a, b) => a.sign == b.sign },
+      s"newton $wN vs gd $wG")
+    assert(wN(1) > 0, s"slope must be positive, got $wN")
+  }
+
   test("training is deterministic across partitionings up to FP noise") {
     val labeled = (1 to 200).map { i =>
       (Seq(1.0, (i % 7).toDouble, (i % 3).toDouble),
