@@ -196,6 +196,16 @@ object Bench {
         for (tS <- timeAt(smallDir); tL <- timeAt(sfDir))
           yield (n, tS, tL, math.log10(tL / tS))
       }
+    // Outlier re-time (round-11 verdict item 5): an in-run reading >3×
+    // the same session's isolated phase re-time means the query was
+    // VM-starved during the run, not regressed — the e3_ivf_search
+    // 44.2-vs-5.7 s ambiguity. Record the pair so the artifact itself
+    // resolves it without a human cross-reading `phases`.
+    val inRun = timed.collect { case (n, sec, Right(_)) => n -> sec }.toMap
+    val retimed = phases.collect {
+      case (n, b, p, e) if inRun.get(n).exists(_ > 3.0 * (b + p + e)) =>
+        (n, inRun(n), b + p + e)
+    }
     val failed = timed.collect { case (n, _, Left(_)) => n }
     def qsJson(entries: Seq[(String, Double, Either[String, Unit])]) =
       entries.map { case (n, sec, r) =>
@@ -213,8 +223,11 @@ object Bench {
     val scalingJson = scaling.map { case (n, tS, tL, ex) =>
       f""""$n":{"t_small":$tS%.3f,"t_large":$tL%.3f,"exponent":$ex%.3f}"""
     }.mkString("{", ",", "}")
+    val retimedJson = retimed.map { case (n, ir, iso) =>
+      f""""$n":{"in_run":$ir%.3f,"isolated":$iso%.3f}"""
+    }.mkString("{", ",", "}")
     val fullLine = jsonLine(qsJson(timed), failed,
-      s""","canary":$canaryJson,"phases":$phasesJson,"scaling":$scalingJson""")
+      s""","canary":$canaryJson,"phases":$phasesJson,"scaling":$scalingJson,"retimed":$retimedJson""")
     // stdout carries at most 10 failed names — a mass failure must not
     // blow the line budget (the full list is in the out file + stderr)
     val stdoutFailed =
