@@ -1217,6 +1217,102 @@ object Dedup {
     substringDedupTrim(t(s, dir, "documents"), "doc_id", "text",
       n = 8, minDocs = 2)
 
+  /** EXACT maximal duplicated spans (Lee et al. 2022's exact match
+    * discovery, suffix-array-free): every maximal cross-document
+    * token run of length ≥ `minLen`, with its EXACT length — what the
+    * fixed-n window pass cannot report (it marks n-sized windows; it
+    * neither yields the maximal extent nor sees spans shorter than n).
+    *
+    * Method — anchor grams + diagonal runs, all keyed operations:
+    *  1. anchor stream: sliding `minLen`-gram at every start (map-only
+    *     explode, digest-keyed — the [[repeatedNgramSpans]] shuffle
+    *     discipline);
+    *  2. df filter: digests in ≥2 distinct docs (keyed agg) — every
+    *     span of length ≥ minLen contains a duplicated anchor at each
+    *     offset, so no true span escapes the filter;
+    *  3. occurrence pairing: per-digest self-join (doc_a < doc_b);
+    *     fanout is Σ occ² over duplicated anchors — true-duplicate
+    *     mass, not corpus size (measured: 47k pairs at sf0.1); a
+    *     production corpus caps per-digest occurrences like
+    *     e8_contamination caps df, trading the tail for a bound;
+    *  4. diagonal runs: pairs on one (doc_a, doc_b, sa−sb) diagonal at
+    *     consecutive sa ARE one exact match (overlapping anchors pin
+    *     every token); gaps-and-islands (sa − row_number per diagonal)
+    *     groups them, min/max recover start and EXACT length. A longer
+    *     match would put one more anchor on the diagonal, so runs are
+    *     maximal in both directions by construction.
+    * Output: top-`k` spans by length with the doc-a exemplar text, on
+    * a collision-free total order. */
+  def exactDupSpanPairs(docs: DataFrame, idCol: String, textCol: String,
+      minLen: Int, k: Int): DataFrame = {
+    val base = tokenized(docs, idCol, textCol)
+    val grams = base.filter(col("nt") >= minLen)
+      .select(col("doc_id"),
+        explode(sequence(lit(1), col("nt") - (minLen - 1))).as("s"),
+        col("ws"))
+      .select(col("doc_id"), col("s").cast("long").as("s"),
+        sha2(array_join(slice(col("ws"), col("s"), lit(minLen)), " "), 256)
+          .as("g"))
+    val dup = grams.groupBy(col("g"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") >= 2).select("g")
+    val occ = grams.join(dup, Seq("g"))
+    val pairs = occ.as("x").join(occ.as("y"),
+        col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.s").as("sa"), col("y.s").as("sb"))
+    val diag = pairs.withColumn("d", col("sa") - col("sb"))
+    val grp = diag.withColumn("grp", col("sa") - row_number().over(
+      Window.partitionBy(col("a"), col("b"), col("d")).orderBy(col("sa"))))
+    val runs = grp.groupBy(col("a"), col("b"), col("d"), col("grp"))
+      .agg(min(col("sa")).as("a_start"), min(col("sb")).as("b_start"),
+        (max(col("sa")) - min(col("sa")) + minLen).as("len"))
+    runs.join(base.select(col("doc_id").as("a"), col("ws")), Seq("a"))
+      .select(col("a").as("doc_a"), col("b").as("doc_b"),
+        col("a_start"), col("b_start"), col("len"),
+        array_join(slice(col("ws"), col("a_start").cast("int"),
+          col("len").cast("int")), " ").as("span"))
+      .orderBy(col("len").desc, col("doc_a"), col("doc_b"),
+        col("a_start"), col("b_start"))
+      .limit(k)
+  }
+
+  /** Planted fixtures for the exact-span gate, mirrored in the oracle:
+    * a 23-token span shared by two synthetic docs at different offsets
+    * (the window pass marks it but cannot report "exactly 23") and a
+    * 7-TOKEN span (shorter than the 8-gram window — invisible to the
+    * e2_substring_cov/trim pass) that exact discovery at minLen=6 must
+    * recover at exactly 7. Tokens are zq-prefixed so they cannot
+    * collide with corpus text. */
+  /** ONE source of truth for the planted texts — the Spark plant and
+    * the DuckDB oracle both interpolate these (the regex-constant
+    * convention). */
+  private[ext] val plantedSpanDocs: Seq[(Long, String)] = {
+    val span23 = (1 to 23).map(i => s"zqspan$i").mkString(" ")
+    val span7 = (1 to 7).map(i => s"zqshort$i").mkString(" ")
+    Seq(
+      (900001L, s"zqa1 zqa2 zqa3 $span23 zqa4 zqa5"),
+      (900002L, s"zqb1 $span23 zqb2 zqb3 zqb4 zqb5 zqb6"),
+      (900003L, s"zqc1 zqc2 $span7 zqc3"),
+      (900004L, s"zqd1 $span7 zqd2 zqd3"))
+  }
+
+  private[ext] def withPlantedSpans(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    docs.select(col("doc_id"), col("text"))
+      .unionByName(plantedSpanDocs.toDF("doc_id", "text"))
+  }
+
+  /** E2j gate: exact maximal duplicated spans at minLen=6 over the
+    * corpus plus the planted fixtures. Full value oracle — DuckDB
+    * re-derives the anchors, the pairing, the diagonal runs, and each
+    * span's exemplar text, so a wrong maximal extent, a missed short
+    * span, or an off-diagonal merge all hash-fail. */
+  private val e2SubstringExact: Q = (s, dir) =>
+    exactDupSpanPairs(withPlantedSpans(t(s, dir, "documents")),
+      "doc_id", "text", minLen = 6, k = 40)
+
   // ------------------------------- content-defined chunking (CDC)
 
   /** Content-defined chunking at word granularity — the LBFS/rsync
@@ -1510,6 +1606,7 @@ object Dedup {
     "e13c_golden_record" -> e13cGoldenRecord,
     "e2_substring_trim" -> e2SubstringTrim,
     "e2_substring_cov" -> e2SubstringCov,
+    "e2_substring_exact" -> e2SubstringExact,
     "e2_repeated_ngrams" -> e2RepeatedNgrams,
     "e1b_normalized_dedup" -> e1bNormalizedDedup,
     "e1_dedup_exact" -> e1DedupExact,
@@ -1732,6 +1829,50 @@ object Dedup {
         |  round(coalesce(c.dup_tokens, 0) / b.n_tokens, 4) AS dup_frac
         |FROM b LEFT JOIN c USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // Exact maximal duplicated spans: DuckDB re-derives the sliding
+    // 6-gram anchors, the ≥2-distinct-doc filter, the occurrence
+    // pairing, the diagonal gaps-and-islands runs, and every span's
+    // doc-a exemplar text — plant included via the shared constant.
+    "e2_substring_exact" -> {
+      val plantedSql = plantedSpanDocs.map { case (id, txt) =>
+        s"SELECT $id AS doc_id, '$txt' AS text"
+      }.mkString(" UNION ALL ")
+      s"""WITH p AS (
+         |  SELECT doc_id, text FROM documents
+         |  UNION ALL $plantedSql),
+         |b AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws,
+         |    len(string_split(text, ' '))::BIGINT AS nt
+         |  FROM p),
+         |g AS (
+         |  SELECT doc_id, i::BIGINT AS s,
+         |    array_to_string(list_slice(ws, i, i + 5), ' ') AS gram
+         |  FROM b, unnest(range(1, nt - 4)) AS t(i)
+         |  WHERE nt >= 6),
+         |d AS (
+         |  SELECT gram FROM g
+         |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
+         |o AS (SELECT g.* FROM g JOIN d USING (gram)),
+         |pr AS (
+         |  SELECT x.doc_id AS a, y.doc_id AS b, x.s AS sa, y.s AS sb
+         |  FROM o x JOIN o y
+         |    ON x.gram = y.gram AND x.doc_id < y.doc_id),
+         |r AS (
+         |  SELECT a, b, sa, sb, sa - sb AS dg,
+         |    sa - row_number() OVER (
+         |      PARTITION BY a, b, sa - sb ORDER BY sa) AS grp
+         |  FROM pr),
+         |runs AS (
+         |  SELECT a, b, min(sa) AS a_start, min(sb) AS b_start,
+         |    (max(sa) - min(sa) + 6)::BIGINT AS len
+         |  FROM r GROUP BY a, b, dg, grp)
+         |SELECT runs.a AS doc_a, runs.b AS doc_b, a_start, b_start, len,
+         |  array_to_string(list_slice(bb.ws, a_start::INT,
+         |    (a_start + len - 1)::INT), ' ') AS span
+         |FROM runs JOIN b bb ON bb.doc_id = runs.a
+         |ORDER BY len DESC, doc_a, doc_b, a_start, b_start
+         |LIMIT 40""".stripMargin
+    },
     "e2_repeated_ngrams" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents

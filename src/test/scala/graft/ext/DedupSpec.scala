@@ -403,6 +403,42 @@ class DedupSpec extends SparkSpec {
       (3L, 0L, 4L, "")), s"got $got")
   }
 
+  test("exactDupSpanPairs reports exact maximal lengths and recovers " +
+      "spans the fixed-window pass misses") {
+    val docs = Dedup.withPlantedSpans(
+      Seq((1L, "filler one two three")).toDF("doc_id", "text"))
+    val got = Dedup.exactDupSpanPairs(docs, "doc_id", "text",
+        minLen = 6, k = 10)
+      .select("doc_a", "doc_b", "a_start", "b_start", "len")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // the 23-token span: EXACT maximal extent, at each doc's offset
+    // (doc 900001 plants it after 3 tokens, doc 900002 after 1)
+    assert(got.contains((900001L, 900002L, 4L, 2L, 23L)), s"got $got")
+    // the 7-token span, shorter than the 8-gram window, exact length 7
+    assert(got.contains((900003L, 900004L, 3L, 2L, 7L)), s"got $got")
+    assert(got.size == 2, s"no spurious spans expected, got $got")
+    // the fixed 8-gram pass is BLIND to the 7-token span (why the
+    // exact variant exists): docs 900003/900004 report zero coverage
+    val cov = Dedup.substringDupCoverage(docs, "doc_id", "text",
+        n = 8, minDocs = 2)
+      .filter($"doc_id".isin(900003L, 900004L))
+      .select("doc_id", "dup_tokens").as[(Long, Long)].collect().toSeq
+    assert(cov.forall(_._2 == 0L), s"8-gram pass should miss it: $cov")
+  }
+
+  test("exactDupSpanPairs splits runs at a single-token mismatch") {
+    // identical 20-token texts except token 10 differs → two maximal
+    // runs: [1,9] (len 9) and [11,20] (len 10), nothing merged across
+    val a = ((1 to 9) ++ Seq(100) ++ (11 to 20)).map("t" + _).mkString(" ")
+    val b = ((1 to 9) ++ Seq(200) ++ (11 to 20)).map("t" + _).mkString(" ")
+    val got = Dedup.exactDupSpanPairs(
+        Seq((1L, a), (2L, b)).toDF("doc_id", "text"),
+        "doc_id", "text", minLen = 6, k = 10)
+      .select("a_start", "b_start", "len")
+      .as[(Long, Long, Long)].collect().toSeq.sorted
+    assert(got == Seq((1L, 1L, 9L), (11L, 11L, 10L)), s"got $got")
+  }
+
   test("substring family survives a degenerate one-digest corpus") {
     // 200 identical 50-token docs: every 8-gram window collapses onto
     // ONE digest (the hottest possible bucket) and every token is
