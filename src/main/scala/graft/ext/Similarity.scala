@@ -234,6 +234,79 @@ object Similarity {
         round(col("cos"), 6).as("sim"))
   }
 
+  // ------------------------------------- IVF index deletes (e3o)
+
+  /** Tombstone vec_ids in a persisted IVF index — the k26 deletion-
+    * vector pattern composed with the ANN artifact: a forget request
+    * costs O(ids written) into a deletes-sized sidecar; the
+    * cell-partitioned base is NEVER rewritten, repeated batches
+    * append, the read side de-duplicates. Before this, a forget
+    * request against an embedding index meant retrain. */
+  def ivfDelete(ids: DataFrame, path: String): Unit =
+    ids.select(col("vec_id")).write.mode("append")
+      .parquet(path + "_tombstones")
+
+  /** Merge-on-read index scan: base minus tombstones as a BROADCAST
+    * anti-join (tombstones are deletes-sized — the
+    * [[graft.lake.Snapshots.readWithDeletes]] adjudication). With no
+    * sidecar the plan is the plain scan, unchanged. */
+  def ivfReadIndex(s: SparkSession, path: String): DataFrame = {
+    val base = s.read.parquet(path)
+    val tomb = java.nio.file.Paths.get(path + "_tombstones")
+    if (!java.nio.file.Files.isDirectory(tomb)) base
+    else base.join(
+      broadcast(s.read.parquet(tomb.toString).distinct()),
+      Seq("vec_id"), "left_anti")
+  }
+
+  /** Fold tombstones into the layout: rewrite ONLY the cells holding
+    * deleted rows (survivors staged to a temp dir cell-partitioned,
+    * then an O(affected-cells) directory swap — untouched cell dirs
+    * keep their files byte-for-byte), then drop the sidecar. A fully
+    * deleted cell's directory is removed outright. The staged-swap
+    * shape is what a 100 TB index wants: the rewrite is partition-
+    * local to the deletes' cells, never a full-index job. */
+  def ivfCompact(s: SparkSession, path: String): Unit = {
+    import java.nio.file.{Files, Paths}
+    val tombDir = Paths.get(path + "_tombstones")
+    if (!Files.isDirectory(tombDir)) return
+    val tombs = s.read.parquet(tombDir.toString).distinct()
+    val base = s.read.parquet(path)
+    val hit = base.join(broadcast(tombs), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.get(0)) // ≤ C cells
+    if (hit.nonEmpty) {
+      val tmp = path + "_compact_tmp"
+      base.filter(col("cell").isin(hit: _*))
+        .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      hit.foreach { c =>
+        val dst = Paths.get(path, s"cell=$c")
+        graft.lake.Lake.deleteRecursively(dst.toFile)
+        val src = Paths.get(tmp, s"cell=$c")
+        if (Files.isDirectory(src)) Files.move(src, dst)
+      }
+      graft.lake.Lake.deleteRecursively(Paths.get(tmp).toFile)
+    }
+    graft.lake.Lake.deleteRecursively(tombDir.toFile)
+  }
+
+  /** [[ivfSearchIndex]] over the merge-on-read scan. */
+  def ivfSearchIndexMor(spark: SparkSession, path: String,
+      queries: DataFrame, cents: Seq[(Int, Seq[Double])], k: Int,
+      nprobe: Int): DataFrame = {
+    val idx = ivfReadIndex(spark, path)
+      .select(col("vec_id").as("c_id"), col("uv").as("cv"), col("cell"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("c_id"))
+    idx.join(broadcast(ivfProbes(queries, cents, nprobe)), Seq("cell"))
+      .filter(col("q_id") =!= col("c_id"))
+      .withColumn("cos", dot(col("qv"), col("cv")))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("cos"), 6).as("sim"))
+  }
+
   // ------------------------------------------------------------ PQ
 
   /** Sub-vector `s` of a concatenated PQ layout: dims [s·dSub, (s+1)·dSub). */
@@ -979,6 +1052,90 @@ object Similarity {
         (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
   }
 
+  /** E3o ✱: IVF INDEX DELETES — the forget-request path the index
+    * stack lacked (r11 verdict item 4): k26's deletion-vector pattern
+    * composed with the persisted IVF artifact. A delete batch writes
+    * vec_ids into a deletes-sized tombstone sidecar (replayed batches
+    * are harmless — the read side de-duplicates); search applies the
+    * sidecar as a BROADCAST anti-join; compaction stages the
+    * survivors of ONLY the affected cells to a temp layout and swaps
+    * directories — untouched cells keep their files byte-for-byte,
+    * and no retrain happens anywhere. Gates (✱, constant-true
+    * oracle): (a) tombstone-applied search EQUALS a fresh-build
+    * search over the surviving corpus under the SAME frozen
+    * centroids; (b) deleted ids never surface; (c) post-compaction
+    * plain search still equals that answer with the sidecar gone;
+    * (d) compacted row count equals the survivor count; (e) the
+    * unaffected cell directories' file listings are unchanged. */
+  private val e3IvfDelete: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(emb, c = 32, iters = 2) // frozen — no retrain
+    val path = graft.lake.Lake.scratchDir("ivfdel") + "/index"
+    ivfWriteIndex(emb, cents, path)
+    val delIds = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    ivfDelete(delIds, path)
+    ivfDelete(delIds.limit(20), path) // replay must be harmless
+    val survivors = emb.filter(col("vec_id") % 10 =!= 3)
+    val freshPath = graft.lake.Lake.scratchDir("ivfdelfresh") + "/index"
+    ivfWriteIndex(survivors, cents, freshPath)
+    // Pre-compaction answers pinned eagerly (bounded: ≤ queries×k
+    // rows) — compaction below mutates the files this plan reads.
+    val mor = ivfSearchIndexMor(s, path, queries, cents,
+      k = 5, nprobe = 8).localCheckpoint(eager = true)
+    val fresh = ivfSearchIndex(s, freshPath, queries, cents,
+      k = 5, nprobe = 8)
+    val affected = s.read.parquet(path)
+      .join(broadcast(delIds), Seq("vec_id"), "left_semi")
+      .select(col("cell")).distinct().collect().map(_.get(0)).toSet
+    def cellListing(): Map[String, Seq[String]] = {
+      val ls = Files.list(Paths.get(path))
+      val dirs =
+        try {
+          import scala.jdk.CollectionConverters._
+          ls.iterator().asScala.map(_.getFileName.toString)
+            .filter(_.startsWith("cell=")).toList
+        } finally ls.close()
+      dirs.filterNot(d => affected.exists(c => d == s"cell=$c"))
+        .map { d =>
+          val fs = Files.list(Paths.get(path, d))
+          val names =
+            try {
+              import scala.jdk.CollectionConverters._
+              fs.iterator().asScala.map(_.getFileName.toString)
+                .toList.sorted
+            } finally fs.close()
+          d -> names
+        }.toMap
+    }
+    val before = cellListing()
+    ivfCompact(s, path)
+    val untouchedPreserved = cellListing() == before
+    val sidecarFolded = !Files.isDirectory(Paths.get(path + "_tombstones"))
+    val post = ivfSearchIndex(s, path, queries, cents, k = 5, nprobe = 8)
+    val extraAgg = mor.exceptAll(fresh).agg(count(lit(1)).as("extra"))
+    val missAgg = fresh.exceptAll(mor).agg(count(lit(1)).as("missing"))
+    val leakAgg = mor.join(delIds.withColumnRenamed("vec_id", "c_id"),
+      Seq("c_id"), "left_semi").agg(count(lit(1)).as("leaked"))
+    val postExtraAgg = post.exceptAll(mor).agg(count(lit(1)).as("p_extra"))
+    val postMissAgg = mor.exceptAll(post).agg(count(lit(1)).as("p_missing"))
+    val idxCountAgg = s.read.parquet(path).agg(count(lit(1)).as("idx_n"))
+    val survCountAgg = survivors.agg(count(lit(1)).as("surv_n"))
+    extraAgg.crossJoin(missAgg).crossJoin(leakAgg)
+      .crossJoin(postExtraAgg).crossJoin(postMissAgg)
+      .crossJoin(idxCountAgg).crossJoin(survCountAgg)
+      .select(
+        (col("extra") === 0 && col("missing") === 0)
+          .as("mor_equals_fresh"),
+        (col("leaked") === 0).as("deleted_never_surface"),
+        (col("p_extra") === 0 && col("p_missing") === 0)
+          .as("compact_preserves_search"),
+        (col("idx_n") === col("surv_n")).as("compact_rows_ok"),
+        lit(untouchedPreserved).as("untouched_cells_preserved"),
+        lit(sidecarFolded).as("sidecar_folded"))
+  }
+
   /** E3f: the on-disk IVF index path — build the cell-partitioned
     * index, search it, and assert the result EQUALS the in-memory
     * `ivfTopK` answer exactly (both exceptAll counts zero; vectors
@@ -1604,6 +1761,7 @@ object Similarity {
     "e3_ivf_recall" -> e3IvfRecall,
     "e3_ivf_indexed" -> e3IvfIndexed,
     "e3_ivf_incremental" -> e3IvfIncremental,
+    "e3_ivf_delete" -> e3IvfDelete,
     "e3_ivfpq_incremental" -> e3IvfPqIncremental,
     "e3_ann_neardup" -> e3AnnNearDup,
     "e3_cosine_neardup" -> e3CosineNearDup,
@@ -1893,6 +2051,11 @@ object Similarity {
     "e3_ivf_incremental" ->
       """SELECT true AS ingest_equals_memory, true AS recall_ok,
         |  true AS scan_budget_ok""".stripMargin,
+    "e3_ivf_delete" ->
+      """SELECT true AS mor_equals_fresh, true AS deleted_never_surface,
+        |  true AS compact_preserves_search, true AS compact_rows_ok,
+        |  true AS untouched_cells_preserved,
+        |  true AS sidecar_folded""".stripMargin,
     "e3_ivfpq_incremental" ->
       """SELECT true AS codes_frozen_ok, true AS ingest_equals_memory,
         |  true AS recall_ok, true AS scan_budget_ok""".stripMargin,

@@ -61,6 +61,9 @@ class PlanAuditSpec extends SparkSpec {
     // six one-row gate scalars crossJoined — the ingest itself is a
     // map-side assignment + partition-local append, no nested loop
     "e3_ivf_incremental" -> Set("BroadcastNestedLoop"),
+    // seven one-row gate scalars crossJoined — the delete path is a
+    // broadcast ANTI-join sidecar apply + partition-local compaction
+    "e3_ivf_delete" -> Set("BroadcastNestedLoop"),
     // eight one-row gate scalars crossJoined (code-equality, search-
     // equality, recall, scan budget) — the IVFADC ingest is a frozen-
     // artifact encode + partition-local append, no nested loop

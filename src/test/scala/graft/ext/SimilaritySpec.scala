@@ -179,6 +179,60 @@ class SimilaritySpec extends SparkSpec {
       mem.exceptAll(search).count() == 0)
   }
 
+  test("IVF index deletes: tombstones hide ids, replay is harmless, " +
+      "compaction folds and leaves untouched cells byte-identical") {
+    import java.nio.file.{Files, Paths}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.ivfTrain(emb, c = 8, iters = 1)
+    val path = graft.lake.Lake.scratchDir("ivfdel_spec") + "/index"
+    Similarity.ivfWriteIndex(emb, cents, path)
+    val delIds = emb.filter($"vec_id" % 7 === 2).select("vec_id")
+    val delSet = delIds.as[Long].collect().toSet
+    Similarity.ivfDelete(delIds, path)
+    Similarity.ivfDelete(delIds, path) // full replay: still harmless
+    val queries = emb.filter($"vec_id" < 5)
+    val mor = Similarity.ivfSearchIndexMor(spark, path, queries, cents,
+      k = 4, nprobe = 3)
+    val morRows = mor.select("q_id", "rnk", "c_id").as[(Long, Int, Long)]
+      .collect().toSeq
+    assert(morRows.nonEmpty && morRows.forall(r => !delSet(r._3)),
+      "tombstoned ids must never surface")
+    // survivors-only semantics: equals search over a survivor-built
+    // index under the same frozen centroids
+    val fresh = graft.lake.Lake.scratchDir("ivfdel_spec_f") + "/index"
+    Similarity.ivfWriteIndex(emb.filter($"vec_id" % 7 =!= 2), cents, fresh)
+    val want = Similarity.ivfSearchIndex(spark, fresh, queries, cents,
+      k = 4, nprobe = 3)
+    assert(mor.exceptAll(want).count() == 0 &&
+      want.exceptAll(mor).count() == 0)
+    // compaction: affected cells rewritten, untouched cells keep their
+    // exact files, sidecar gone, logical content unchanged
+    val affected = spark.read.parquet(path)
+      .join(delIds, Seq("vec_id"), "left_semi")
+      .select("cell").distinct().as[Int].collect().toSet
+    def listing(cell: Int): Seq[String] = {
+      val ls = Files.list(Paths.get(path, s"cell=$cell"))
+      try {
+        import scala.jdk.CollectionConverters._
+        ls.iterator().asScala.map(_.getFileName.toString).toList.sorted
+      } finally ls.close()
+    }
+    val untouched = (0 until 8).filterNot(affected).filter(c =>
+      Files.isDirectory(Paths.get(path, s"cell=$c")))
+    val before = untouched.map(c => c -> listing(c)).toMap
+    Similarity.ivfCompact(spark, path)
+    assert(untouched.map(c => c -> listing(c)).toMap == before,
+      "untouched cell dirs must be byte-identical (same files)")
+    assert(!Files.isDirectory(Paths.get(path + "_tombstones")))
+    val post = spark.read.parquet(path).select("vec_id").as[Long]
+      .collect().toSet
+    assert(post == emb.select("vec_id").as[Long].collect().toSet -- delSet,
+      "compacted index must hold exactly the survivors")
+    // idempotent: compacting with no sidecar is a no-op
+    Similarity.ivfCompact(spark, path)
+    assert(spark.read.parquet(path).count() == post.size)
+  }
+
   test("IVF-PQ on-disk index search dynamically prunes unprobed cells " +
       "and equals the in-memory coded path") {
     import org.apache.spark.sql.functions._
