@@ -143,6 +143,87 @@ class MultimodalSpec extends SparkSpec {
       Seq(10, 20, 30, 40, 50, 60, 70, 80, 90, 200, 150, 100))
   }
 
+  private def gifPalette: Array[Byte] = {
+    val pal = new Array[Byte](768)
+    for (i <- 0 until 256) {
+      pal(i * 3) = i.toByte
+      pal(i * 3 + 1) = ((i * 5 + 7) % 256).toByte
+      pal(i * 3 + 2) = (255 - i).toByte
+    }
+    pal
+  }
+
+  test("GifCodec: LZW round-trips a noisy image (width growth + CLEAR " +
+      "reset) and a uniform image (KwKwK)") {
+    // 256x128 LCG noise: > 4096 dictionary entries, so codes grow
+    // 9->12 bits and the encoder must CLEAR-reset mid-stream
+    val (w, h) = (256, 128)
+    var seed = 12345L
+    val noisy = Array.fill(w * h) {
+      seed = seed * 6364136223846793005L + 1442695040888963407L
+      (seed >>> 56).toByte
+    }
+    val (dw, dh, px, dpal) =
+      Multimodal.GifCodec.decode(
+        Multimodal.GifCodec.encode(w, h, noisy, gifPalette))
+    assert((dw, dh) == (w, h) && px.sameElements(noisy) &&
+      dpal.sameElements(gifPalette))
+    // uniform run: the decoder hits code == next (KwKwK) immediately
+    val flat = Array.fill(16 * 12)(7.toByte)
+    val (_, _, px2, _) = Multimodal.GifCodec.decode(
+      Multimodal.GifCodec.encode(16, 12, flat, gifPalette))
+    assert(px2.sameElements(flat))
+  }
+
+  test("GifCodec interops with javax.imageio BOTH ways (a symmetric " +
+      "bit-order or code-width bug cannot cancel out)") {
+    val (w, h) = (40, 30)
+    val idx = Array.tabulate(w * h)(i => ((i * 37 + 11) % 256).toByte)
+    val pal = gifPalette
+    // ours -> ImageIO reader
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(
+      Multimodal.GifCodec.encode(w, h, idx, pal)))
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = idx(y * w + x) & 0xff
+      val want = 0xff000000 | ((pal(i * 3) & 0xff) << 16) |
+        ((pal(i * 3 + 1) & 0xff) << 8) | (pal(i * 3 + 2) & 0xff)
+      assert(img.getRGB(x, y) == want, s"pixel ($x,$y)")
+    }
+    // ImageIO writer -> ours
+    val cm = new java.awt.image.IndexColorModel(8, 256,
+      Array.tabulate(256)(i => pal(i * 3)),
+      Array.tabulate(256)(i => pal(i * 3 + 1)),
+      Array.tabulate(256)(i => pal(i * 3 + 2)))
+    val bi = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_INDEXED, cm)
+    for (y <- 0 until h; x <- 0 until w)
+      bi.getRaster.setSample(x, y, 0, idx(y * w + x) & 0xff)
+    val bos = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(bi, "gif", bos))
+    val (dw, dh, px, dpal) = Multimodal.GifCodec.decode(bos.toByteArray)
+    assert((dw, dh) == (w, h))
+    for (p <- 0 until w * h) {
+      val (got, want) = (px(p) & 0xff, idx(p) & 0xff)
+      // palette order may differ in ImageIO's table: compare COLORS
+      assert((dpal(got * 3), dpal(got * 3 + 1), dpal(got * 3 + 2)) ==
+        (pal(want * 3), pal(want * 3 + 1), pal(want * 3 + 2)),
+        s"pixel $p color mismatch")
+    }
+  }
+
+  test("GifCodec rejects malformed inputs loudly") {
+    val ok = Multimodal.GifCodec.encode(4, 4,
+      Array.tabulate(16)(_.toByte), gifPalette)
+    intercept[IllegalArgumentException] {
+      Multimodal.GifCodec.decode("NOTAGIF!".getBytes ++ ok.drop(8))
+    }
+    // truncated LZW stream: chop inside the data sub-blocks
+    intercept[Exception] {
+      Multimodal.GifCodec.decode(ok.dropRight(6))
+    }
+  }
+
   test("PngCodec: RGB round-trip through cycling filters and CRC checks") {
     val (w, h) = (5, 7)
     val rgb = Array.tabulate(w * h * 3)(i => ((i * 37 + 11) % 256).toByte)
