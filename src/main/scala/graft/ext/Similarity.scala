@@ -236,27 +236,30 @@ object Similarity {
 
   // ------------------------------------- IVF index deletes (e3o)
 
-  /** Tombstone vec_ids in a persisted IVF index — the k26 deletion-
-    * vector pattern composed with the ANN artifact: a forget request
-    * costs O(ids written) into a deletes-sized sidecar; the
-    * cell-partitioned base is NEVER rewritten, repeated batches
-    * append, the read side de-duplicates. Before this, a forget
-    * request against an embedding index meant retrain. */
-  def ivfDelete(ids: DataFrame, path: String): Unit =
-    ids.select(col("vec_id")).write.mode("append")
+  /** Tombstone ids in a persisted cell-partitioned index (`idCol` is
+    * `vec_id` for the IVF layout, `c_id` for the IVFADC coded layout)
+    * — the k26 deletion-vector pattern composed with the ANN artifact:
+    * a forget request costs O(ids written) into a deletes-sized
+    * sidecar; the cell-partitioned base is NEVER rewritten, repeated
+    * batches append, the read side de-duplicates. Before this, a
+    * forget request against an embedding index meant retrain. */
+  def ivfDelete(ids: DataFrame, path: String,
+      idCol: String = "vec_id"): Unit =
+    ids.select(col(ids.columns.head).as(idCol)).write.mode("append")
       .parquet(path + "_tombstones")
 
   /** Merge-on-read index scan: base minus tombstones as a BROADCAST
     * anti-join (tombstones are deletes-sized — the
     * [[graft.lake.Snapshots.readWithDeletes]] adjudication). With no
     * sidecar the plan is the plain scan, unchanged. */
-  def ivfReadIndex(s: SparkSession, path: String): DataFrame = {
+  def ivfReadIndex(s: SparkSession, path: String,
+      idCol: String = "vec_id"): DataFrame = {
     val base = s.read.parquet(path)
     val tomb = java.nio.file.Paths.get(path + "_tombstones")
     if (!java.nio.file.Files.isDirectory(tomb)) base
     else base.join(
       broadcast(s.read.parquet(tomb.toString).distinct()),
-      Seq("vec_id"), "left_anti")
+      Seq(idCol), "left_anti")
   }
 
   /** Fold tombstones into the layout: rewrite ONLY the cells holding
@@ -266,18 +269,19 @@ object Similarity {
     * deleted cell's directory is removed outright. The staged-swap
     * shape is what a 100 TB index wants: the rewrite is partition-
     * local to the deletes' cells, never a full-index job. */
-  def ivfCompact(s: SparkSession, path: String): Unit = {
+  def ivfCompact(s: SparkSession, path: String,
+      idCol: String = "vec_id"): Unit = {
     import java.nio.file.{Files, Paths}
     val tombDir = Paths.get(path + "_tombstones")
     if (!Files.isDirectory(tombDir)) return
     val tombs = s.read.parquet(tombDir.toString).distinct()
     val base = s.read.parquet(path)
-    val hit = base.join(broadcast(tombs), Seq("vec_id"), "left_semi")
+    val hit = base.join(broadcast(tombs), Seq(idCol), "left_semi")
       .select(col("cell")).distinct().collect().map(_.get(0)) // ≤ C cells
     if (hit.nonEmpty) {
       val tmp = path + "_compact_tmp"
       base.filter(col("cell").isin(hit: _*))
-        .join(broadcast(tombs), Seq("vec_id"), "left_anti")
+        .join(broadcast(tombs), Seq(idCol), "left_anti")
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
       hit.foreach { c =>
         val dst = Paths.get(path, s"cell=$c")
@@ -586,6 +590,20 @@ object Similarity {
       k: Int, nprobe: Int, rerank: Int): DataFrame =
     ivfPqSearchCoded(
       spark.read.parquet(path).select(col("c_id"), col("cell"), col("codes")),
+      rawVecs, queries, cents, books, k, nprobe, rerank)
+
+  /** [[ivfPqSearchIndex]] over the merge-on-read scan (tombstones
+    * applied to the coded table as a broadcast anti-join on c_id;
+    * deleted ids can then never reach candidate generation, so the
+    * bounded exact re-rank against `rawVecs` cannot resurface them). */
+  def ivfPqSearchIndexMor(spark: SparkSession, path: String,
+      rawVecs: DataFrame, queries: DataFrame,
+      cents: Seq[(Int, Seq[Double])],
+      books: IndexedSeq[IndexedSeq[Seq[Double]]],
+      k: Int, nprobe: Int, rerank: Int): DataFrame =
+    ivfPqSearchCoded(
+      ivfReadIndex(spark, path, idCol = "c_id")
+        .select(col("c_id"), col("cell"), col("codes")),
       rawVecs, queries, cents, books, k, nprobe, rerank)
 
   /** k-NN label classification by majority vote over the exact top-k
@@ -1050,6 +1068,72 @@ object Similarity {
           .as("ingest_equals_memory"),
         (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
         (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
+  }
+
+  /** E3p ✱: IVFADC INDEX DELETES — the forget-request path for the
+    * COMPOSED coded artifact (e3_ivf_delete covers the coarse IVF
+    * layer; this is the index a 100 TB deployment actually stores).
+    * Tombstones land in the same deletes-sized sidecar keyed on c_id;
+    * the MOR search applies them to the CODED table before candidate
+    * generation, so the bounded exact re-rank can never resurface a
+    * deleted id; compaction is the same partition-local staged swap.
+    * Gates (✱, constant-true oracle): (a) MOR search EQUALS a fresh
+    * survivor-coded index search under the SAME frozen centroids AND
+    * codebooks; (b) deleted ids never surface; (c) post-compaction
+    * plain search preserves the answer with the sidecar gone;
+    * (d) the compacted coded table EQUALS a frozen-artifact encode of
+    * the survivors (a code drifting during compaction hash-fails even
+    * where ranking would hide it). */
+  private val e3IvfPqDelete: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(emb, c = 32, iters = 2) // frozen
+    val books = ivfPqTrain(emb, cents, m = 8, ksub = 32, iters = 2)
+    val path = graft.lake.Lake.scratchDir("ivfpqdel") + "/index"
+    ivfPqWriteIndex(emb, cents, books, path)
+    val delIds = emb.filter(col("vec_id") % 10 === 3).select("vec_id")
+    ivfDelete(delIds, path, idCol = "c_id")
+    ivfDelete(delIds.limit(20), path, idCol = "c_id") // replay harmless
+    val survivors = emb.filter(col("vec_id") % 10 =!= 3)
+    val freshPath = graft.lake.Lake.scratchDir("ivfpqdelf") + "/index"
+    ivfPqWriteIndex(survivors, cents, books, freshPath)
+    // pre-compaction answer pinned eagerly (≤ queries×k rows) —
+    // compaction below mutates the files this plan reads
+    val mor = ivfPqSearchIndexMor(s, path, survivors, queries, cents,
+      books, k = 5, nprobe = 8, rerank = 100)
+      .localCheckpoint(eager = true)
+    val fresh = ivfPqSearchIndex(s, freshPath, survivors, queries, cents,
+      books, k = 5, nprobe = 8, rerank = 100)
+    ivfCompact(s, path, idCol = "c_id")
+    val sidecarFolded = !Files.isDirectory(Paths.get(path + "_tombstones"))
+    val post = ivfPqSearchIndex(s, path, survivors, queries, cents,
+      books, k = 5, nprobe = 8, rerank = 100)
+    val onDisk = s.read.parquet(path)
+      .select(col("c_id"), col("cell"), col("codes"))
+    val survCoded = ivfPqCode(survivors, cents, books)
+    val extraAgg = mor.exceptAll(fresh).agg(count(lit(1)).as("extra"))
+    val missAgg = fresh.exceptAll(mor).agg(count(lit(1)).as("missing"))
+    val leakAgg = mor.join(delIds.withColumnRenamed("vec_id", "c_id"),
+      Seq("c_id"), "left_semi").agg(count(lit(1)).as("leaked"))
+    val postExtraAgg = post.exceptAll(mor).agg(count(lit(1)).as("p_extra"))
+    val postMissAgg = mor.exceptAll(post).agg(count(lit(1)).as("p_missing"))
+    val codeExtraAgg = onDisk.exceptAll(survCoded)
+      .agg(count(lit(1)).as("c_extra"))
+    val codeMissAgg = survCoded.exceptAll(onDisk)
+      .agg(count(lit(1)).as("c_missing"))
+    extraAgg.crossJoin(missAgg).crossJoin(leakAgg)
+      .crossJoin(postExtraAgg).crossJoin(postMissAgg)
+      .crossJoin(codeExtraAgg).crossJoin(codeMissAgg)
+      .select(
+        (col("extra") === 0 && col("missing") === 0)
+          .as("mor_equals_fresh"),
+        (col("leaked") === 0).as("deleted_never_surface"),
+        (col("p_extra") === 0 && col("p_missing") === 0)
+          .as("compact_preserves_search"),
+        (col("c_extra") === 0 && col("c_missing") === 0)
+          .as("codes_compact_ok"),
+        lit(sidecarFolded).as("sidecar_folded"))
   }
 
   /** E3o ✱: IVF INDEX DELETES — the forget-request path the index
@@ -1762,6 +1846,7 @@ object Similarity {
     "e3_ivf_indexed" -> e3IvfIndexed,
     "e3_ivf_incremental" -> e3IvfIncremental,
     "e3_ivf_delete" -> e3IvfDelete,
+    "e3_ivfpq_delete" -> e3IvfPqDelete,
     "e3_ivfpq_incremental" -> e3IvfPqIncremental,
     "e3_ann_neardup" -> e3AnnNearDup,
     "e3_cosine_neardup" -> e3CosineNearDup,
@@ -2055,6 +2140,10 @@ object Similarity {
       """SELECT true AS mor_equals_fresh, true AS deleted_never_surface,
         |  true AS compact_preserves_search, true AS compact_rows_ok,
         |  true AS untouched_cells_preserved,
+        |  true AS sidecar_folded""".stripMargin,
+    "e3_ivfpq_delete" ->
+      """SELECT true AS mor_equals_fresh, true AS deleted_never_surface,
+        |  true AS compact_preserves_search, true AS codes_compact_ok,
         |  true AS sidecar_folded""".stripMargin,
     "e3_ivfpq_incremental" ->
       """SELECT true AS codes_frozen_ok, true AS ingest_equals_memory,

@@ -64,6 +64,8 @@ class PlanAuditSpec extends SparkSpec {
     // seven one-row gate scalars crossJoined — the delete path is a
     // broadcast ANTI-join sidecar apply + partition-local compaction
     "e3_ivf_delete" -> Set("BroadcastNestedLoop"),
+    // same: one-row gate scalars crossJoined over the coded layout
+    "e3_ivfpq_delete" -> Set("BroadcastNestedLoop"),
     // eight one-row gate scalars crossJoined (code-equality, search-
     // equality, recall, scan budget) — the IVFADC ingest is a frozen-
     // artifact encode + partition-local append, no nested loop
