@@ -173,11 +173,12 @@ object Lake {
     import java.nio.file.{Files, Paths, StandardCopyOption}
     val dst = Paths.get(dstDir)
     Files.createDirectories(dst)
-    Files.list(Paths.get(srcDir)).forEach { p =>
+    val ls = Files.list(Paths.get(srcDir))
+    try ls.forEach { p =>
       if (Files.isRegularFile(p))
         Files.copy(p, dst.resolve(p.getFileName.toString),
           StandardCopyOption.REPLACE_EXISTING)
-    }
+    } finally ls.close()
   }
 
   /** Small-file compaction — lake maintenance for tail-ingested zones

@@ -230,16 +230,22 @@ object EventWindows {
     val root = Files.createTempDirectory("replay_").toString
     val staged = s"$root/staged"
     df.repartition(col("b")).write.partitionBy("b").parquet(staged)
-    val files = Files.list(Paths.get(staged)).iterator().asScala
-      .filter(_.getFileName.toString.startsWith("b="))
-      .map(p => (p.getFileName.toString.stripPrefix("b=").toLong, p))
-      .toSeq.sortBy(_._1)
-      .map { case (b, bdir) =>
-        val fs = Files.list(bdir).iterator().asScala
+    val ls = Files.list(Paths.get(staged))
+    val bdirs =
+      try ls.iterator().asScala
+        .filter(_.getFileName.toString.startsWith("b="))
+        .map(p => (p.getFileName.toString.stripPrefix("b=").toLong, p))
+        .toSeq.sortBy(_._1)
+      finally ls.close()
+    val files = bdirs.map { case (b, bdir) =>
+      val bs = Files.list(bdir)
+      val fs =
+        try bs.iterator().asScala
           .filter(_.getFileName.toString.endsWith(".parquet")).toSeq
-        require(fs.size == 1, s"batch $b staged as ${fs.size} files")
-        fs.head
-      }
+        finally bs.close()
+      require(fs.size == 1, s"batch $b staged as ${fs.size} files")
+      fs.head
+    }
     val landing = s"$root/landing"
     Files.createDirectory(Paths.get(landing))
     (files, landing)
