@@ -66,7 +66,11 @@ object Bench {
     // round-11 additions: line-level dedup is a new digest-keyed
     // family head, RAKE a new posexplode+doc-keyed-join family head —
     // measure them like the others
-    "e2_line_dedup", "e4_rake_keywords", "e2_containment")
+    "e2_line_dedup", "e4_rake_keywords", "e2_containment",
+    // round-12: exact maximal-span discovery (anchor-gram pairing +
+    // diagonal runs) is a new family head — its pair fanout is
+    // true-duplicate mass, which must stay far from all-pairs
+    "e2_substring_exact")
 
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is
@@ -77,7 +81,11 @@ object Bench {
     "e3_semdedup", "e3_pq_recall", "e3_ivfpq_recall", "e3_pq_indexed",
     // verify ingest by running the grown index AND the in-memory
     // path AND brute force — three searches to gate one
-    "e3_ivf_incremental", "e3_ivfpq_incremental")
+    "e3_ivf_incremental", "e3_ivfpq_incremental",
+    // verify deletes by building TWO indexes (base + survivor
+    // reference) and searching three times — harness cost, not the
+    // delete path's (which is an O(ids) sidecar write)
+    "e3_ivf_delete", "e3_ivfpq_delete")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

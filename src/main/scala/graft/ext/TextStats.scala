@@ -172,6 +172,85 @@ object TextStats {
       .orderBy(col("doc_id"))
   }
 
+  /** Stupid-backoff trigram LM scoring (Brants et al., EMNLP'07 —
+    * "Large Language Models in Machine Translation": the web-scale
+    * backoff that skips normalization because at corpus size it
+    * doesn't matter) — the distributed stand-in for the KenLM scorer
+    * CCNet runs before perplexity bucketing. TRAIN on one corpus
+    * slice, SCORE held-out documents, so the backoff chain actually
+    * fires (scoring the training slice itself never backs off — every
+    * observed trigram has count ≥ 1):
+    *
+    *   S(w3|w1w2) = c3/ch3             if the trigram was seen
+    *              = 0.4 · S(w3|w2)     otherwise
+    *   S(w3|w2)   = c2/ch2             if the bigram was seen
+    *              = 0.4 · S1(w3)       otherwise
+    *   S1(w3)     = (c1 + 1)/(N + V)   add-one unigram floor, so an
+    *                                   OOV word scores finitely
+    *
+    * Dataflow: three keyed count tables from the train slice (history
+    * counts derived FROM the n-gram tables — no extra corpus pass,
+    * the [[bigramLogprob]] discipline), scored per probe trigram TYPE
+    * via left equi-joins, then one join back onto the probe stream.
+    * nll rounds per type (6); the per-doc rollup is an INTEGER
+    * micro-nat sum (round(nll·10⁶) per instance, summed as BIGINT) —
+    * a rounded double avg hit an exact half-boundary at the 4th
+    * decimal at sf0.1 (the w8 pattern: double summation order is not
+    * associative, integer sums are). */
+  def backoffTrigramScore(train: DataFrame, probe: DataFrame,
+      idCol: String, textCol: String, alpha: Double = 0.4): DataFrame = {
+    def tris(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 3)
+      .select(col("doc_id"), explode(expr(
+        """transform(sequence(1, size(ws) - 2), i ->
+          |  struct(element_at(ws, i) AS w1,
+          |         element_at(ws, i + 1) AS w2,
+          |         element_at(ws, i + 2) AS w3))""".stripMargin)).as("t"))
+      .select(col("doc_id"), col("t.w1"), col("t.w2"), col("t.w3"))
+    def bis(df: DataFrame) = df
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .filter(size(col("ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(ws) - 1), i ->
+          |  struct(element_at(ws, i) AS w2,
+          |         element_at(ws, i + 1) AS w3))""".stripMargin)).as("b"))
+      .select(col("b.w2"), col("b.w3"))
+    val uni = train.select(explode(split(col(textCol), " ")).as("w3"))
+    val c3 = tris(train).groupBy(col("w1"), col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c3"))
+    val ch3 = c3.groupBy(col("w1"), col("w2")).agg(sum(col("c3")).as("ch3"))
+    val c2 = bis(train).groupBy(col("w2"), col("w3"))
+      .agg(count(lit(1)).as("c2"))
+    val ch2 = c2.groupBy(col("w2")).agg(sum(col("c2")).as("ch2"))
+    val c1 = uni.groupBy(col("w3")).agg(count(lit(1)).as("c1"))
+    val nvAgg = uni.agg(count(lit(1)).as("n"),
+      countDistinct(col("w3")).as("v"))
+    val probeTris = tris(probe)
+    val types = probeTris.select(col("w1"), col("w2"), col("w3")).distinct()
+      .join(c3, Seq("w1", "w2", "w3"), "left")
+      .join(ch3, Seq("w1", "w2"), "left")
+      .join(c2, Seq("w2", "w3"), "left")
+      .join(ch2, Seq("w2"), "left")
+      .join(c1, Seq("w3"), "left")
+      .crossJoin(nvAgg)
+    val s1 = (coalesce(col("c1"), lit(0L)) + lit(1)).cast("double") /
+      (col("n") + col("v"))
+    val s2 = when(col("c2").isNotNull,
+      col("c2").cast("double") / col("ch2")).otherwise(lit(alpha) * s1)
+    val s3 = when(col("c3").isNotNull,
+      col("c3").cast("double") / col("ch3")).otherwise(lit(alpha) * s2)
+    val scored = types.select(col("w1"), col("w2"), col("w3"),
+      round(-log(s3), 6).as("nll"), col("c3").isNotNull.as("tri_hit"))
+    probeTris.join(scored, Seq("w1", "w2", "w3"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_trigrams"),
+        sum(when(col("tri_hit"), 1L).otherwise(0L)).as("n_tri_hits"),
+        sum(when(col("tri_hit"), 0L).otherwise(1L)).as("n_backoffs"),
+        sum(round(col("nll") * 1e6).cast("long")).as("sum_nll_micro"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Winnowing document fingerprints (Schleimer/Wilkerson/Aiken,
     * SIGMOD'03 — the MOSS algorithm): char k-gram hashes, keep the
     * minimum hash of every w-gram window. Guarantee: any substring
@@ -472,6 +551,16 @@ object TextStats {
   /** E4j: bigram-LM quality scoring (add-0.5 smoothing). */
   private val e4BigramLm: Q = (s, dir) =>
     bigramLogprob(t(s, dir, "documents"), "doc_id", "text")
+
+  /** E4v: stupid-backoff trigram LM — train on doc_id % 3 ≠ 0, score
+    * the held-out third so the backoff chain actually fires; full
+    * value-level oracle re-deriving every count table, the per-type
+    * backoff cascade, and the per-doc rollup. */
+  private val e4BackoffLm: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    backoffTrigramScore(docs.filter(col("doc_id") % 3 =!= 0),
+      docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
+  }
 
   /** E4k: winnowing fingerprints (k=8 char grams, w=6 windows),
     * full value-level oracle on the exact fingerprint set. */
@@ -831,6 +920,7 @@ object TextStats {
     "e4_jsd" -> e4Jsd,
     "e4_langid" -> e4Langid,
     "e4_bigram_lm" -> e4BigramLm,
+    "e4_backoff_lm" -> e4BackoffLm,
     "e4_winnow" -> e4Winnow,
     "e4_bpe" -> e4Bpe,
     "e4_bpe_apply" -> e4BpeApply,
@@ -1092,6 +1182,59 @@ object TextStats {
          |SELECT lang, pred, n,
          |  round(n / sum(n) OVER (PARTITION BY lang), 4) AS share
          |FROM cm ORDER BY lang, pred""".stripMargin,
+    "e4_backoff_lm" ->
+      """WITH tr AS (
+        |  SELECT string_split(text, ' ') AS l FROM documents
+        |  WHERE doc_id % 3 <> 0),
+        |pb AS (
+        |  SELECT doc_id, string_split(text, ' ') AS l FROM documents
+        |  WHERE doc_id % 3 = 0),
+        |t3 AS (
+        |  SELECT l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+        |  FROM tr, unnest(range(1, len(l) - 1)) AS t(i)
+        |  WHERE len(l) >= 3),
+        |c3 AS (SELECT w1, w2, w3, count(*)::BIGINT AS c3 FROM t3
+        |       GROUP BY w1, w2, w3),
+        |ch3 AS (SELECT w1, w2, sum(c3)::BIGINT AS ch3 FROM c3
+        |        GROUP BY w1, w2),
+        |b2 AS (
+        |  SELECT l[i] AS w2, l[i + 1] AS w3
+        |  FROM tr, unnest(range(1, len(l))) AS t(i)
+        |  WHERE len(l) >= 2),
+        |c2 AS (SELECT w2, w3, count(*)::BIGINT AS c2 FROM b2
+        |       GROUP BY w2, w3),
+        |ch2 AS (SELECT w2, sum(c2)::BIGINT AS ch2 FROM c2 GROUP BY w2),
+        |u1 AS (SELECT unnest(l) AS w3 FROM tr),
+        |c1 AS (SELECT w3, count(*)::BIGINT AS c1 FROM u1 GROUP BY w3),
+        |nv AS (SELECT count(*)::BIGINT AS n,
+        |         count(DISTINCT w3)::BIGINT AS v FROM u1),
+        |p3 AS (
+        |  SELECT doc_id, l[i] AS w1, l[i + 1] AS w2, l[i + 2] AS w3
+        |  FROM pb, unnest(range(1, len(l) - 1)) AS t(i)
+        |  WHERE len(l) >= 3),
+        |ty AS (SELECT DISTINCT w1, w2, w3 FROM p3),
+        |sc AS (
+        |  SELECT ty.w1, ty.w2, ty.w3,
+        |    round(-ln(CASE WHEN c3.c3 IS NOT NULL
+        |      THEN c3.c3::DOUBLE / ch3.ch3
+        |      ELSE 0.4 * (CASE WHEN c2.c2 IS NOT NULL
+        |        THEN c2.c2::DOUBLE / ch2.ch2
+        |        ELSE 0.4 * ((coalesce(c1.c1, 0) + 1)::DOUBLE
+        |          / (nv.n + nv.v)) END) END), 6) AS nll,
+        |    (c3.c3 IS NOT NULL) AS tri_hit
+        |  FROM ty
+        |  LEFT JOIN c3 USING (w1, w2, w3)
+        |  LEFT JOIN ch3 USING (w1, w2)
+        |  LEFT JOIN c2 USING (w2, w3)
+        |  LEFT JOIN ch2 USING (w2)
+        |  LEFT JOIN c1 USING (w3)
+        |  CROSS JOIN nv)
+        |SELECT p3.doc_id, count(*)::BIGINT AS n_trigrams,
+        |  sum(CASE WHEN tri_hit THEN 1 ELSE 0 END)::BIGINT AS n_tri_hits,
+        |  sum(CASE WHEN tri_hit THEN 0 ELSE 1 END)::BIGINT AS n_backoffs,
+        |  sum(round(nll * 1e6)::BIGINT)::BIGINT AS sum_nll_micro
+        |FROM p3 JOIN sc USING (w1, w2, w3)
+        |GROUP BY p3.doc_id ORDER BY p3.doc_id""".stripMargin,
     "e4_bigram_lm" ->
       """WITH ws AS (
         |  SELECT doc_id, string_split(text, ' ') AS l FROM documents),

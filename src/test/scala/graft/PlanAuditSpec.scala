@@ -95,6 +95,9 @@ class PlanAuditSpec extends SparkSpec {
     "e4_logprob" -> Set("BroadcastNestedLoop"),
     // one-row vocabulary-size scalar crossJoined onto the bigram table
     "e4_bigram_lm" -> Set("BroadcastNestedLoop"),
+    // one-row (N, V) scalar crossJoined onto the probe-type table —
+    // the count-table joins themselves are keyed left equi-joins
+    "e4_backoff_lm" -> Set("BroadcastNestedLoop"),
     // one-row (N, avgdl) scalars crossJoined onto the Q-row term table
     "e4_bm25" -> Set("BroadcastNestedLoop"),
     // two one-row global est/exact scalars crossJoined onto a one-row agg

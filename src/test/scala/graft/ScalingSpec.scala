@@ -49,7 +49,10 @@ class ScalingSpec extends SparkSpec {
     // and RAKE (one posexplode + doc-keyed joins — linear by design)
     "e2_line_dedup", "e4_rake_keywords",
     // prefix-filtered containment join (asymmetric AllPairs)
-    "e2_containment")
+    "e2_containment",
+    // round-12: exact maximal-span discovery — anchor-digest pairing
+    // whose fanout is true-duplicate mass, diagonal gaps-and-islands
+    "e2_substring_exact")
 
   test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
       "bucketed family head in the committed bench artifact") {

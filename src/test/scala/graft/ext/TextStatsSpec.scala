@@ -9,6 +9,28 @@ class TextStatsSpec extends SparkSpec {
   private def one(c: org.apache.spark.sql.Column, text: String): Any =
     Seq(text).toDF("text").select(c).head().get(0)
 
+  test("stupid-backoff trigram LM: hits score c3/ch3, misses cascade " +
+      "through 0.4-damped bigram/unigram levels") {
+    // train "a b c a b c": c3(a,b,c)=2 of ch3(a,b)=2 → S=1, nll=0;
+    // probe trigram (b,c,d): unseen trigram, unseen bigram (c,d),
+    // unseen word d → S = 0.4·0.4·(0+1)/(N=6 + V=3), nll≈4.029806
+    val train = Seq((1L, "a b c a b c")).toDF("doc_id", "text")
+    val probe = Seq((10L, "a b c d")).toDF("doc_id", "text")
+    val got = TextStats.backoffTrigramScore(train, probe, "doc_id", "text")
+      .select("doc_id", "n_trigrams", "n_tri_hits", "n_backoffs",
+        "sum_nll_micro")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((10L, 2L, 1L, 1L, 0L + 4029806L)), s"got $got")
+    // mid-cascade stop: probe (d, a, b) — trigram (d,a,b) unseen but
+    // bigram (a,b) seen with c2(a,b)=2 of ch2(a)=2 → S = 0.4·1, one
+    // backoff, nll = -ln(0.4) ≈ 0.916291
+    val probe2 = Seq((20L, "d a b")).toDF("doc_id", "text")
+    val got2 = TextStats.backoffTrigramScore(train, probe2, "doc_id", "text")
+      .select("n_tri_hits", "n_backoffs", "sum_nll_micro")
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got2 == Seq((0L, 1L, 916291L)), s"got $got2")
+  }
+
   test("language-ID heuristic picks the marker-heavy language") {
     assert(one(TextStats.languageIdHeuristic($"text"),
       "the cat and the dog is here") == "en")
