@@ -85,7 +85,9 @@ object Bench {
     // verify deletes by building TWO indexes (base + survivor
     // reference) and searching three times — harness cost, not the
     // delete path's (which is an O(ids) sidecar write)
-    "e3_ivf_delete", "e3_ivfpq_delete")
+    "e3_ivf_delete", "e3_ivfpq_delete",
+    // the streamed e3_ivf_incremental: same three-search gate harness
+    "ev31_stream_ivf_ingest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -771,6 +771,67 @@ object EventWindows {
       .orderBy(col("event_type"), col("day"))
   }
 
+  /** EV31 ✱: STREAMING INGEST INTO THE PERSISTED IVF INDEX — the
+    * ev×e3 composition closing the ANN loop the way ev28 closed the
+    * snapshot-log loop: a day's new embeddings don't arrive as one
+    * batch job, they arrive as a STREAM, and the index must absorb
+    * them micro-batch by micro-batch with no retrain. The held-out
+    * batch slice (vec_id ≡ 0 mod 4) replays as 4 micro-batches
+    * through a landing dir; each foreachBatch body runs the
+    * e3_ivf_incremental ingest — map-side assignment against the
+    * FROZEN broadcast centroids, partition-local append into the cell
+    * layout. Gates (✱, constant-true oracle): the grown index's
+    * search EQUALS the in-memory cell path over the full corpus under
+    * the same frozen centroids (a lost, duplicated, or mis-assigned
+    * micro-batch breaks equality), recall of the exact top-5 clears
+    * 0.5, and a require pins that the ingest really took ≥ 3
+    * micro-batches. */
+  private val ev31StreamIvfIngest: Q = (s, dir) => {
+    import graft.ext.Similarity
+    val emb = graft.Tables.load(s, dir, "embeddings")
+    val resident = emb.filter(col("vec_id") % 4 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 4 === 0)
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = Similarity.ivfTrain(resident, c = 32, iters = 2) // frozen
+    val path = graft.lake.Lake.scratchDir("ev31_ivf") + "/index"
+    Similarity.ivfWriteIndex(resident, cents, path)
+    val (files, landing) = stageReplay(s,
+      arriving.select(col("vec_id"), col("embedding"))
+        .withColumn("b", expr("(vec_id div 4) % 4")))
+    val schema = s.read.parquet(files.head.toString).schema
+    var batches = 0
+    val q = s.readStream.schema(schema).parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        Similarity.ivfAssign(batch, cents)
+          .write.mode("append").partitionBy("cell").parquet(path)
+      }
+      .start()
+    try replay(files, landing, q) finally q.stop()
+    require(batches >= 3,
+      s"ingest drained in $batches micro-batches — replay not exercised")
+    val viaIndex = Similarity.ivfSearchIndex(s, path, queries, cents,
+      k = 5, nprobe = 8)
+    val inMemory = Similarity.ivfTopK(emb, queries, cents,
+      k = 5, nprobe = 8)
+    val extraAgg = viaIndex.exceptAll(inMemory)
+      .agg(count(lit(1)).as("extra"))
+    val missAgg = inMemory.exceptAll(viaIndex)
+      .agg(count(lit(1)).as("missing"))
+    val exact = Similarity.bruteForceTopK(queries, emb, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val hitsAgg = exact.join(viaIndex.select(col("q_id"), col("c_id")),
+      Seq("q_id", "c_id"), "left_semi").agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    extraAgg.crossJoin(missAgg).crossJoin(hitsAgg).crossJoin(totalAgg)
+      .select(
+        (col("extra") === 0 && col("missing") === 0)
+          .as("ingest_equals_memory"),
+        (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
+        lit(batches >= 3).as("multi_batch"))
+  }
+
   /** EV19: bounded-batch BACKFILL with Trigger.AvailableNow — the
     * catch-up surface: a backlog of landed files is drained in
     * rate-limited micro-batches (`maxFilesPerTrigger`) and the query
@@ -1105,6 +1166,7 @@ object EventWindows {
     "ev26_stream_dropdup" -> ev26StreamDropdup,
     "ev29_stream_url_dedup" -> ev29StreamUrlDedup,
     "ev30_stream_hll" -> ev30StreamHll,
+    "ev31_stream_ivf_ingest" -> ev31StreamIvfIngest,
     "ev27_rocksdb_dropdup" -> ev27RocksdbDropdup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
@@ -1119,6 +1181,10 @@ object EventWindows {
   )
 
   val oracles: Map[String, String] = Map(
+    // Self-check (✱): index equality / recall bounds asserted in-plan.
+    "ev31_stream_ivf_ingest" ->
+      """SELECT true AS ingest_equals_memory, true AS recall_ok,
+        |  true AS multi_batch""".stripMargin,
     // Each committed version = one 5-day event bucket, in bucket
     // order: dense_rank over the SAME bucket expression restates the
     // version ↦ rows mapping from the raw table.

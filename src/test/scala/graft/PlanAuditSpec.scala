@@ -66,6 +66,10 @@ class PlanAuditSpec extends SparkSpec {
     "e3_ivf_delete" -> Set("BroadcastNestedLoop"),
     // same: one-row gate scalars crossJoined over the coded layout
     "e3_ivfpq_delete" -> Set("BroadcastNestedLoop"),
+    // four one-row gate scalars crossJoined (+ the exact broadcast-
+    // query recall scan) — the streamed ingest itself is the map-side
+    // assignment + partition-local append per micro-batch
+    "ev31_stream_ivf_ingest" -> Set("BroadcastNestedLoop"),
     // eight one-row gate scalars crossJoined (code-equality, search-
     // equality, recall, scan budget) — the IVFADC ingest is a frozen-
     // artifact encode + partition-local append, no nested loop
