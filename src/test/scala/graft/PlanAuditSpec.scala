@@ -157,6 +157,8 @@ class PlanAuditSpec extends SparkSpec {
     "x8_observe" -> Set("NoCodegen"),
     // five one-row self-check scalars crossJoined into the gate row
     "e5_phash_neardup" -> Set("BroadcastNestedLoop"),
+    // same gate-scalar shape over the DCT-pHash banding
+    "e5_dct_phash" -> Set("BroadcastNestedLoop"),
     // one-row fixpoint certificate crossJoined onto the core rows
     "g5_kcore" -> Set("BroadcastNestedLoop"),
     // one-row max-corpus-norm (and the self-check scalar rollup)

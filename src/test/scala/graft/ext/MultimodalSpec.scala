@@ -212,6 +212,30 @@ class MultimodalSpec extends SparkSpec {
     }
   }
 
+  test("dctPhash: identical texts collide, a local edit stays near, " +
+      "unrelated texts sit far, and bits stay median-balanced") {
+    import spark.implicits._
+    val base = ("the quick brown fox jumps over the lazy dog " * 25)
+      .take(1000)
+    val edited = base.updated(99, 'z')
+    val other = ("numbers 0123456789 and symbols !@#$%^ repeat " * 25)
+      .take(1000)
+    val rows = Multimodal.dctPhash(
+        Seq((1L, base), (2L, base), (3L, edited), (4L, other))
+          .toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(r => r.doc_id -> r.phash).toMap
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(rows(1L), rows(2L)) == 0, "identical must collide")
+    assert(ham(rows(1L), rows(3L)) <= 8,
+      s"local edit drifted ${ham(rows(1L), rows(3L))} bits")
+    assert(ham(rows(1L), rows(4L)) > 8,
+      s"unrelated texts too close: ${ham(rows(1L), rows(4L))}")
+    // lower-median threshold: at most 31 of 63 coefficients exceed it
+    rows.values.foreach(h =>
+      assert(java.lang.Long.bitCount(h) <= 31 && (h >>> 63) == 0L,
+        s"unbalanced or DC-bit-set hash: ${java.lang.Long.bitCount(h)}"))
+  }
+
   test("GifCodec rejects malformed inputs loudly") {
     val ok = Multimodal.GifCodec.encode(4, 4,
       Array.tabulate(16)(_.toByte), gifPalette)
