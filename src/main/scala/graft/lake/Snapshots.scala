@@ -193,8 +193,11 @@ object Snapshots {
       .filter(v => v < cutoff && !committed.contains(v) && claimStale(v))
     // Iceberg's expire-respects-refs rule: a TAGGED version (k28) is
     // retained regardless of the retention window — the tag IS the
-    // statement that someone must be able to read it forever.
-    val tagged = entries.filter(n => n.startsWith("_tag_") &&
+    // statement that someone must be able to read it forever. BRANCH
+    // HEADS (k36) are refs too: expiring a branch's current head
+    // would sever a live line of development.
+    val tagged = entries.filter(n => (n.startsWith("_tag_") ||
+        n.startsWith("_branch_")) &&
       !n.endsWith(".tmp") && !n.endsWith(".claim"))
       .map(n => Files.readString(dir.resolve(n)).trim.toInt).toSet
     val expired = committed.filter(v => v < cutoff && !tagged(v)).sorted
@@ -269,6 +272,89 @@ object Snapshots {
   /** Read the table as of a tag — [[readVersion]] through the ref. */
   def readTag(s: SparkSession, root: String, name: String): DataFrame =
     readVersion(s, root, Some(tagVersion(root, name)))
+
+  // -------------------------------------------------- branches (k36)
+
+  /** BRANCH: a named MUTABLE ref (Iceberg branches / the Nessie and
+    * LakeFS development model) — k28's tags pin a version forever;
+    * a branch is the moving head of a line of development. Commits
+    * made THROUGH a branch share the table's one CAS version log (so
+    * concurrent branches never collide on version numbers) and record
+    * their parent version in a `_parent_v<n>` sidecar, which gives
+    * the linear log a commit DAG that merge can walk. Branch creation
+    * is write-once via the claim CAS (same rule as tags); the pointer
+    * afterwards moves only by commit/merge, each move an atomic
+    * rename, so a reader sees a complete pointer or the old one.
+    * [[vacuum]] retains every branch head like a tagged version. */
+  def createBranch(root: String, name: String, v: Int): Unit = {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"branch '$name': names must match [A-Za-z0-9._-]+")
+    require(!name.endsWith(".tmp") && !name.endsWith(".claim"),
+      s"branch '$name': names ending in .tmp/.claim collide with " +
+        "commit-protocol temp files")
+    require(Files.exists(Paths.get(root, s"_commit_v$v")),
+      s"branch '$name': version $v is not committed")
+    try Files.createFile(Paths.get(root, s"_branch_$name.claim"))
+    catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new IllegalStateException(
+          s"branch '$name' already exists")
+    }
+    moveBranchPtr(root, name, v)
+  }
+
+  private def moveBranchPtr(root: String, name: String, v: Int): Unit = {
+    val tmp = Paths.get(root, s"_branch_$name.tmp")
+    Files.writeString(tmp, v.toString)
+    Files.move(tmp, Paths.get(root, s"_branch_$name"),
+      StandardCopyOption.ATOMIC_MOVE, StandardCopyOption.REPLACE_EXISTING)
+  }
+
+  /** Resolve a branch to its current head version (fails on unknown). */
+  def branchHead(root: String, name: String): Int =
+    Files.readString(Paths.get(root, s"_branch_$name")).trim.toInt
+
+  /** Commit a full snapshot THROUGH a branch: claim the next free
+    * version in the shared log, write, record the parent (= the
+    * branch's head at entry), publish, advance the pointer. */
+  def commitToBranch(df: DataFrame, root: String, name: String): Int = {
+    val parent = branchHead(root, name)
+    var v = latestVersion(root) + 1
+    while (!claim(root, v)) v += 1
+    Lake.writeParquet(df, s"$root/v=$v")
+    Files.writeString(Paths.get(root, s"_parent_v$v"), parent.toString)
+    publish(root, v)
+    moveBranchPtr(root, name, v)
+    v
+  }
+
+  /** Ancestry of a version through the `_parent_v` sidecars, newest
+    * first, ending at the first version with no recorded parent. */
+  def parentChain(root: String, v: Int): List[Int] = {
+    val p = Paths.get(root, s"_parent_v$v")
+    if (!Files.exists(p)) List(v)
+    else v :: parentChain(root, Files.readString(p).trim.toInt)
+  }
+
+  /** FAST-FORWARD merge: move `into`'s pointer to `from`'s head,
+    * permitted only when `into`'s head is an ancestor of `from`'s —
+    * otherwise the branches have DIVERGED and a fast-forward would
+    * silently discard `into`'s commits (the Nessie default: refuse,
+    * make the caller rebase or choose a merge strategy). */
+  def fastForwardMerge(root: String, into: String, from: String): Int = {
+    val intoV = branchHead(root, into)
+    val fromV = branchHead(root, from)
+    if (intoV == fromV) return intoV
+    require(parentChain(root, fromV).contains(intoV),
+      s"cannot fast-forward '$into' (v$intoV) to '$from' (v$fromV): " +
+        "heads have diverged")
+    moveBranchPtr(root, into, fromV)
+    fromV
+  }
+
+  /** Read the table as of a branch head — [[readVersion]] via the ref. */
+  def readBranch(s: SparkSession, root: String, name: String): DataFrame =
+    readVersion(s, root, Some(branchHead(root, name)))
 
   // ------------------------------------------------- schema evolution
 
@@ -715,6 +801,56 @@ object Snapshots {
         s"version $v is above the clone pin $pin but has no local data")
       s.read.parquet(s"$src/v=$v")
     }
+  }
+
+  /** K36: BRANCH + FAST-FORWARD MERGE under the gate — the Nessie /
+    * LakeFS / Iceberg-branch development model on the snapshot log:
+    * main and dev branch from v1; dev commits v2 (isolation: main
+    * still reads v1 — required); main FAST-FORWARDS to dev (legal:
+    * main's head is v2's parent); then exp and main commit
+    * DIVERGENT snapshots (v3, v4 — both children of v2 in the
+    * `_parent_v` DAG, interleaved in the one shared CAS version log)
+    * and the exp→main merge must REFUSE (a fast-forward would
+    * silently discard main's commit), leaving both heads untouched.
+    * The emitted rollups are value-level: main must read the
+    * {0,1,3}-mod order slice and exp the {0,1,2}-mod slice, DuckDB-
+    * restated; the parent chains v3→v2→v1 and v4→v2→v1 and the
+    * refusal are required in-plan as constant-true columns. */
+  private val k36BranchMerge: Q = (s, dir) => {
+    val root = Lake.scratchDir("k36")
+    val o = Tables.load(s, dir, "orders").select(col("o_orderkey"),
+      round(col("o_totalprice"), 2).as("price"))
+    def mods(ms: Int*) = o.filter((col("o_orderkey") % 4)
+      .isin(ms.map(Integer.valueOf): _*))
+    require(commitVersion(mods(0), root) == 1)
+    createBranch(root, "main", 1)
+    createBranch(root, "dev", 1)
+    require(commitToBranch(mods(0, 1), root, "dev") == 2)
+    require(branchHead(root, "main") == 1,
+      "branch isolation broken: a dev commit moved main")
+    require(fastForwardMerge(root, "main", "dev") == 2 &&
+      branchHead(root, "main") == 2, "fast-forward did not apply")
+    createBranch(root, "exp", 2)
+    require(commitToBranch(mods(0, 1, 2), root, "exp") == 3)
+    require(commitToBranch(mods(0, 1, 3), root, "main") == 4)
+    val refused =
+      try { fastForwardMerge(root, "main", "exp"); false }
+      catch { case _: IllegalArgumentException => true }
+    require(branchHead(root, "main") == 4 && branchHead(root, "exp") == 3,
+      "a refused merge must leave both heads untouched")
+    val ancestryOk = parentChain(root, 3) == List(3, 2, 1) &&
+      parentChain(root, 4) == List(4, 2, 1)
+    def agg(df: DataFrame, label: String) = df.agg(
+      count(lit(1)).as("n_rows"), sum(col("o_orderkey")).as("sum_keys"),
+      round(sum(col("price")), 2).as("sum_price"))
+      .select(lit(label).as("ref"), col("n_rows"), col("sum_keys"),
+        col("sum_price"))
+    agg(readBranch(s, root, "main"), "main")
+      .unionByName(agg(readBranch(s, root, "exp"), "exp"))
+      .select(col("ref"), col("n_rows"), col("sum_keys"),
+        col("sum_price"), lit(refused).as("divergence_refused"),
+        lit(ancestryOk).as("ancestry_ok"))
+      .orderBy(col("ref"))
   }
 
   /** K33: SHALLOW CLONE under the gate — src commits v1 (even keys)
@@ -1364,6 +1500,7 @@ object Snapshots {
 
   val queries: Map[String, Q] = Map(
     "k33_shallow_clone" -> k33ShallowClone,
+    "k36_branch_merge" -> k36BranchMerge,
     "k29_schema_evolution" -> k29SchemaEvolution,
     "k30_compact" -> k30Compact,
     "k32_multi_table_txn" -> k32MultiTableTxn,
@@ -1386,6 +1523,25 @@ object Snapshots {
     // in txn1's orders predicate but not txn2's (RI holds in testdata).
     // Content rows restated from `part`; the zero-copy layout row is
     // the pinned physical contract (1 local dir, 3 markers, pin 2).
+    // Branch rollups restated from the order slices each snapshot
+    // committed; the merge-refusal and ancestry gates are structural
+    // requires in-plan (constant-true columns here).
+    "k36_branch_merge" ->
+      """WITH o AS (
+        |  SELECT o_orderkey, round(o_totalprice, 2) AS price
+        |  FROM orders),
+        |m AS (
+        |  SELECT 'exp' AS ref, count(*)::BIGINT AS n_rows,
+        |    sum(o_orderkey)::BIGINT AS sum_keys,
+        |    round(sum(price), 2) AS sum_price
+        |  FROM o WHERE o_orderkey % 4 IN (0, 1, 2)
+        |  UNION ALL
+        |  SELECT 'main', count(*)::BIGINT, sum(o_orderkey)::BIGINT,
+        |    round(sum(price), 2)
+        |  FROM o WHERE o_orderkey % 4 IN (0, 1, 3))
+        |SELECT ref, n_rows, sum_keys, sum_price,
+        |  true AS divergence_refused, true AS ancestry_ok
+        |FROM m ORDER BY ref""".stripMargin,
     "k33_shallow_clone" ->
       """SELECT * FROM (
         |  SELECT '1_clone_pin_v2' AS snap, count(*)::BIGINT AS n,

@@ -62,6 +62,44 @@ class SnapshotsSpec extends SparkSpec {
     assert(Snapshots.vacuum(root, retain = 1).isEmpty)
   }
 
+  test("branches: create-once, isolated commits, no-op and refused " +
+      "merges, heads pinned through vacuum") {
+    val root = Lake.scratchDir("t_branches")
+    assert(Snapshots.commitVersion(Seq((1L, "a")).toDF("k", "v"), root) == 1)
+    // branching from an uncommitted version fails fast
+    intercept[IllegalArgumentException](
+      Snapshots.createBranch(root, "bad", 9))
+    Snapshots.createBranch(root, "main", 1)
+    // branch creation is write-once (the pointer moves only by
+    // commit/merge)
+    intercept[IllegalStateException](Snapshots.createBranch(root, "main", 1))
+    Snapshots.createBranch(root, "dev", 1)
+    assert(Snapshots.commitToBranch(
+      Seq((2L, "b")).toDF("k", "v"), root, "dev") == 2)
+    assert(Snapshots.branchHead(root, "main") == 1, "isolation broken")
+    // merging a branch into itself-equal head is a no-op
+    Snapshots.createBranch(root, "dev2", 1)
+    assert(Snapshots.fastForwardMerge(root, "main", "dev2") == 1)
+    // fast-forward applies, then diverged heads refuse
+    assert(Snapshots.fastForwardMerge(root, "main", "dev") == 2)
+    assert(Snapshots.commitToBranch(
+      Seq((3L, "c")).toDF("k", "v"), root, "main") == 3)
+    assert(Snapshots.commitToBranch(
+      Seq((4L, "d")).toDF("k", "v"), root, "dev") == 4)
+    intercept[IllegalArgumentException](
+      Snapshots.fastForwardMerge(root, "main", "dev"))
+    assert(Snapshots.parentChain(root, 4) == List(4, 2, 1))
+    // vacuum retains BOTH live heads (3 and 4); v2 expires (dev2's
+    // head v1 is also still a ref and survives)
+    assert(Snapshots.vacuum(root, retain = 1) == Seq(2))
+    assert(Snapshots.readBranch(spark, root, "main")
+      .as[(Long, String)].collect().toSeq == Seq((3L, "c")))
+    assert(Snapshots.readBranch(spark, root, "dev")
+      .as[(Long, String)].collect().toSeq == Seq((4L, "d")))
+    assert(Snapshots.readBranch(spark, root, "dev2")
+      .as[(Long, String)].collect().toSeq == Seq((1L, "a")))
+  }
+
   test("write-audit-publish: a failing audit never becomes readable") {
     val root = Lake.scratchDir("t_wap")
     val checks = Seq(Validate.Check("no_nulls",
