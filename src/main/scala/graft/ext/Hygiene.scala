@@ -168,6 +168,58 @@ object Hygiene {
       .orderBy(col("doc_id"))
   }
 
+  /** Gopher repetition filters, the top-n-gram half (Rae et al. 2021,
+    * Table A1): the fraction of the document occupied by its single
+    * most frequent {2,3,4}-gram — templated/spun text concentrates
+    * mass in one repeated phrase, which unique-word and dup-bigram
+    * ratios can miss. Per n: explode word n-grams as sha-256 digests
+    * (the repeatedNgramSpans shuffle discipline — fixed-width keys,
+    * and counts never leave their (doc, digest) key), count per
+    * (doc, gram), keep the per-doc max, report the occupied fraction
+    * in integer BASIS POINTS (cnt·n·10⁴ div n_tokens): token ratios
+    * like 1/2⁵ land EXACTLY on 4th-decimal half-boundaries where the
+    * engines' double rounding modes legitimately disagree — integer
+    * floor division doesn't round at all. A gram counts only when it
+    * repeats (cnt ≥ 2); a doc shorter than n reports 0. The mass is
+    * cnt·n WITHOUT overlap-union — the public reimplementations'
+    * spelling (DataTrove / NeMo Curator compute count·len/len(doc)),
+    * so degenerate self-overlapping repeats can exceed 10⁴ bp
+    * (spec-pinned deliberately). */
+  def topNgramFractions(docs: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
+    val base = docs
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+      .select(col("doc_id"), size(col("ws")).cast("long").as("nt"),
+        col("ws"))
+    val joined = ns.foldLeft(base.select(col("doc_id"), col("nt"))) {
+      (acc, n) =>
+        val top = base.filter(col("nt") >= n)
+          .select(col("doc_id"),
+            explode(expr(
+              s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
+                s"sha2(array_join(slice(ws, i, $n), ' '), 256))"))
+              .as("g"))
+          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+          .groupBy(col("doc_id")).agg(max(col("c")).as(s"top$n"))
+        acc.join(top, Seq("doc_id"), "left")
+    }
+    val out = ns.foldLeft(joined) { (acc, n) =>
+      acc.withColumn(s"top$n", coalesce(col(s"top$n"), lit(0L)))
+        .withColumn(s"dup${n}_bp", expr(
+          s"CASE WHEN top$n >= 2 THEN (top$n * $n * 10000) div nt " +
+            "ELSE 0 END"))
+    }
+    out.select(col("doc_id") +: col("nt").as("n_tokens") +:
+      ns.flatMap(n => Seq(col(s"top$n"), col(s"dup${n}_bp"))): _*)
+      .orderBy(col("doc_id"))
+  }
+
+  /** E9q: the Gopher top-n-gram repetition fractions over the corpus;
+    * full value-level oracle (DuckDB regenerates every gram, the
+    * per-doc maxima, and the integer basis-point arithmetic). */
+  private val e9TopNgram: Q = (s, dir) =>
+    topNgramFractions(t(s, dir, "documents"), "doc_id", "text")
+
   // ------------------------------------------- boilerplate profiling
 
   /** Corpus-wide boilerplate profile (the C4-family signal): a doc's
@@ -668,6 +720,7 @@ object Hygiene {
     "e9_pii_redact" -> e9PiiRedact,
     "e9_secrets" -> e9Secrets,
     "e9_repetition" -> e9Repetition,
+    "e9_topngram" -> e9TopNgram,
     "e9_boilerplate" -> e9Boilerplate,
     "e9_blocklist" -> e9Blocklist,
   )
@@ -932,6 +985,49 @@ object Hygiene {
          |  sum(CASE WHEN verdict = 'kept' THEN doc_id ELSE 0 END)::BIGINT
          |    AS sum_kept_ids
          |FROM v GROUP BY source ORDER BY source""".stripMargin,
+    // Gopher top-n-gram fractions: every gram regenerated, per-doc
+    // maxima and the integer basis-point arithmetic restated.
+    "e9_topngram" ->
+      """WITH b AS (
+        |  SELECT doc_id, string_split(text, ' ') AS ws,
+        |    len(string_split(text, ' '))::BIGINT AS nt
+        |  FROM documents),
+        |g2 AS (
+        |  SELECT doc_id, max(c)::BIGINT AS top2 FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(ws, i, i + 1), ' ') AS g,
+        |      count(*) AS c
+        |    FROM b, unnest(range(1, nt)) AS t(i)
+        |    WHERE nt >= 2 GROUP BY doc_id, g) GROUP BY doc_id),
+        |g3 AS (
+        |  SELECT doc_id, max(c)::BIGINT AS top3 FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(ws, i, i + 2), ' ') AS g,
+        |      count(*) AS c
+        |    FROM b, unnest(range(1, nt - 1)) AS t(i)
+        |    WHERE nt >= 3 GROUP BY doc_id, g) GROUP BY doc_id),
+        |g4 AS (
+        |  SELECT doc_id, max(c)::BIGINT AS top4 FROM (
+        |    SELECT doc_id,
+        |      array_to_string(list_slice(ws, i, i + 3), ' ') AS g,
+        |      count(*) AS c
+        |    FROM b, unnest(range(1, nt - 2)) AS t(i)
+        |    WHERE nt >= 4 GROUP BY doc_id, g) GROUP BY doc_id)
+        |SELECT b.doc_id, b.nt AS n_tokens,
+        |  coalesce(top2, 0)::BIGINT AS top2,
+        |  (CASE WHEN coalesce(top2, 0) >= 2
+        |    THEN (top2 * 2 * 10000) // b.nt ELSE 0 END)::BIGINT AS dup2_bp,
+        |  coalesce(top3, 0)::BIGINT AS top3,
+        |  (CASE WHEN coalesce(top3, 0) >= 2
+        |    THEN (top3 * 3 * 10000) // b.nt ELSE 0 END)::BIGINT AS dup3_bp,
+        |  coalesce(top4, 0)::BIGINT AS top4,
+        |  (CASE WHEN coalesce(top4, 0) >= 2
+        |    THEN (top4 * 4 * 10000) // b.nt ELSE 0 END)::BIGINT AS dup4_bp
+        |FROM b
+        |LEFT JOIN g2 USING (doc_id)
+        |LEFT JOIN g3 USING (doc_id)
+        |LEFT JOIN g4 USING (doc_id)
+        |ORDER BY b.doc_id""".stripMargin,
     "e9_repetition" ->
       """WITH w AS (
         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),

@@ -38,6 +38,24 @@ class HygieneSpec extends SparkSpec {
       (2L, 3L, 1.0, 0.0, 0.3333)))
   }
 
+  test("topNgramFractions: per-n maxima, integer basis points, " +
+      "singletons zeroed, overlap mass past 10000 bp pinned") {
+    // "a b a b a b c": top 2-gram "a b"×3 → 6·10⁴/7 = 8571 bp;
+    // top 3-gram ×2 → 8571; top 4-gram "a b a b"×2 overlaps itself →
+    // 8·10⁴/7 = 11428 bp > 10⁴ (the DataTrove count·len spelling,
+    // deliberate); "a a a": (a a)×2 → 13333, 3-gram singleton → 0;
+    // "x" is shorter than every n → all zero.
+    val df = Seq((1L, "a b a b a b c"), (2L, "a a a"), (3L, "x"))
+      .toDF("doc_id", "text")
+    val rows = Hygiene.topNgramFractions(df, "doc_id", "text")
+      .as[(Long, Long, Long, Long, Long, Long, Long, Long)]
+      .collect().toSeq
+    assert(rows == Seq(
+      (1L, 7L, 3L, 8571L, 2L, 8571L, 2L, 11428L),
+      (2L, 3L, 2L, 13333L, 1L, 0L, 0L, 0L),
+      (3L, 1L, 0L, 0L, 0L, 0L, 0L, 0L)), s"got $rows")
+  }
+
   test("boilerplateProfile separates template text from original prose") {
     // "nav home about contact" shingles appear in 3 docs (df 3 > 2);
     // each doc's tail is unique.
