@@ -1277,6 +1277,47 @@ object Dedup {
       .limit(k)
   }
 
+  /** MinHash-LSH parameter PLANNER — the MMDS §3.4 S-curve sizing a
+    * dedup pipeline runs BEFORE committing a band plan (the e2
+    * family's own 4×16 / 8×8 band constants came from exactly this
+    * table): for each (bands b, rows r) factorization of a K-hash
+    * signature, a pair at Jaccard s collides with probability
+    * 1 − (1 − s^r)^b, and the curve's inflection threshold is
+    * ≈ (1/b)^(1/r). Reports each plan's threshold and its collision
+    * probabilities just below/above the target, and recommends the
+    * factorization whose threshold lands closest to the target.
+    * Closed-form map-only arithmetic over a log₂K-row plan table —
+    * the one ANN-family query whose oracle is FULLY value-level
+    * (both engines evaluate the identical pow expressions). */
+  def lshBandPlan(s: SparkSession, k: Int, theta: Double,
+      sBelow: Double, sAbove: Double): DataFrame = {
+    import s.implicits._
+    val plans = (0 to 30).map(1 << _).filter(b => b <= k && k % b == 0)
+      .map(b => (b, k / b))
+    // sBelow/sAbove are EXPLICIT literals, not theta ± 0.1: the
+    // subtraction lands on 0.7000000000000001 in doubles while the
+    // oracle's SQL literal is exactly 0.7 — the engines must feed pow
+    // the same bits.
+    val df = plans.toDF("b", "r")
+      .withColumn("threshold",
+        round(pow(lit(1.0) / col("b"), lit(1.0) / col("r")), 6))
+      .withColumn("p_below", round(lit(1.0) -
+        pow(lit(1.0) - pow(lit(sBelow), col("r")), col("b")), 6))
+      .withColumn("p_above", round(lit(1.0) -
+        pow(lit(1.0) - pow(lit(sAbove), col("r")), col("b")), 6))
+      .withColumn("dist", abs(col("threshold") - lit(theta)))
+    df.crossJoin(df.agg(min(col("dist")).as("best")))
+      .select(col("b"), col("r"), col("threshold"),
+        col("p_below"), col("p_above"),
+        (col("dist") === col("best")).as("recommended"))
+      .orderBy(col("b"))
+  }
+
+  /** E2k: the band plan for the repo's own K=64 signatures at target
+    * θ = 0.8 — full value oracle (DuckDB restates every pow). */
+  private val e2LshPlan: Q = (s, dir) =>
+    lshBandPlan(s, 64, 0.8, sBelow = 0.7, sAbove = 0.9)
+
   /** Planted fixtures for the exact-span gate, mirrored in the oracle:
     * a 23-token span shared by two synthetic docs at different offsets
     * (the window pass marks it but cannot report "exactly 23") and a
@@ -1607,6 +1648,7 @@ object Dedup {
     "e2_substring_trim" -> e2SubstringTrim,
     "e2_substring_cov" -> e2SubstringCov,
     "e2_substring_exact" -> e2SubstringExact,
+    "e2_lsh_plan" -> e2LshPlan,
     "e2_repeated_ngrams" -> e2RepeatedNgrams,
     "e1b_normalized_dedup" -> e1bNormalizedDedup,
     "e1_dedup_exact" -> e1DedupExact,
@@ -1829,6 +1871,22 @@ object Dedup {
         |  round(coalesce(c.dup_tokens, 0) / b.n_tokens, 4) AS dup_frac
         |FROM b LEFT JOIN c USING (doc_id)
         |ORDER BY b.doc_id""".stripMargin,
+    // The S-curve planner restated: identical pow expressions over the
+    // same 7-row factorization table, recommendation re-derived.
+    "e2_lsh_plan" ->
+      """WITH plans(b, r) AS (
+        |  VALUES (1, 64), (2, 32), (4, 16), (8, 8), (16, 4), (32, 2),
+        |    (64, 1)),
+        |t AS (
+        |  SELECT b, r,
+        |    round(pow(1.0 / b, 1.0 / r), 6) AS threshold,
+        |    round(1.0 - pow(1.0 - pow(0.7, r), b), 6) AS p_below,
+        |    round(1.0 - pow(1.0 - pow(0.9, r), b), 6) AS p_above,
+        |    abs(round(pow(1.0 / b, 1.0 / r), 6) - 0.8) AS dist
+        |  FROM plans)
+        |SELECT b, r, threshold, p_below, p_above,
+        |  (dist = (SELECT min(dist) FROM t)) AS recommended
+        |FROM t ORDER BY b""".stripMargin,
     // Exact maximal duplicated spans: DuckDB re-derives the sliding
     // 6-gram anchors, the ≥2-distinct-doc filter, the occurrence
     // pairing, the diagonal gaps-and-islands runs, and every span's

@@ -330,6 +330,49 @@ object LakeQueries {
       .orderBy(col("status"))
   }
 
+  /** S25: FIXED-WIDTH file ingest — the mainframe/COBOL-copybook
+    * export format Spark has no native reader for (and the one
+    * classifier shape the S-family still lacked): records are
+    * position-addressed, zero/space-padded columns with an explicit
+    * sign byte for money. Deterministic 55-byte records are
+    * synthesized from `customer` (custkey 10 zero-padded, name 20
+    * space-padded, nation 3 zero-padded, sign byte + 11-digit
+    * zero-padded integer CENTS — money never rides a float through a
+    * text format — segment 10 space-padded), written as a real text
+    * file, re-read raw, and sliced by SUBSTRING POSITIONS into typed
+    * columns, map-only. The rollup value-checks every parsed field
+    * per segment plus a record-length audit; the oracle rebuilds and
+    * re-slices the same records with the same positions. */
+  private val s25FixedWidth: Q = (s, dir) => {
+    val out = Lake.scratchDir("s25")
+    val cents = round(col("c_acctbal") * 100).cast("long")
+    t(s, dir, "customer").select(concat(
+        lpad(col("c_custkey").cast("string"), 10, "0"),
+        rpad(col("c_name"), 20, " "),
+        lpad(col("c_nationkey").cast("string"), 3, "0"),
+        when(cents < 0, lit("-")).otherwise(lit("+")),
+        lpad(abs(cents).cast("string"), 11, "0"),
+        rpad(col("c_mktsegment"), 10, " ")).as("value"))
+      .write.mode("overwrite").text(out)
+    val v = col("value")
+    val parsed = s.read.text(out).select(
+      substring(v, 1, 10).cast("long").as("custkey"),
+      trim(substring(v, 11, 20)).as("name"),
+      substring(v, 31, 3).cast("long").as("nation"),
+      (when(substring(v, 34, 1) === "-", -1L).otherwise(1L) *
+        substring(v, 35, 11).cast("long")).as("cents"),
+      trim(substring(v, 46, 10)).as("segment"),
+      (length(v) === 55).as("ok"))
+    parsed.groupBy(col("segment"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("custkey")).as("sum_keys"),
+        sum(col("cents")).as("sum_cents"),
+        countDistinct(col("nation")).as("n_nations"),
+        sum(length(col("name"))).as("sum_name_len"),
+        sum(when(col("ok"), 0L).otherwise(1L)).as("n_badlen"))
+      .orderBy(col("segment"))
+  }
+
   /** K7: small-file compaction — a fragmented zone (32 files) compacts
     * to target-sized files with byte-identical data; the oracle reads
     * the ORIGINAL table, so the fragment+compact+scan cycle must be
@@ -1064,6 +1107,7 @@ object LakeQueries {
     "s11_orc_rt" -> s11OrcRt,
     "s21_xml_rt" -> s21XmlRt,
     "s22_grok_log" -> s22GrokLog,
+    "s25_fixed_width" -> s25FixedWidth,
     "k7_compact" -> k7Compact,
     "k8_ctas_insert" -> k8CtasInsert,
     "k8b_ctas_partitioned" -> k8bCtasPartitioned,
@@ -1291,6 +1335,37 @@ object LakeQueries {
     // DuckDB synthesizes the SAME log lines from the same table and
     // re-parses them with the SAME regex constant — a drifting field,
     // a regex that over/under-matches, or a lost line all hash-fail.
+    // Fixed-width ingest: the oracle rebuilds every 55-byte record
+    // (lpad/rpad + sign byte + integer cents) and re-slices it by the
+    // same substring positions.
+    "s25_fixed_width" ->
+      """WITH c AS (
+        |  SELECT *, CAST(round(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer),
+        |lines AS (
+        |  SELECT lpad(c_custkey::VARCHAR, 10, '0') ||
+        |    rpad(c_name, 20, ' ') ||
+        |    lpad(c_nationkey::VARCHAR, 3, '0') ||
+        |    (CASE WHEN cents < 0 THEN '-' ELSE '+' END) ||
+        |    lpad(abs(cents)::VARCHAR, 11, '0') ||
+        |    rpad(c_mktsegment, 10, ' ') AS v
+        |  FROM c),
+        |p AS (
+        |  SELECT substring(v, 1, 10)::BIGINT AS custkey,
+        |    trim(substring(v, 11, 20)) AS name,
+        |    substring(v, 31, 3)::BIGINT AS nation,
+        |    (CASE WHEN substring(v, 34, 1) = '-' THEN -1 ELSE 1 END) *
+        |      substring(v, 35, 11)::BIGINT AS cents,
+        |    trim(substring(v, 46, 10)) AS segment,
+        |    (length(v) = 55) AS ok
+        |  FROM lines)
+        |SELECT segment, count(*)::BIGINT AS n_rows,
+        |  sum(custkey)::BIGINT AS sum_keys,
+        |  sum(cents)::BIGINT AS sum_cents,
+        |  count(DISTINCT nation)::BIGINT AS n_nations,
+        |  sum(length(name))::BIGINT AS sum_name_len,
+        |  sum(CASE WHEN ok THEN 0 ELSE 1 END)::BIGINT AS n_badlen
+        |FROM p GROUP BY segment ORDER BY segment""".stripMargin,
     "s22_grok_log" ->
       s"""WITH lines AS (
          |  SELECT '10.0.' || (o_custkey % 256) || '.' ||

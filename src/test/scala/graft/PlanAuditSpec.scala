@@ -102,6 +102,9 @@ class PlanAuditSpec extends SparkSpec {
     // one-row (N, V) scalar crossJoined onto the probe-type table —
     // the count-table joins themselves are keyed left equi-joins
     "e4_backoff_lm" -> Set("BroadcastNestedLoop"),
+    // one-row best-distance scalar crossJoined onto the 7-row plan
+    // table — pure closed-form driver-sized arithmetic
+    "e2_lsh_plan" -> Set("BroadcastNestedLoop"),
     // one-row (N, avgdl) scalars crossJoined onto the Q-row term table
     "e4_bm25" -> Set("BroadcastNestedLoop"),
     // two one-row global est/exact scalars crossJoined onto a one-row agg
