@@ -41,6 +41,36 @@ class CodecProperties extends SparkSpec {
     }
   }
 
+  test("property: GifCodec round-trips arbitrary paletted images " +
+      "(all sizes, skewed palettes, low-entropy runs)") {
+    val pal = new Array[Byte](768)
+    (0 until 256).foreach { i =>
+      pal(i * 3) = i.toByte
+      pal(i * 3 + 1) = ((i * 7 + 3) % 256).toByte
+      pal(i * 3 + 2) = ((255 - i) % 256).toByte
+    }
+    val gen = for {
+      w <- Gen.chooseNum(1, 70)
+      h <- Gen.chooseNum(1, 70)
+      // three content regimes: full-range noise (dictionary growth),
+      // a tiny alphabet (long LZW chains + KwKwK), constant runs
+      mode <- Gen.oneOf(0, 1, 2)
+      bytes <- Gen.listOfN(w * h, mode match {
+        case 0 => Gen.chooseNum(0, 255)
+        case 1 => Gen.oneOf(7, 8, 9)
+        case 2 => Gen.const(42)
+      })
+    } yield (w, h, bytes.map(_.toByte).toArray)
+    (1 to 40).foreach { _ =>
+      val (w, h, idx) = gen.sample.getOrElse((1, 1, Array[Byte](0)))
+      val (dw, dh, got, dpal) =
+        Multimodal.GifCodec.decode(Multimodal.GifCodec.encode(w, h, idx, pal))
+      assert((dw, dh) == (w, h) && got.toSeq == idx.toSeq &&
+        dpal.toSeq == pal.toSeq,
+        s"GIF round-trip broke at ${w}x$h n=${idx.length}")
+    }
+  }
+
   test("property: boxDownsample2x sums are conserved within flooring " +
       "loss and every output value is the floor mean of its block") {
     val gen = for {
