@@ -69,10 +69,27 @@ object QualityModel {
     * system (Gaussian elimination + a tiny ridge) and updates.
     * Quadratic convergence: ~4 driver-synced rounds where first-order
     * needed 20+, with driver traffic still O(d²) doubles per step —
-    * strictly better latency at the same scan count per step. */
+    * strictly better latency at the same scan count per step.
+    *
+    * The step is DAMPED (backtracking line search: halve the Newton
+    * delta until the loss decreases, one cheap loss-only aggregation
+    * per trial — zero trials in the common case where the full step
+    * already descends). On (near-)separable data the logistic MLE is
+    * unbounded and the Hessian near-singular, so an undamped g/ridge
+    * step would explode the weights; backtracking keeps every iterate
+    * monotone in loss, degrading as gracefully as the gradient path
+    * this replaced. */
   def trainLogisticNewton(labeled: DataFrame, dim: Int, iters: Int,
       ridge: Double = 1e-9): (Seq[Double], Seq[Double]) = {
     var w: Seq[Double] = Seq.fill(dim)(0.0)
+    val lossEps = 1e-12
+    def lossAt(wc: Seq[Double]): Double = {
+      val pc = sigmoid(dot(col("x"), wc))
+      labeled.agg(
+        avg(-(col("y") * log(greatest(pc, lit(lossEps))) +
+          (lit(1.0) - col("y")) * log(greatest(lit(1.0) - pc,
+            lit(lossEps))))).as("loss")).head().getDouble(0)
+    }
     val losses = (0 until iters).map { _ =>
       val p = sigmoid(dot(col("x"), w))
       val gradCols = (0 until dim).map(i =>
@@ -94,8 +111,21 @@ object QualityModel {
       }
       for (i <- 0 until dim) h(i)(i) += ridge
       val delta = solveLinear(h, g)
-      w = w.zipWithIndex.map { case (wi, i) => wi - delta(i) }
-      row.getDouble(k)
+      val cur = row.getDouble(k)
+      // Backtracking: accept the largest halved step that descends; if
+      // even a 2^-20-scaled delta does not (numerically converged),
+      // keep w unchanged rather than take an ascent step.
+      var step = 1.0
+      var accepted = false
+      var trials = 0
+      while (!accepted && trials < 20) {
+        val cand = w.zipWithIndex.map { case (wi, i) =>
+          wi - step * delta(i)
+        }
+        if (lossAt(cand) <= cur) { w = cand; accepted = true }
+        else { step /= 2; trials += 1 }
+      }
+      cur
     }
     (w, losses)
   }

@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
+import scala.jdk.CollectionConverters._
 
 /** Similarity search over an embedding column (EXT, SURVEY §2.12 E3).
   *
@@ -268,10 +269,35 @@ object Similarity {
     * keep their files byte-for-byte), then drop the sidecar. A fully
     * deleted cell's directory is removed outright. The staged-swap
     * shape is what a 100 TB index wants: the rewrite is partition-
-    * local to the deletes' cells, never a full-index job. */
+    * local to the deletes' cells, never a full-index job.
+    *
+    * Crash safety (the Snapshots publish/claim discipline): each live
+    * cell dir is moved ASIDE — never deleted — before its staged
+    * replacement moves in, under an in-progress marker; the aside
+    * copies, the marker, and the tombstone sidecar are dropped only
+    * after ALL swaps complete. A crash at any point loses nothing:
+    * either the old cell is still live, or its aside copy exists and
+    * the next [[ivfCompact]] restores any cell caught between its two
+    * moves before restarting from the still-present sidecar. */
   def ivfCompact(s: SparkSession, path: String,
       idCol: String = "vec_id"): Unit = {
     import java.nio.file.{Files, Paths}
+    val aside = Paths.get(path + "_compact_old")
+    val marker = Paths.get(path + "_compact_inprogress")
+    if (Files.exists(marker)) {
+      // Recover from a mid-swap crash: an aside cell missing from the
+      // live tree was between its move-out and move-in — restore it.
+      if (Files.isDirectory(aside)) {
+        val st = Files.list(aside)
+        try st.iterator().asScala.filter(Files.isDirectory(_)).foreach {
+          c =>
+            val dst = Paths.get(path, c.getFileName.toString)
+            if (!Files.exists(dst)) Files.move(c, dst)
+        } finally st.close()
+      }
+      graft.lake.Lake.deleteRecursively(aside.toFile)
+      Files.deleteIfExists(marker)
+    }
     val tombDir = Paths.get(path + "_tombstones")
     if (!Files.isDirectory(tombDir)) return
     val tombs = s.read.parquet(tombDir.toString).distinct()
@@ -283,12 +309,17 @@ object Similarity {
       base.filter(col("cell").isin(hit: _*))
         .join(broadcast(tombs), Seq(idCol), "left_anti")
         .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      Files.createDirectories(aside)
+      Files.writeString(marker, hit.mkString("\n"))
       hit.foreach { c =>
         val dst = Paths.get(path, s"cell=$c")
-        graft.lake.Lake.deleteRecursively(dst.toFile)
+        if (Files.exists(dst)) Files.move(dst, aside.resolve(s"cell=$c"))
         val src = Paths.get(tmp, s"cell=$c")
         if (Files.isDirectory(src)) Files.move(src, dst)
       }
+      // All swaps landed — only now is the old state disposable.
+      graft.lake.Lake.deleteRecursively(aside.toFile)
+      Files.deleteIfExists(marker)
       graft.lake.Lake.deleteRecursively(Paths.get(tmp).toFile)
     }
     graft.lake.Lake.deleteRecursively(tombDir.toFile)

@@ -48,6 +48,27 @@ class QualityModelSpec extends SparkSpec {
     assert(wN(1) > 0, s"slope must be positive, got $wN")
   }
 
+  test("trainLogisticNewton stays finite and monotone on perfectly " +
+      "separable data (unbounded MLE, near-singular Hessian)") {
+    // The advisor's fragility case: a future classifier that perfectly
+    // separates the Platt holdout. Undamped Newton with a fixed 1e-9
+    // ridge takes one g/ridge step and explodes; the backtracking line
+    // search must keep every iterate finite and the loss non-increasing.
+    val labeled = (-20 to 20).filter(_ != 0).map { f =>
+      (Seq(1.0, f.toDouble), if (f > 0) 1.0 else 0.0)
+    }.toDF("x", "y")
+    val (w, losses) = QualityModel.trainLogisticNewton(
+      labeled, dim = 2, iters = 8)
+    assert(w.forall(v => java.lang.Double.isFinite(v)),
+      s"weights exploded: $w")
+    assert(w.forall(v => math.abs(v) < 1e4), s"weights unreasonable: $w")
+    losses.sliding(2).foreach {
+      case Seq(a, b) => assert(b <= a + 1e-12, s"loss ascent: $losses")
+      case _ => ()
+    }
+    assert(w(1) > 0, s"slope must still point the right way: $w")
+  }
+
   test("training is deterministic across partitionings up to FP noise") {
     val labeled = (1 to 200).map { i =>
       (Seq(1.0, (i % 7).toDouble, (i % 3).toDouble),

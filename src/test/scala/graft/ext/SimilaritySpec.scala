@@ -233,6 +233,43 @@ class SimilaritySpec extends SparkSpec {
     assert(spark.read.parquet(path).count() == post.size)
   }
 
+  test("ivfCompact recovers a mid-swap crash: a cell caught between " +
+      "its move-out and move-in is restored, nothing is lost") {
+    import java.nio.file.{Files, Paths}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.ivfTrain(emb, c = 8, iters = 1)
+    val path = graft.lake.Lake.scratchDir("ivfcrash_spec") + "/index"
+    Similarity.ivfWriteIndex(emb, cents, path)
+    val before = spark.read.parquet(path).select("vec_id").as[Long]
+      .collect().toSet
+    // Simulate the crash window: a previous compaction moved one live
+    // cell dir aside, wrote the marker, and died before moving the
+    // staged replacement in — the cell is absent from the live tree
+    // and exists ONLY in the aside dir.
+    val cell = spark.read.parquet(path).select("cell").distinct()
+      .as[Int].collect().min
+    val aside = Paths.get(path + "_compact_old")
+    Files.createDirectories(aside)
+    Files.move(Paths.get(path, s"cell=$cell"),
+      aside.resolve(s"cell=$cell"))
+    Files.writeString(Paths.get(path + "_compact_inprogress"),
+      cell.toString)
+    // Next compaction call (no sidecar → pure recovery path) must put
+    // the cell back and clear the crash debris.
+    Similarity.ivfCompact(spark, path)
+    assert(spark.read.parquet(path).select("vec_id").as[Long]
+      .collect().toSet == before, "recovery lost rows")
+    assert(!Files.exists(Paths.get(path + "_compact_inprogress")))
+    assert(!Files.isDirectory(aside))
+    // And a real delete→compact cycle still works after recovery.
+    val delIds = emb.filter($"vec_id" % 11 === 3).select("vec_id")
+    val delSet = delIds.as[Long].collect().toSet
+    Similarity.ivfDelete(delIds, path)
+    Similarity.ivfCompact(spark, path)
+    assert(spark.read.parquet(path).select("vec_id").as[Long]
+      .collect().toSet == before -- delSet)
+  }
+
   test("IVF-PQ on-disk index search dynamically prunes unprobed cells " +
       "and equals the in-memory coded path") {
     import org.apache.spark.sql.functions._
