@@ -231,6 +231,128 @@ object Dedup {
     directAdmits.unionByName(checked).drop("_digest")
   }
 
+  // ------------------- persisted LSH signature table (+ deletes)
+
+  /** The persisted MinHash state of a frozen corpus — per doc its
+    * exact sha256 digest, shingle set, and k-hash signature — laid out
+    * in `nCells` id-hash cells. This is the table every 100 TB dedup
+    * ingest reads INSTEAD of re-shingling the corpus: admission joins
+    * band keys derived from the STORED signatures, and the id-hash
+    * `cell` partition column is what lets the tombstone primitives
+    * ([[graft.ext.Similarity.ivfDelete]] / `ivfReadIndex` /
+    * `ivfCompact`, which are layout-generic over (idCol, cell))
+    * compose unchanged: a forget request against near-dup state is an
+    * O(ids) sidecar append, merge-on-read hides it, compaction
+    * rewrites only the hit cells. */
+  def lshSignatureTable(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, nCells: Int = 8): DataFrame =
+    docs.select(col(idCol).as("id"),
+        sha2(col(textCol), 256).as("digest"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), k))
+      .withColumn("cell",
+        pmod(xxhash64(col("id")), lit(nCells)).cast("int"))
+
+  /** Persist [[lshSignatureTable]] cell-partitioned at `path`. */
+  def lshWriteSignatures(docs: DataFrame, idCol: String, textCol: String,
+      shingleN: Int, k: Int, path: String, nCells: Int = 8): Unit =
+    lshSignatureTable(docs, idCol, textCol, shingleN, k, nCells)
+      .write.mode("overwrite").partitionBy("cell").parquet(path)
+
+  /** [[incrementalDedup]] admission against a signature TABLE instead
+    * of raw corpus text: the base side's band keys come from the
+    * stored `sig` (no corpus re-minhash), refinement reads the stored
+    * shingle sets, and the exact stage anti-joins the stored digests.
+    * Semantics are row-for-row [[incrementalDedup]]'s (one spec pins
+    * the equality); same REQUIRES — fresh ids all exceed table ids.
+    * `table` is whatever scan the caller wants: the plain parquet
+    * read, the merge-on-read view with tombstones applied, or an
+    * in-memory [[lshSignatureTable]]. */
+  def lshAdmitAgainstSignatures(table: DataFrame, fresh: DataFrame,
+      idCol: String, textCol: String, shingleN: Int, k: Int, bands: Int,
+      threshold: Double): DataFrame = {
+    val rowsPerBand = k / bands
+    val oldDigests = table.select(col("digest").as("_digest")).distinct()
+    val exactKept = exactDedup(fresh, textCol, idCol)
+      .withColumn("_digest", sha2(col(textCol), 256))
+      .join(oldDigests, Seq("_digest"), "left_anti")
+      .drop("_digest")
+      .localCheckpoint(eager = false)
+    val freshSets = exactKept.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(eager = false)
+    val freshBands = freshSets.select(col("id"),
+      explode(bandKeys(minhashSignature(col("sh"), k), bands,
+        rowsPerBand)).as("bk"))
+    val baseBands = table.select(col("id"),
+        explode(bandKeys(col("sig"), bands, rowsPerBand)).as("bk"))
+      .unionByName(freshBands)
+    val baseSets = table.select(col("id"), col("sh"))
+      .unionByName(freshSets)
+    val candidates = baseBands.as("a").join(freshBands.as("b"),
+        col("a.bk") === col("b.bk") && col("a.id") < col("b.id"))
+      .select(col("a.id").as("a"), col("b.id").as("b")).distinct()
+    val dropIds = candidates
+      .join(baseSets.as("sa"), col("a") === col("sa.id"))
+      .join(freshSets.as("sb"), col("b") === col("sb.id"))
+      .withColumn("jaccard",
+        graft.functions.JaccardSim.jaccardSim(col("sa.sh"), col("sb.sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("b").as(idCol)).distinct()
+    exactKept.join(dropIds, Seq(idCol), "left_anti")
+  }
+
+  /** E2l ✱: DELETES FOR THE PERSISTED NEAR-DUP STATE — the k16
+    * forget-request composed with the LSH signature table, closing the
+    * same lifecycle gap e3_ivf_delete closed for the ANN index: before
+    * this, honoring a deletion against a frozen dedup corpus meant
+    * rebuilding its signature table. The corpus signs into a
+    * cell-partitioned table; a forget request tombstones ids (O(ids)
+    * sidecar, replay harmless); the gate asserts in-plan that
+    * (a) admission through the merge-on-read view EQUALS a fresh-build
+    * admission over the survivors (a stale band key, digest, or
+    * shingle set from any deleted doc breaks equality), (b) admission
+    * is unchanged after partition-local compaction folds the sidecar,
+    * and (c) the delete actually WIDENED admission (a fresh doc whose
+    * only near-dup/exact match was deleted is now admitted — the gate
+    * cannot pass vacuously). */
+  private val e2LshDelete: Q = (s, dir) => {
+    import graft.ext.Similarity.{ivfCompact, ivfDelete, ivfReadIndex}
+    val (sn, kk, bb, th) = (3, 64, 16, 0.8)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val path = graft.lake.Lake.scratchDir("e2_lsh_del") + "/sigs"
+    lshWriteSignatures(docs, "doc_id", "text", sn, kk, path)
+    val delIds = docs.filter(col("doc_id") % 7 === 3).select("doc_id")
+    ivfDelete(delIds, path, idCol = "id")
+    ivfDelete(delIds.limit(20), path, idCol = "id") // replay harmless
+    val fresh = docs.filter(col("doc_id") % 10 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 20 === 0)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzduplicate")).as("text")))
+    def admit(tbl: DataFrame): DataFrame =
+      lshAdmitAgainstSignatures(tbl, fresh, "doc_id", "text",
+        sn, kk, bb, th).select(col("doc_id"))
+    val admitted = admit(ivfReadIndex(s, path, idCol = "id"))
+      .localCheckpoint(eager = false)
+    val survivors = docs.join(delIds, Seq("doc_id"), "left_anti")
+    val wanted = admit(lshSignatureTable(survivors, "doc_id", "text",
+      sn, kk)).localCheckpoint(eager = false)
+    val preDelete = admit(lshSignatureTable(docs, "doc_id", "text",
+      sn, kk)).localCheckpoint(eager = false)
+    ivfCompact(s, path, idCol = "id")
+    val postCompact = admit(s.read.parquet(path))
+      .localCheckpoint(eager = false)
+    def eqCol(a: DataFrame, b: DataFrame, name: String): DataFrame =
+      a.exceptAll(b).agg(count(lit(1)).as("x"))
+        .crossJoin(b.exceptAll(a).agg(count(lit(1)).as("y")))
+        .select((col("x") === 0 && col("y") === 0).as(name))
+    eqCol(admitted, wanted, "mor_equals_fresh_build")
+      .crossJoin(eqCol(postCompact, wanted, "compaction_preserves"))
+      .crossJoin(wanted.exceptAll(preDelete)
+        .agg((count(lit(1)) > 0).as("delete_widens_admission")))
+  }
+
   /** E2c: EXACT n-gram Jaccard similarity join via prefix filtering
     * (the AllPairs/PPJoin family — Chaudhuri et al. ICDE'06, Bayardo
     * et al. WWW'07, Vernica et al. SIGMOD'10 — the standard exact
@@ -1217,6 +1339,11 @@ object Dedup {
     substringDedupTrim(t(s, dir, "documents"), "doc_id", "text",
       n = 8, minDocs = 2)
 
+  /** Per-anchor-digest occurrence cap for [[exactDupSpanPairs]] — ONE
+    * constant, interpolated into the oracle SQL (the regex-constant
+    * convention) so both engines cap the identical kept set. */
+  val ExactSpanMaxOcc = 64
+
   /** EXACT maximal duplicated spans (Lee et al. 2022's exact match
     * discovery, suffix-array-free): every maximal cross-document
     * token run of length ≥ `minLen`, with its EXACT length — what the
@@ -1232,9 +1359,14 @@ object Dedup {
     *     offset, so no true span escapes the filter;
     *  3. occurrence pairing: per-digest self-join (doc_a < doc_b);
     *     fanout is Σ occ² over duplicated anchors — true-duplicate
-    *     mass, not corpus size (measured: 47k pairs at sf0.1); a
-    *     production corpus caps per-digest occurrences like
-    *     e8_contamination caps df, trading the tail for a bound;
+    *     mass, not corpus size (measured: 47k pairs at sf0.1) — and
+    *     `maxOcc` ENFORCES the bound (the e8_contamination df-cap
+    *     pattern): only the first `maxOcc` occurrences per digest
+    *     (deterministic keep-first by (doc_id, s)) enter the join, so
+    *     a degenerate corpus of many identical documents pays
+    *     ≤ maxOcc²/2 pairs per digest instead of going quadratic,
+    *     trading the tail of an extreme-duplication report for a
+    *     hard bound;
     *  4. diagonal runs: pairs on one (doc_a, doc_b, sa−sb) diagonal at
     *     consecutive sa ARE one exact match (overlapping anchors pin
     *     every token); gaps-and-islands (sa − row_number per diagonal)
@@ -1244,7 +1376,7 @@ object Dedup {
     * Output: top-`k` spans by length with the doc-a exemplar text, on
     * a collision-free total order. */
   def exactDupSpanPairs(docs: DataFrame, idCol: String, textCol: String,
-      minLen: Int, k: Int): DataFrame = {
+      minLen: Int, k: Int, maxOcc: Int = ExactSpanMaxOcc): DataFrame = {
     val base = tokenized(docs, idCol, textCol)
     val grams = base.filter(col("nt") >= minLen)
       .select(col("doc_id"),
@@ -1257,6 +1389,9 @@ object Dedup {
       .agg(countDistinct(col("doc_id")).as("nd"))
       .filter(col("nd") >= 2).select("g")
     val occ = grams.join(dup, Seq("g"))
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("g")).orderBy(col("doc_id"), col("s"))))
+      .filter(col("rn") <= maxOcc).drop("rn")
     val pairs = occ.as("x").join(occ.as("y"),
         col("x.g") === col("y.g") && col("x.doc_id") < col("y.doc_id"))
       .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
@@ -1660,6 +1795,7 @@ object Dedup {
     "e2_cluster_cc" -> e2ClusterCc,
     "e2_simhash_neardup" -> e2SimhashNearDup,
     "e2_incremental" -> e2Incremental,
+    "e2_lsh_delete" -> e2LshDelete,
     "e2_bloom_ingest" -> e2BloomIngest,
   )
 
@@ -1910,7 +2046,12 @@ object Dedup {
          |d AS (
          |  SELECT gram FROM g
          |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-         |o AS (SELECT g.* FROM g JOIN d USING (gram)),
+         |o AS (
+         |  SELECT doc_id, s, gram FROM (
+         |    SELECT g.*, row_number() OVER (
+         |      PARTITION BY gram ORDER BY doc_id, s) AS rn
+         |    FROM g JOIN d USING (gram))
+         |  WHERE rn <= $ExactSpanMaxOcc),
          |pr AS (
          |  SELECT x.doc_id AS a, y.doc_id AS b, x.s AS sa, y.s AS sb
          |  FROM o x JOIN o y
@@ -2127,6 +2268,13 @@ object Dedup {
         |  ON a.p_brand = b.p_brand AND a.p_partkey < b.p_partkey
         |WHERE levenshtein(a.p_name, b.p_name) <= 2
         |ORDER BY key_a, key_b""".stripMargin,
+    // Self-check ✱: the three lifecycle equalities are asserted
+    // in-plan (merge-on-read vs fresh-build over survivors, post-
+    // compaction invariance, non-vacuous widening).
+    "e2_lsh_delete" ->
+      """SELECT true AS mor_equals_fresh_build,
+        |  true AS compaction_preserves,
+        |  true AS delete_widens_admission""".stripMargin,
     // Plain anti-join restatement of the bloom-prefiltered admission
     // (the prefilter is exact end-to-end: no false negatives, false
     // positives removed by the exact join).

@@ -832,6 +832,91 @@ object EventWindows {
         lit(batches >= 3).as("multi_batch"))
   }
 
+  /** EV32 ✱: STREAMING INGEST INTO THE PERSISTED LSH SIGNATURE TABLE —
+    * the e2 analog of [[ev31StreamIvfIngest]], closing the ev×e2 loop:
+    * new documents arrive as a STREAM and the near-dup state must
+    * absorb each admitted micro-batch with no corpus re-shingle.
+    * The resident corpus signs into the cell-partitioned table once;
+    * each foreachBatch body runs [[graft.ext.Dedup
+    * .lshAdmitAgainstSignatures]] against the CURRENT persisted table
+    * (band keys from STORED signatures — the asymmetric e2_incremental
+    * join shape) and appends only the admitted rows' signature lines
+    * back into the cell layout. Batches carry monotone id ranges
+    * (the incremental-dedup id contract), so sequential admission is
+    * well-defined. Gates (✱, constant-true oracle): the streamed
+    * admitted set EQUALS a sequential in-memory replay of the same
+    * admission over the same buckets (a lost, duplicated, reordered,
+    * or un-appended micro-batch breaks equality — batch i's admission
+    * depends on batch i−1's appends), the ingest took ≥ 3
+    * micro-batches, and the mix actually exercised both paths
+    * (some admitted, some rejected). */
+  private val ev32StreamLshIngest: Q = (s, dir) => {
+    import graft.ext.Dedup
+    val (sn, kk, bb, th) = (3, 64, 16, 0.8)
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val resident = docs.filter(col("doc_id") % 4 =!= 0)
+    // Arriving mix: novel texts (the held-out mod-4 slice), near-dups
+    // of resident docs (one appended token), exact dups of resident
+    // docs — each group in its own monotone id range.
+    val arriving = docs.filter(col("doc_id") % 4 === 0)
+      .select((col("doc_id") + 100000).as("doc_id"), col("text"))
+      .unionByName(docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 200000).as("doc_id"),
+          concat(col("text"), lit(" zzdup")).as("text")))
+      .unionByName(docs.filter(col("doc_id") % 8 === 2)
+        .select((col("doc_id") + 300000).as("doc_id"), col("text")))
+    // Monotone-in-id buckets: each 100k group split in two (at +250),
+    // so the replay is ≥ 3 micro-batches at every SF and ids only grow.
+    val bExpr = (expr("doc_id div 100000") * 2 +
+      when(pmod(col("doc_id"), lit(100000)) >= 250, 1).otherwise(0))
+      .cast("long")
+    val path = graft.lake.Lake.scratchDir("ev32_lsh") + "/sigs"
+    Dedup.lshWriteSignatures(resident, "doc_id", "text", sn, kk, path)
+    val (files, landing) = stageReplay(s, arriving.withColumn("b", bExpr))
+    val schema = s.read.parquet(files.head.toString).schema
+    var batches = 0
+    val q = s.readStream.schema(schema).parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        batches += 1
+        val admitted = Dedup.lshAdmitAgainstSignatures(
+          s.read.parquet(path), batch, "doc_id", "text", sn, kk, bb, th)
+        Dedup.lshSignatureTable(admitted, "doc_id", "text", sn, kk)
+          .write.mode("append").partitionBy("cell").parquet(path)
+      }
+      .start()
+    try replay(files, landing, q) finally q.stop()
+    require(batches >= 3,
+      s"ingest drained in $batches micro-batches — replay not exercised")
+    // Sequential in-memory reference over the same buckets, in order.
+    val bucketVals = arriving.select(bExpr.as("b"))
+      .distinct().orderBy(col("b")).collect().map(_.getLong(0)) // ≤ 8
+    var table = Dedup.lshSignatureTable(resident, "doc_id", "text",
+      sn, kk).localCheckpoint(eager = false)
+    var wanted: DataFrame = null
+    bucketVals.foreach { b =>
+      val bucket = arriving.filter(bExpr === b)
+      val adm = Dedup.lshAdmitAgainstSignatures(table, bucket,
+          "doc_id", "text", sn, kk, bb, th)
+        .localCheckpoint(eager = false)
+      wanted = if (wanted == null) adm else wanted.unionByName(adm)
+      table = table.unionByName(
+        Dedup.lshSignatureTable(adm, "doc_id", "text", sn, kk))
+    }
+    val streamed = s.read.parquet(path)
+      .filter(col("id") >= 100000).select(col("id")) // doc 0 → 100000
+    val wantedIds = wanted.select(col("doc_id").as("id"))
+    val extra = streamed.exceptAll(wantedIds).agg(count(lit(1)).as("x"))
+    val miss = wantedIds.exceptAll(streamed).agg(count(lit(1)).as("y"))
+    val counts = wantedIds.agg(count(lit(1)).as("n_adm"))
+      .crossJoin(arriving.agg(count(lit(1)).as("n_arr")))
+    extra.crossJoin(miss).crossJoin(counts).select(
+      (col("x") === 0 && col("y") === 0).as("stream_equals_sequential"),
+      lit(batches >= 3).as("multi_batch"),
+      (col("n_adm") > 0 && col("n_adm") < col("n_arr"))
+        .as("mix_exercised"))
+  }
+
   /** EV19: bounded-batch BACKFILL with Trigger.AvailableNow — the
     * catch-up surface: a backlog of landed files is drained in
     * rate-limited micro-batches (`maxFilesPerTrigger`) and the query
@@ -1167,6 +1252,7 @@ object EventWindows {
     "ev29_stream_url_dedup" -> ev29StreamUrlDedup,
     "ev30_stream_hll" -> ev30StreamHll,
     "ev31_stream_ivf_ingest" -> ev31StreamIvfIngest,
+    "ev32_stream_lsh_ingest" -> ev32StreamLshIngest,
     "ev27_rocksdb_dropdup" -> ev27RocksdbDropdup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
@@ -1185,6 +1271,11 @@ object EventWindows {
     "ev31_stream_ivf_ingest" ->
       """SELECT true AS ingest_equals_memory, true AS recall_ok,
         |  true AS multi_batch""".stripMargin,
+    // Self-check ✱: streamed LSH-table ingest equals the sequential
+    // in-memory admission over the same monotone-id buckets.
+    "ev32_stream_lsh_ingest" ->
+      """SELECT true AS stream_equals_sequential, true AS multi_batch,
+        |  true AS mix_exercised""".stripMargin,
     // Each committed version = one 5-day event bucket, in bucket
     // order: dense_rank over the SAME bucket expression restates the
     // version ↦ rows mapping from the raw table.

@@ -260,6 +260,53 @@ class DedupSpec extends SparkSpec {
     assert(kept == Seq(103L))
   }
 
+  test("lshAdmitAgainstSignatures equals incrementalDedup row-for-row " +
+      "(seeded corpora) and a tombstoned id stops rejecting") {
+    for (seed <- Seq(7, 19)) {
+      val rnd = new scala.util.Random(seed)
+      val vocab = Vector("alpha", "beta", "gamma", "delta", "epsilon",
+        "zeta", "eta", "theta")
+      def text() = Seq.fill(8 + rnd.nextInt(8))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" ")
+      val old = (1L to 40L).map(i => (i, text())).toDF("doc_id", "text")
+      val fresh = (101L to 140L).map { i =>
+        // mix: novel, exact dups of old, near dups (one-token append)
+        val base = if (i % 3 == 0) text()
+        else old.collect()(rnd.nextInt(40)).getString(1)
+        (i, if (i % 5 == 0) base + " omega" else base)
+      }.toDF("doc_id", "text")
+      val viaTable = Dedup.lshAdmitAgainstSignatures(
+        Dedup.lshSignatureTable(old, "doc_id", "text", 3, 64),
+        fresh, "doc_id", "text", 3, 64, 16, 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      val direct = Dedup.incrementalDedup(old, fresh, "doc_id", "text",
+        shingleN = 3, k = 64, bands = 16, threshold = 0.5)
+        .select("doc_id").as[Long].collect().sorted.toSeq
+      assert(viaTable == direct, s"seed $seed: table-based admission " +
+        s"diverged: $viaTable vs $direct")
+    }
+    // deletes end-to-end on a tiny corpus: doc 1's exact dup is
+    // rejected until doc 1 is tombstoned, then admitted
+    val old = Seq(
+      (1L, "one two three four five six seven eight nine ten"),
+      (2L, "totally unrelated content words appear in this row here")
+    ).toDF("doc_id", "text")
+    val fresh = Seq(
+      (101L, "one two three four five six seven eight nine ten")
+    ).toDF("doc_id", "text")
+    val path = graft.lake.Lake.scratchDir("lshdel_spec") + "/sigs"
+    Dedup.lshWriteSignatures(old, "doc_id", "text", 3, 64, path)
+    def admit() = Dedup.lshAdmitAgainstSignatures(
+      graft.ext.Similarity.ivfReadIndex(spark, path, idCol = "id"),
+      fresh, "doc_id", "text", 3, 64, 16, 0.5)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(admit() == Seq(), "exact dup of a live doc must be rejected")
+    graft.ext.Similarity.ivfDelete(
+      Seq(1L).toDF("doc_id"), path, idCol = "id")
+    assert(admit() == Seq(101L),
+      "after the forget request the dup's only rejector is gone")
+  }
+
   test("minhashNearDupPairsAgainst never emits base-base pairs") {
     val sets = Seq(
       (1L, "a b c d e f g h"), (2L, "a b c d e f g h"),
@@ -456,6 +503,19 @@ class DedupSpec extends SparkSpec {
       .agg(sum($"n_kept"), count(when($"trimmed" === "", 1)))
       .as[(Long, Long)].head()
     assert(trimmed == ((0L, 200L)), s"got $trimmed")
+    // exactDupSpanPairs on the same corpus: 9000 occurrences collapse
+    // onto ONE anchor digest, so the uncapped self-join would build
+    // ~40M pairs — the per-digest maxOcc cap (keep-first by (doc_id,
+    // s): all 45 anchors of doc 1, the first 19 of doc 2) bounds the
+    // join to the 855 kept cross-doc combinations, and every reported
+    // span stays on the only kept pair.
+    val spans = Dedup.exactDupSpanPairs(docs, "doc_id", "text",
+        minLen = 6, k = 40)
+      .select("doc_a", "doc_b", "len").as[(Long, Long, Long)]
+      .collect().toSeq
+    assert(spans.nonEmpty && spans.forall {
+      case (a, b, len) => a == 1L && b == 2L && len >= 6L
+    }, s"capped degenerate spans: $spans")
   }
 
   test("trim removes exactly the tokens coverage counts (seeded corpora)") {
