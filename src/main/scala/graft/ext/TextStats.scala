@@ -497,6 +497,124 @@ object TextStats {
     perRound.reduce(_.unionByName(_)).orderBy(col("round"))
   }
 
+  // ------------------------------------- unigram-LM tokenizer (e4w)
+
+  /** Unigram-LM trainer constants — interpolated into the oracle SQL
+    * (the regex-constant convention): max candidate piece length, seed
+    * multi-char vocabulary size, per-iteration multi-char keep size. */
+  val UniMaxLen = 4
+  val UniSeed = 40
+  val UniKeep = 25
+
+  /** Unigram-LM subword TRAINER (Kudo 2018 — the SentencePiece
+    * default; the OTHER standard subword algorithm next to
+    * [[bpeMerges]]'s BPE): seed a candidate vocabulary from frequent
+    * substrings, then iterate EM with per-iteration pruning. This is
+    * the hard-EM (Viterbi) variant: the E-step assigns each distinct
+    * word its single best segmentation under the current piece
+    * probabilities (the same argmax SentencePiece uses at encode
+    * time) and counts pieces from it — chosen over forward-backward
+    * soft counts deliberately, because soft expected counts are sums
+    * of exp/log-scaled products whose last-ulp behavior differs
+    * across engines, while hard counts are EXACT integers and the
+    * only floats in the loop are cnt/total IEEE divisions both
+    * engines reproduce bit-for-bit (the full-value DuckDB oracle
+    * re-derives every EM step with recursive-CTE path enumeration).
+    *
+    * Per iteration: probabilities p = cnt/total (doubles), best
+    * segmentation per DISTINCT word (map-only native
+    * [[graft.functions.UnigramSeg]] expression, piece table as a plan
+    * reference object), piece counts weighted by word frequency (one
+    * keyed aggregation), then pruning — every single-character piece
+    * persists (coverage can never break), multi-char pieces keep the
+    * top `keepMulti` by (count, piece). Driver traffic per round is
+    * the vocabulary-sized piece table, the bpeMerges discipline; the
+    * corpus-sized work (word counts, count aggregation) stays
+    * distributed. Returns the final (piece, count) table sorted by
+    * piece. */
+  def unigramLmPieces(docs: DataFrame, textCol: String,
+      maxPieceLen: Int = UniMaxLen, seedMulti: Int = UniSeed,
+      keepMulti: Int = UniKeep, iters: Int = 2): Seq[(String, Long)] = {
+    val wc = docs.select(explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(count(lit(1)).as("n"))
+      .localCheckpoint(eager = true) // consumed once per EM round
+    val cand = wc
+      .select(col("w"), col("n"),
+        explode(sequence(lit(1), length(col("w")))).as("i"))
+      .select(col("w"), col("n"), col("i"),
+        explode(sequence(lit(1),
+          least(lit(maxPieceLen), length(col("w")) - col("i") + 1)))
+          .as("l"))
+      .select(expr("substr(w, i, l)").as("piece"), col("n"))
+      .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val chars = cand.filter(_._1.length == 1)
+    val charSet = chars.map(_._1).toSet
+    val multi0 = cand.filter(_._1.length >= 2)
+      .sortBy { case (p, c) => (-c, p) }.take(seedMulti)
+    var pieces: Seq[(String, Long)] =
+      (chars ++ multi0).sortBy(_._1).toSeq
+    for (_ <- 1 to iters) {
+      val total = pieces.map(_._2).sum
+      val probs = pieces.map { case (p, c) =>
+        (p, c.toDouble / total.toDouble)
+      }
+      val counts = wc.select(col("n"),
+          explode(graft.functions.UnigramSeg.unigramSeg(col("w"), probs))
+            .as("piece"))
+        .groupBy(col("piece")).agg(sum(col("n")).as("cnt"))
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val keptChars = charSet.toSeq.sorted
+        .map(p => (p, counts.getOrElse(p, 0L)))
+      val keptMulti = counts.toSeq
+        .filter { case (p, c) => p.length >= 2 && c > 0 }
+        .sortBy { case (p, c) => (-c, p) }.take(keepMulti)
+      pieces = (keptChars ++ keptMulti).sortBy(_._1)
+    }
+    pieces
+  }
+
+  /** E4w: the trained unigram-LM vocabulary — every kept piece with
+    * its hard-EM count and probability in integer parts-per-million
+    * ((cnt·10⁶) div total — integers never round, the w8/e9_topngram
+    * boundary rule). Full value oracle: DuckDB re-derives the seed,
+    * both EM rounds (recursive-CTE segmentation enumeration with the
+    * identical score/tie order), the pruning, and the ppm division. */
+  private val e4UnigramLm: Q = (s, dir) => {
+    import s.implicits._
+    val pieces = unigramLmPieces(t(s, dir, "documents"), "text")
+    val total = pieces.map(_._2).sum
+    pieces.toDF("piece", "cnt")
+      .withColumn("prob_ppm", expr(s"cnt * 1000000 div $total"))
+      .orderBy(col("piece"))
+  }
+
+  /** E4w-apply: ENCODE the corpus with the trained unigram vocabulary
+    * — best-segmentation length per DISTINCT word (the map-only
+    * native expression; amortized across occurrences by a keyed join,
+    * the tokenize-at-100-TB shape), rolled up per language in exact
+    * integers. */
+  private val e4UnigramApply: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val pieces = unigramLmPieces(docs, "text")
+    val total = pieces.map(_._2).sum
+    val probs = pieces.map { case (p, c) =>
+      (p, c.toDouble / total.toDouble)
+    }
+    val words = docs.select(col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val wd = words.select(col("w")).distinct()
+      .withColumn("nseg",
+        size(graft.functions.UnigramSeg.unigramSeg(col("w"), probs))
+          .cast("long"))
+    words.join(wd, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"), sum(col("nseg")).as("sum_tokens"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -924,6 +1042,8 @@ object TextStats {
     "e4_winnow" -> e4Winnow,
     "e4_bpe" -> e4Bpe,
     "e4_bpe_apply" -> e4BpeApply,
+    "e4_unigram_lm" -> e4UnigramLm,
+    "e4_unigram_apply" -> e4UnigramApply,
     "e4_entropy" -> e4Entropy,
     "e4_pmi" -> e4Pmi,
     "e4_chi2" -> e4Chi2,
@@ -977,7 +1097,103 @@ object TextStats {
   /** Stopword list as a SQL IN-list — ONE constant, both engines. */
   private def stopSql: String = StopWords.map(w => s"'$w'").mkString(",")
 
+  /** One unigram-LM EM round in DuckDB: segmentation enumeration as a
+    * recursive CTE (every path prefix a row, score accumulated in the
+    * SAME prefix order the native expression multiplies in), argmax
+    * per word on the identical (score DESC, pieces ASC, seg ASC) total
+    * order, hard counts, and the chars-persist / top-K-multi pruning.
+    * Round k reads probabilities from round k−1's `up` table; every
+    * round runs over the distinct-word counts (the apply oracle adds a
+    * third round under the final probabilities). */
+  private def uniRound(k: Int): String =
+    s"""useg$k(w, n, pos, score, np, seg) AS (
+       |  SELECT w, n, 0::BIGINT, 1.0::DOUBLE, 0::BIGINT, '' FROM uwc
+       |  UNION ALL
+       |  SELECT r.w, r.n, r.pos + len(p.piece), r.score * p.p, r.np + 1,
+       |    CASE WHEN r.seg = '' THEN p.piece
+       |         ELSE r.seg || ' ' || p.piece END
+       |  FROM useg$k r JOIN up${k - 1} p
+       |    ON substr(r.w, (r.pos + 1)::INT, len(p.piece)::INT) = p.piece),
+       |ubest$k AS (
+       |  SELECT w, n, seg FROM (
+       |    SELECT w, n, seg, row_number() OVER (PARTITION BY w
+       |      ORDER BY score DESC, np, seg) AS rn
+       |    FROM useg$k WHERE pos = len(w))
+       |  WHERE rn = 1),
+       |uc$k AS (
+       |  SELECT piece, sum(n)::BIGINT AS cnt FROM (
+       |    SELECT n, unnest(string_split(seg, ' ')) AS piece
+       |    FROM ubest$k)
+       |  GROUP BY piece),
+       |ukept$k AS (
+       |  SELECT s.piece, coalesce(c.cnt, 0)::BIGINT AS cnt
+       |  FROM (SELECT piece FROM useed WHERE len(piece) = 1) s
+       |  LEFT JOIN uc$k c ON c.piece = s.piece
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM uc$k WHERE len(piece) >= 2 AND cnt > 0
+       |    ORDER BY cnt DESC, piece LIMIT $UniKeep)),
+       |up$k AS (
+       |  SELECT piece, cnt::DOUBLE /
+       |    (SELECT sum(cnt)::BIGINT FROM ukept$k)::DOUBLE AS p
+       |  FROM ukept$k)""".stripMargin
+
+  /** Shared train chain: word counts → substring seed → two EM rounds
+    * (hard counts, chars persist, top-$UniKeep multi). */
+  private def uniChainSql: String =
+    s"""uwc AS (
+       |  SELECT w, count(*)::BIGINT AS n FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+       |  WHERE w <> '' GROUP BY w),
+       |ucand AS (
+       |  SELECT substr(w, i::INT, l::INT) AS piece, sum(n)::BIGINT AS cnt
+       |  FROM uwc,
+       |    unnest(range(1, len(w) + 1)) AS t(i),
+       |    unnest(range(1, least($UniMaxLen, len(w) - i + 1) + 1)) AS u(l)
+       |  GROUP BY 1),
+       |useed AS (
+       |  SELECT piece, cnt FROM ucand WHERE len(piece) = 1
+       |  UNION ALL
+       |  SELECT piece, cnt FROM (
+       |    SELECT piece, cnt FROM ucand WHERE len(piece) >= 2
+       |    ORDER BY cnt DESC, piece LIMIT $UniSeed)),
+       |up0 AS (
+       |  SELECT piece, cnt::DOUBLE /
+       |    (SELECT sum(cnt)::BIGINT FROM useed)::DOUBLE AS p
+       |  FROM useed),
+       |${uniRound(1)},
+       |${uniRound(2)}""".stripMargin
+
   val oracles: Map[String, String] = Map(
+    // The full unigram-LM derivation restated: seed, both EM rounds
+    // (recursive-CTE path enumeration, identical argmax order), the
+    // pruning, and the integer-ppm probabilities.
+    "e4_unigram_lm" ->
+      s"""WITH RECURSIVE
+         |$uniChainSql
+         |SELECT piece, cnt,
+         |  (cnt * 1000000) //
+         |    (SELECT sum(cnt)::BIGINT FROM ukept2) AS prob_ppm
+         |FROM ukept2 ORDER BY piece""".stripMargin,
+    // The apply rollup: one more segmentation pass (round 3 under the
+    // final up2 probabilities) sized per distinct word, joined back to
+    // the per-language word stream.
+    "e4_unigram_apply" ->
+      s"""WITH RECURSIVE
+         |$uniChainSql,
+         |${uniRound(3)},
+         |unseg AS (
+         |  SELECT w, len(string_split(seg, ' '))::BIGINT AS nseg
+         |  FROM ubest3),
+         |uwords AS (
+         |  SELECT lang, w FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE w <> '')
+         |SELECT lang, count(*)::BIGINT AS n_words,
+         |  sum(nseg)::BIGINT AS sum_tokens
+         |FROM uwords JOIN unseg USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
     // Same integer sentence surrogate, same IEEE double expression —
     // the DECIMAL literals are cast to DOUBLE so DuckDB's exact-decimal
     // arithmetic can't diverge from Spark's double math.

@@ -126,6 +126,45 @@ class TextStatsSpec extends SparkSpec {
     assert(freq == Seq(("x", "y", 2L, pmi(2, 2, 2))), s"got $freq")
   }
 
+  test("unigramLmPieces reproduces the hand-computed hard-EM steps") {
+    // Corpus: one doc "ab ab b" → word counts ab:2, b:1.
+    // Seed: chars a (occurrences 2), b (2 in 'ab' + 1 in 'b' = 3),
+    //   multi 'ab' (2). total = 7; p = a 2/7, b 3/7, ab 2/7.
+    // E-step 1: 'ab' best seg [ab] (2/7 ≈ .286 beats [a b] 6/49 ≈
+    //   .122); 'b' → [b]. Counts: ab 2, b 1, a 0.
+    // M-step 1: chars persist (a 0, b 1), multi ab 2. total = 3.
+    //   p1 = a 0, b 1/3, ab 2/3.
+    // E-step 2: 'ab' → [ab] (2/3 beats 0·[a b]); 'b' → [b] — a fixed
+    //   point. Final: a 0, ab 2, b 1; ppm over total 3:
+    //   a 0, ab 666666, b 333333.
+    val docs = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val pieces = TextStats.unigramLmPieces(docs, "text")
+    assert(pieces == Seq(("a", 0L), ("ab", 2L), ("b", 1L)),
+      s"EM fixed point differs: $pieces")
+    // and the zero-prob char still lets an unseen arrangement segment:
+    // 'ba' has no multi piece, must fall back to [b a] (score 0 — the
+    // only candidate), not fail coverage
+    val seg = Seq(("ba")).toDF("w")
+      .select(graft.functions.UnigramSeg.unigramSeg(col("w"),
+        Seq(("a", 0.0), ("ab", 2.0 / 3), ("b", 1.0 / 3))).as("s"))
+      .as[Seq[String]].head()
+    assert(seg == Seq("b", "a"), s"got $seg")
+  }
+
+  test("unigramSeg tie-breaks on (score, n_pieces, lexicographic seg) " +
+      "exactly — the oracle's total order") {
+    // pieces 'aa' and 'a' with p(aa) = p(a)² would tie scores for
+    // 'aaa' between [a aa] and [aa a] (commutative product, 2 pieces
+    // each) — the lexicographically smaller joined seg must win.
+    val p = Seq(("a", 0.25), ("aa", 0.0625))
+    val seg = Seq(("aaa")).toDF("w")
+      .select(graft.functions.UnigramSeg.unigramSeg(col("w"), p).as("s"))
+      .as[Seq[String]].head()
+    // candidates: [a a a] 0.015625 (3 pieces), [a aa] = [aa a] =
+    // 0.015625 (2 pieces) — fewer pieces wins, then 'a aa' < 'aa a'
+    assert(seg == Seq("a", "aa"), s"got $seg")
+  }
+
   test("bpeMerges learns the hand-computed merge sequence") {
     // words: aa×3, ab×1 → round 1 merges "a a" (count 3, beating
     // "a b" at 1); round 2 only "a b" remains pairable.
