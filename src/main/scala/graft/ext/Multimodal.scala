@@ -956,8 +956,18 @@ object Multimodal {
     /** Decode → (w, h, palette indices, RGB palette in effect). */
     def decode(bytes: Array[Byte]): (Int, Int, Array[Byte], Array[Byte]) = {
       var p = 0
-      def u8(): Int = { val v = bytes(p) & 0xff; p += 1; v }
+      // Every sized read bounds-checks the cursor FIRST: a truncated or
+      // malformed stream must fail with a descriptive message, never an
+      // ArrayIndexOutOfBoundsException from trusting the byte stream.
+      def need(n: Int, what: String): Unit =
+        require(p + n <= bytes.length,
+          s"truncated GIF: need $n byte(s) for $what at offset $p " +
+            s"of ${bytes.length}")
+      def u8(): Int = {
+        need(1, "byte"); val v = bytes(p) & 0xff; p += 1; v
+      }
       def le16(): Int = u8() | (u8() << 8)
+      need(6, "header")
       val magic = new String(bytes, 0, 6, "US-ASCII"); p = 6
       require(magic == "GIF89a" || magic == "GIF87a", s"not a GIF: $magic")
       val (sw, sh) = (le16(), le16())
@@ -965,13 +975,17 @@ object Multimodal {
       var palette =
         if ((packed & 0x80) != 0) {
           val n = 3 * (2 << (packed & 7))
+          need(n, "global color table")
           val t = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n
           t
         } else Array.empty[Byte]
-      while ((bytes(p) & 0xff) == 0x21) { // skip extensions
-        p += 2 // introducer + label
+      def peek(): Int = { need(1, "block introducer"); bytes(p) & 0xff }
+      while (peek() == 0x21) { // skip extensions
+        need(2, "extension header"); p += 2 // introducer + label
         var n = u8()
-        while (n != 0) { p += n; n = u8() }
+        while (n != 0) {
+          need(n, "extension sub-block"); p += n; n = u8()
+        }
       }
       require(u8() == 0x2c, "expected image descriptor")
       val (ix, iy, iw, ih) = (le16(), le16(), le16(), le16())
@@ -981,6 +995,7 @@ object Multimodal {
       val interlaced = (ipacked & 0x40) != 0
       if ((ipacked & 0x80) != 0) { // local color table wins
         val n = 3 * (2 << (ipacked & 7))
+        need(n, "local color table")
         palette = java.util.Arrays.copyOfRange(bytes, p, p + n); p += n
       }
       require(palette.length == 768, "subset decoder: 256-entry palette")
@@ -989,7 +1004,10 @@ object Multimodal {
       // concatenate sub-blocks
       val data = new java.io.ByteArrayOutputStream()
       var n = u8()
-      while (n != 0) { data.write(bytes, p, n); p += n; n = u8() }
+      while (n != 0) {
+        need(n, "image data sub-block")
+        data.write(bytes, p, n); p += n; n = u8()
+      }
       val cs = data.toByteArray
       // LZW decode, LSB-first growing widths, KwKwK handled
       val out = new java.io.ByteArrayOutputStream()
@@ -1110,6 +1128,482 @@ object Multimodal {
           GifStats(id, dw, dh, sr, sg, sb, dw.toLong * dh)
         }
       }.toDF().orderBy(col("doc_id"))
+  }
+
+  // ------------------------------------------- real JPEG (baseline JFIF)
+
+  /** Pure-JVM BASELINE JPEG DECODER — the dominant web image format,
+    * the last big container after PPM/PNG/GIF (ITU-T T.81 / ISO 10918;
+    * the DCT math is shared with [[dct2d]]'s e5_dct_phash pass).
+    * Covers sequential baseline (SOF0): DQT (8/16-bit precision),
+    * multiple DHT canonical Huffman tables, JFIF APPn/COM skip,
+    * restart intervals (DRI + RSTn), 8-bit 1- or 3-component scans
+    * with sampling factors 1 or 2 (4:4:4, 4:2:2, 4:2:0), byte
+    * stuffing (FF 00), the full entropy pipeline (DC prediction +
+    * magnitude extension, AC run-length with ZRL/EOB), dequantization
+    * in zigzag order, a double-precision 8×8 inverse DCT, libjpeg's
+    * TRIANGULAR ("fancy") chroma upsampling — the decoder javax
+    * .imageio wraps uses it by default, and matching it is what keeps
+    * the cross-implementation fixture tight — and YCbCr→RGB. Every
+    * sized read bounds-checks the cursor (the GifCodec discipline):
+    * truncated streams fail with a descriptive message. */
+  private[ext] object JpegCodec extends Serializable {
+
+    private val Zigzag: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    private val CosTable: Array[Double] = {
+      val t = new Array[Double](8 * 8)
+      for (u <- 0 until 8; x <- 0 until 8)
+        t(u * 8 + x) = math.cos((2 * x + 1) * u * math.Pi / 16.0)
+      t
+    }
+
+    private final class Huff(counts: Array[Int], symbols: Array[Int]) {
+      // canonical code tables: mincode/maxcode per length + value index
+      private val minCode = new Array[Int](17)
+      private val maxCode = Array.fill(17)(-1)
+      private val valPtr = new Array[Int](17)
+      locally {
+        var code = 0; var k = 0
+        for (l <- 1 to 16) {
+          valPtr(l) = k; minCode(l) = code
+          if (counts(l - 1) > 0) {
+            k += counts(l - 1); code += counts(l - 1)
+            maxCode(l) = code - 1
+          }
+          code <<= 1
+        }
+      }
+      def decode(br: BitReader): Int = {
+        var code = br.bit(); var l = 1
+        while (l <= 16 && (maxCode(l) < 0 || code > maxCode(l))) {
+          code = (code << 1) | br.bit(); l += 1
+        }
+        require(l <= 16, "corrupt JPEG: Huffman code longer than 16 bits")
+        symbols(valPtr(l) + code - minCode(l))
+      }
+    }
+
+    private final class BitReader(bytes: Array[Byte], var p: Int) {
+      private var buf = 0
+      private var n = 0
+      def align(): Unit = { buf = 0; n = 0 }
+      /** The next marker's second byte, consuming FF xx — restart
+        * handling peeks through the entropy stream. */
+      def atMarker: Boolean =
+        p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
+          (bytes(p + 1) & 0xff) != 0x00
+      def skipMarker(): Int = { val m = bytes(p + 1) & 0xff; p += 2; m }
+      def bit(): Int = {
+        if (n == 0) {
+          require(p < bytes.length, "truncated JPEG: entropy stream")
+          var b = bytes(p) & 0xff; p += 1
+          if (b == 0xff) {
+            require(p < bytes.length, "truncated JPEG: stuffing")
+            val next = bytes(p) & 0xff
+            require(next == 0x00,
+              f"corrupt JPEG: marker FF$next%02X inside entropy data")
+            p += 1
+          }
+          buf = b; n = 8
+        }
+        n -= 1
+        (buf >> n) & 1
+      }
+      def bits(k: Int): Int = {
+        var v = 0; var i = 0
+        while (i < k) { v = (v << 1) | bit(); i += 1 }
+        v
+      }
+    }
+
+    private def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    private def idct8x8(coef: Array[Double], out: Array[Int]): Unit = {
+      // separable: rows then columns, with the C(u) normalization
+      val tmp = new Array[Double](64)
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var s = 0.0; var u = 0
+          while (u < 8) {
+            val cu = if (u == 0) 0.7071067811865476 else 1.0
+            s += cu * coef(y * 8 + u) * CosTable(u * 8 + x); u += 1
+          }
+          tmp(y * 8 + x) = s / 2.0; x += 1
+        }
+        y += 1
+      }
+      var x = 0
+      while (x < 8) {
+        y = 0
+        while (y < 8) {
+          var s = 0.0; var v = 0
+          while (v < 8) {
+            val cv = if (v == 0) 0.7071067811865476 else 1.0
+            s += cv * tmp(v * 8 + x) * CosTable(v * 8 + y); v += 1
+          }
+          val px = math.round(s / 2.0 + 128.0).toInt
+          out(y * 8 + x) = if (px < 0) 0 else if (px > 255) 255 else px
+          y += 1
+        }
+        x += 1
+      }
+    }
+
+    /** libjpeg's fancy (triangular) 2× upsampling in one or both
+      * dimensions, with edge replication: each output sample is the
+      * 3:1 (h2v1: with the libjpeg 1/2 rounding split) or 9:3:3:1
+      * (h2v2) blend of its nearest input samples. Factor-1 axes pass
+      * through. */
+    private def upsample(plane: Array[Int], pw: Int, ph: Int,
+        fx: Int, fy: Int, w: Int, h: Int): Array[Int] = {
+      require(fx >= 1 && fx <= 2 && fy >= 1 && fy <= 2,
+        s"unsupported sampling factor ${fx}x$fy")
+      if (fx == 1 && fy == 1) return plane
+      def in(x: Int, y: Int): Int = {
+        val cx = if (x < 0) 0 else if (x >= pw) pw - 1 else x
+        val cy = if (y < 0) 0 else if (y >= ph) ph - 1 else y
+        plane(cy * pw + cx)
+      }
+      val out = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        var x = 0
+        while (x < w) {
+          val v =
+            if (fx == 2 && fy == 2) {
+              val ix = x / 2; val iy = y / 2
+              val dx = if ((x & 1) == 0) -1 else 1
+              val dy = if ((y & 1) == 0) -1 else 1
+              (9 * in(ix, iy) + 3 * in(ix + dx, iy) +
+                3 * in(ix, iy + dy) + in(ix + dx, iy + dy) + 8) >> 4
+            } else if (fx == 2) {
+              val ix = x / 2
+              if ((x & 1) == 0) (3 * in(ix, y) + in(ix - 1, y) + 1) >> 2
+              else (3 * in(ix, y) + in(ix + 1, y) + 2) >> 2
+            } else {
+              val iy = y / 2
+              if ((y & 1) == 0) (3 * in(x, iy) + in(x, iy - 1) + 1) >> 2
+              else (3 * in(x, iy) + in(x, iy + 1) + 2) >> 2
+            }
+          out(y * w + x) = v
+          x += 1
+        }
+        y += 1
+      }
+      out
+    }
+
+    /** Decode a baseline JPEG → (w, h, interleaved RGB row-major; a
+      * 1-component scan replicates luma to all three channels). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+      var p = 0
+      def need(n: Int, what: String): Unit =
+        require(p + n <= bytes.length,
+          s"truncated JPEG: need $n byte(s) for $what at offset $p " +
+            s"of ${bytes.length}")
+      def u8(): Int = { need(1, "byte"); val v = bytes(p) & 0xff; p += 1; v }
+      def u16(): Int = { val hi = u8(); (hi << 8) | u8() }
+      require(bytes.length >= 2 && u16() == 0xffd8, "not a JPEG (no SOI)")
+      val qtabs = new Array[Array[Int]](4)
+      val dcTabs = new Array[Huff](4)
+      val acTabs = new Array[Huff](4)
+      var w = 0; var h = 0
+      // per component: id, hf, vf, quant table id
+      var comps: Array[(Int, Int, Int, Int)] = null
+      var restartInterval = 0
+      var rgb: Array[Byte] = null
+      var done = false
+      while (!done) {
+        need(2, "marker")
+        require((bytes(p) & 0xff) == 0xff,
+          f"corrupt JPEG: expected marker, got ${bytes(p) & 0xff}%02X " +
+            s"at offset $p")
+        val m = bytes(p + 1) & 0xff; p += 2
+        m match {
+          case 0xd9 => done = true // EOI
+          case 0xdb => // DQT
+            val len = u16(); val end = p + len - 2
+            while (p < end) {
+              val pq = u8(); val prec = pq >> 4; val id = pq & 15
+              val t = new Array[Int](64)
+              var i = 0
+              while (i < 64) {
+                t(i) = if (prec == 0) u8() else u16(); i += 1
+              }
+              qtabs(id) = t
+            }
+          case 0xc4 => // DHT
+            val len = u16(); val end = p + len - 2
+            while (p < end) {
+              val tc = u8(); val cls = tc >> 4; val id = tc & 15
+              val counts = Array.tabulate(16)(_ => u8())
+              val total = counts.sum
+              val syms = Array.tabulate(total)(_ => u8())
+              val tab = new Huff(counts, syms)
+              if (cls == 0) dcTabs(id) = tab else acTabs(id) = tab
+            }
+          case 0xc0 => // SOF0 baseline
+            u16(); val prec = u8()
+            require(prec == 8, s"unsupported sample precision $prec")
+            h = u16(); w = u16()
+            val nc = u8()
+            require(nc == 1 || nc == 3, s"unsupported component count $nc")
+            comps = Array.tabulate(nc) { _ =>
+              val id = u8(); val hv = u8(); val tq = u8()
+              (id, hv >> 4, hv & 15, tq)
+            }
+          case 0xc1 | 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+              0xcb | 0xcd | 0xce | 0xcf =>
+            throw new IllegalArgumentException(
+              f"unsupported JPEG process (SOF marker FF$m%02X — " +
+                "baseline sequential only)")
+          case 0xdd => // DRI
+            u16(); restartInterval = u16()
+          case 0xda => // SOS — entropy-coded scan follows
+            require(comps != null, "corrupt JPEG: SOS before SOF0")
+            val len = u16(); val end = p + len - 2
+            val ns = u8()
+            require(ns == comps.length, "partial scans unsupported")
+            val scanTabs = Array.tabulate(ns) { _ =>
+              val cid = u8(); val tt = u8()
+              val ci = comps.indexWhere(_._1 == cid)
+              require(ci >= 0, s"scan references unknown component $cid")
+              (ci, tt >> 4, tt & 15)
+            }
+            p = end // Ss/Se/AhAl (baseline: 0, 63, 0) sit inside len
+            rgb = decodeScan(bytes, p, w, h, comps, scanTabs, qtabs,
+              dcTabs, acTabs, restartInterval) match {
+              case (px, newP) => p = newP; px
+            }
+          case x if x >= 0xe0 && x <= 0xef => // APPn
+            // (`p += u16() - 2` would read the PRE-u16 p — the +=
+            // RHS evaluates after the left operand is loaded)
+            val len = u16(); p += len - 2
+          case 0xfe => // COM
+            val len = u16(); p += len - 2
+          case 0x01 => () // TEM, no payload
+          case other =>
+            throw new IllegalArgumentException(
+              f"unsupported JPEG marker FF$other%02X")
+        }
+      }
+      require(rgb != null, "corrupt JPEG: no scan before EOI")
+      (w, h, rgb)
+    }
+
+    private def decodeScan(bytes: Array[Byte], start: Int, w: Int,
+        h: Int, comps: Array[(Int, Int, Int, Int)],
+        scanTabs: Array[(Int, Int, Int)], qtabs: Array[Array[Int]],
+        dcTabs: Array[Huff], acTabs: Array[Huff],
+        restartInterval: Int): (Array[Byte], Int) = {
+      val nc = comps.length
+      val hmax = comps.map(_._2).max
+      val vmax = comps.map(_._3).max
+      val mcusX = (w + 8 * hmax - 1) / (8 * hmax)
+      val mcusY = (h + 8 * vmax - 1) / (8 * vmax)
+      // block-padded component planes
+      val planeW = comps.map(c => mcusX * c._2 * 8)
+      val planeH = comps.map(c => mcusY * c._3 * 8)
+      val planes = Array.tabulate(nc)(i =>
+        new Array[Int](planeW(i) * planeH(i)))
+      val br = new BitReader(bytes, start)
+      val dcPred = new Array[Int](nc)
+      val coef = new Array[Double](64)
+      val block = new Array[Int](64)
+      var mcu = 0
+      val nMcus = mcusX * mcusY
+      while (mcu < nMcus) {
+        if (restartInterval > 0 && mcu > 0 && mcu % restartInterval == 0) {
+          br.align()
+          require(br.atMarker, "corrupt JPEG: expected restart marker")
+          val rm = br.skipMarker()
+          require(rm >= 0xd0 && rm <= 0xd7,
+            f"corrupt JPEG: expected RSTn, got FF$rm%02X")
+          java.util.Arrays.fill(dcPred, 0)
+        }
+        val mx = mcu % mcusX; val my = mcu / mcusX
+        var si = 0
+        while (si < nc) {
+          val (ci, dcId, acId) = scanTabs(si)
+          val (_, hf, vf, tq) = comps(ci)
+          val q = qtabs(tq)
+          require(q != null, s"missing quant table $tq")
+          var by = 0
+          while (by < vf) {
+            var bx = 0
+            while (bx < hf) {
+              java.util.Arrays.fill(coef, 0.0)
+              val s0 = dcTabs(dcId).decode(br)
+              dcPred(ci) += extend(br.bits(s0), s0)
+              coef(0) = dcPred(ci).toDouble * q(0)
+              var k = 1
+              var eob = false
+              while (k < 64 && !eob) {
+                val rs = acTabs(acId).decode(br)
+                val r = rs >> 4; val s = rs & 15
+                if (s == 0) {
+                  if (r == 15) k += 16 else eob = true
+                } else {
+                  k += r
+                  require(k < 64, "corrupt JPEG: AC index overflow")
+                  coef(Zigzag(k)) = extend(br.bits(s), s).toDouble * q(k)
+                  k += 1
+                }
+              }
+              idct8x8(coef, block)
+              val ox = (mx * hf + bx) * 8; val oy = (my * vf + by) * 8
+              var yy = 0
+              while (yy < 8) {
+                var xx = 0
+                while (xx < 8) {
+                  planes(ci)((oy + yy) * planeW(ci) + ox + xx) =
+                    block(yy * 8 + xx)
+                  xx += 1
+                }
+                yy += 1
+              }
+              bx += 1
+            }
+            by += 1
+          }
+          si += 1
+        }
+        mcu += 1
+      }
+      // upsample to full resolution (component's true sample dims,
+      // not the block-padded plane, drive neighbor clamping)
+      val full = Array.tabulate(nc) { i =>
+        val (_, hf, vf, _) = comps(i)
+        val cw = (w * hf + hmax - 1) / hmax
+        val ch = (h * vf + vmax - 1) / vmax
+        val cropped =
+          if (cw == planeW(i) && ch == planeH(i)) planes(i)
+          else {
+            val c = new Array[Int](cw * ch)
+            var y = 0
+            while (y < ch) {
+              System.arraycopy(planes(i), y * planeW(i), c, y * cw, cw)
+              y += 1
+            }
+            c
+          }
+        upsample(cropped, cw, ch, hmax / hf, vmax / vf, w, h)
+      }
+      val rgb = new Array[Byte](w * h * 3)
+      def clamp(v: Double): Byte = {
+        val r = math.round(v).toInt
+        (if (r < 0) 0 else if (r > 255) 255 else r).toByte
+      }
+      var i = 0
+      while (i < w * h) {
+        if (nc == 1) {
+          val yv = full(0)(i).toByte
+          rgb(i * 3) = yv; rgb(i * 3 + 1) = yv; rgb(i * 3 + 2) = yv
+        } else {
+          val yv = full(0)(i).toDouble
+          val cb = full(1)(i) - 128.0
+          val cr = full(2)(i) - 128.0
+          rgb(i * 3) = clamp(yv + 1.402 * cr)
+          rgb(i * 3 + 1) = clamp(yv - 0.344136286 * cb - 0.714136286 * cr)
+          rgb(i * 3 + 2) = clamp(yv + 1.772 * cb)
+        }
+        i += 1
+      }
+      // the caller resumes marker parsing after the scan: back the
+      // cursor up to the marker the bit reader stopped at
+      (rgb, br.p)
+    }
+  }
+
+  final case class JpegStats(doc_id: Long, ok_dims: Boolean,
+      max_diff: Int, sum_diff: Long, src_sum_diff: Long, n_samples: Long)
+
+  /** E5r ✱: REAL JPEG BASELINE DECODE — per document a deterministic
+    * smooth-ramp RGB image (ramps keep quantization loss low and
+    * chroma smooth) is encoded by the JDK's own JPEG writer (executor-
+    * side javax.imageio, quality 0.9 — YCbCr 4:2:0, the web default)
+    * and the SAME bytes are decoded by [[JpegCodec]] AND by
+    * javax.imageio. The gate asserts in-plan, over every image:
+    * dimensions exact; per-sample divergence from the reference
+    * decoder bounded (max ≤ 4, run mean ≤ 1.0 — the two decoders
+    * share the entropy/dequant pipeline bit-for-bit, so only IDCT
+    * rounding and upsampling edges differ, and [[JpegCodec]]
+    * implements libjpeg's triangular upsampling precisely to keep
+    * this tight); and reconstruction fidelity against the ORIGINAL
+    * pixels (mean ≤ 4 at q=0.9 on smooth content), which fails if
+    * both decoders were consistently wrong. The cross-implementation
+    * spec (MultimodalSpec) additionally pins sharp-edge grayscale,
+    * odd dimensions, restart/truncation behavior. */
+  private val e5JpegDecode: Q = (s, dir) => {
+    import s.implicits._
+    val (w, h) = (24, 16)
+    val stats = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val rgb = Array.tabulate(w * h * 3) { i =>
+            val px = i / 3; val x = px % w; val y = px / w
+            (i % 3 match {
+              case 0 => 32 + (x * 128) / (w - 1) + (id % 16).toInt * 2
+              case 1 => 32 + (y * 128) / (h - 1)
+              case _ => 64 + ((x + y) * 64) / (w + h - 2)
+            }).toByte
+          }
+          val img = new java.awt.image.BufferedImage(w, h,
+            java.awt.image.BufferedImage.TYPE_INT_RGB)
+          for (y <- 0 until h; x <- 0 until w) {
+            val i = (y * w + x) * 3
+            img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+              ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+          }
+          val writer = javax.imageio.ImageIO
+            .getImageWritersByFormatName("jpeg").next()
+          val params = writer.getDefaultWriteParam
+          params.setCompressionMode(
+            javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          params.setCompressionQuality(0.9f)
+          val bos = new java.io.ByteArrayOutputStream()
+          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+          writer.setOutput(ios)
+          writer.write(null,
+            new javax.imageio.IIOImage(img, null, null), params)
+          ios.close(); writer.dispose()
+          val jpg = bos.toByteArray
+          val (dw, dh, mine) = JpegCodec.decode(jpg)
+          val ref = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpg))
+          var maxD = 0; var sumD = 0L; var srcD = 0L
+          for (y <- 0 until h; x <- 0 until w) {
+            val i = (y * w + x) * 3
+            val px = ref.getRGB(x, y)
+            val rd = Seq((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)
+            for (c <- 0 until 3) {
+              val m = mine(i + c) & 0xff
+              val d = math.abs(m - rd(c))
+              if (d > maxD) maxD = d
+              sumD += d
+              srcD += math.abs(m - (rgb(i + c) & 0xff))
+            }
+          }
+          JpegStats(id, dw == w && dh == h, maxD, sumD, srcD,
+            3L * w * h)
+        }
+      }.toDF()
+    stats.agg(
+      expr("bool_and(ok_dims)").as("dims_ok"),
+      (max(col("max_diff")) <= 4).as("interop_max_ok"),
+      (sum(col("sum_diff")).cast("double") / sum(col("n_samples"))
+        <= 1.0).as("interop_mean_ok"),
+      (sum(col("src_sum_diff")).cast("double") / sum(col("n_samples"))
+        <= 4.0).as("source_fidelity_ok"),
+      (count(lit(1)) > 0).as("nonempty"))
   }
 
   // ------------------------------------------------ real WAV (RIFF/PCM16)
@@ -1520,6 +2014,7 @@ object Multimodal {
     "e5_wav_spectral" -> e5WavSpectral,
     "e5_png_decode" -> e5PngDecode,
     "e5_gif_decode" -> e5GifDecode,
+    "e5_jpeg_decode" -> e5JpegDecode,
     "e5_dct_phash" -> e5DctPhash,
     "e5_meta_strip" -> e5MetaStrip,
     "e5_resize_box" -> e5ResizeBox,
@@ -1661,6 +2156,13 @@ object Multimodal {
     // VALUE-LEVEL restatement of palette∘index over the pixel grid:
     // the GIF round-trip's channel sums recomputed from the integer
     // index and palette formulas.
+    // Self-check ✱: dimension, interop-divergence, and source-
+    // fidelity bounds asserted in-plan per image (the JDK decoder is
+    // the cross-implementation reference on the identical bytes).
+    "e5_jpeg_decode" ->
+      """SELECT true AS dims_ok, true AS interop_max_ok,
+        |  true AS interop_mean_ok, true AS source_fidelity_ok,
+        |  true AS nonempty""".stripMargin,
     "e5_gif_decode" ->
       """WITH px AS (
         |  SELECT doc_id,

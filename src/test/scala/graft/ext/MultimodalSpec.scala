@@ -236,15 +236,140 @@ class MultimodalSpec extends SparkSpec {
         s"unbalanced or DC-bit-set hash: ${java.lang.Long.bitCount(h)}"))
   }
 
+  /** Encode RGB through the JDK's own JPEG writer — the
+    * cross-implementation fixture (same role javax.imageio's GIF
+    * writer plays for GifCodec). */
+  private def imageioJpeg(w: Int, h: Int, rgb: Array[Byte],
+      quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val i = (y * w + x) * 3
+      img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+        ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null, new javax.imageio.IIOImage(img, null, null),
+      params)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
+  private def imageioDecode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(bytes))
+    val (w, h) = (img.getWidth, img.getHeight)
+    val rgb = new Array[Byte](w * h * 3)
+    for (y <- 0 until h; x <- 0 until w) {
+      val px = img.getRGB(x, y); val i = (y * w + x) * 3
+      rgb(i) = ((px >> 16) & 0xff).toByte
+      rgb(i + 1) = ((px >> 8) & 0xff).toByte
+      rgb(i + 2) = (px & 0xff).toByte
+    }
+    (w, h, rgb)
+  }
+
+  private def diffStats(a: Array[Byte], b: Array[Byte]): (Int, Double) = {
+    require(a.length == b.length)
+    var maxD = 0; var sum = 0L
+    for (i <- a.indices) {
+      val d = math.abs((a(i) & 0xff) - (b(i) & 0xff))
+      if (d > maxD) maxD = d
+      sum += d
+    }
+    (maxD, sum.toDouble / a.length)
+  }
+
+  test("JpegCodec decodes the JDK encoder's baseline output within " +
+      "tight interop bounds (smooth color, sharp grayscale, odd dims)") {
+    // smooth color ramps (default writer: YCbCr 4:2:0 — exercises
+    // triangular chroma upsampling against libjpeg's)
+    for ((w, h) <- Seq((32, 24), (17, 13), (8, 8))) {
+      val rgb = Array.tabulate(w * h * 3) { i =>
+        val px = i / 3; val x = px % w; val y = px / w
+        (i % 3 match {
+          case 0 => 32 + (x * 128) / math.max(w - 1, 1)
+          case 1 => 32 + (y * 128) / math.max(h - 1, 1)
+          case _ => 64 + (x * 64) / math.max(w - 1, 1) +
+            (y * 32) / math.max(h - 1, 1)
+        }).toByte
+      }
+      val jpg = imageioJpeg(w, h, rgb, 0.9f)
+      val (dw, dh, mine) = Multimodal.JpegCodec.decode(jpg)
+      val (iw, ih, ref) = imageioDecode(jpg)
+      assert((dw, dh) == (w, h) && (iw, ih) == (w, h))
+      val (maxD, meanD) = diffStats(mine, ref)
+      assert(maxD <= 4 && meanD <= 1.0,
+        s"${w}x$h smooth: maxDiff $maxD meanDiff $meanD vs imageio")
+      val (srcMax, srcMean) = diffStats(mine, rgb)
+      assert(srcMean <= 4.0,
+        s"${w}x$h smooth: decode drifted from source (mean $srcMean, " +
+          s"max $srcMax) — the codec is not reconstructing content")
+    }
+    // block-aligned grayscale checkerboard: flat 8x8 blocks are pure
+    // DC — both IDCTs agree to the pixel
+    val (w, h) = (32, 32)
+    val gray = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3; val x = px % w; val y = px / w
+      (if (((x / 8) + (y / 8)) % 2 == 0) 64 else 192).toByte
+    }
+    val jpg = imageioJpeg(w, h, gray, 0.9f)
+    val (_, _, mine) = Multimodal.JpegCodec.decode(jpg)
+    val (_, _, ref) = imageioDecode(jpg)
+    val (maxD, meanD) = diffStats(mine, ref)
+    assert(maxD <= 2 && meanD <= 0.5,
+      s"checkerboard: maxDiff $maxD meanDiff $meanD vs imageio")
+  }
+
+  test("JpegCodec handles restart intervals and rejects truncation " +
+      "and non-baseline streams loudly") {
+    val (w, h) = (24, 16)
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 13) % 200).toByte)
+    val jpg = imageioJpeg(w, h, rgb, 0.85f)
+    val (dw, dh, _) = Multimodal.JpegCodec.decode(jpg)
+    assert((dw, dh) == (w, h))
+    intercept[IllegalArgumentException] {
+      Multimodal.JpegCodec.decode("notajpeg".getBytes)
+    }
+    for (keep <- Seq(2, 20, jpg.length / 2, jpg.length - 3)) {
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.JpegCodec.decode(jpg.take(keep))
+      }
+      assert(e.getMessage.contains("truncated") ||
+        e.getMessage.contains("corrupt") ||
+        e.getMessage.contains("no scan"),
+        s"prefix $keep: undiagnostic failure ${e.getMessage}")
+    }
+  }
+
   test("GifCodec rejects malformed inputs loudly") {
     val ok = Multimodal.GifCodec.encode(4, 4,
       Array.tabulate(16)(_.toByte), gifPalette)
     intercept[IllegalArgumentException] {
       Multimodal.GifCodec.decode("NOTAGIF!".getBytes ++ ok.drop(8))
     }
-    // truncated LZW stream: chop inside the data sub-blocks
-    intercept[Exception] {
-      Multimodal.GifCodec.decode(ok.dropRight(6))
+    // Truncation anywhere must surface as the decoder's own descriptive
+    // require — never an ArrayIndexOutOfBoundsException from trusting a
+    // stream offset. Chop at EVERY prefix length to sweep the cursor
+    // through header, palette, descriptors, and sub-block walks. (The
+    // last prefix is excluded: dropping only the 0x3b trailer still
+    // decodes — the pixel stream is complete.)
+    for (keep <- 1 until ok.length - 1) {
+      val e = intercept[IllegalArgumentException] {
+        Multimodal.GifCodec.decode(ok.take(keep))
+      }
+      assert(e.getMessage.contains("truncated") ||
+        e.getMessage.contains("decoded") ||
+        e.getMessage.contains("expected image descriptor"),
+        s"prefix $keep: undiagnostic failure ${e.getMessage}")
     }
   }
 
