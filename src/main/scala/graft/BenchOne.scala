@@ -5,6 +5,9 @@ object BenchOne {
   def main(args: Array[String]): Unit = {
     val name = args(0)
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    // mirror Bench's replay coarsening so phase re-times are comparable
+    System.setProperty("graft.replay.coarsen",
+      sys.env.getOrElse("SPARK_GRAFT_REPLAY_COARSEN", "5"))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

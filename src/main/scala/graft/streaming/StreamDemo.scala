@@ -256,19 +256,21 @@ object StreamDemo {
     *  - TIMEOUT: the watermark passes `gapMs` beyond the user's last
     *    event while the user is silent — emitted from the timeout
     *    branch;
-    *  - DATA-DRIVEN SPLIT: the user's next batch of events starts more
-    *    than `gapMs` after the stored session end — the old session is
-    *    emitted immediately and the new one opens (a timeout is NOT
+    *  - DATA-DRIVEN SPLIT: a batch's events are gap-split into runs
+    *    first (sorted times break wherever consecutive events sit
+    *    > `gapMs` apart); a run starting more than `gapMs` after the
+    *    stored session end closes that session immediately, and every
+    *    non-final run closes within the batch (a timeout is NOT
     *    guaranteed to fire first: if no other key advanced the
     *    watermark during the silence, the key's own late-arriving data
     *    would otherwise merge across the gap).
-    * EXACT-GAP CONTRACT: events inside one micro-batch are folded into
-    * one run, so per-key batch time-span must be ≤ `gapMs` (drive the
-    * source with ≤-gap-sized time buckets, as `ev12_stream_sessions`
-    * does) — then stream sessions equal the batch gaps-and-islands
-    * answer exactly. State per key is three longs regardless of
-    * session length, and the event-time timeout bounds its lifetime —
-    * the at-scale contract for billions of keys. */
+    * Semantics are therefore INVARIANT to how the stream is sliced
+    * into micro-batches (no per-key batch-span contract — any slicing
+    * of an event-time-ordered stream yields the batch
+    * gaps-and-islands answer exactly; the replay-coarsening spec pins
+    * it). State per key is three longs regardless of session length,
+    * and the event-time timeout bounds its lifetime — the at-scale
+    * contract for billions of keys. */
   def sessionize(events: Dataset[(Long, java.sql.Timestamp)],
       gapMs: Long): Dataset[SessionOut] = {
     import events.sparkSession.implicits._
@@ -284,20 +286,39 @@ object StreamDemo {
             state.remove()
             Iterator.single(SessionOut(userId, n, s0, e0))
           } else {
-            val times = rows.map(_._2.getTime).toSeq
-            val (bn, bMin, bMax) = (times.size, times.min, times.max)
-            val closed: Option[SessionOut] = state.getOption match {
-              case Some((n0, s0, e0)) if bMin > e0 + gapMs =>
-                state.remove()
-                Some(SessionOut(userId, n0, s0, e0))
-              case _ => None
+            // Gap-split the batch FIRST (sorted event times break into
+            // runs wherever consecutive times sit > gapMs apart), so
+            // session semantics no longer depend on how the stream is
+            // sliced into micro-batches: a batch spanning several gaps
+            // closes every interior session, exactly as if each run
+            // had arrived in its own batch. (Before r13 this impl
+            // carried an exact-gap batch contract — at most one gap
+            // per key per batch — which the native session_window
+            // never needed; the four implementations are now all
+            // slicing-invariant, and the bench-time replay coarsening
+            // spec pins it.)
+            val times = rows.map(_._2.getTime).toSeq.sorted
+            var runs = List.empty[(Int, Long, Long)] // newest first
+            for (t <- times) runs = runs match {
+              case (n, mn, mx) :: rest if t <= mx + gapMs =>
+                (n + 1, mn, math.max(mx, t)) :: rest
+              case _ => (1, t, t) :: runs
             }
-            val (n0, s0, e0) =
-              state.getOption.getOrElse((0, Long.MaxValue, Long.MinValue))
-            val next = (n0 + bn, math.min(s0, bMin), math.max(e0, bMax))
-            state.update(next)
-            state.setTimeoutTimestamp(next._3 + gapMs)
-            closed.iterator
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            for (run <- runs.reverse) cur match {
+              case Some((n0, s0, e0)) if run._2 <= e0 + gapMs =>
+                cur = Some((n0 + run._1, math.min(s0, run._2),
+                  math.max(e0, run._3)))
+              case Some((n0, s0, e0)) =>
+                closed = SessionOut(userId, n0, s0, e0) :: closed
+                cur = Some(run)
+              case None => cur = Some(run)
+            }
+            val fin = cur.get
+            state.update(fin)
+            state.setTimeoutTimestamp(fin._3 + gapMs)
+            closed.reverse.iterator
           }
       }
   }
@@ -311,9 +332,9 @@ object StreamDemo {
     * Catalyst owns the merge (`MergingSessionsExec` sorts each
     * partition once and merges adjacent sessions in one pass, no
     * per-key state function invocation), the optimizer sees a normal
-    * aggregate, and NONE of [[sessionize]]'s exact-gap batch contract
-    * is needed: session merging is correct across any micro-batch
-    * slicing, because windows merge by VALUE overlap, not by arrival.
+    * aggregate, and slicing-invariance is structural: windows merge
+    * by VALUE overlap, not by arrival (the custom-state versions get
+    * the same invariance from their gap-split-first batch handling).
     * The custom-state versions ([[sessionize]] /
     * [[SessionProcessor]]) remain the template for state machines the
     * declarative operator cannot express (k-of-n patterns, per-key
@@ -346,14 +367,14 @@ object StreamDemo {
     * backend can store and checkpoint each variable natively, and
     * timers are first-class (one key can hold many), not a single
     * timeout slot. Close semantics are bit-identical to [[sessionize]]:
-    *  - DATA-DRIVEN SPLIT in `handleInputRows` when a batch starts
-    *    more than `gapMs` past the stored end;
+    *  - DATA-DRIVEN SPLIT in `handleInputRows` — the same gap-split-
+    *    first run handling as [[sessionize]], so any micro-batch
+    *    slicing of an ordered stream yields the exact batch answer;
     *  - TIMER in `handleExpiredTimer`, guarded so only the timer
     *    matching the CURRENT session end may close it (a stale timer
     *    from a since-extended session is ignored — deleteTimer plus
     *    this guard makes the pair exact).
-    * Same exact-gap contract as [[sessionize]]: per-key batch span ≤
-    * `gapMs`. Requires the RocksDB state store provider (the API is
+    * Requires the RocksDB state store provider (the API is
     * built on its virtual-column-family layout); callers set it. */
   final class SessionProcessor(gapMs: Long) extends
       org.apache.spark.sql.streaming.StatefulProcessor[
@@ -373,23 +394,33 @@ object StreamDemo {
     override def handleInputRows(userId: Long,
         rows: Iterator[(Long, java.sql.Timestamp)],
         timers: TimerValues): Iterator[SessionOut] = {
-      val times = rows.map(_._2.getTime).toSeq
-      val (bn, bMin, bMax) = (times.size, times.min, times.max)
-      val prev = if (sess.exists()) Some(sess.get()) else None
-      val closed = prev match {
-        case Some((n0, s0, e0)) if bMin > e0 + gapMs =>
-          getHandle.deleteTimer(e0 + gapMs)
-          Some(SessionOut(userId, n0, s0, e0))
-        case Some((_, _, e0)) =>
-          getHandle.deleteTimer(e0 + gapMs); None
-        case None => None
+      // Same gap-split-first shape as [[sessionize]] (slicing-
+      // invariant since r13): sorted times break into gap-separated
+      // runs; every non-final run closes a session this batch.
+      val times = rows.map(_._2.getTime).toSeq.sorted
+      var runs = List.empty[(Int, Long, Long)] // newest first
+      for (t <- times) runs = runs match {
+        case (n, mn, mx) :: rest if t <= mx + gapMs =>
+          (n + 1, mn, math.max(mx, t)) :: rest
+        case _ => (1, t, t) :: runs
       }
-      val (n0, s0, e0) = prev.filter(_ => closed.isEmpty)
-        .getOrElse((0, Long.MaxValue, Long.MinValue))
-      val next = (n0 + bn, math.min(s0, bMin), math.max(e0, bMax))
-      sess.update(next)
-      getHandle.registerTimer(next._3 + gapMs)
-      closed.iterator
+      val prev = if (sess.exists()) Some(sess.get()) else None
+      prev.foreach { case (_, _, e0) => getHandle.deleteTimer(e0 + gapMs) }
+      var closed = List.empty[SessionOut]
+      var cur = prev
+      for (run <- runs.reverse) cur match {
+        case Some((n0, s0, e0)) if run._2 <= e0 + gapMs =>
+          cur = Some((n0 + run._1, math.min(s0, run._2),
+            math.max(e0, run._3)))
+        case Some((n0, s0, e0)) =>
+          closed = SessionOut(userId, n0, s0, e0) :: closed
+          cur = Some(run)
+        case None => cur = Some(run)
+      }
+      val fin = cur.get
+      sess.update(fin)
+      getHandle.registerTimer(fin._3 + gapMs)
+      closed.reverse.iterator
     }
 
     override def handleExpiredTimer(userId: Long, timers: TimerValues,

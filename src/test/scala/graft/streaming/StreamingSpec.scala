@@ -19,6 +19,29 @@ class StreamingSpec extends SparkSpec {
     StreamDemo.Event(ts(2, 1), "click", 4.0),
     StreamDemo.Event(ts(2, 5), "view", 5.0))
 
+  test("session replay coarsening (the bench knob) leaves the append " +
+      "output unchanged for both the custom-state and native gates") {
+    // graft.Bench sets graft.replay.coarsen=5 so the four session
+    // gates replay in ~5-day buckets instead of ~30 daily ones — the
+    // claim that this is pure latency trimming (same rows, same
+    // event-time order, same final sessions) is pinned here for the
+    // boundary-sensitive native MergingSessionsExec path (ev23) and
+    // the flatMapGroupsWithState path (ev12).
+    for (q <- Seq("ev12_stream_sessions", "ev22_tws_sessions",
+        "ev23_session_window")) {
+      def run(): Seq[Seq[Any]] =
+        EventWindows.queries(q)(spark, sf)
+          .collect().toSeq.map(_.toSeq)
+      val daily = run()
+      System.setProperty("graft.replay.coarsen", "5")
+      val coarse = try run()
+        finally System.clearProperty("graft.replay.coarsen")
+      assert(coarse == daily,
+        s"$q: coarsened replay changed the session output")
+      assert(daily.nonEmpty)
+    }
+  }
+
   test("streaming windowed aggregation equals its batch evaluation") {
     implicit val sqlCtx = spark.sqlContext
     val stream = MemoryStream[StreamDemo.Event]
