@@ -265,42 +265,52 @@ object Multimodal {
               } else 32.0
             i += 1
           }
-          // separable DCT: tmp(u)(y) = Σ_x p(y,x)·cos(u,x)
-          val tmp = Array.ofDim[Double](8, n)
-          var u = 0
-          while (u < 8) {
-            var y = 0
-            while (y < n) {
-              var s = 0.0; var x = 0
-              while (x < n) { s += p(y * n + x) * cosT(u)(x); x += 1 }
-              tmp(u)(y) = s; y += 1
-            }
-            u += 1
-          }
-          val vals = new Array[Double](63)
-          var k = 0
-          u = 0
-          while (u < 8) {
-            var v = 0
-            while (v < 8) {
-              if (u != 0 || v != 0) {
-                var s = 0.0; var y = 0
-                while (y < n) { s += tmp(u)(y) * cosT(v)(y); y += 1 }
-                vals(k) = s; k += 1
-              }
-              v += 1
-            }
-            u += 1
-          }
-          val sorted = vals.clone()
-          java.util.Arrays.sort(sorted)
-          val med = sorted(31) // lower median of 63
-          var h = 0L
-          i = 0
-          while (i < 63) { if (vals(i) > med) h |= 1L << i; i += 1 }
-          DctHashRow(id, h)
+          DctHashRow(id, phash64(p, n, cosT))
         }
       }
+  }
+
+  /** The pHash core shared by [[dctPhash]] (text-as-plane) and the
+    * real-image e5_jpeg_phash path: 2-D DCT-II of an n×n plane, keep
+    * the 8×8 low-frequency block minus DC (63 coefficients), threshold
+    * at the lower median (Zauner's published construction). `cosT` is
+    * the caller-precomputed cos(π(2x+1)u / 2n) table. */
+  private[ext] def phash64(p: Array[Double], n: Int,
+      cosT: Array[Array[Double]]): Long = {
+    // separable DCT: tmp(u)(y) = Σ_x p(y,x)·cos(u,x)
+    val tmp = Array.ofDim[Double](8, n)
+    var u = 0
+    while (u < 8) {
+      var y = 0
+      while (y < n) {
+        var s = 0.0; var x = 0
+        while (x < n) { s += p(y * n + x) * cosT(u)(x); x += 1 }
+        tmp(u)(y) = s; y += 1
+      }
+      u += 1
+    }
+    val vals = new Array[Double](63)
+    var k = 0
+    u = 0
+    while (u < 8) {
+      var v = 0
+      while (v < 8) {
+        if (u != 0 || v != 0) {
+          var s = 0.0; var y = 0
+          while (y < n) { s += tmp(u)(y) * cosT(v)(y); y += 1 }
+          vals(k) = s; k += 1
+        }
+        v += 1
+      }
+      u += 1
+    }
+    val sorted = vals.clone()
+    java.util.Arrays.sort(sorted)
+    val med = sorted(31) // lower median of 63
+    var h = 0L
+    var i = 0
+    while (i < 63) { if (vals(i) > med) h |= 1L << i; i += 1 }
+    h
   }
 
   /** STUB media resize: binary → binary (a real one re-encodes pixels;
@@ -1523,6 +1533,38 @@ object Multimodal {
     }
   }
 
+  /** Encode RGB bytes through the JDK's own JPEG writer — the
+    * cross-implementation fixture encoder both JPEG gates share. */
+  private[ext] def imageioJpegBytes(w: Int, h: Int, rgb: Array[Byte],
+      quality: Float): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val i = (y * w + x) * 3
+        img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
+          ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
+        x += 1
+      }
+      y += 1
+    }
+    val writer = javax.imageio.ImageIO
+      .getImageWritersByFormatName("jpeg").next()
+    val params = writer.getDefaultWriteParam
+    params.setCompressionMode(
+      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    params.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    writer.setOutput(ios)
+    writer.write(null,
+      new javax.imageio.IIOImage(img, null, null), params)
+    ios.close(); writer.dispose()
+    bos.toByteArray
+  }
+
   final case class JpegStats(doc_id: Long, ok_dims: Boolean,
       max_diff: Int, sum_diff: Long, src_sum_diff: Long, n_samples: Long)
 
@@ -1556,26 +1598,7 @@ object Multimodal {
               case _ => 64 + ((x + y) * 64) / (w + h - 2)
             }).toByte
           }
-          val img = new java.awt.image.BufferedImage(w, h,
-            java.awt.image.BufferedImage.TYPE_INT_RGB)
-          for (y <- 0 until h; x <- 0 until w) {
-            val i = (y * w + x) * 3
-            img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
-              ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
-          }
-          val writer = javax.imageio.ImageIO
-            .getImageWritersByFormatName("jpeg").next()
-          val params = writer.getDefaultWriteParam
-          params.setCompressionMode(
-            javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-          params.setCompressionQuality(0.9f)
-          val bos = new java.io.ByteArrayOutputStream()
-          val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-          writer.setOutput(ios)
-          writer.write(null,
-            new javax.imageio.IIOImage(img, null, null), params)
-          ios.close(); writer.dispose()
-          val jpg = bos.toByteArray
+          val jpg = imageioJpegBytes(w, h, rgb, 0.9f)
           val (dw, dh, mine) = JpegCodec.decode(jpg)
           val ref = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(jpg))
@@ -1604,6 +1627,137 @@ object Multimodal {
       (sum(col("src_sum_diff")).cast("double") / sum(col("n_samples"))
         <= 4.0).as("source_fidelity_ok"),
       (count(lit(1)) > 0).as("nonempty"))
+  }
+
+  /** Deterministic 32×32 test image for the JPEG-pHash pipeline: a
+    * mixture of three cosine gratings whose frequencies and phases
+    * derive from the id. The mixture puts well-separated energy across
+    * the pHash's 8×8 low-frequency block — a pure ramp would leave
+    * most of the 63 coefficients near zero, where the median-threshold
+    * bits are quantization-noise signs and NO hash is stable (the
+    * photograph-like spectrum is what pHash is specified over).
+    * Consecutive ids change every frequency and phase, so unrelated
+    * images land far apart. */
+  private[ext] def synthJpegImage(id: Long, n: Int): Array[Byte] = {
+    val r = (id % 9973).toInt
+    // Pseudo-random amplitude for EVERY low-frequency DCT bin the
+    // pHash thresholds (u,v < 8, not both 0): with all 63 coefficient
+    // magnitudes spread well apart, the median is a meaningful
+    // separator and only coefficients within quantization noise of it
+    // can flip — a pure ramp or a sparse grating leaves most bins at
+    // ~0 where every bit is a noise sign and NO perceptual hash is
+    // stable. This is the photograph-like spectrum pHash is
+    // specified over, synthesized deterministically.
+    val amp = Array.tabulate(8, 8)((u, v) =>
+      if (u == 0 && v == 0) 0.0
+      else (((r * 131 + u * 17 + v * 29) % 23) - 11) * 1.6)
+    val cosT = Array.tabulate(8, n)((u, x) =>
+      math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
+    Array.tabulate(n * n * 3) { i =>
+      val px = i / 3; val x = px % n; val y = px / n
+      var v = 128.0
+      var u = 0
+      while (u < 8) {
+        var w = 0
+        while (w < 8) {
+          v += amp(u)(w) * cosT(u)(x) * cosT(w)(y); w += 1
+        }
+        u += 1
+      }
+      val c = i % 3 match {
+        case 0 => v
+        case 1 => v * 0.9
+        case _ => v * 1.1
+      }
+      val vi = math.round(c).toInt
+      (if (vi < 0) 0 else if (vi > 255) 255 else vi).toByte
+    }
+  }
+
+  final case class JpegHashRow(doc_id: Long, phash: Long)
+
+  /** E5s ✱: REAL-CONTAINER IMAGE NEAR-DUP PIPELINE — the composition a
+    * 100 TB image corpus actually runs, end to end: JPEG bytes →
+    * [[JpegCodec]] decode → luma plane → DCT pHash ([[phash64]], the
+    * Zauner construction e5_dct_phash gates) → 9×7-bit banded LSH join
+    * → Hamming verification. Per document a deterministic 32×32 image
+    * is encoded TWICE by the JDK writer (quality 0.9 and 0.5), giving
+    * one planted RE-ENCODED near-duplicate pair per doc — the exact
+    * case perceptual hashing exists for: exact/digest dedup can never
+    * catch a re-encode, the pHash of the decoded pixels must. Gates
+    * (✱): banded candidate recall over the ≤8-Hamming radius is EXACT
+    * (pigeonhole: 8 differing bits cannot touch all 9 bands); ≥90% of
+    * re-encode pairs land within the radius (pHash robustness to
+    * quantization); ≤10% of consecutive-id pairs (always different
+    * pattern families) do (discrimination); and the banded join stays
+    * inside the absolute 4096·n pair budget. Every stage is map-only
+    * or a keyed equi-join — decode and hash never shuffle pixels. */
+  private val e5JpegPhash: Q = (s, dir) => {
+    import s.implicits._
+    val n = 32
+    val docs = t(s, dir, "documents").select(col("doc_id"))
+    val hashes = docs.as[Long]
+      .mapPartitions { ids =>
+        val cosT = Array.tabulate(8, n)((u, x) =>
+          math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
+        ids.flatMap { id =>
+          val rgb = synthJpegImage(id, n)
+          Seq((0.9f, id), (0.5f, id + 700000L)).map { case (q, hid) =>
+            val jpg = imageioJpegBytes(n, n, rgb, q)
+            val (_, _, px) = JpegCodec.decode(jpg)
+            val p = new Array[Double](n * n)
+            var i = 0
+            while (i < n * n) {
+              p(i) = 0.299 * (px(i * 3) & 0xff) +
+                0.587 * (px(i * 3 + 1) & 0xff) +
+                0.114 * (px(i * 3 + 2) & 0xff)
+              i += 1
+            }
+            JpegHashRow(hid, phash64(p, n, cosT))
+          }
+        }
+      }.toDF().localCheckpoint(eager = false) // hashed once, read 4×
+    val bands = hashes.select(col("doc_id"), col("phash"),
+        explode(sequence(lit(0), lit(8))).as("band"))
+      .withColumn("key",
+        expr("shiftrightunsigned(phash, band * 7) & 127"))
+    val cand = bands.as("x").join(bands.as("y"),
+        col("x.band") === col("y.band") && col("x.key") === col("y.key") &&
+          col("x.doc_id") < col("y.doc_id"))
+      .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+        col("x.phash").as("ha"), col("y.phash").as("hb"))
+      .distinct()
+    val rec = cand.withColumn("hamming", expr("bit_count(ha ^ hb)"))
+      .filter(col("hamming") <= 8)
+    val plantedPairs = docs
+      .select(col("doc_id").as("a"), (col("doc_id") + 700000L).as("b"))
+    def hammingOf(pairs: DataFrame): DataFrame = pairs
+      .join(hashes.select(col("doc_id").as("a"), col("phash").as("ha")),
+        Seq("a"))
+      .join(hashes.select(col("doc_id").as("b"), col("phash").as("hb")),
+        Seq("b"))
+      .withColumn("hamming", expr("bit_count(ha ^ hb)"))
+    val within = hammingOf(plantedPairs).filter(col("hamming") <= 8)
+      .select(col("a"), col("b")).localCheckpoint(eager = false)
+    val farPairs = hammingOf(docs.as("i").join(docs.as("j"),
+        col("j.doc_id") === col("i.doc_id") + 1)
+      .select(col("i.doc_id").as("a"), col("j.doc_id").as("b")))
+    rec.join(within, Seq("a", "b"))
+      .agg(count(lit(1)).as("n_rec"))
+      .crossJoin(within.agg(count(lit(1)).as("n_within")))
+      .crossJoin(plantedPairs.agg(count(lit(1)).as("n_planted")))
+      .crossJoin(farPairs.agg(count(lit(1)).as("n_far"),
+        sum(when(col("hamming") <= 8, 1L).otherwise(0L)).as("n_far_near")))
+      .crossJoin(cand.agg(count(lit(1)).as("n_cand")))
+      .crossJoin(hashes.agg(count(lit(1)).as("n_imgs")))
+      .select(
+        (col("n_rec") === col("n_within")).as("radius_recall_exact"),
+        (lit(10) * col("n_within") >= lit(9) * col("n_planted"))
+          .as("reencode_robust"),
+        (lit(10) * col("n_far_near") <= col("n_far"))
+          .as("patterns_discriminated"),
+        (col("n_cand") <= lit(4096L) * col("n_imgs")).as("pair_budget_ok"),
+        (col("n_within") > 0 && col("n_far") > 0).as("nonempty"))
   }
 
   // ------------------------------------------------ real WAV (RIFF/PCM16)
@@ -2015,6 +2169,7 @@ object Multimodal {
     "e5_png_decode" -> e5PngDecode,
     "e5_gif_decode" -> e5GifDecode,
     "e5_jpeg_decode" -> e5JpegDecode,
+    "e5_jpeg_phash" -> e5JpegPhash,
     "e5_dct_phash" -> e5DctPhash,
     "e5_meta_strip" -> e5MetaStrip,
     "e5_resize_box" -> e5ResizeBox,
@@ -2159,6 +2314,13 @@ object Multimodal {
     // Self-check ✱: dimension, interop-divergence, and source-
     // fidelity bounds asserted in-plan per image (the JDK decoder is
     // the cross-implementation reference on the identical bytes).
+    // Self-check ✱: exact banded recall over the Hamming radius,
+    // re-encode robustness, pattern discrimination, and the absolute
+    // pair budget asserted in-plan.
+    "e5_jpeg_phash" ->
+      """SELECT true AS radius_recall_exact, true AS reencode_robust,
+        |  true AS patterns_discriminated, true AS pair_budget_ok,
+        |  true AS nonempty""".stripMargin,
     "e5_jpeg_decode" ->
       """SELECT true AS dims_ok, true AS interop_max_ok,
         |  true AS interop_mean_ok, true AS source_fidelity_ok,

@@ -70,6 +70,17 @@ class PlanAuditSpec extends SparkSpec {
     // query recall scan) — the streamed ingest itself is the map-side
     // assignment + partition-local append per micro-batch
     "ev31_stream_ivf_ingest" -> Set("BroadcastNestedLoop"),
+    // three one-row gate scalars crossJoined (two set-equalities + the
+    // widening check) — every admission underneath is digest/band
+    // equi-joins over the signature table
+    "e2_lsh_delete" -> Set("BroadcastNestedLoop"),
+    // three one-row gate scalars crossJoined — the streamed LSH ingest
+    // itself is per-batch banded equi-joins + cell-partitioned appends
+    "ev32_stream_lsh_ingest" -> Set("BroadcastNestedLoop"),
+    // five one-row gate scalars crossJoined — the pipeline under test
+    // is map-only decode+hash and a banded equi-join with an absolute
+    // pair budget
+    "e5_jpeg_phash" -> Set("BroadcastNestedLoop"),
     // eight one-row gate scalars crossJoined (code-equality, search-
     // equality, recall, scan budget) — the IVFADC ingest is a frozen-
     // artifact encode + partition-local append, no nested loop
