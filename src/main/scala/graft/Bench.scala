@@ -70,7 +70,12 @@ object Bench {
     // round-12: exact maximal-span discovery (anchor-gram pairing +
     // diagonal runs) is a new family head — its pair fanout is
     // true-duplicate mass, which must stay far from all-pairs
-    "e2_substring_exact")
+    "e2_substring_exact",
+    // round-13: the real-container image near-dup pipeline (map-only
+    // decode+hash, banded equi-join under an absolute budget) and the
+    // unigram-LM encode (distinct-word segmentation amortized over
+    // occurrences by a keyed join) — both linear by design, measured
+    "e5_jpeg_phash", "e4_unigram_apply")
 
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is

@@ -1629,6 +1629,258 @@ object Multimodal {
       (count(lit(1)) > 0).as("nonempty"))
   }
 
+  /** Baseline JPEG ENCODER — completes the codec the way GifCodec is
+    * real in both directions (T.81 Annex K tables and the libjpeg
+    * quality scaling are published spec data). 4:4:4 sampling (every
+    * component full resolution — the encoder's job is the transform
+    * pipeline, not subsampling), standard Annex-K quantization tables
+    * scaled by `quality` (libjpeg: scale = q<50 ? 5000/q : 200−2q),
+    * standard Annex-K DC/AC Huffman tables for both channels, JFIF
+    * APP0, FF-stuffed entropy data. The interop gate decodes these
+    * bytes with javax.imageio AND [[JpegCodec]], so a symmetric
+    * encode/decode bug cannot cancel. */
+  private[ext] object JpegEncoder extends Serializable {
+    // T.81 Annex K base quantization tables, zigzag order
+    private val QLumaBase: Array[Int] = Array(
+      16, 11, 12, 14, 12, 10, 16, 14, 13, 14, 18, 17, 16, 19, 24, 40,
+      26, 24, 22, 22, 24, 49, 35, 37, 29, 40, 58, 51, 61, 60, 57, 51,
+      56, 55, 64, 72, 92, 78, 64, 68, 87, 69, 55, 56, 80, 109, 81, 87,
+      95, 98, 103, 104, 103, 62, 77, 113, 121, 112, 100, 120, 92, 101,
+      103, 99)
+    private val QChromaBase: Array[Int] = Array(
+      17, 18, 18, 24, 21, 24, 47, 26, 26, 47, 99, 66, 56, 66, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99,
+      99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99, 99)
+    // T.81 Annex K Huffman specs: (counts per length 1..16, symbols)
+    private val DcLuma = (Array(0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0,
+      0, 0, 0), (0 to 11).toArray)
+    private val DcChroma = (Array(0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0,
+      0, 0, 0, 0), (0 to 11).toArray)
+    private val AcLuma = (Array(0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0,
+      0, 1, 125), Array(
+      0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41,
+      0x06, 0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91,
+      0xa1, 0x08, 0x23, 0x42, 0xb1, 0xc1, 0x15, 0x52, 0xd1, 0xf0, 0x24,
+      0x33, 0x62, 0x72, 0x82, 0x09, 0x0a, 0x16, 0x17, 0x18, 0x19, 0x1a,
+      0x25, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x34, 0x35, 0x36, 0x37, 0x38,
+      0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a, 0x53,
+      0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65, 0x66,
+      0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78, 0x79,
+      0x7a, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a, 0x92, 0x93,
+      0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3, 0xa4, 0xa5,
+      0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5, 0xb6, 0xb7,
+      0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7, 0xc8, 0xc9,
+      0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9, 0xda, 0xe1,
+      0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf1, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+    private val AcChroma = (Array(0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4,
+      0, 1, 2, 119), Array(
+      0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12,
+      0x41, 0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14,
+      0x42, 0x91, 0xa1, 0xb1, 0xc1, 0x09, 0x23, 0x33, 0x52, 0xf0, 0x15,
+      0x62, 0x72, 0xd1, 0x0a, 0x16, 0x24, 0x34, 0xe1, 0x25, 0xf1, 0x17,
+      0x18, 0x19, 0x1a, 0x26, 0x27, 0x28, 0x29, 0x2a, 0x35, 0x36, 0x37,
+      0x38, 0x39, 0x3a, 0x43, 0x44, 0x45, 0x46, 0x47, 0x48, 0x49, 0x4a,
+      0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59, 0x5a, 0x63, 0x64, 0x65,
+      0x66, 0x67, 0x68, 0x69, 0x6a, 0x73, 0x74, 0x75, 0x76, 0x77, 0x78,
+      0x79, 0x7a, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89, 0x8a,
+      0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9a, 0xa2, 0xa3,
+      0xa4, 0xa5, 0xa6, 0xa7, 0xa8, 0xa9, 0xaa, 0xb2, 0xb3, 0xb4, 0xb5,
+      0xb6, 0xb7, 0xb8, 0xb9, 0xba, 0xc2, 0xc3, 0xc4, 0xc5, 0xc6, 0xc7,
+      0xc8, 0xc9, 0xca, 0xd2, 0xd3, 0xd4, 0xd5, 0xd6, 0xd7, 0xd8, 0xd9,
+      0xda, 0xe2, 0xe3, 0xe4, 0xe5, 0xe6, 0xe7, 0xe8, 0xe9, 0xea, 0xf2,
+      0xf3, 0xf4, 0xf5, 0xf6, 0xf7, 0xf8, 0xf9, 0xfa))
+
+    private val Zig: Array[Int] = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+    private def scaleTable(base: Array[Int], quality: Int): Array[Int] = {
+      val q = math.max(1, math.min(100, quality))
+      val scale = if (q < 50) 5000 / q else 200 - 2 * q
+      base.map { b =>
+        val v = (b * scale + 50) / 100
+        math.max(1, math.min(255, v))
+      }
+    }
+
+    /** (codes, lengths) per symbol from a T.81 (counts, symbols) spec. */
+    private def buildCodes(spec: (Array[Int], Array[Int]))
+        : (Array[Int], Array[Int]) = {
+      val (counts, syms) = spec
+      val codes = new Array[Int](256)
+      val lens = new Array[Int](256)
+      var code = 0; var k = 0
+      for (l <- 1 to 16) {
+        var i = 0
+        while (i < counts(l - 1)) {
+          codes(syms(k)) = code; lens(syms(k)) = l
+          code += 1; k += 1; i += 1
+        }
+        code <<= 1
+      }
+      (codes, lens)
+    }
+
+    /** Encode RGB (row-major) as a baseline 4:4:4 JFIF JPEG. */
+    def encode(w: Int, h: Int, rgb: Array[Byte], quality: Int)
+        : Array[Byte] = {
+      require(rgb.length == w * h * 3, "rgb length != w*h*3")
+      val qLuma = scaleTable(QLumaBase, quality)
+      val qChroma = scaleTable(QChromaBase, quality)
+      val out = new java.io.ByteArrayOutputStream()
+      def u16(v: Int): Unit = { out.write(v >> 8); out.write(v & 0xff) }
+      out.write(Array[Byte](0xff.toByte, 0xd8.toByte)) // SOI
+      // APP0 JFIF
+      out.write(0xff); out.write(0xe0); u16(16)
+      out.write("JFIF".getBytes("US-ASCII")); out.write(0)
+      out.write(1); out.write(2) // version 1.2
+      out.write(0); u16(1); u16(1) // no density
+      out.write(0); out.write(0) // no thumbnail
+      for ((id, t) <- Seq((0, qLuma), (1, qChroma))) {
+        out.write(0xff); out.write(0xdb); u16(67); out.write(id)
+        t.foreach(out.write)
+      }
+      out.write(0xff); out.write(0xc0); u16(17) // SOF0
+      out.write(8); u16(h); u16(w); out.write(3)
+      for (c <- 1 to 3) {
+        out.write(c); out.write(0x11) // 1x1 sampling
+        out.write(if (c == 1) 0 else 1)
+      }
+      for ((cls, id, spec) <- Seq((0, 0, DcLuma), (1, 0, AcLuma),
+          (0, 1, DcChroma), (1, 1, AcChroma))) {
+        val (counts, syms) = spec
+        out.write(0xff); out.write(0xc4)
+        u16(2 + 1 + 16 + syms.length)
+        out.write((cls << 4) | id)
+        counts.foreach(out.write); syms.foreach(out.write)
+      }
+      out.write(0xff); out.write(0xda); u16(6 + 2 * 3) // SOS
+      out.write(3)
+      for (c <- 1 to 3) {
+        out.write(c)
+        out.write(if (c == 1) 0x00 else 0x11)
+      }
+      out.write(0); out.write(63); out.write(0) // Ss/Se/AhAl
+      // entropy-coded data
+      val (dcLC, dcLL) = buildCodes(DcLuma)
+      val (acLC, acLL) = buildCodes(AcLuma)
+      val (dcCC, dcCL) = buildCodes(DcChroma)
+      val (acCC, acCL) = buildCodes(AcChroma)
+      var bitBuf = 0L; var nBits = 0
+      def putBits(code: Int, len: Int): Unit = {
+        bitBuf = (bitBuf << len) | (code & ((1L << len) - 1)); nBits += len
+        while (nBits >= 8) {
+          val b = ((bitBuf >> (nBits - 8)) & 0xff).toInt
+          out.write(b)
+          if (b == 0xff) out.write(0x00) // stuffing
+          nBits -= 8
+          bitBuf &= (1L << nBits) - 1 // drop emitted bits
+        }
+      }
+      val cosT = Array.tabulate(8, 8)((u, x) =>
+        math.cos((2 * x + 1) * u * math.Pi / 16.0))
+      val block = new Array[Double](64)
+      val coef = new Array[Int](64)
+      def fdctQuant(q: Array[Int]): Unit = {
+        // separable DCT-II with the 1/4·C(u)C(v) normalization, then
+        // quantize in zigzag order
+        val tmp = new Array[Double](64)
+        var u = 0
+        while (u < 8) {
+          var y = 0
+          while (y < 8) {
+            var s = 0.0; var x = 0
+            while (x < 8) { s += block(y * 8 + x) * cosT(u)(x); x += 1 }
+            tmp(y * 8 + u) = s; y += 1
+          }
+          u += 1
+        }
+        var k = 0
+        while (k < 64) {
+          val uu = Zig(k) % 8; val vv = Zig(k) / 8
+          var s = 0.0; var y = 0
+          while (y < 8) { s += tmp(y * 8 + uu) * cosT(vv)(y); y += 1 }
+          val cu = if (uu == 0) 0.7071067811865476 else 1.0
+          val cv = if (vv == 0) 0.7071067811865476 else 1.0
+          coef(k) = math.round(s * cu * cv / 4.0 / q(k)).toInt
+          k += 1
+        }
+      }
+      def size(v: Int): Int = {
+        var a = math.abs(v); var s = 0
+        while (a != 0) { a >>= 1; s += 1 }
+        s
+      }
+      val dcPred = new Array[Int](3)
+      val mcusX = (w + 7) / 8; val mcusY = (h + 7) / 8
+      var my = 0
+      while (my < mcusY) {
+        var mx = 0
+        while (mx < mcusX) {
+          var c = 0
+          while (c < 3) {
+            // fill the block: component c of the 8x8 tile, edge-
+            // replicated, YCbCr from JFIF's RGB transform, −128 shift
+            var yy = 0
+            while (yy < 8) {
+              var xx = 0
+              while (xx < 8) {
+                val px = math.min(w - 1, mx * 8 + xx)
+                val py = math.min(h - 1, my * 8 + yy)
+                val i = (py * w + px) * 3
+                val r = rgb(i) & 0xff; val g = rgb(i + 1) & 0xff
+                val b = rgb(i + 2) & 0xff
+                val v = c match {
+                  case 0 => 0.299 * r + 0.587 * g + 0.114 * b
+                  case 1 => -0.168735892 * r - 0.331264108 * g +
+                    0.5 * b + 128.0
+                  case _ => 0.5 * r - 0.418687589 * g -
+                    0.081312411 * b + 128.0
+                }
+                block(yy * 8 + xx) = v - 128.0
+                xx += 1
+              }
+              yy += 1
+            }
+            fdctQuant(if (c == 0) qLuma else qChroma)
+            val (dcC, dcL) = if (c == 0) (dcLC, dcLL) else (dcCC, dcCL)
+            val (acC, acL) = if (c == 0) (acLC, acLL) else (acCC, acCL)
+            val diff = coef(0) - dcPred(c); dcPred(c) = coef(0)
+            val s0 = size(diff)
+            putBits(dcC(s0), dcL(s0))
+            if (s0 > 0)
+              putBits(if (diff < 0) diff + (1 << s0) - 1 else diff, s0)
+            var k = 1; var run = 0
+            while (k < 64) {
+              if (coef(k) == 0) run += 1
+              else {
+                while (run > 15) { putBits(acC(0xf0), acL(0xf0)); run -= 16 }
+                val sv = size(coef(k))
+                val rs = (run << 4) | sv
+                putBits(acC(rs), acL(rs))
+                putBits(if (coef(k) < 0) coef(k) + (1 << sv) - 1
+                  else coef(k), sv)
+                run = 0
+              }
+              k += 1
+            }
+            if (run > 0) putBits(acC(0x00), acL(0x00)) // EOB
+            c += 1
+          }
+          mx += 1
+        }
+        my += 1
+      }
+      if (nBits > 0) putBits(0x7f, 7 - ((nBits + 7) % 8)) // 1-pad
+      out.write(0xff); out.write(0xd9) // EOI
+      out.toByteArray
+    }
+  }
+
   /** Deterministic 32×32 test image for the JPEG-pHash pipeline: a
     * mixture of three cosine gratings whose frequencies and phases
     * derive from the id. The mixture puts well-separated energy across
@@ -1639,7 +1891,6 @@ object Multimodal {
     * Consecutive ids change every frequency and phase, so unrelated
     * images land far apart. */
   private[ext] def synthJpegImage(id: Long, n: Int): Array[Byte] = {
-    val r = (id % 9973).toInt
     // Pseudo-random amplitude for EVERY low-frequency DCT bin the
     // pHash thresholds (u,v < 8, not both 0): with all 63 coefficient
     // magnitudes spread well apart, the median is a meaningful
@@ -1647,10 +1898,20 @@ object Multimodal {
     // can flip — a pure ramp or a sparse grating leaves most bins at
     // ~0 where every bit is a noise sign and NO perceptual hash is
     // stable. This is the photograph-like spectrum pHash is
-    // specified over, synthesized deterministically.
+    // specified over, synthesized deterministically. The (id, u, v)
+    // mix is a REAL bit mixer (splitmix64 finalizer): a linear
+    // formula reduced mod m collapses to id mod m, repeating the
+    // image every m ids — identical-image classes whose all-bands
+    // LSH collisions grow quadratically with corpus size.
+    def mix(a: Long): Long = {
+      var x = a * 0x9E3779B97F4A7C15L
+      x ^= x >>> 30; x *= 0xBF58476D1CE4E5B9L
+      x ^= x >>> 27; x *= 0x94D049BB133111EBL
+      x ^ (x >>> 31)
+    }
     val amp = Array.tabulate(8, 8)((u, v) =>
       if (u == 0 && v == 0) 0.0
-      else (((r * 131 + u * 17 + v * 29) % 23) - 11) * 1.6)
+      else (math.floorMod(mix(id * 64 + u * 8 + v), 23L) - 11L) * 1.6)
     val cosT = Array.tabulate(8, n)((u, x) =>
       math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
     Array.tabulate(n * n * 3) { i =>
@@ -1672,6 +1933,75 @@ object Multimodal {
       val vi = math.round(c).toInt
       (if (vi < 0) 0 else if (vi > 255) 255 else vi).toByte
     }
+  }
+
+  final case class JpegEncStats(doc_id: Long, ok_dims: Boolean,
+      agree_max: Int, agree_sum: Long, src_max: Int,
+      src_sum: Long, n_samples: Long)
+
+  /** E5t ✱: REAL JPEG ENCODE, interop-gated BOTH WAYS like the GIF
+    * codec — per document [[JpegEncoder]] compresses the deterministic
+    * full-spectrum image (quality 90, 4:4:4, Annex-K tables) and the
+    * SAME bytes are decoded by javax.imageio (the independent
+    * implementation — it accepting and agreeing kills any
+    * symmetric-bug cancellation) AND by [[JpegCodec]]. In-plan gates:
+    * dimensions exact; JDK-decode vs own-decode divergence bounded
+    * (max ≤ 4, run mean ≤ 0.5 — same coefficients, only IDCT and
+    * fixed-point color-convert rounding differ at 4:4:4; measured
+    * global max 3, mean 0.024 over 500 images); and reconstruction
+    * fidelity of the JDK's
+    * decode against the ORIGINAL pixels (mean ≤ 3 at q90), which
+    * fails if the encoder mangles content in a way both decoders
+    * faithfully reproduce. */
+  private val e5JpegEncode: Q = (s, dir) => {
+    import s.implicits._
+    val (w, h) = (24, 16)
+    val stats = t(s, dir, "documents")
+      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+        ids.map { id =>
+          val rgb = synthJpegImage(id, 32).take(w * h * 3) // 24x16 crop
+          val jpg = JpegEncoder.encode(w, h, rgb, quality = 90)
+          val ref = javax.imageio.ImageIO.read(
+            new java.io.ByteArrayInputStream(jpg))
+          val (dw, dh, mine) = JpegCodec.decode(jpg)
+          var srcMax = 0; var agreeSum = 0L; var agreeMax = 0
+          var srcSum = 0L
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val i = (y * w + x) * 3
+              val px = ref.getRGB(x, y)
+              val rd = Array((px >> 16) & 0xff, (px >> 8) & 0xff,
+                px & 0xff)
+              var c = 0
+              while (c < 3) {
+                val m = mine(i + c) & 0xff
+                val da = math.abs(m - rd(c))
+                if (da > agreeMax) agreeMax = da
+                val ds = math.abs(rd(c) - (rgb(i + c) & 0xff))
+                if (ds > srcMax) srcMax = ds
+                agreeSum += da
+                srcSum += ds
+                c += 1
+              }
+              x += 1
+            }
+            y += 1
+          }
+          JpegEncStats(id, dw == w && dh == h &&
+            ref.getWidth == w && ref.getHeight == h,
+            agreeMax, agreeSum, srcMax, srcSum, 3L * w * h)
+        }
+      }.toDF()
+    stats.agg(
+      expr("bool_and(ok_dims)").as("dims_ok"),
+      (max(col("agree_max")) <= 4).as("decoder_agreement_max_ok"),
+      (sum(col("agree_sum")).cast("double") / sum(col("n_samples"))
+        <= 0.5).as("decoder_agreement_mean_ok"),
+      (sum(col("src_sum")).cast("double") / sum(col("n_samples"))
+        <= 3.0).as("source_fidelity_ok"),
+      (count(lit(1)) > 0).as("nonempty"))
   }
 
   final case class JpegHashRow(doc_id: Long, phash: Long)
@@ -2170,6 +2500,7 @@ object Multimodal {
     "e5_gif_decode" -> e5GifDecode,
     "e5_jpeg_decode" -> e5JpegDecode,
     "e5_jpeg_phash" -> e5JpegPhash,
+    "e5_jpeg_encode" -> e5JpegEncode,
     "e5_dct_phash" -> e5DctPhash,
     "e5_meta_strip" -> e5MetaStrip,
     "e5_resize_box" -> e5ResizeBox,
@@ -2317,6 +2648,13 @@ object Multimodal {
     // Self-check ✱: exact banded recall over the Hamming radius,
     // re-encode robustness, pattern discrimination, and the absolute
     // pair budget asserted in-plan.
+    // Self-check ✱: both-ways interop (the JDK decoder accepts and
+    // agrees on our encoder's bytes; our decoder matches it) plus
+    // source fidelity asserted in-plan.
+    "e5_jpeg_encode" ->
+      """SELECT true AS dims_ok, true AS decoder_agreement_max_ok,
+        |  true AS decoder_agreement_mean_ok, true AS source_fidelity_ok,
+        |  true AS nonempty""".stripMargin,
     "e5_jpeg_phash" ->
       """SELECT true AS radius_recall_exact, true AS reencode_robust,
         |  true AS patterns_discriminated, true AS pair_budget_ok,

@@ -54,7 +54,11 @@ class ScalingSpec extends SparkSpec {
     "e2_containment",
     // round-12: exact maximal-span discovery — anchor-digest pairing
     // whose fanout is true-duplicate mass, diagonal gaps-and-islands
-    "e2_substring_exact")
+    "e2_substring_exact",
+    // round-13: JPEG decode→pHash→banded join (map-only per image,
+    // absolute pair budget) and the unigram-LM corpus encode
+    // (vocabulary-sized segmentation, occurrence join)
+    "e5_jpeg_phash", "e4_unigram_apply")
 
   test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
       "bucketed family head in the committed bench artifact") {

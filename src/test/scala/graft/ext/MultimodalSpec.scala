@@ -329,6 +329,44 @@ class MultimodalSpec extends SparkSpec {
       s"checkerboard: maxDiff $maxD meanDiff $meanD vs imageio")
   }
 
+  test("JpegEncoder: the JDK decoder accepts our bytes and both " +
+      "decoders reconstruct flat and checkerboard content") {
+    val (w, h) = (32, 24)
+    val flat = Array.fill(w * h * 3)(128.toByte)
+    val checker = Array.tabulate(w * h * 3) { i =>
+      val px = i / 3; val x = px % w; val y = px / w
+      (if (((x / 8) + (y / 8)) % 2 == 0) 64 else 192).toByte
+    }
+    for ((src, label, tol) <- Seq((flat, "flat", 1), (checker, "checker", 2))) {
+      val jpg = Multimodal.JpegEncoder.encode(w, h, src, 90)
+      val ref = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(jpg))
+      assert(ref != null && ref.getWidth == w && ref.getHeight == h,
+        s"$label: JDK decoder rejected our stream")
+      val (dw, dh, mine) = Multimodal.JpegCodec.decode(jpg)
+      assert((dw, dh) == (w, h))
+      for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+        val i = (y * w + x) * 3
+        val px = ref.getRGB(x, y)
+        val rd = Seq((px >> 16) & 0xff, (px >> 8) & 0xff, px & 0xff)(c)
+        val sv = src(i + c) & 0xff
+        assert(math.abs(rd - sv) <= tol,
+          s"$label ($x,$y,$c): jdk=$rd src=$sv")
+        assert(math.abs((mine(i + c) & 0xff) - rd) <= 2,
+          s"$label ($x,$y,$c): mine=${mine(i + c) & 0xff} jdk=$rd")
+      }
+    }
+    // odd dims exercise edge replication in the encoder's tiles
+    val (ow, oh) = (13, 9)
+    val odd = Array.tabulate(ow * oh * 3)(i => ((i * 11) % 200).toByte)
+    val jpg = Multimodal.JpegEncoder.encode(ow, oh, odd, 90)
+    val ref = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(jpg))
+    assert(ref.getWidth == ow && ref.getHeight == oh)
+    val (dw, dh, _) = Multimodal.JpegCodec.decode(jpg)
+    assert((dw, dh) == (ow, oh))
+  }
+
   test("JpegCodec handles restart intervals and rejects truncation " +
       "and non-baseline streams loudly") {
     val (w, h) = (24, 16)
