@@ -2046,7 +2046,7 @@ object Dedup {
          |d AS (
          |  SELECT gram FROM g
          |  GROUP BY gram HAVING count(DISTINCT doc_id) >= 2),
-         |o AS (
+         |o AS MATERIALIZED (
          |  SELECT doc_id, s, gram FROM (
          |    SELECT g.*, row_number() OVER (
          |      PARTITION BY gram ORDER BY doc_id, s) AS rn

@@ -1207,7 +1207,13 @@ object Multimodal {
       def atMarker: Boolean =
         p + 1 < bytes.length && (bytes(p) & 0xff) == 0xff &&
           (bytes(p + 1) & 0xff) != 0x00
-      def skipMarker(): Int = { val m = bytes(p + 1) & 0xff; p += 2; m }
+      def skipMarker(): Int = {
+        // T.81 B.1.1.2: any number of 0xFF fill bytes may precede the
+        // marker code — skip them or a conformant restart fails
+        while (p + 1 < bytes.length && (bytes(p + 1) & 0xff) == 0xff)
+          p += 1
+        val m = bytes(p + 1) & 0xff; p += 2; m
+      }
       def bit(): Int = {
         if (n == 0) {
           require(p < bytes.length, "truncated JPEG: entropy stream")

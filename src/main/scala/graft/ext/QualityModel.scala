@@ -68,8 +68,10 @@ object QualityModel {
     * H = avg(p(1−p)·x xᵀ)) and the loss; the driver solves the d×d
     * system (Gaussian elimination + a tiny ridge) and updates.
     * Quadratic convergence: ~4 driver-synced rounds where first-order
-    * needed 20+, with driver traffic still O(d²) doubles per step —
-    * strictly better latency at the same scan count per step.
+    * needed 20+, with driver traffic still O(d²) doubles per step.
+    * Each accepted step costs the gradient/Hessian/loss aggregation
+    * plus ONE loss-only backtracking scan (more only when halving) —
+    * still far fewer total scans than first-order's round count.
     *
     * The step is DAMPED (backtracking line search: halve the Newton
     * delta until the loss decreases, one cheap loss-only aggregation

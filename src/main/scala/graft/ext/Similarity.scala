@@ -255,6 +255,13 @@ object Similarity {
     * sidecar the plan is the plain scan, unchanged. */
   def ivfReadIndex(s: SparkSession, path: String,
       idCol: String = "vec_id"): DataFrame = {
+    // A crashed compaction may have a cell moved aside but not yet
+    // replaced — serving the scan would silently omit that cell's
+    // rows. Fail loudly; ivfCompact's recovery path restores it.
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path + "_compact_inprogress")),
+      s"index at $path has an in-progress compaction marker " +
+        "(crashed mid-swap?) — run ivfCompact to recover before reading")
     val base = s.read.parquet(path)
     val tomb = java.nio.file.Paths.get(path + "_tombstones")
     if (!java.nio.file.Files.isDirectory(tomb)) base

@@ -506,6 +506,16 @@ object TextStats {
   val UniSeed = 40
   val UniKeep = 25
 
+  /** Hard cap on trainable/encodable word length — segmentation-path
+    * enumeration is exponential in word length (2^(L-1) paths worst
+    * case when every prefix extends by a single char), so one long
+    * repetitive token (URL, base64, DNA) would wedge both engines.
+    * Words past the cap are excluded from training and the encode
+    * rollup on BOTH engines (a real tokenizer routes them to a
+    * byte-fallback path); [[graft.functions.UnigramSeg]] fails loudly
+    * rather than hang if one slips through. */
+  val UniMaxWord = 16
+
   /** Unigram-LM subword TRAINER (Kudo 2018 — the SentencePiece
     * default; the OTHER standard subword algorithm next to
     * [[bpeMerges]]'s BPE): seed a candidate vocabulary from frequent
@@ -536,7 +546,7 @@ object TextStats {
       maxPieceLen: Int = UniMaxLen, seedMulti: Int = UniSeed,
       keepMulti: Int = UniKeep, iters: Int = 2): Seq[(String, Long)] = {
     val wc = docs.select(explode(split(col(textCol), " ")).as("w"))
-      .filter(col("w") =!= "")
+      .filter(col("w") =!= "" && length(col("w")) <= UniMaxWord)
       .groupBy(col("w")).agg(count(lit(1)).as("n"))
       .localCheckpoint(eager = true) // consumed once per EM round
     val cand = wc
@@ -604,7 +614,7 @@ object TextStats {
     }
     val words = docs.select(col("lang"),
         explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "")
+      .filter(col("w") =!= "" && length(col("w")) <= UniMaxWord)
     val wd = words.select(col("w")).distinct()
       .withColumn("nseg",
         size(graft.functions.UnigramSeg.unigramSeg(col("w"), probs))
@@ -1189,7 +1199,7 @@ object TextStats {
          |  SELECT lang, w FROM (
          |    SELECT lang, unnest(string_split(text, ' ')) AS w
          |    FROM documents)
-         |  WHERE w <> '')
+         |  WHERE w <> '' AND len(w) <= $UniMaxWord)
          |SELECT lang, count(*)::BIGINT AS n_words,
          |  sum(nseg)::BIGINT AS sum_tokens
          |FROM uwords JOIN unseg USING (w)

@@ -58,6 +58,13 @@ object UnigramSeg {
       probs: Array[Double]): ArrayData = {
     val s = word.toString
     if (s.isEmpty) return new GenericArrayData(Array.empty[Any])
+    // Path enumeration is exponential in word length (2^(L-1) worst
+    // case) — callers filter words to TextStats.UniMaxWord; fail
+    // loudly rather than hang if an unfiltered long token reaches us.
+    require(s.length <= 20,
+      s"unigram_seg: word of length ${s.length} exceeds the " +
+        "enumeration cap — filter long tokens to a byte-fallback " +
+        "path before segmentation (TextStats.UniMaxWord)")
     var bestScore = 0.0
     var bestN = 0
     var bestKey: String = null

@@ -115,7 +115,11 @@ class ScalingSpec extends SparkSpec {
     // weaker (2×) trigger — a vacuous entry means the emit logic broke.
     retimed.fieldNames().asScala.foreach { n =>
       val e = retimed.get(n)
-      assert(e.get("in_run").asDouble() > 2.0 * e.get("isolated").asDouble(),
+      // the artifact stores %.3f-rounded values while Bench triggered
+      // on the unrounded pair — a borderline entry may round onto the
+      // boundary, so allow one rounding ulp on each side
+      assert(e.get("in_run").asDouble() >
+        2.0 * e.get("isolated").asDouble() - 0.003,
         s"retimed entry $n does not exceed its own trigger")
     }
   }

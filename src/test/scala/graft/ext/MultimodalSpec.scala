@@ -236,32 +236,12 @@ class MultimodalSpec extends SparkSpec {
         s"unbalanced or DC-bit-set hash: ${java.lang.Long.bitCount(h)}"))
   }
 
-  /** Encode RGB through the JDK's own JPEG writer — the
-    * cross-implementation fixture (same role javax.imageio's GIF
-    * writer plays for GifCodec). */
+  /** Encode RGB through the JDK's own JPEG writer — delegates to the
+    * ONE fixture encoder the gates ship (a drifting spec copy would
+    * validate different bytes than the gates). */
   private def imageioJpeg(w: Int, h: Int, rgb: Array[Byte],
-      quality: Float): Array[Byte] = {
-    val img = new java.awt.image.BufferedImage(w, h,
-      java.awt.image.BufferedImage.TYPE_INT_RGB)
-    for (y <- 0 until h; x <- 0 until w) {
-      val i = (y * w + x) * 3
-      img.setRGB(x, y, ((rgb(i) & 0xff) << 16) |
-        ((rgb(i + 1) & 0xff) << 8) | (rgb(i + 2) & 0xff))
-    }
-    val writer = javax.imageio.ImageIO
-      .getImageWritersByFormatName("jpeg").next()
-    val params = writer.getDefaultWriteParam
-    params.setCompressionMode(
-      javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-    params.setCompressionQuality(quality)
-    val bos = new java.io.ByteArrayOutputStream()
-    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
-    writer.setOutput(ios)
-    writer.write(null, new javax.imageio.IIOImage(img, null, null),
-      params)
-    ios.close(); writer.dispose()
-    bos.toByteArray
-  }
+      quality: Float): Array[Byte] =
+    Multimodal.imageioJpegBytes(w, h, rgb, quality)
 
   private def imageioDecode(bytes: Array[Byte]): (Int, Int, Array[Byte]) = {
     val img = javax.imageio.ImageIO.read(
