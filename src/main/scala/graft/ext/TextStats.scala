@@ -604,22 +604,37 @@ object TextStats {
     * — best-segmentation length per DISTINCT word (the map-only
     * native expression; amortized across occurrences by a keyed join,
     * the tokenize-at-100-TB shape), rolled up per language in exact
-    * integers. */
+    * integers. Words past [[UniMaxWord]] take the BYTE-FALLBACK path
+    * (token count = UTF-8 byte length — SentencePiece's byte fallback
+    * for out-of-model input), so no word is dropped from the rollup
+    * and the exponential-enumeration guard costs nothing semantic. */
   private val e4UnigramApply: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
-    val pieces = unigramLmPieces(docs, "text")
+    unigramEncodeRollup(docs, "text", "lang",
+      unigramLmPieces(docs, "text"))
+  }
+
+  /** The e4_unigram_apply dataflow over an explicit piece table —
+    * factored out so the byte-fallback path is unit-testable on a
+    * corpus that actually contains an over-cap token. */
+  def unigramEncodeRollup(docs: DataFrame, textCol: String,
+      langCol: String, pieces: Seq[(String, Long)]): DataFrame = {
     val total = pieces.map(_._2).sum
     val probs = pieces.map { case (p, c) =>
       (p, c.toDouble / total.toDouble)
     }
-    val words = docs.select(col("lang"),
-        explode(split(col("text"), " ")).as("w"))
-      .filter(col("w") =!= "" && length(col("w")) <= UniMaxWord)
-    val wd = words.select(col("w")).distinct()
+    val words = docs.select(col(langCol).as("lang"),
+        explode(split(col(textCol), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val short = words.filter(length(col("w")) <= UniMaxWord)
+    val wd = short.select(col("w")).distinct()
       .withColumn("nseg",
         size(graft.functions.UnigramSeg.unigramSeg(col("w"), probs))
           .cast("long"))
-    words.join(wd, Seq("w"))
+    short.join(wd, Seq("w")).select(col("lang"), col("nseg"))
+      .unionByName(words.filter(length(col("w")) > UniMaxWord)
+        .select(col("lang"), octet_length(col("w")).cast("long")
+          .as("nseg")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_words"), sum(col("nseg")).as("sum_tokens"))
       .orderBy(col("lang"))
@@ -1199,10 +1214,11 @@ object TextStats {
          |  SELECT lang, w FROM (
          |    SELECT lang, unnest(string_split(text, ' ')) AS w
          |    FROM documents)
-         |  WHERE w <> '' AND len(w) <= $UniMaxWord)
+         |  WHERE w <> '')
          |SELECT lang, count(*)::BIGINT AS n_words,
-         |  sum(nseg)::BIGINT AS sum_tokens
-         |FROM uwords JOIN unseg USING (w)
+         |  sum(CASE WHEN len(w) <= $UniMaxWord THEN s.nseg
+         |           ELSE strlen(w) END)::BIGINT AS sum_tokens
+         |FROM uwords u LEFT JOIN unseg s USING (w)
          |GROUP BY lang ORDER BY lang""".stripMargin,
     // Same integer sentence surrogate, same IEEE double expression —
     // the DECIMAL literals are cast to DOUBLE so DuckDB's exact-decimal

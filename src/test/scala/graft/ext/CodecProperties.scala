@@ -41,6 +41,60 @@ class CodecProperties extends SparkSpec {
     }
   }
 
+  test("property: JPEG interop holds for ARBITRARY content both ways " +
+      "— JDK and own decoder agree on own-encoder and JDK-encoder " +
+      "bytes (lossy, so agreement not round-trip is the invariant)") {
+    val gen = for {
+      w <- Gen.chooseNum(1, 40)
+      h <- Gen.chooseNum(1, 40)
+      // mix structured and noise content: noise is JPEG's worst case
+      // and exactly where a coefficient/entropy bug would surface
+      mode <- Gen.oneOf("noise", "smooth", "blocks")
+      seed <- Gen.chooseNum(0, 1 << 20)
+    } yield (w, h, mode, seed)
+    def content(w: Int, h: Int, mode: String, seed: Int): Array[Byte] =
+      Array.tabulate(w * h * 3) { i =>
+        val px = i / 3; val x = px % w; val y = px / w
+        (mode match {
+          case "noise" => (seed * 2654435761L + i * 40503L) >>> 24
+          case "smooth" =>
+            64 + (x * 96) / math.max(w - 1, 1) +
+              (y * 64) / math.max(h - 1, 1) + (seed & 15)
+          case _ =>
+            if ((((x / 8) + (y / 8)) & 1) == 0) 50 + (seed & 31) else 200
+        }).toInt.toByte
+      }
+    (1 to 25).foreach { _ =>
+      val (w, h, mode, seed) =
+        gen.sample.getOrElse((8, 8, "smooth", 1))
+      val rgb = content(w, h, mode, seed)
+      for ((bytes, enc) <- Seq(
+          (Multimodal.JpegEncoder.encode(w, h, rgb, 90), "own"),
+          (Multimodal.imageioJpegBytes(w, h, rgb, 0.9f), "jdk"))) {
+        val ref = javax.imageio.ImageIO.read(
+          new java.io.ByteArrayInputStream(bytes))
+        assert(ref != null && ref.getWidth == w && ref.getHeight == h,
+          s"$enc/$mode ${w}x$h: JDK decoder rejected the stream")
+        val (dw, dh, mine) = Multimodal.JpegCodec.decode(bytes)
+        assert((dw, dh) == (w, h), s"$enc/$mode: dims $dw x $dh")
+        var maxD = 0
+        for (y <- 0 until h; x <- 0 until w; c <- 0 until 3) {
+          val px = ref.getRGB(x, y)
+          val rd = Seq((px >> 16) & 0xff, (px >> 8) & 0xff,
+            px & 0xff)(c)
+          val d = math.abs((mine((y * w + x) * 3 + c) & 0xff) - rd)
+          if (d > maxD) maxD = d
+        }
+        // own-encoder bytes are 4:4:4 (IDCT rounding only); the JDK
+        // writer subsamples chroma, where noise content pushes the
+        // upsampling-phase difference a little wider
+        val bound = if (enc == "own") 4 else 8
+        assert(maxD <= bound,
+          s"$enc/$mode ${w}x$h seed=$seed: decoders diverge by $maxD")
+      }
+    }
+  }
+
   test("property: GifCodec round-trips arbitrary paletted images " +
       "(all sizes, skewed palettes, low-entropy runs)") {
     val pal = new Array[Byte](768)

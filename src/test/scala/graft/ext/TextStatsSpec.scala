@@ -165,6 +165,24 @@ class TextStatsSpec extends SparkSpec {
     assert(seg == Seq("a", "aa"), s"got $seg")
   }
 
+  test("unigramEncodeRollup routes over-cap tokens to the byte " +
+      "fallback instead of dropping or hanging on them") {
+    // 'ab ab b' trains the fixed-point vocab {a:0, ab:2, b:1}; the
+    // encode corpus adds a 30-char token (over UniMaxWord=16) whose
+    // exhaustive enumeration would be 2^29 paths — it must count as
+    // its 30 UTF-8 bytes, not wedge or vanish from the rollup.
+    val train = Seq((1L, "ab ab b")).toDF("doc_id", "text")
+    val pieces = TextStats.unigramLmPieces(train, "text")
+    val long = "x" * 30
+    val corpus = Seq(("en", s"ab $long b")).toDF("lang", "text")
+    val got = TextStats.unigramEncodeRollup(corpus, "text", "lang",
+        pieces)
+      .select("lang", "n_words", "sum_tokens")
+      .as[(String, Long, Long)].collect().toSeq
+    // ab → [ab] (1 token), long → 30 bytes, b → [b] (1 token)
+    assert(got == Seq(("en", 3L, 32L)), s"got $got")
+  }
+
   test("bpeMerges learns the hand-computed merge sequence") {
     // words: aa×3, ab×1 → round 1 merges "a a" (count 3, beating
     // "a b" at 1); round 2 only "a b" remains pairable.
