@@ -99,7 +99,33 @@ object Bench {
     "ev31_stream_ivf_ingest",
     // the streamed LSH-table ingest: the gate replays the whole
     // admission sequence a second time in memory as its reference
-    "ev32_stream_lsh_ingest")
+    "ev32_stream_lsh_ingest",
+    // incremental CC maintenance: the gate RECOMPUTES the corpus's
+    // full CC labels as its starting state (in production they're a
+    // persisted table) — fixture cost dominates; the incremental path
+    // itself is one contraction join + CC over batch-sized edges
+    "e2_cluster_incremental")
+
+  /** Isolated-point starvation trigger (round-13 verdict item 1): a
+    * scaling re-time that reads >2× the SAME query's in-run timing was
+    * itself VM-starved — the inverse of the `retimed` trigger, which
+    * only fires when in_run > isolated. r13's record artifact shipped a
+    * phantom e2_simhash exponent of 1.256 from a 56.0 s starved t_large
+    * (in-run 5.0 s) that only the committed run could disprove. */
+  private[graft] def isoPointStarved(iso: Double,
+      inRun: Option[Double]): Boolean =
+    inRun.exists(ref => iso > 2.0 * ref)
+
+  /** Two-sided run-health label over `canary_inflation` = median in-run
+    * q1_agg canary / min isolated q1_agg rep. The isolated point is the
+    * JIT-hottest reading, so a HEALTHY run reads ~1.2–2.5; well above
+    * means the RUN was throttled (in-run canaries inflated); below 1.0
+    * means the ISOLATED phase was starved (r13's inverted 0.186) and
+    * the scalar — and likely the scaling map — is unreliable. */
+  private[graft] def canaryHealthLabel(v: Double): String =
+    if (v < 1.0) "isolated_starved"
+    else if (v > 2.5) "run_starved"
+    else "ok"
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -200,32 +226,49 @@ object Bench {
     // small first (doubles as warm-up for the large run), one rep each
     // — the exponent tolerates the resulting noise because the spec
     // bound is generous and fixed overhead only deflates it.
+    val inRun = timed.collect { case (n, sec, Right(_)) => n -> sec }.toMap
+    // A failed run must never masquerade as a measurement: a
+    // time-to-failure would fake a sub-linear (or super-linear)
+    // exponent in the committed artifact ScalingSpec gates on.
+    def timeQuery(n: String, dir: String): Option[Double] = {
+      val t0 = System.nanoTime()
+      val ok =
+        try {
+          SparkEntry.queries(n)(spark, dir)
+            .write.format("noop").mode("overwrite").save()
+          true
+        } catch {
+          case e: Throwable =>
+            System.err.println(s"[bench] scaling $n failed at $dir: " +
+              Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
+            false
+        }
+      val sec = (System.nanoTime() - t0) / 1e9
+      spark.catalog.clearCache()
+      if (ok) Some(sec) else None
+    }
     val smallDir = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")
     val scaling =
       if (smallDir == sfDir || !Files.isDirectory(Paths.get(smallDir))) Nil
       else scalingHeads.filter(SparkEntry.queries.contains).flatMap { n =>
-        // A failed run must never masquerade as a measurement: a
-        // time-to-failure would fake a sub-linear (or super-linear)
-        // exponent in the committed artifact ScalingSpec gates on.
-        def timeAt(dir: String): Option[Double] = {
-          val t0 = System.nanoTime()
-          val ok =
-            try {
-              SparkEntry.queries(n)(spark, dir)
-                .write.format("noop").mode("overwrite").save()
-              true
-            } catch {
-              case e: Throwable =>
-                System.err.println(s"[bench] scaling $n failed at $dir: " +
-                  Option(e.getMessage).getOrElse(e.getClass.getName).take(120))
-                false
-            }
-          val sec = (System.nanoTime() - t0) / 1e9
-          spark.catalog.clearCache()
-          if (ok) Some(sec) else None
-        }
-        for (tS <- timeAt(smallDir); tL <- timeAt(sfDir))
-          yield (n, tS, tL, math.log10(tL / tS))
+        // Isolated-point starvation guard (round-13 verdict item 1):
+        // when a reading trips `isoPointStarved` against the query's
+        // in-run time, re-time once and take the MIN — a starved point
+        // recovers, a genuine regression re-confirms. The per-head
+        // `retimed` flag ships in the artifact so a judge can classify
+        // a phantom exponent from the artifact alone. The in-run
+        // reference (measured at sfDir) also guards t_small: at 10×
+        // fewer rows a reading above 2× the LARGE-sf in-run time can
+        // only be starvation.
+        def guarded(dir: String): Option[(Double, Boolean)] =
+          timeQuery(n, dir).map { first =>
+            if (isoPointStarved(first, inRun.get(n))) {
+              val second = timeQuery(n, dir)
+              (math.min(first, second.getOrElse(first)), true)
+            } else (first, false)
+          }
+        for ((tS, rS) <- guarded(smallDir); (tL, rL) <- guarded(sfDir))
+          yield (n, tS, tL, math.log10(tL / tS), rS || rL)
       }
     // Outlier re-time (round-11 verdict item 5, widened by round-12
     // item 1): an in-run reading far above the same session's isolated
@@ -237,8 +280,7 @@ object Bench {
     // uniformly-starved run surfaces its mid-pack victims too
     // (r12: e1_dedup_exact read 1.32 s in-run vs 0.369 s isolated and
     // appeared nowhere).
-    val inRun = timed.collect { case (n, sec, Right(_)) => n -> sec }.toMap
-    val scalingIso = scaling.map { case (n, _, tL, _) => n -> tL }.toMap
+    val scalingIso = scaling.map { case (n, _, tL, _, _) => n -> tL }.toMap
     val retimed = (phases.collect {
       case (n, b, p, e) if inRun.get(n).exists(_ > 3.0 * (b + p + e)) =>
         (n, inRun(n), b + p + e)
@@ -251,8 +293,17 @@ object Bench {
     // isolated q1_agg scaling point. ~1 on a healthy run; a uniformly
     // throttled run reads well above it — the artifact then classifies
     // a total-seconds swing by itself instead of a judge adjudicating
-    // canary series by hand (r8, r10, r11, r12).
-    val canaryInflation = scalingIso.get("q1_agg").flatMap { iso =>
+    // canary series by hand (r8, r10, r11, r12). Denominator hardening
+    // (r13 ADVICE): ONE throttled isolated rep inverted the scalar to
+    // 0.186 — the denominator is now the MIN over the guarded scaling
+    // point plus two dedicated reps, so a single cold/throttled rep
+    // can no longer invert it.
+    val isoQ1: Option[Double] = {
+      val reps = (1 to 2).flatMap(_ => timeQuery("q1_agg", sfDir)) ++
+        scalingIso.get("q1_agg")
+      if (reps.isEmpty) None else Some(reps.min)
+    }
+    val canaryInflation = isoQ1.flatMap { iso =>
       if (canary.isEmpty || iso <= 0) None
       else {
         val s = canary.sorted
@@ -262,6 +313,7 @@ object Bench {
         Some(med / iso)
       }
     }
+    val canaryHealth = canaryInflation.map(canaryHealthLabel)
     val failed = timed.collect { case (n, _, Left(_)) => n }
     def qsJson(entries: Seq[(String, Double, Either[String, Unit])]) =
       entries.map { case (n, sec, r) =>
@@ -276,27 +328,33 @@ object Bench {
     val phasesJson = phases.map { case (n, b, p, e) =>
       f""""$n":{"build":$b%.3f,"plan":$p%.3f,"exec":$e%.3f}"""
     }.mkString("{", ",", "}")
-    val scalingJson = scaling.map { case (n, tS, tL, ex) =>
-      f""""$n":{"t_small":$tS%.3f,"t_large":$tL%.3f,"exponent":$ex%.3f}"""
+    val scalingJson = scaling.map { case (n, tS, tL, ex, re) =>
+      f""""$n":{"t_small":$tS%.3f,"t_large":$tL%.3f,"exponent":$ex%.3f,"retimed":$re}"""
     }.mkString("{", ",", "}")
     val retimedJson = retimed.map { case (n, ir, iso) =>
       f""""$n":{"in_run":$ir%.3f,"isolated":$iso%.3f}"""
     }.mkString("{", ",", "}")
     val inflationJson =
       canaryInflation.map(v => f"$v%.3f").getOrElse("null")
+    val healthJson = canaryHealth.map("\"" + _ + "\"").getOrElse("null")
+    val nStarvedScaling = scaling.count(_._5)
     val fullLine = jsonLine(qsJson(timed), failed,
-      s""","canary":$canaryJson,"canary_inflation":$inflationJson,"phases":$phasesJson,"scaling":$scalingJson,"retimed":$retimedJson""")
+      s""","canary":$canaryJson,"canary_inflation":$inflationJson,"canary_health":$healthJson,"n_starved_scaling":$nStarvedScaling,"phases":$phasesJson,"scaling":$scalingJson,"retimed":$retimedJson""")
     // stdout carries at most 10 failed names — a mass failure must not
     // blow the line budget (the full list is in the out file + stderr)
     val stdoutFailed =
       if (failed.size > 10) failed.take(10) :+ s"+${failed.size - 10} more"
       else failed
-    // The stdout line (the driver's BENCH_r{N}.json) carries the two
+    // The stdout line (the driver's BENCH_r{N}.json) carries the
     // run-health scalars — a judge classifies a total-seconds swing
-    // from it alone; the per-query starvation pairs are in the out
-    // file's `retimed`.
+    // AND a phantom scaling exponent from it alone ("isolated_starved"
+    // = don't trust the scaling map without its retimed flags);
+    // per-query starvation pairs are in the out file's `retimed`,
+    // starved-then-retimed scaling points in `scaling.*.retimed`.
+    // `n_starved` counts BOTH directions: in-run-starved queries plus
+    // isolated-starved scaling points.
     val healthExtra =
-      s""","canary_inflation":$inflationJson,"n_starved":${retimed.size}"""
+      s""","canary_inflation":$inflationJson,"canary_health":$healthJson,"n_starved":${retimed.size + nStarvedScaling}"""
     val headlineLine =
       jsonLine(qsJson(timed.filter(t => headline.contains(t._1))),
         stdoutFailed, healthExtra)

@@ -424,6 +424,62 @@ object Dedup {
       .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** ASYMMETRIC [[ngramJaccardPairs]]: exact J ≥ threshold pairs that
+    * TOUCH the probe batch — (base∪probe)×probe plus probe×probe, never
+    * base×base. This is the pair generator incremental cluster
+    * maintenance needs: after an ingest batch lands, the only edges the
+    * union graph gains are edges with a probe endpoint, so the prefix
+    * join's b-side shrinks from the corpus to the batch (work scales
+    * with the batch, not the corpus — the 100 TB shape). Same exact
+    * AllPairs prefix filter as the symmetric join, with the GLOBAL
+    * token-frequency order computed over base∪probe so both sides
+    * prune under one order. REQUIRES (like [[incrementalDedup]]): every
+    * probe id exceeds every base id — that is what keeps a.id < b.id
+    * canonical with the b-side restricted to probe. Returns
+    * (a, b, jaccard), b always a probe id. */
+  def ngramJaccardPairsAgainst(
+      base: DataFrame, probe: DataFrame, idCol: String, textCol: String,
+      shingleN: Int = 3, threshold: Double = 0.75): DataFrame = {
+    def setsOf(df: DataFrame) = df.select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .filter(size(col("sh")) > 0).localCheckpoint(eager = false)
+    val baseSets = setsOf(base)
+    val probeSets = setsOf(probe)
+    val allSets = baseSets.unionByName(probeSets)
+      .localCheckpoint(eager = false)
+    val tokens = allSets.select(col("id"), explode(col("sh")).as("tok"))
+    val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val eps = 1e-9 // pruning-only guard, as in ngramJaccardPairs
+    def prefixesOf(s: DataFrame) = s
+      .select(col("id"), explode(col("sh")).as("tok"))
+      .join(freq, Seq("tok"))
+      .groupBy(col("id"))
+      .agg(collect_list(struct(col("f"), col("tok"))).as("ts"))
+      .select(col("id"),
+        slice(array_sort(col("ts")),
+          lit(1),
+          size(col("ts")) -
+            ceil(lit(threshold) * size(col("ts")) - eps).cast("int") + 1)
+          .as("pref"),
+        size(col("ts")).as("n_sh"))
+      .select(col("id"), col("n_sh"),
+        explode(transform(col("pref"), s => s.getField("tok"))).as("tok"))
+    val candidates = prefixesOf(allSets).as("a")
+      .join(prefixesOf(probeSets).as("b"),
+        col("a.tok") === col("b.tok") && col("a.id") < col("b.id") &&
+          least(col("a.n_sh"), col("b.n_sh")).cast("double") >=
+            lit(threshold) * greatest(col("a.n_sh"), col("b.n_sh")) - eps)
+      .select(col("a.id").as("a"), col("b.id").as("b"))
+      .distinct()
+    candidates
+      .join(allSets.as("sa"), col("a") === col("sa.id"))
+      .join(probeSets.as("sb"), col("b") === col("sb.id"))
+      .withColumn("jaccard",
+        graft.functions.JaccardSim.jaccardSim(col("sa.sh"), col("sb.sh")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("a"), col("b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
   /** Containment (asymmetric resemblance, Broder 1997) self-join — the
     * doc-IN-doc detector symmetric Jaccard misses: a page embedded in a
     * page-plus-boilerplate has low Jaccard but containment ≈ 1. EXACT
@@ -895,6 +951,57 @@ object Dedup {
       .select(col("id"), coalesce(col("small"), col("id")).as("comp"))
   }
 
+  /** INCREMENTAL connected-components maintenance — update persisted
+    * cluster labels after an ingest batch WITHOUT recomputing CC over
+    * the corpus (the missing lifecycle piece next to the e2 state
+    * family's build/admit/delete/stream-ingest; at 100 TB a full
+    * [[connectedComponents]] rerun per batch is the non-starter).
+    *
+    * `oldLabels` is a prior CC result (id, comp) — comp is the MIN
+    * member id of its component, which is exactly what makes the
+    * contraction below exact. `deltaPairs` (a, b) are the edges the
+    * union graph GAINED: pairs touching the batch (e.g. from
+    * [[ngramJaccardPairsAgainst]]). The update contracts every labeled
+    * endpoint to its component id (a pre-contracted supernode; an
+    * unlabeled endpoint — a new doc, or an old doc that had no pairs —
+    * stands for itself), runs large-star/small-star ONLY on this
+    * contracted delta graph (size ∝ batch edges, NOT corpus), and
+    * re-roots exactly the touched components. Labels equal a full
+    * recompute over corpus+batch BIT-FOR-BIT, not just up to
+    * relabeling: each supernode id is its component's min member id,
+    * so the contracted CC's min over {supernode ids, new ids} IS the
+    * min over all merged members — the same label the full recompute
+    * assigns (the e2_cluster_incremental oracle restates this with the
+    * recursive-CTE closure over the union corpus). Within-corpus
+    * connectivity needs no re-examination: the union graph's old edges
+    * connect nothing the contraction hasn't already merged. */
+  def connectedComponentsIncremental(oldLabels: DataFrame,
+      deltaPairs: DataFrame, maxIter: Int = 25): DataFrame = {
+    val labels = oldLabels.select(col("id"), col("comp"))
+      .localCheckpoint(eager = false) // read by contraction + re-root
+    val contracted = deltaPairs.select(col("a"), col("b"))
+      .join(labels.select(col("id").as("a"), col("comp").as("ca")),
+        Seq("a"), "left")
+      .join(labels.select(col("id").as("b"), col("comp").as("cb")),
+        Seq("b"), "left")
+      .select(coalesce(col("ca"), col("a")).as("a"),
+        coalesce(col("cb"), col("b")).as("b"))
+    val superLabels = connectedComponents(contracted, maxIter)
+      .localCheckpoint(eager = false) // re-root join + new-node emit
+    // Old nodes: re-root through their component's supernode; a
+    // component untouched by the delta keeps its label (left join).
+    val updatedOld = labels
+      .join(superLabels.select(col("id").as("comp"),
+        col("comp").as("newComp")), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("newComp"), col("comp")).as("comp"))
+    // Nodes first seen in the delta (batch docs, plus old docs whose
+    // first-ever pair arrived with the batch) carry their CC label
+    // directly; supernode rows are already covered by the re-root.
+    val newNodes = superLabels
+      .join(labels.select(col("id")), Seq("id"), "left_anti")
+    updatedOld.unionByName(newNodes.select(col("id"), col("comp")))
+  }
+
   /** One large-star pass: for each node u with neighborhood Γ(u) (both
     * edge orientations), hook every neighbor v > u onto
     * m = min(Γ(u) ∪ {u}). Emitted edges are canonical by construction
@@ -1010,6 +1117,32 @@ object Dedup {
         shingleN = 3, threshold = 0.75))
       .select(col("id").as("doc_id"), col("comp").as("component"))
       .orderBy(col("doc_id"))
+
+  /** E2m: INCREMENTAL cluster maintenance after an ingest batch — the
+    * labels [[connectedComponentsIncremental]] produces from the OLD
+    * labels plus only the batch-touching delta pairs must EQUAL a full
+    * recompute over corpus+batch (the oracle restates the full
+    * recompute with the recursive-CTE closure over the union corpus —
+    * any label the contraction gets wrong, any component the re-root
+    * misses, any delta pair the asymmetric prefix join drops breaks
+    * the hash). The batch is [[freshBatch]]: exact copies merge into
+    * (or newly create) their source's cluster, mutations near-join,
+    * halves stay novel — so the gate covers join-existing-cluster,
+    * first-ever-pair-for-an-old-doc, and untouched-cluster label
+    * stability in one result. */
+  private val e2ClusterIncremental: Q = (s, dir) => {
+    val docsFull = t(s, dir, "documents")
+    val corpus = docsFull.select(col("doc_id"), col("text"))
+    val oldLabels = connectedComponents(
+      ngramJaccardPairs(corpus, "doc_id", "text",
+        shingleN = 3, threshold = 0.75))
+    val batch = freshBatch(docsFull).select(col("doc_id"), col("text"))
+    val delta = ngramJaccardPairsAgainst(corpus, batch, "doc_id", "text",
+      shingleN = 3, threshold = 0.75)
+    connectedComponentsIncremental(oldLabels, delta)
+      .select(col("id").as("doc_id"), col("comp").as("component"))
+      .orderBy(col("doc_id"))
+  }
 
   private val e2SimhashNearDup: Q = (s, dir) => {
     val docs = t(s, dir, "documents")
@@ -1793,6 +1926,7 @@ object Dedup {
     "e2_edit_join" -> e2EditJoin,
     "e12_jaro_er" -> e12JaroEr,
     "e2_cluster_cc" -> e2ClusterCc,
+    "e2_cluster_incremental" -> e2ClusterIncremental,
     "e2_simhash_neardup" -> e2SimhashNearDup,
     "e2_incremental" -> e2Incremental,
     "e2_lsh_delete" -> e2LshDelete,
@@ -2344,6 +2478,46 @@ object Dedup {
         |           string_split(text,' ')[i+2])) AS s
         |  FROM documents),
         |pairs AS (
+        |  SELECT a.doc_id AS a, b.doc_id AS b
+        |  FROM sh a, sh b
+        |  WHERE a.doc_id < b.doc_id
+        |    AND len(list_intersect(a.s, b.s))::DOUBLE
+        |      / len(list_distinct(list_concat(a.s, b.s))) >= 0.75),
+        |edges AS (
+        |  SELECT a AS src, b AS dst FROM pairs
+        |  UNION ALL SELECT b, a FROM pairs),
+        |reach(src, dst) AS (
+        |  SELECT DISTINCT src, src FROM edges
+        |  UNION
+        |  SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src)
+        |SELECT src AS doc_id, min(dst) AS component
+        |FROM reach GROUP BY src ORDER BY doc_id""".stripMargin,
+    // The incremental-maintenance gate: the oracle is the FULL
+    // recompute over corpus ∪ freshBatch — the same closure as
+    // e2_cluster_cc with the batch unioned in. `pairs` feeds `edges`
+    // twice (both orientations), so it must be MATERIALIZED or DuckDB
+    // inlines the all-pairs join at each reference (the e16 lesson).
+    "e2_cluster_incremental" ->
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 100000, text FROM documents
+        |  WHERE doc_id % 10 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 200000, text || ' zzduplicate' FROM documents
+        |  WHERE doc_id % 20 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 300000, substr(text, 1, (n_chars // 2)::INT)
+        |  FROM documents WHERE doc_id % 25 = 0),
+        |sh AS (
+        |  SELECT doc_id,
+        |    list_distinct(list_transform(
+        |      range(1, greatest(len(string_split(text,' ')) - 2, 0) + 1),
+        |      i -> string_split(text,' ')[i] || ' ' ||
+        |           string_split(text,' ')[i+1] || ' ' ||
+        |           string_split(text,' ')[i+2])) AS s
+        |  FROM docs),
+        |pairs AS MATERIALIZED (
         |  SELECT a.doc_id AS a, b.doc_id AS b
         |  FROM sh a, sh b
         |  WHERE a.doc_id < b.doc_id

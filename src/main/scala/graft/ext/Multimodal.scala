@@ -1194,7 +1194,13 @@ object Multimodal {
           code = (code << 1) | br.bit(); l += 1
         }
         require(l <= 16, "corrupt JPEG: Huffman code longer than 16 bits")
-        symbols(valPtr(l) + code - minCode(l))
+        // Non-truncated corruption can land inside a length whose code
+        // range doesn't cover `code` — fail with the codec's own
+        // message, not a raw ArrayIndexOutOfBoundsException.
+        val idx = valPtr(l) + code - minCode(l)
+        require(idx >= 0 && idx < symbols.length,
+          "corrupt JPEG: invalid Huffman code")
+        symbols(idx)
       }
     }
 
@@ -1965,7 +1971,18 @@ object Multimodal {
     val stats = t(s, dir, "documents")
       .select(col("doc_id")).as[Long].mapPartitions { ids =>
         ids.map { id =>
-          val rgb = synthJpegImage(id, 32).take(w * h * 3) // 24x16 crop
+          // Real 24×16 crop of the 32×32 full-spectrum image: copy
+          // w-wide row slices at the source's 32-px stride. (A plain
+          // take(w*h*3) reinterprets 32-px rows as 24-wide, shearing
+          // the first 12 source rows across all 16 output rows — the
+          // content was deterministic but not the documented pattern.)
+          val full = synthJpegImage(id, 32)
+          val rgb = new Array[Byte](w * h * 3)
+          var r = 0
+          while (r < h) {
+            System.arraycopy(full, r * 32 * 3, rgb, r * w * 3, w * 3)
+            r += 1
+          }
           val jpg = JpegEncoder.encode(w, h, rgb, quality = 90)
           val ref = javax.imageio.ImageIO.read(
             new java.io.ByteArrayInputStream(jpg))

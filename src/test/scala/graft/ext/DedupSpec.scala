@@ -242,6 +242,64 @@ class DedupSpec extends SparkSpec {
     assert((100L to 107L).forall(ml(_) == 100L), s"clique labels: $ml")
   }
 
+  test("connectedComponentsIncremental: a delta merges two existing " +
+      "clusters, joins one, creates one — and equals a full recompute") {
+    def toMap(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // Old graph: cluster {1,2,3}, cluster {10,11}, cluster {20,21},
+    // cluster {30,31}; node 40 exists but has never been in a pair
+    // (so it carries no label yet).
+    val oldPairs = Seq((1L, 2L), (2L, 3L), (10L, 11L), (20L, 21L),
+      (30L, 31L)).toDF("a", "b")
+    val oldLabels = Dedup.connectedComponents(oldPairs)
+    // Delta (every edge touches a batch doc ≥ 100): new doc 100
+    // bridges clusters {1,2,3} and {10,11} — the MERGE case; 101
+    // joins {20,21}; 102-103 form a brand-new cluster; 104 pairs with
+    // old node 40, whose first-ever pair this is.
+    val delta = Seq((2L, 100L), (10L, 100L), (21L, 101L), (102L, 103L),
+      (40L, 104L)).toDF("a", "b")
+    val inc = toMap(
+      Dedup.connectedComponentsIncremental(oldLabels, delta))
+    val full = toMap(
+      Dedup.connectedComponents(oldPairs.unionByName(delta)))
+    assert(inc == full, s"incremental $inc vs full recompute $full")
+    // The merge actually happened: both old clusters and the bridge
+    // share the merged component's min id.
+    assert(inc(10L) == 1L && inc(11L) == 1L && inc(100L) == 1L)
+    // Join, new-cluster, and first-pair-old-node cases.
+    assert(inc(101L) == 20L)
+    assert(inc(102L) == 102L && inc(103L) == 102L)
+    assert(inc(40L) == 40L && inc(104L) == 40L)
+    // The untouched cluster kept its label.
+    assert(inc(30L) == 30L && inc(31L) == 30L)
+  }
+
+  test("ngramJaccardPairsAgainst equals the symmetric join restricted " +
+      "to probe-touching pairs, and emits no base-base pairs") {
+    val base = fixture // ids 1..4
+    val probe = Seq(
+      (101L, "the quick brown fox jumps over the lazy dog tonight again"),
+      (102L, "completely different words about spark catalyst optimizer plans here"),
+      (103L, "nothing in common with anything else at all whatsoever today"),
+      (104L, "nothing in common with anything else at all whatsoever today"),
+    ).toDF("doc_id", "text")
+    def toSet(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val asym = toSet(Dedup.ngramJaccardPairsAgainst(
+      base, probe, "doc_id", "text", shingleN = 3, threshold = 0.75))
+    val sym = toSet(Dedup.ngramJaccardPairs(
+      base.unionByName(probe), "doc_id", "text",
+      shingleN = 3, threshold = 0.75)
+      .filter($"b" >= 101L)) // canonical a<b ⇒ probe-touching ⇔ b is probe
+    assert(asym == sym, s"asym $asym vs sym-restricted $sym")
+    assert(asym.exists { case (a, b, _) => a <= 4L && b >= 101L },
+      "must find base-probe pairs")
+    assert(asym.exists { case (a, b, _) => a >= 101L && b >= 101L },
+      "must find probe-probe pairs")
+    assert(asym.forall { case (_, b, _) => b >= 101L },
+      "b side must always be a probe id")
+  }
+
   test("incrementalDedup admits novel docs, rejects exact and near dups of old") {
     val old = Seq(
       (1L, "the quick brown fox jumps over the lazy dog tonight again"),

@@ -122,6 +122,58 @@ class QualityModelSpec extends SparkSpec {
     assert(acc >= 0.9, s"held-out accuracy $acc")
   }
 
+  test("dfCapFeatures drops ubiquitous buckets, keeps rare ones and " +
+      "the bias") {
+    val docs = (1 to 20).map { i =>
+      (i.toLong, s"everywhere rare$i")
+    }.toDF("doc_id", "text")
+    val dim = 1 << 10
+    val feats = QualityModel.hashedNgramFeatures(docs, "doc_id", "text", dim)
+    val capped = QualityModel.dfCapFeatures(feats, dim)
+      .collect().map(r => (r.getLong(0), r.getInt(1)))
+    // bias survives for every doc
+    assert(capped.count(_._2 == dim) == 20, "bias rows must survive")
+    // "everywhere" (df = 20 > 10) and its bigrams are gone; each doc
+    // keeps its rare unigram + bigram buckets (df = 1)
+    val everywhereIdx = feats.filter($"doc_id" === 1L).collect()
+      .map(_.getInt(1)).toSet
+    val perDoc = capped.filter(_._2 != dim).groupBy(_._1)
+    assert(perDoc.nonEmpty && perDoc.values.forall(v =>
+      v.length >= 1 && v.length <= 3),
+      s"each doc keeps only its rare grams: ${perDoc.view.mapValues(_.length).toMap}")
+  }
+
+  test("sparse softmax learns a 3-class token rule (monotone loss, " +
+      "held-out generalization, one job per step)") {
+    // class k docs carry marker `classtok$k`; shared body words are
+    // the conditioning hazard dfCapFeatures removes
+    val docs = (1 to 150).map { i =>
+      val k = i % 3
+      (i.toLong, s"common shared body words classtok$k extra$i")
+    }.toDF("doc_id", "text")
+    val dim = 1 << 10
+    val feats = QualityModel.dfCapFeatures(
+      QualityModel.hashedNgramFeatures(docs, "doc_id", "text", dim), dim)
+      .localCheckpoint(eager = false)
+    val labels = docs.select($"doc_id",
+      ($"doc_id" % 3).cast("int").as("y"))
+    val isTest = $"doc_id" % 5 === 0
+    val (w, losses) = QualityModel.trainSoftmaxSparse(
+      feats.filter(!isTest), labels.filter(!isTest), dim,
+      nClasses = 3, iters = 8, lr = 5.0)
+    // monotone (the backtracking guarantee) and converging
+    losses.sliding(2).foreach { case Seq(a, b) =>
+      assert(b <= a + 1e-12, s"loss must be monotone: $losses")
+    }
+    assert(losses.last < 0.7 * losses.head,
+      s"loss ${losses.head} -> ${losses.last}")
+    val acc = QualityModel.scoreSoftmaxSparse(feats, w)
+      .join(labels, Seq("doc_id")).filter(isTest)
+      .select(avg(when($"pred" === $"y", 1.0).otherwise(0.0)))
+      .head().getDouble(0)
+    assert(acc >= 0.95, s"held-out accuracy $acc")
+  }
+
   test("sparse training is deterministic across partitionings up to " +
       "FP noise") {
     val docs = (1 to 60).map { i =>
