@@ -75,7 +75,11 @@ object Bench {
     // decode+hash, banded equi-join under an absolute budget) and the
     // unigram-LM encode (distinct-word segmentation amortized over
     // occurrences by a keyed join) — both linear by design, measured
-    "e5_jpeg_phash", "e4_unigram_apply")
+    "e5_jpeg_phash", "e4_unigram_apply",
+    // round-14: the WordPiece corpus encode — greedy map-only
+    // segmentation of distinct words (linear, no backtracking) plus
+    // the same occurrence join; trainer fixture is vocabulary-sized
+    "e4_wordpiece_apply")
 
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is

@@ -123,25 +123,81 @@ object Similarity {
       struct(dot(uv, typedlit(cv)).as("d"), lit(cellId).as("cell"))
     }: _*)
 
-  /** IVF coarse-quantizer training: seed centroids are the `c`
-    * lowest-id vectors (deterministic), refined by `iters` Lloyd
-    * iterations — assignment is a map-side argmax against broadcast
-    * centroids, the update an element-wise `posexplode`+avg (partial
-    * aggregation; C·dim rows reach the driver, never vectors). The
-    * centroid means are rounded to a fixed 8-decimal grid IN-PLAN, so
-    * the trained centroids — and hence every downstream cell
-    * assignment and gated recall — are independent of partitioning
-    * (double `avg` summation order varies with the partition layout;
-    * an ulp flip near a cell boundary would otherwise move a vector
-    * between cells run-to-run). At cluster scale training runs on a
-    * sample; the result is C·dim doubles — kilobytes — shipped into
-    * plans as literals. */
+  /** IVF coarse-quantizer training: k-means||-style SEEDING (Bahmani
+    * et al., VLDB'12) refined by `iters` Lloyd iterations. The old
+    * lowest-id seed was data-ORDER dependent — if low ids happen to
+    * cluster (one crawl shard, one dense region), every seed lands in
+    * one region and Lloyd cannot separate what the seeds never span
+    * (empty cells keep their near-duplicate initials; a spec pins the
+    * collapse). k-means|| fixes that with cost-proportional
+    * oversampling, derandomized here per the repo's no-RNG convention:
+    * each round every vector is selected iff a fixed xxhash64 of its
+    * id and the round salt, mapped to [0,1), falls under
+    * ℓ·cost/total_cost — cost being the vector's cosine distance to
+    * its nearest current seed, computed map-side against broadcast
+    * literals, with total_cost rounded to the 8-decimal grid so the
+    * threshold is partition-independent. After R rounds the ~ℓ·R
+    * candidates (bounded driver traffic, like the centroid tables) are
+    * weighted by the mass they attract (one aggregation) and reduced
+    * to `c` seeds by deterministic weighted farthest-first traversal
+    * on the driver. Lloyd then runs as before: map-side argmax
+    * assignment, element-wise posexplode+avg update (C·dim rows to
+    * the driver, never vectors), means rounded to the fixed 8-decimal
+    * grid IN-PLAN so the trained centroids — and hence every
+    * downstream cell assignment and gated recall — are independent of
+    * partitioning. At cluster scale training runs on a sample; the
+    * result is C·dim doubles — kilobytes — shipped into plans as
+    * literals. */
   def ivfTrain(vecs: DataFrame, c: Int, iters: Int): Seq[(Int, Seq[Double])] = {
     val uv = vecs.select(col("vec_id"),
       unitNorm(asDouble(col("embedding"))).as("uv"))
+      .localCheckpoint(eager = false) // read every seeding + Lloyd round
+    // deterministic "uniform" in [0,1): top 53 bits of xxhash64(id, salt)
+    def unif(salt: Int): Column =
+      shiftrightunsigned(xxhash64(col("vec_id"), lit(salt)), 11)
+        .cast("double") / lit(9007199254740992.0) // 2^53
+    // first seed: the id whose hash is minimal — "random", not data-order
+    var seeds: Seq[Seq[Double]] = Seq(
+      uv.orderBy(xxhash64(col("vec_id"), lit(0)), col("vec_id")).limit(1)
+        .select(col("uv")).collect().head.getSeq[Double](0))
+    val oversample = 2 * c
+    for (r <- 1 to 4) {
+      val cost = lit(1.0) -
+        array_max(centroidScores(col("uv"), seeds.zipWithIndex.map(_.swap))
+          .getField("d"))
+      val withCost = uv.withColumn("cost", cost)
+        .localCheckpoint(eager = false) // total + the filter below
+      val total = withCost.agg(round(sum(col("cost")), 8)).head().getDouble(0)
+      if (total > 0) {
+        val picked = withCost
+          .filter(unif(r) * total < lit(oversample.toDouble) * col("cost"))
+          .select(col("uv")).collect().map(_.getSeq[Double](0)).toSeq
+        seeds = (seeds ++ picked).distinct
+      }
+    }
+    // weight candidates by attracted mass, then reduce to c seeds by
+    // weighted farthest-first (pure driver arithmetic on ≤ ~8c+1 rows)
+    val cand = seeds.zipWithIndex.map(_.swap)
+    val weights = uv.select(
+        array_max(centroidScores(col("uv"), cand)).getField("cell").as("s"))
+      .groupBy(col("s")).agg(count(lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    def d2(a: Seq[Double], b: Seq[Double]): Double =
+      1.0 - a.zip(b).map { case (x, y) => x * y }.sum
+    val first = cand.maxBy(s => (weights.getOrElse(s._1, 0L), -s._1))._2
+    val chosen = scala.collection.mutable.ArrayBuffer(first)
+    while (chosen.length < c && chosen.length < cand.length) {
+      val next = cand.maxBy { case (id, v) =>
+        val dmin = chosen.map(d2(v, _)).min
+        (weights.getOrElse(id, 0L) * dmin, -id) // deterministic tie-break
+      }._2
+      chosen += next
+    }
+    // degenerate corpora (< c distinct candidates): pad by repeating
+    // the first seed — Lloyd's empty-cell rule keeps the pads harmless
+    while (chosen.length < c) chosen += chosen.head
     var cents: Seq[(Int, Seq[Double])] =
-      uv.orderBy(col("vec_id")).limit(c).select(col("uv")).collect()
-        .toSeq.map(_.getSeq[Double](0)).zipWithIndex.map(_.swap)
+      chosen.toSeq.zipWithIndex.map(_.swap)
     for (_ <- 0 until iters) {
       val assigned = uv.select(
         array_max(centroidScores(col("uv"), cents)).getField("cell").as("cell"),

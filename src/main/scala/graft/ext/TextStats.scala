@@ -640,6 +640,46 @@ object TextStats {
       .orderBy(col("lang"))
   }
 
+  /** E4wp: ENCODE the corpus with a WORDPIECE vocabulary — greedy
+    * longest-match-first with `##` continuations ([[graft.functions
+    * .WordPieceSeg]], the BERT tokenizer; the third standard subword
+    * family next to BPE and unigram-LM, completing the tokenizer
+    * surface). The vocabulary derives from the SAME trained unigram
+    * piece table (every piece word-initial and as a `##` continuation),
+    * so the oracle re-derives vocab AND walk: the greedy scan is
+    * restated as a single-path recursive CTE (longest match via a
+    * NOT-EXISTS-longer guard — unique at a fixed position, no
+    * tie-break needed). Per the algorithm, a word where greed
+    * dead-ends is ONE `[UNK]` token with no backtracking — `n_unk`
+    * counts those occurrences; a spec pins the case where greedy
+    * dead-ends on a word the unigram path segments fine. Same
+    * amortization shape as the unigram encode: segment DISTINCT words
+    * map-only, join counts back to occurrences. Greedy is linear in
+    * word length (no backtracking), so unlike the unigram path no
+    * length cap is needed — words past [[UniMaxWord]] segment too
+    * (their letters may be absent from the length-capped trainer's
+    * alphabet, which is how a real `[UNK]` arises). */
+  private val e4WordpieceApply: Q = (s, dir) => {
+    val docs = t(s, dir, "documents")
+    val vocab = graft.functions.WordPieceSeg.vocabFromPieces(
+      unigramLmPieces(docs, "text").map(_._1))
+    val words = docs.select(col("lang"),
+        explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+    val wd = words.select(col("w")).distinct()
+      .withColumn("seg",
+        graft.functions.WordPieceSeg.wordpieceSeg(col("w"), vocab))
+      .select(col("w"), size(col("seg")).cast("long").as("nseg"),
+        (col("seg") ===
+          typedlit(Seq(graft.functions.WordPieceSeg.Unk))).as("unk"))
+    words.join(wd, Seq("w"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_words"),
+        sum(col("nseg")).as("sum_tokens"),
+        sum(when(col("unk"), 1L).otherwise(0L)).as("n_unk"))
+      .orderBy(col("lang"))
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E4: corpus distributions per language — counts, length/word stats,
@@ -1162,6 +1202,7 @@ object TextStats {
     "e4_bpe_apply" -> e4BpeApply,
     "e4_unigram_lm" -> e4UnigramLm,
     "e4_unigram_apply" -> e4UnigramApply,
+    "e4_wordpiece_apply" -> e4WordpieceApply,
     "e4_entropy" -> e4Entropy,
     "e4_pmi" -> e4Pmi,
     "e4_chi2" -> e4Chi2,
@@ -1312,6 +1353,65 @@ object TextStats {
          |  sum(CASE WHEN len(w) <= $UniMaxWord THEN s.nseg
          |           ELSE strlen(w) END)::BIGINT AS sum_tokens
          |FROM uwords u LEFT JOIN unseg s USING (w)
+         |GROUP BY lang ORDER BY lang""".stripMargin,
+    // WordPiece: vocab re-derived from the SAME unigram train chain
+    // (one ukept2 reference — the ×2 continuation forms come from a
+    // 2-row unnest cross join, NOT a self-UNION, or DuckDB would
+    // inline the whole EM chain twice); the greedy walk is a
+    // single-path recursive CTE — at each reached position exactly one
+    // successor row survives the NOT-EXISTS-longer guard, raw-match
+    // semantics identical to the native expression's (word-initial
+    // lookups are RAW substrings; continuations match under '##').
+    // A word whose walk never reaches len(w) is one [UNK] token.
+    "e4_wordpiece_apply" ->
+      s"""WITH RECURSIVE
+         |$uniChainSql,
+         |vocab AS (
+         |  SELECT DISTINCT
+         |    CASE WHEN t.i = 0 THEN piece ELSE '##' || piece END AS piece
+         |  FROM ukept2, unnest([0, 1]) AS t(i)),
+         |dwords AS (
+         |  SELECT DISTINCT w FROM (
+         |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+         |  WHERE w <> ''),
+         |walk(w, pos, ntok) AS (
+         |  SELECT w, 0::BIGINT, 0::BIGINT FROM dwords
+         |  UNION ALL
+         |  SELECT r.w,
+         |    r.pos + (CASE WHEN r.pos = 0 THEN len(v.piece)
+         |             ELSE len(v.piece) - 2 END)::BIGINT,
+         |    r.ntok + 1
+         |  FROM walk r JOIN vocab v ON r.pos < len(r.w) AND
+         |    (CASE WHEN r.pos = 0
+         |     THEN substr(r.w, 1, len(v.piece)) = v.piece
+         |     ELSE v.piece LIKE '##%' AND
+         |       substr(r.w, (r.pos + 1)::INT, len(v.piece) - 2) =
+         |         substr(v.piece, 3) END)
+         |  WHERE NOT EXISTS (
+         |    SELECT 1 FROM vocab v2
+         |    WHERE (CASE WHEN r.pos = 0
+         |           THEN substr(r.w, 1, len(v2.piece)) = v2.piece
+         |           ELSE v2.piece LIKE '##%' AND
+         |             substr(r.w, (r.pos + 1)::INT, len(v2.piece) - 2) =
+         |               substr(v2.piece, 3) END)
+         |      AND (CASE WHEN r.pos = 0 THEN len(v2.piece)
+         |           ELSE len(v2.piece) - 2 END) >
+         |          (CASE WHEN r.pos = 0 THEN len(v.piece)
+         |           ELSE len(v.piece) - 2 END))),
+         |seg AS (SELECT w, ntok FROM walk WHERE pos = len(w)),
+         |wtok AS (
+         |  SELECT d.w, coalesce(s.ntok, 1)::BIGINT AS ntok,
+         |    (s.ntok IS NULL) AS unk
+         |  FROM dwords d LEFT JOIN seg s USING (w)),
+         |uwords AS (
+         |  SELECT lang, w FROM (
+         |    SELECT lang, unnest(string_split(text, ' ')) AS w
+         |    FROM documents)
+         |  WHERE w <> '')
+         |SELECT lang, count(*)::BIGINT AS n_words,
+         |  sum(t.ntok)::BIGINT AS sum_tokens,
+         |  sum(CASE WHEN t.unk THEN 1 ELSE 0 END)::BIGINT AS n_unk
+         |FROM uwords u JOIN wtok t USING (w)
          |GROUP BY lang ORDER BY lang""".stripMargin,
     // Same integer sentence surrogate, same IEEE double expression —
     // the DECIMAL literals are cast to DOUBLE so DuckDB's exact-decimal

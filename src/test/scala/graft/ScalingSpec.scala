@@ -58,7 +58,10 @@ class ScalingSpec extends SparkSpec {
     // round-13: JPEG decode→pHash→banded join (map-only per image,
     // absolute pair budget) and the unigram-LM corpus encode
     // (vocabulary-sized segmentation, occurrence join)
-    "e5_jpeg_phash", "e4_unigram_apply")
+    "e5_jpeg_phash", "e4_unigram_apply",
+    // round-14: the WordPiece corpus encode (greedy map-only
+    // segmentation of distinct words + occurrence join — linear)
+    "e4_wordpiece_apply")
 
   test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
       "bucketed family head in the committed bench artifact") {

@@ -20,6 +20,41 @@ class SimilaritySpec extends SparkSpec {
     assert(math.abs(top(2)._2) < 1e-9)
   }
 
+  test("ivfTrain seeding survives id-clustered data (the lowest-id " +
+      "collapse case): every planted cluster gets its own cell") {
+    // Four well-separated one-hot clusters of 25 vectors each, with
+    // cluster membership = id / 25 — so ids 0..24 ALL sit in cluster 0.
+    // The old lowest-id seeding put every one of the 4 seeds inside
+    // cluster 0; Lloyd cannot separate what the seeds never span
+    // (empty cells keep their near-duplicate initials), so clusters
+    // 1-3 shared cells. k-means|| cost-sampling must spread the seeds:
+    // after training, the 4 cells partition the data EXACTLY along the
+    // planted clusters. Small deterministic in-cluster jitter keeps
+    // the fixture non-degenerate (distinct vectors, one dominant
+    // direction each).
+    val vecs = (0L until 100L).map { id =>
+      val cl = (id / 25).toInt
+      val jitter = 0.05f * ((id % 5).toInt - 2)
+      val v = Array.fill(8)(0f)
+      v(cl) = 1f
+      v(cl + 4) = jitter
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(vecs, c = 4, iters = 3)
+    assert(cents.length == 4)
+    val assigned = Similarity.ivfAssign(vecs, cents)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    val byCluster = assigned.groupBy(_._1 / 25)
+      .view.mapValues(_.map(_._2).toSet).toMap
+    // each planted cluster lands in exactly one cell...
+    byCluster.foreach { case (cl, cells) =>
+      assert(cells.size == 1, s"cluster $cl split across cells $cells")
+    }
+    // ...and no two clusters share a cell (4 distinct cells in use)
+    val used = byCluster.values.map(_.head).toSet
+    assert(used.size == 4, s"clusters collapsed into cells $used")
+  }
+
   test("hardNegatives excludes same-label vectors however similar") {
     // anchor 0 (label 0): its nearest vector 1 shares the label and
     // must NOT appear; the best different-label vector (2) must rank 1.

@@ -183,6 +183,57 @@ class TextStatsSpec extends SparkSpec {
     assert(got == Seq(("en", 3L, 32L)), s"got $got")
   }
 
+  test("wordpieceSeg: greedy longest-match-first with ## continuations " +
+      "— hand-computed") {
+    import graft.functions.WordPieceSeg.wordpieceSeg
+    val vocab = Seq("un", "u", "n", "a", "f", "##f", "##a", "##n",
+      "##fair", "##air", "fun")
+    def seg(w: String) = Seq(w).toDF("w")
+      .select(wordpieceSeg(col("w"), vocab).as("s"))
+      .as[Seq[String]].head()
+    // longest FIRST match wins at every position: 'unfair' takes 'un'
+    // (not 'u'), then '##fair' (not '##f'/'##air' piecewise)
+    assert(seg("unfair") == Seq("un", "##fair"), s"got ${seg("unfair")}")
+    // word-initial piece beats continuation forms: 'fun' is one piece
+    assert(seg("fun") == Seq("fun"))
+    // a char with no continuation form only works word-initially:
+    // 'nu' = [n] then pos 1 needs '##u' — absent → the WHOLE word is
+    // one [UNK], not a partial segmentation
+    assert(seg("nu") == Seq("[UNK]"))
+  }
+
+  test("wordpieceSeg greed disagrees with the unigram path: a dead-end " +
+      "where a valid segmentation exists") {
+    // vocab {ab, a, ##bc}: greedy on 'abc' takes the LONGEST initial
+    // match 'ab', then needs '##c' — absent → [UNK], NO backtracking.
+    // The unigram path over the same pieces enumerates all paths and
+    // finds [a ##bc]... spelled in its own piece alphabet {ab, a, bc}:
+    // [a bc] segments fine. This is the defining behavioral split
+    // between the two families.
+    import graft.functions.WordPieceSeg.wordpieceSeg
+    val wp = Seq("abc").toDF("w")
+      .select(wordpieceSeg(col("w"), Seq("ab", "a", "##bc")).as("s"))
+      .as[Seq[String]].head()
+    assert(wp == Seq("[UNK]"), s"greedy must dead-end, got $wp")
+    val uni = Seq("abc").toDF("w")
+      .select(graft.functions.UnigramSeg.unigramSeg(col("w"),
+        Seq(("ab", 0.4), ("a", 0.3), ("bc", 0.3))).as("s"))
+      .as[Seq[String]].head()
+    assert(uni == Seq("a", "bc"), s"unigram must segment, got $uni")
+  }
+
+  test("vocabFromPieces yields word-initial and ## forms; empty word " +
+      "segments to an empty array") {
+    import graft.functions.WordPieceSeg
+    assert(WordPieceSeg.vocabFromPieces(Seq("a", "b")).sorted ==
+      Seq("##a", "##b", "a", "b"))
+    val e = Seq("").toDF("w")
+      .select(WordPieceSeg.wordpieceSeg(col("w"),
+        Seq("a", "##a")).as("s"))
+      .as[Seq[String]].head()
+    assert(e.isEmpty)
+  }
+
   test("bpeMerges learns the hand-computed merge sequence") {
     // words: aa×3, ab×1 → round 1 merges "a a" (count 3, beating
     // "a b" at 1); round 2 only "a b" remains pairable.

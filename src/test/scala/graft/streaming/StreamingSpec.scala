@@ -27,8 +27,13 @@ class StreamingSpec extends SparkSpec {
     // event-time order, same final sessions) is pinned here for the
     // boundary-sensitive native MergingSessionsExec path (ev23) and
     // the flatMapGroupsWithState path (ev12).
+    // ...and (round-14) for the two-sided lockstep interval-join
+    // replays — inner, left-outer (tail flush via watermark expiry),
+    // and full-outer (both unmatched sides) — whose buckets coarsen
+    // the same way.
     for (q <- Seq("ev12_stream_sessions", "ev22_tws_sessions",
-        "ev23_session_window")) {
+        "ev23_session_window", "ev13_stream_join",
+        "ev17_stream_left_join", "ev25_stream_full_join")) {
       def run(): Seq[Seq[Any]] =
         EventWindows.queries(q)(spark, sf)
           .collect().toSeq.map(_.toSeq)
