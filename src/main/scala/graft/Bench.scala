@@ -79,7 +79,11 @@ object Bench {
     // round-14: the WordPiece corpus encode — greedy map-only
     // segmentation of distinct words (linear, no backtracking) plus
     // the same occurrence join; trainer fixture is vocabulary-sized
-    "e4_wordpiece_apply")
+    "e4_wordpiece_apply",
+    // round-14: the Aho–Corasick dictionary scan — one automaton as a
+    // plan reference object, O(text + hits) per row independent of the
+    // 4012-term dictionary, one per-term rollup; linear by design
+    "e9_dict_scan")
 
   /** Self-check harness queries: exact-vs-sketch bounds verification.
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is
@@ -108,7 +112,11 @@ object Bench {
     // full CC labels as its starting state (in production they're a
     // persisted table) — fixture cost dominates; the incremental path
     // itself is one contraction join + CC over batch-sized edges
-    "e2_cluster_incremental")
+    "e2_cluster_incremental",
+    // the streamed e2_cluster_incremental: the gate computes the
+    // resident labels AND a full corpus+batches CC recompute as its
+    // reference — two full CC fixtures around six incremental steps
+    "ev33_stream_cluster_maintain")
 
   /** Isolated-point starvation trigger (round-13 verdict item 1): a
     * scaling re-time that reads >2× the SAME query's in-run timing was

@@ -293,6 +293,37 @@ object Hygiene {
     docs.filter(!col(sourceCol).isin(blockedSources: _*) &&
       !col(textCol).rlike(bannedRe))
 
+  // ---------------------------------- big-dictionary scan (Aho–Corasick)
+
+  /** Dictionary terms that DO occur in the synthetic corpus — chosen so
+    * the automaton's interesting paths are exercised: "park" is a pure
+    * suffix of "spark" (found only through failure links — a
+    * word-boundary regex would miss it), "agg row"/"row scan" share the
+    * token "row", and "scan" is a prefix of longer corpus phrases.
+    * Shared verbatim with the oracle (interpolated into a VALUES
+    * list). */
+  val DictTerms: Seq[String] = Seq("agg row", "row scan", "scan", "park",
+    "spark", "hash value", "value table", "merge batch", "query line",
+    "a a", "slow fast", "window spark")
+
+  /** 4000 decoy terms that provably cannot match: each contains '#', a
+    * byte absent from the synthetic corpus (the gate DERIVES that
+    * absence by scanning for '#', it does not assume it). The decoys
+    * are the point of the operator — the automaton's per-row cost and
+    * its answer must not depend on dictionary size, which is exactly
+    * what a regex alternation cannot promise at 10k+ terms. Suffixes
+    * come from the splitmix64 finalizer (the repo's no-RNG synthetic
+    * variety convention). */
+  private[ext] val DictDecoys: Seq[String] = {
+    def mix(z0: Long): Long = {
+      var z = z0 + 0x9e3779b97f4a7c15L
+      z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+      z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+      z ^ (z >>> 31)
+    }
+    (0 until 4000).map(i => f"#d${i}x${mix(i.toLong)}%016x")
+  }
+
   // ------------------------------------------------------------ queries
 
   /** E9: plant PII → detect per type → redact → prove nothing survives.
@@ -709,7 +740,35 @@ object Hygiene {
       .orderBy(col("doc_id"))
   }
 
+  /** E9m: one-pass multi-pattern dictionary scan via the native
+    * [[graft.functions.AhoCorasickScan]] automaton over a 4012-term
+    * dictionary (12 corpus phrases + 4000 '#'-marked decoys that cannot
+    * match). Per matched term: doc frequency + exact doc-id checksum —
+    * a buggy automaton that reports a decoy adds a row the oracle does
+    * not have (hash fail), one that misses a hit shifts the counts. The
+    * '#decoys' audit row derives the decoy-impossibility from the data
+    * (count of docs containing '#'), restated by the oracle from the
+    * same scan. Map-only until one per-term rollup — at 100 TB the
+    * automaton is a plan reference object on the scan, cost
+    * O(text + hits) per row independent of dictionary size. */
+  private val e9DictScan: Q = (s, dir) => {
+    import graft.functions.AhoCorasickScan.dictScan
+    val docs = t(s, dir, "documents")
+    val perTerm = docs
+      .select(col("doc_id"),
+        explode(dictScan(col("text"), DictTerms ++ DictDecoys)).as("term"))
+      .groupBy(col("term"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_doc_ids"))
+    val decoyAudit = docs
+      .agg(sum(when(col("text").contains("#"), 1L).otherwise(0L))
+        .as("n_docs"))
+      .select(lit("#decoys").as("term"), col("n_docs"),
+        lit(0L).as("sum_doc_ids"))
+    perTerm.unionByName(decoyAudit).orderBy(col("term"))
+  }
+
   val queries: Map[String, Q] = Map(
+    "e9_dict_scan" -> e9DictScan,
     "e9_html_strip" -> e9HtmlStrip,
     "e9_url_canon" -> e9UrlCanon,
     "e9_nfc_clean" -> e9NfcClean,
@@ -960,6 +1019,24 @@ object Hygiene {
         |  round(sum(CASE WHEN df > 2 THEN 1 ELSE 0 END)::DOUBLE
         |    / count(*), 4) AS boiler_frac
         |FROM j GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    // Substring semantics restated per term (position > 0); the decoy
+    // audit row re-derives '#'-absence from the corpus.
+    "e9_dict_scan" ->
+      s"""WITH terms(term) AS (
+         |  VALUES ${DictTerms.map("('" + _ + "')").mkString(",")}),
+         |m AS (SELECT t.term, d.doc_id FROM terms t JOIN documents d
+         |      ON position(t.term IN d.text) > 0)
+         |SELECT * FROM (
+         |  SELECT term, count(*)::BIGINT AS n_docs,
+         |    sum(doc_id)::BIGINT AS sum_doc_ids
+         |  FROM m GROUP BY term
+         |  UNION ALL
+         |  SELECT '#decoys' AS term,
+         |    sum(CASE WHEN position('#' IN text) > 0 THEN 1 ELSE 0
+         |        END)::BIGINT AS n_docs,
+         |    0::BIGINT AS sum_doc_ids
+         |  FROM documents)
+         |ORDER BY term""".stripMargin,
     "e9_blocklist" ->
       s"""WITH planted AS (
          |  SELECT doc_id, source, text ||

@@ -2195,6 +2195,465 @@ object Multimodal {
     }
   }
 
+  /** Real RIFF/AVI container codec — uncompressed 24-bit DIB frames
+    * ('00db'), the video analog of [[WavCodec]]: the container a clip-
+    * ingest stage must actually parse before any frame sampling can
+    * happen (the fixed-layout sampler above keeps its own gate; this
+    * one reads REAL container bytes). The encoder emits a spec-shaped
+    * file — avih + one 'vids'/DIB stream header pair, 'movi' frame
+    * chunks, and an idx1 index so players can seek; the decoder WALKS
+    * lists/chunks (no fixed offsets), validates every magic, and
+    * undoes the DIB conventions: bottom-up row order, BGR byte order,
+    * rows padded to 4-byte boundaries. Fails loudly on corrupt bytes
+    * (overrunning chunk, wrong bit depth, compressed frames) rather
+    * than zero-filling. */
+  private[ext] object AviCodec extends Serializable {
+
+    /** Encode top-down RGB frames (3 bytes/pixel each) as RIFF/AVI. */
+    def encode(w: Int, h: Int, frames: Array[Array[Byte]],
+        fps: Int): Array[Byte] = {
+      require(w > 0 && h > 0 && fps > 0 && frames.nonEmpty,
+        "AVI encode: need positive dims/fps and >= 1 frame")
+      frames.foreach(f =>
+        require(f.length == w * h * 3, "frame length != w*h*3"))
+      val stride = (w * 3 + 3) / 4 * 4 // DIB rows pad to 4 bytes
+      val dib = stride * h             // multiple of 4 => chunk-even
+      val n = frames.length
+      val moviContent = 4 + n * (8 + dib)
+      val riffContent = 4 + 200 + (8 + moviContent) + (8 + n * 16)
+      val bb = java.nio.ByteBuffer.allocate(8 + riffContent)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(s: String): Unit = bb.put(s.getBytes("US-ASCII"))
+      fcc("RIFF"); bb.putInt(riffContent); fcc("AVI ")
+      fcc("LIST"); bb.putInt(192); fcc("hdrl")
+      fcc("avih"); bb.putInt(56)
+      bb.putInt(1000000 / fps) // microseconds per frame
+      bb.putInt(fps * dib)     // max bytes/sec
+      bb.putInt(0)             // padding granularity
+      bb.putInt(0x10)          // AVIF_HASINDEX
+      bb.putInt(n); bb.putInt(0) // total frames, initial frames
+      bb.putInt(1)             // one stream
+      bb.putInt(dib)           // suggested buffer size
+      bb.putInt(w); bb.putInt(h)
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // reserved
+      fcc("LIST"); bb.putInt(116); fcc("strl")
+      fcc("strh"); bb.putInt(56)
+      fcc("vids"); fcc("DIB ")
+      bb.putInt(0); bb.putInt(0); bb.putInt(0) // flags, pri+lang, initial
+      bb.putInt(1); bb.putInt(fps)             // scale, rate (fps = r/s)
+      bb.putInt(0); bb.putInt(n)               // start, length (frames)
+      bb.putInt(dib); bb.putInt(-1); bb.putInt(0) // sug. buf, quality, sampleSize
+      bb.putShort(0); bb.putShort(0)           // rcFrame left, top
+      bb.putShort(w.toShort); bb.putShort(h.toShort)
+      fcc("strf"); bb.putInt(40)               // BITMAPINFOHEADER
+      bb.putInt(40); bb.putInt(w); bb.putInt(h) // biSize, w, h>0 = bottom-up
+      bb.putShort(1); bb.putShort(24)          // planes, bit count
+      bb.putInt(0); bb.putInt(dib)             // BI_RGB, biSizeImage
+      bb.putInt(0); bb.putInt(0); bb.putInt(0); bb.putInt(0) // ppm, colors
+      fcc("LIST"); bb.putInt(moviContent); fcc("movi")
+      val offs = new Array[Int](n)
+      var off = 4 // idx1 offsets are relative to the 'movi' fourcc
+      var f = 0
+      while (f < n) {
+        offs(f) = off
+        fcc("00db"); bb.putInt(dib)
+        val src = frames(f)
+        var y = h - 1 // DIB stores rows bottom-up
+        while (y >= 0) {
+          var x = 0
+          while (x < w) { // ... and pixels as BGR
+            val i = (y * w + x) * 3
+            bb.put(src(i + 2)); bb.put(src(i + 1)); bb.put(src(i))
+            x += 1
+          }
+          var p = w * 3
+          while (p < stride) { bb.put(0.toByte); p += 1 }
+          y -= 1
+        }
+        off += 8 + dib
+        f += 1
+      }
+      fcc("idx1"); bb.putInt(n * 16)
+      f = 0
+      while (f < n) {
+        fcc("00db"); bb.putInt(0x10) // AVIIF_KEYFRAME
+        bb.putInt(offs(f)); bb.putInt(dib)
+        f += 1
+      }
+      bb.array()
+    }
+
+    /** Decode → (w, h, top-down RGB frames). */
+    def decode(bytes: Array[Byte]): (Int, Int, Array[Array[Byte]]) = {
+      val bb = java.nio.ByteBuffer.wrap(bytes)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      def fcc(): String = {
+        val t = new Array[Byte](4); bb.get(t); new String(t, "US-ASCII")
+      }
+      require(bytes.length >= 12 && fcc() == "RIFF", "not a RIFF file")
+      val riffLen = bb.getInt
+      require(riffLen >= 4 && fcc() == "AVI ", "not an AVI file")
+      var w = -1; var h = -1
+      val frames = scala.collection.mutable.ArrayBuffer.empty[Array[Byte]]
+      def walk(end: Int): Unit = {
+        while (bb.position() + 8 <= end) {
+          val id = fcc()
+          val len = bb.getInt
+          require(len >= 0 && bb.position() + len <= end,
+            s"corrupt AVI: chunk '$id' overruns its parent")
+          val next = bb.position() + len + (len & 1) // RIFF pad rule
+          id match {
+            case "LIST" =>
+              val lt = fcc()
+              if (lt == "hdrl" || lt == "strl" || lt == "movi")
+                walk(bb.position() + len - 4)
+            case "strf" =>
+              require(len >= 40, s"corrupt AVI: strf is $len bytes")
+              bb.getInt // biSize
+              w = bb.getInt; h = bb.getInt
+              require(w > 0 && h > 0, s"corrupt AVI: ${w}x$h")
+              bb.getShort // planes
+              val bits = bb.getShort.toInt
+              val comp = bb.getInt
+              require(bits == 24 && comp == 0,
+                s"unsupported AVI: bits=$bits compression=$comp")
+            case "00db" =>
+              require(w > 0 && h > 0,
+                "corrupt AVI: frame chunk before stream format")
+              val stride = (w * 3 + 3) / 4 * 4
+              require(len == stride * h,
+                s"corrupt AVI: frame size $len != $stride*$h")
+              val dib = new Array[Byte](len); bb.get(dib)
+              val rgb = new Array[Byte](w * h * 3)
+              var y = 0
+              while (y < h) {
+                var x = 0
+                while (x < w) {
+                  val s = (h - 1 - y) * stride + x * 3 // undo bottom-up
+                  val d = (y * w + x) * 3
+                  rgb(d) = dib(s + 2)                  // undo BGR
+                  rgb(d + 1) = dib(s + 1)
+                  rgb(d + 2) = dib(s)
+                  x += 1
+                }
+                y += 1
+              }
+              frames += rgb
+            case "00dc" =>
+              throw new IllegalArgumentException(
+                "unsupported AVI: compressed frames")
+            case _ => // avih/strh/idx1/junk: sizes validated, content unused
+          }
+          bb.position(next)
+        }
+      }
+      walk(math.min(bytes.length, 8 + riffLen))
+      require(frames.nonEmpty, "corrupt AVI: no frame chunks")
+      (w, h, frames.toArray)
+    }
+  }
+
+  final case class AviFrameStats(doc_id: Long, frame_idx: Int,
+      sum_b: Long, max_b: Int)
+
+  /** Real ISO-BMFF (MP4, ISO 14496-12) container codec — the OTHER
+    * video container a clip-ingest stage meets (AVI is chunk-stream
+    * shaped; MP4 is index-shaped: all layout lives in the `moov`
+    * sample tables and the media bytes sit in one opaque `mdat`). The
+    * encoder writes the real box tree — ftyp, mdat, moov/mvhd,
+    * trak/tkhd, mdia/mdhd+hdlr, minf/vmhd+dinf/dref,
+    * stbl/stsd+stts+stsc+stsz+stco — with samples grouped two per
+    * chunk so the sample-to-chunk resolution is non-trivial (a
+    * remainder chunk exercises the stsc entry-range logic). The
+    * decoder walks boxes by DECLARED size (never by magic scanning),
+    * resolves each sample's (pts, size, absolute file offset) from the
+    * four tables exactly as a demuxer does, and slices the frame bytes
+    * out of mdat — frame EXTRACTION without decode, which is all a
+    * sampling pipeline needs. Fails loudly on overrunning boxes,
+    * missing tables, or out-of-mdat offsets. Codec payloads are
+    * opaque by design (sample entry fourcc 'gvid'): real decode is the
+    * stubbed step per the multimodal brief; the container plumbing is
+    * the tested, real part. */
+  private[ext] object Mp4Codec extends Serializable {
+
+    private def u32(v: Long): Array[Byte] = Array(
+      ((v >>> 24) & 0xff).toByte, ((v >>> 16) & 0xff).toByte,
+      ((v >>> 8) & 0xff).toByte, (v & 0xff).toByte)
+
+    private def box(typ: String, payload: Array[Byte]*): Array[Byte] = {
+      val body = payload.flatten.toArray
+      u32(body.length + 8L) ++
+        typ.getBytes(java.nio.charset.StandardCharsets.US_ASCII) ++ body
+    }
+
+    /** Encode opaque samples at a constant `delta` ticks/sample. The
+      * layout is mdat-before-moov (offsets computable in one pass). */
+    def encode(samples: Array[Array[Byte]], timescale: Int,
+        delta: Int): Array[Byte] = {
+      require(samples.nonEmpty && timescale > 0 && delta > 0,
+        "MP4 encode: need >= 1 sample and positive timing")
+      val n = samples.length
+      val ftyp = box("ftyp", "isom".getBytes, u32(0), "isom".getBytes)
+      val mdatStart = ftyp.length + 8L // first media byte's file offset
+      val mdat = box("mdat", samples.flatten.toArray)
+      // Chunks of 2 samples (+ remainder single): chunk i covers
+      // samples [2i, 2i+2).
+      val nChunks = (n + 1) / 2
+      val chunkOffsets = Array.tabulate(nChunks) { c =>
+        mdatStart + samples.take(2 * c).map(_.length.toLong).sum
+      }
+      val duration = n.toLong * delta
+      val mvhd = box("mvhd", u32(0), u32(0), u32(0), u32(timescale),
+        u32(duration), u32(0x00010000L), u32(0x01000000L), u32(0),
+        u32(0),
+        // identity matrix + predefineds + next-track-id
+        u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L),
+        u32(0), u32(0), u32(0), u32(0x40000000L),
+        u32(0), u32(0), u32(0), u32(0), u32(0), u32(0), u32(2))
+      val tkhd = box("tkhd", u32(7), u32(0), u32(0), u32(1), u32(0),
+        u32(duration), u32(0), u32(0), u32(0), u32(0),
+        u32(0x00010000L), u32(0), u32(0), u32(0), u32(0x00010000L),
+        u32(0), u32(0), u32(0), u32(0x40000000L), u32(0), u32(0))
+      val mdhd = box("mdhd", u32(0), u32(0), u32(0), u32(timescale),
+        u32(duration), u32(0x55c40000L)) // 'und' language + predefined
+      val hdlr = box("hdlr", u32(0), u32(0), "vide".getBytes,
+        u32(0), u32(0), u32(0), Array(0.toByte))
+      val stsd = box("stsd", u32(0), u32(1),
+        box("gvid", new Array[Byte](6), Array(0.toByte, 1.toByte)))
+      val stts = box("stts", u32(0), u32(1), u32(n), u32(delta))
+      val stscEntries =
+        if (n % 2 == 0) Seq(u32(1), u32(2), u32(1))
+        else if (n == 1) Seq(u32(1), u32(1), u32(1))
+        else Seq(u32(1), u32(2), u32(1),
+          u32(nChunks.toLong), u32(1), u32(1))
+      val stsc = box("stsc", u32(0),
+        u32(if (n % 2 == 0 || n == 1) 1 else 2),
+        stscEntries.flatten.toArray)
+      val stsz = box("stsz", u32(0), u32(0), u32(n),
+        samples.flatMap(sm => u32(sm.length.toLong)))
+      val stco = box("stco", u32(0), u32(nChunks.toLong),
+        chunkOffsets.flatMap(u32))
+      val stbl = box("stbl", stsd, stts, stsc, stsz, stco)
+      val dref = box("dref", u32(0), u32(1),
+        box("url ", u32(1))) // self-contained flag
+      val minf = box("minf", box("vmhd", u32(1), u32(0), u32(0)),
+        box("dinf", dref), stbl)
+      val moov = box("moov", mvhd,
+        box("trak", tkhd, box("mdia", mdhd, hdlr, minf)))
+      ftyp ++ mdat ++ moov
+    }
+
+    private def ru32(b: Array[Byte], p: Int): Long = {
+      require(p + 4 <= b.length, s"corrupt MP4: u32 read past end at $p")
+      ((b(p) & 0xffL) << 24) | ((b(p + 1) & 0xffL) << 16) |
+        ((b(p + 2) & 0xffL) << 8) | (b(p + 3) & 0xffL)
+    }
+
+    private def fourcc(b: Array[Byte], p: Int): String =
+      new String(b, p, 4, java.nio.charset.StandardCharsets.US_ASCII)
+
+    /** Child box (start, end) offsets of the range [from, to). */
+    private def children(b: Array[Byte], from: Int, to: Int)
+        : Seq[(String, Int, Int)] = {
+      val out = scala.collection.mutable.ArrayBuffer.empty[(String, Int, Int)]
+      var p = from
+      while (p < to) {
+        val size = ru32(b, p)
+        require(size >= 8 && p + size <= to,
+          s"corrupt MP4: box at $p overruns enclosing range")
+        out += ((fourcc(b, p + 4), p + 8, p + size.toInt))
+        p += size.toInt
+      }
+      out.toSeq
+    }
+
+    private def find(b: Array[Byte], from: Int, to: Int,
+        path: Seq[String]): (Int, Int) =
+      path.foldLeft((from, to)) { case ((f, t), typ) =>
+        children(b, f, t).find(_._1 == typ)
+          .map(c => (c._2, c._3))
+          .getOrElse(sys.error(s"corrupt MP4: missing box $typ"))
+      }
+
+    /** Demux: (timescale, per-sample (pts, bytes)) from the tables. */
+    def decode(bytes: Array[Byte]): (Int, Array[(Long, Array[Byte])]) = {
+      val top = children(bytes, 0, bytes.length)
+      require(top.exists(_._1 == "ftyp"), "corrupt MP4: no ftyp")
+      val (moovF, moovT) = {
+        val m = top.find(_._1 == "moov")
+          .getOrElse(sys.error("corrupt MP4: missing box moov"))
+        (m._2, m._3)
+      }
+      val (mdhdF, _) =
+        find(bytes, moovF, moovT, Seq("trak", "mdia", "mdhd"))
+      val timescale = ru32(bytes, mdhdF + 12).toInt
+      val (stblF, stblT) =
+        find(bytes, moovF, moovT, Seq("trak", "mdia", "minf", "stbl"))
+      val tabs = children(bytes, stblF, stblT)
+        .map(c => c._1 -> (c._2, c._3)).toMap
+      def tab(t: String) =
+        tabs.getOrElse(t, sys.error(s"corrupt MP4: missing box $t"))
+      // stts → per-sample pts (cumulative over runs).
+      val (sttsF, _) = tab("stts")
+      val nRuns = ru32(bytes, sttsF + 4).toInt
+      val pts = scala.collection.mutable.ArrayBuffer.empty[Long]
+      var t = 0L
+      for (r <- 0 until nRuns) {
+        val cnt = ru32(bytes, sttsF + 8 + 8 * r).toInt
+        val d = ru32(bytes, sttsF + 12 + 8 * r)
+        for (_ <- 0 until cnt) { pts += t; t += d }
+      }
+      // stsz → sizes.
+      val (stszF, _) = tab("stsz")
+      val fixed = ru32(bytes, stszF + 4)
+      val nSamples = ru32(bytes, stszF + 8).toInt
+      require(pts.length == nSamples,
+        "corrupt MP4: stts/stsz sample counts disagree")
+      val sizes = Array.tabulate(nSamples) { i =>
+        if (fixed != 0) fixed else ru32(bytes, stszF + 12 + 4 * i)
+      }
+      // stco chunk offsets + stsc runs → per-chunk sample counts.
+      val (stcoF, _) = tab("stco")
+      val nChunks = ru32(bytes, stcoF + 4).toInt
+      val offsets = Array.tabulate(nChunks)(c =>
+        ru32(bytes, stcoF + 8 + 4 * c))
+      val (stscF, _) = tab("stsc")
+      val nEntries = ru32(bytes, stscF + 4).toInt
+      val entries = Array.tabulate(nEntries)(e => (
+        ru32(bytes, stscF + 8 + 12 * e).toInt, // first_chunk (1-based)
+        ru32(bytes, stscF + 12 + 12 * e).toInt)) // samples_per_chunk
+      val perChunk = Array.tabulate(nChunks) { c =>
+        entries.takeWhile(_._1 <= c + 1).lastOption
+          .getOrElse(sys.error("corrupt MP4: stsc covers no chunks"))._2
+      }
+      require(perChunk.sum == nSamples,
+        "corrupt MP4: stsc/stsz sample counts disagree")
+      // Walk chunks, slice samples out of mdat.
+      val out = new Array[(Long, Array[Byte])](nSamples)
+      var s = 0
+      for (c <- 0 until nChunks) {
+        var off = offsets(c)
+        for (_ <- 0 until perChunk(c)) {
+          val sz = sizes(s)
+          require(off + sz <= bytes.length,
+            s"corrupt MP4: sample $s overruns file")
+          out(s) = (pts(s),
+            java.util.Arrays.copyOfRange(bytes, off.toInt,
+              (off + sz).toInt))
+          off += sz
+          s += 1
+        }
+      }
+      (timescale, out)
+    }
+  }
+
+  final case class Mp4FrameStats(doc_id: Long, frame_idx: Int,
+      pts: Long, n_bytes: Int, sum_b: Long, max_b: Int)
+
+  /** E5n: REAL video-container ingest — each document's bytes become 6
+    * frames of 6×8 RGB (zero-padded; width 6 makes the DIB stride 20,
+    * so the row-padding path is exercised, not just the aligned one),
+    * wrapped in a real RIFF/AVI container and parsed back by the real
+    * chunk-walking decoder. Per-frame INTEGER byte stats are restated
+    * by DuckDB from the same byte construction, and decoded pixels are
+    * required bit-equal to the source frames in-plan — a row-order,
+    * BGR, stride, or cursor bug fails loudly, not statistically.
+    * mapPartitions only for the codec work; one map pass, no shuffle
+    * until the final order — the 100 TB clip-prep shape. */
+  private val e5AviFrames: Q = (s, dir) => {
+    import s.implicits._
+    val (w, h, nf) = (6, 8, 6)
+    val fb = w * h * 3 // 144 bytes per frame
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        asciiOnly(coalesce(col("text"), lit(""))).cast("binary").as("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          val frames = Array.tabulate(nf) { f =>
+            val a = new Array[Byte](fb)
+            var i = 0
+            while (i < fb) {
+              val p = f * fb + i
+              a(i) = if (p < bytes.length) bytes(p) else 0
+              i += 1
+            }
+            a
+          }
+          val (dw, dh, dec) = AviCodec.decode(
+            AviCodec.encode(w, h, frames, fps = 12))
+          require(dw == w && dh == h && dec.length == nf &&
+            dec.zip(frames).forall { case (a, b) =>
+              java.util.Arrays.equals(a, b) },
+            s"AVI round-trip mismatch for doc $id")
+          dec.iterator.zipWithIndex.map { case (fr, idx) =>
+            var sum = 0L; var max = 0
+            var i = 0
+            while (i < fr.length) {
+              val b = fr(i) & 0xff
+              sum += b; if (b > max) max = b
+              i += 1
+            }
+            AviFrameStats(id, idx, sum, max)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
+  /** E5o: MP4/ISO-BMFF ingest — the INDEX-shaped container next to
+    * AVI's stream shape: each document's bytes become 6 opaque frames
+    * of VARYING size (96+3f bytes — per-sample stsz, not the fixed
+    * fast path), two samples per chunk (stsc run resolution plus a
+    * remainder chunk), encoded as a real box tree and demuxed back by
+    * [[Mp4Codec.decode]] from the four sample tables. In-plan require:
+    * bit-equal frame payloads, exact pts from stts, exact timescale
+    * from mdhd. Per-frame INTEGER byte stats + pts + size are restated
+    * by DuckDB from the same closed-form layout (start_f = 96f +
+    * 3f(f−1)/2) — an off-by-one anywhere in the chunk-offset walk
+    * hash-fails. */
+  private val e5Mp4Frames: Q = (s, dir) => {
+    import s.implicits._
+    val nf = 6
+    t(s, dir, "documents")
+      .select(col("doc_id").cast("long"),
+        asciiOnly(coalesce(col("text"), lit(""))).cast("binary").as("bin"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { rows =>
+        rows.flatMap { case (id, bytes) =>
+          var start = 0
+          val frames = Array.tabulate(nf) { f =>
+            val sz = 96 + 3 * f
+            val a = new Array[Byte](sz)
+            var i = 0
+            while (i < sz) {
+              val p = start + i
+              a(i) = if (p < bytes.length) bytes(p) else 0
+              i += 1
+            }
+            start += sz
+            a
+          }
+          val (ts, dec) = Mp4Codec.decode(
+            Mp4Codec.encode(frames, timescale = 600, delta = 100))
+          require(ts == 600 && dec.length == nf &&
+            dec.zip(frames).zipWithIndex.forall { case (((p, b), src), f) =>
+              p == 100L * f && java.util.Arrays.equals(b, src) },
+            s"MP4 round-trip mismatch for doc $id")
+          dec.iterator.zipWithIndex.map { case ((pts, fr), idx) =>
+            var sum = 0L; var max = 0
+            var i = 0
+            while (i < fr.length) {
+              val b = fr(i) & 0xff
+              sum += b; if (b > max) max = b
+              i += 1
+            }
+            Mp4FrameStats(id, idx, pts, fr.length, sum, max)
+          }
+        }
+      }.toDF().orderBy(col("doc_id"), col("frame_idx"))
+  }
+
   final case class WavStats(id: Long, n_samples: Int, sample_rate: Int,
       sum_s: Long, min_s: Int, max_s: Int)
 
@@ -2515,6 +2974,8 @@ object Multimodal {
     "e5_audio_phash" -> e5AudioPhash,
     "e5_audio_resample" -> e5AudioResample,
     "e5_frame_sample" -> e5FrameSample,
+    "e5_avi_frames" -> e5AviFrames,
+    "e5_mp4_frames" -> e5Mp4Frames,
     "e5_phash_neardup" -> e5PhashNearDup,
     "e5_spectral" -> e5Spectral,
     "e5_wav_decode" -> e5WavDecode,
@@ -2539,6 +3000,47 @@ object Multimodal {
     // byte i is the document's (f·32 + i)-th byte or 0 padding; frames
     // 0,3,6,9 are the stride-3 sample. NULL text ⇒ strlen NULL ⇒ every
     // CASE falls to 0 — the all-zero video, matching coalesce('').
+    // AVI gate: the container round-trips in-plan (required bit-equal),
+    // so the oracle restates the per-frame byte stats straight from the
+    // 144-byte zero-padded frame construction — same NULL-text rule as
+    // e5_frame_sample (strlen NULL => every CASE falls to 0).
+    "e5_avi_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, fr::INT AS frame_idx,
+        |    list_sum(list_transform(range(0, 144), i ->
+        |      CASE WHEN fr*144 + i + 1 <= strlen(t)
+        |           THEN ord(substr(t, (fr*144 + i + 1)::INT, 1))
+        |           ELSE 0 END))::BIGINT AS sum_b,
+        |    list_max(list_transform(range(0, 144), i ->
+        |      CASE WHEN fr*144 + i + 1 <= strlen(t)
+        |           THEN ord(substr(t, (fr*144 + i + 1)::INT, 1))
+        |           ELSE 0 END))::INT AS max_b
+        |  FROM a, unnest(range(0, 6)) AS s(fr))
+        |SELECT doc_id, frame_idx, sum_b, max_b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
+    // Closed-form layout: frame f is bytes [start_f, start_f+96+3f)
+    // of the ascii-stripped text, zero-padded; start_f = 96f+3f(f-1)/2.
+    "e5_mp4_frames" ->
+      """WITH a AS (
+        |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t
+        |  FROM documents),
+        |f AS (
+        |  SELECT doc_id, fr::INT AS frame_idx, (fr * 100)::BIGINT AS pts,
+        |    (96 + 3*fr)::INT AS n_bytes,
+        |    list_sum(list_transform(range(0, (96 + 3*fr)::INT), i ->
+        |      CASE WHEN 96*fr + 3*fr*(fr-1)//2 + i + 1 <= strlen(t)
+        |           THEN ord(substr(t, (96*fr + 3*fr*(fr-1)//2 + i + 1)::INT, 1))
+        |           ELSE 0 END))::BIGINT AS sum_b,
+        |    list_max(list_transform(range(0, (96 + 3*fr)::INT), i ->
+        |      CASE WHEN 96*fr + 3*fr*(fr-1)//2 + i + 1 <= strlen(t)
+        |           THEN ord(substr(t, (96*fr + 3*fr*(fr-1)//2 + i + 1)::INT, 1))
+        |           ELSE 0 END))::INT AS max_b
+        |  FROM a, unnest(range(0, 6)) AS s(fr))
+        |SELECT doc_id, frame_idx, pts, n_bytes, sum_b, max_b
+        |FROM f ORDER BY doc_id, frame_idx""".stripMargin,
     "e5_frame_sample" ->
       """WITH a AS (
         |  SELECT doc_id, regexp_replace(text, '[^\x00-\x7F]', '', 'g') AS t

@@ -318,6 +318,10 @@ object Similarity {
         java.nio.file.Paths.get(path + "_compact_inprogress")),
       s"index at $path has an in-progress compaction marker " +
         "(crashed mid-swap?) — run ivfCompact to recover before reading")
+    require(!java.nio.file.Files.exists(
+        java.nio.file.Paths.get(path + "_rebalance_inprogress")),
+      s"index at $path has an in-progress rebalance marker " +
+        "(crashed mid-split?) — run ivfRebalance to recover before reading")
     val base = s.read.parquet(path)
     val tomb = java.nio.file.Paths.get(path + "_tombstones")
     if (!java.nio.file.Files.isDirectory(tomb)) base
@@ -386,6 +390,88 @@ object Similarity {
       graft.lake.Lake.deleteRecursively(Paths.get(tmp).toFile)
     }
     graft.lake.Lake.deleteRecursively(tombDir.toFile)
+  }
+
+  /** Split every cell holding more than `maxCellRows` vectors into two
+    * sub-cells trained ONLY on that cell's vectors (local 2-means via
+    * [[ivfTrain]]) — the index-MAINTENANCE step after skewed ingest,
+    * when one hot cell's linear scan cost starts to dominate probed
+    * search time. Cell-LOCAL by design: the hot cell's vectors are
+    * re-filed by argmax over its two sub-centroids and land under
+    * FRESH cell ids; every other cell directory keeps its files
+    * byte-for-byte, and the quantizer is NOT retrained — the returned
+    * table is the input minus the split centroids plus the
+    * sub-centroids (split ids are retired, never reused). Inverted
+    * lists here are FILED lists, not exact Voronoi cells — the
+    * standard IVF maintenance decoupling: probes rank the new table
+    * and the gate measures recall stays healthy rather than claiming
+    * assignment-equality to a full retrain.
+    *
+    * Crash safety (the [[ivfCompact]] discipline, adapted to an
+    * id-CHANGING swap): the marker records `old:sub1,sub2` BEFORE any
+    * move; recovery ROLLS FORWARD when both sub-cell dirs are live
+    * (only cleanup remained) and ROLLS BACK otherwise (drop partial
+    * sub-cells, restore the aside original) — the completed-swap test
+    * can't be "dst exists" as in compact, because the replacement dirs
+    * have different names than the original. */
+  def ivfRebalance(s: SparkSession, path: String,
+      cents: Seq[(Int, Seq[Double])],
+      maxCellRows: Long): Seq[(Int, Seq[Double])] = {
+    import java.nio.file.{Files, Paths}
+    val aside = Paths.get(path + "_rebalance_old")
+    val marker = Paths.get(path + "_rebalance_inprogress")
+    if (Files.exists(marker)) {
+      val parts = Files.readString(marker).trim.split("[:,]")
+      val oldId = parts(0)
+      val sids = parts.drop(1).toSeq
+      val subsLive = sids.forall(sid =>
+        Files.isDirectory(Paths.get(path, s"cell=$sid")))
+      if (!subsLive) { // roll back the interrupted split
+        sids.foreach(sid => graft.lake.Lake.deleteRecursively(
+          Paths.get(path, s"cell=$sid").toFile))
+        val src = aside.resolve(s"cell=$oldId")
+        val dst = Paths.get(path, s"cell=$oldId")
+        if (Files.isDirectory(src) && !Files.exists(dst))
+          Files.move(src, dst)
+      } // else: both sub-cells landed — only cleanup remained
+      graft.lake.Lake.deleteRecursively(aside.toFile)
+      Files.deleteIfExists(marker)
+    }
+    val oversized = s.read.parquet(path).groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+      .filter(col("sz") > maxCellRows)
+      .select(col("cell")).collect().map(_.getInt(0)).sorted // ≤ C ids
+    if (oversized.isEmpty) return cents
+    var table = cents
+    var nextId = cents.map(_._1).max + 1
+    oversized.foreach { cellId =>
+      val cellVecs = s.read.parquet(path)
+        .filter(col("cell") === cellId)
+        .select(col("vec_id"), col("uv").as("embedding"))
+      val sub = ivfTrain(cellVecs, c = 2, iters = 2)
+      val renumbered = sub.zipWithIndex.map { case ((_, v), i) =>
+        (nextId + i, v)
+      }
+      val subIds = renumbered.map(_._1)
+      nextId += renumbered.length
+      val tmp = path + "_rebalance_tmp"
+      ivfAssign(cellVecs, renumbered)
+        .write.mode("overwrite").partitionBy("cell").parquet(tmp)
+      Files.createDirectories(aside)
+      Files.writeString(marker, s"$cellId:${subIds.mkString(",")}")
+      val dst = Paths.get(path, s"cell=$cellId")
+      if (Files.exists(dst)) Files.move(dst, aside.resolve(s"cell=$cellId"))
+      subIds.foreach { sid =>
+        val src = Paths.get(tmp, s"cell=$sid")
+        if (Files.isDirectory(src))
+          Files.move(src, Paths.get(path, s"cell=$sid"))
+      }
+      graft.lake.Lake.deleteRecursively(aside.toFile)
+      Files.deleteIfExists(marker)
+      graft.lake.Lake.deleteRecursively(Paths.get(tmp).toFile)
+      table = table.filterNot(_._1 == cellId) ++ renumbered
+    }
+    table
   }
 
   /** [[ivfSearchIndex]] over the merge-on-read scan. */
@@ -1097,6 +1183,106 @@ object Similarity {
           .as("ingest_equals_memory"),
         (col("hits").cast("double") / col("total") >= 0.5).as("recall_ok"),
         (col("max_scanned") <= col("n") / 2).as("scan_budget_ok"))
+  }
+
+  /** E3r ✱: IVF index REBALANCE — the maintenance step completing the
+    * lifecycle (build → search → ingest → delete → compact → split):
+    * skewed ingest floods ONE hot cell (copies of its own vectors
+    * under fresh ids — same argmax by construction, so the skew is
+    * surgical), [[ivfRebalance]] splits exactly that cell into two
+    * locally-trained sub-cells, and the gate requires: every OTHER
+    * cell directory byte-identical (relative file listing + sizes
+    * compared, the k30 discipline), no row lost or duplicated across
+    * the swap, the hot cell's replacement strictly smaller on both
+    * sides, the retired centroid id gone from the returned table (one
+    * net extra entry), recall ≥ 0.5 searching with the NEW table, and
+    * the worst query's probed-row mass no worse than the flooded
+    * layout's and ≤ 3n/4 absolute. */
+  private val e3IvfRebalance: Q = (s, dir) => {
+    import java.nio.file.{Files, Paths}
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val cents = ivfTrain(emb, c = 16, iters = 2)
+    val path = graft.lake.Lake.scratchDir("ivfreb") + "/index"
+    ivfWriteIndex(emb, cents, path)
+    val hotRow = s.read.parquet(path).groupBy(col("cell"))
+      .agg(count(lit(1)).as("sz"))
+      .orderBy(col("sz").desc, col("cell")).head()
+    val (hot, hotSz) = (hotRow.getInt(0), hotRow.getLong(1))
+    val batch = s.read.parquet(path).filter(col("cell") === hot)
+      .select((col("vec_id") + lit(1000000000L)).as("vec_id"),
+        col("uv").as("embedding"))
+    ivfAssign(batch, cents)
+      .write.mode("append").partitionBy("cell").parquet(path)
+    val nTotal = s.read.parquet(path).count()
+    // the flooded layout's probe cost (one small row to the driver —
+    // the "before" side of the improvement claim; the layout at `path`
+    // is rewritten in place, so it can't be re-derived afterwards)
+    val maxScanBefore = {
+      val sizes1 = s.read.parquet(path).groupBy(col("cell"))
+        .agg(count(lit(1)).as("sz"))
+      ivfProbes(queries, cents, nprobe = 8)
+        .select(col("q_id"), col("cell")).join(sizes1, Seq("cell"))
+        .groupBy(col("q_id")).agg(sum(col("sz")).as("scanned"))
+        .agg(max(col("scanned"))).head().getLong(0)
+    }
+    def listingExcept(exclude: Set[Int]): Map[String, Long] = {
+      val root = Paths.get(path)
+      val st = Files.walk(root)
+      try st.iterator().asScala
+        .filter(Files.isRegularFile(_))
+        .map(p => (root.relativize(p).toString, Files.size(p)))
+        .filterNot { case (rel, _) =>
+          exclude.exists(e => rel.startsWith(s"cell=$e/")) }
+        .toMap
+      finally st.close()
+    }
+    val before = listingExcept(Set(hot))
+    val cents2 = ivfRebalance(s, path, cents, maxCellRows = hotSz)
+    val newIds = cents2.map(_._1).toSet -- cents.map(_._1).toSet
+    val after = listingExcept(Set(hot) ++ newIds)
+    val untouchedIntact = before == after
+    val tableOk = newIds.size == 2 && cents2.size == cents.size + 1 &&
+      !cents2.exists(_._1 == hot)
+    val idx = s.read.parquet(path)
+    val sizes2 = idx.groupBy(col("cell")).agg(count(lit(1)).as("sz"))
+    val subSizes = sizes2.filter(col("cell")
+      .isin(newIds.toSeq.map(Integer.valueOf): _*))
+    val splitAgg = subSizes.agg(
+      count(lit(1)).as("n_subs"), max(col("sz")).as("sub_max"),
+      min(col("sz")).as("sub_min"), sum(col("sz")).as("sub_rows"))
+    val lossAgg = idx.agg(count(lit(1)).as("n_rows"),
+      countDistinct(col("vec_id")).as("n_ids"))
+    val viaIndex = ivfSearchIndex(s, path, queries, cents2,
+      k = 5, nprobe = 8)
+    val exact = bruteForceTopK(queries,
+      idx.select(col("vec_id"), col("uv").as("embedding")), k = 5)
+      .select(col("q_id"), col("c_id"))
+    val hitsAgg = exact.join(viaIndex.select(col("q_id"), col("c_id")),
+      Seq("q_id", "c_id"), "left_semi").agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val scanAgg = ivfProbes(queries, cents2, nprobe = 8)
+      .select(col("q_id"), col("cell")).join(sizes2, Seq("cell"))
+      .groupBy(col("q_id")).agg(sum(col("sz")).as("scanned"))
+      .agg(max(col("scanned")).as("max_scanned"))
+    splitAgg.crossJoin(lossAgg).crossJoin(hitsAgg).crossJoin(totalAgg)
+      .crossJoin(scanAgg).select(
+        lit(untouchedIntact).as("untouched_intact"),
+        lit(tableOk).as("table_ok"),
+        (col("n_rows") === lit(nTotal) &&
+          col("n_ids") === lit(nTotal)).as("no_loss_no_dup"),
+        (col("n_subs") === 2 && col("sub_min") >= 1 &&
+          col("sub_max") < lit(2L * hotSz) &&
+          col("sub_rows") === lit(2L * hotSz)).as("split_shrunk"),
+        (col("hits").cast("double") / col("total") >= 0.5)
+          .as("recall_ok"),
+        // splitting the hot cell must not worsen — and should shrink —
+        // the worst query's probed-row mass, and the post-maintenance
+        // cost stays bounded away from a full scan even though the
+        // flood doubled the hot cell
+        (col("max_scanned") <= lit(maxScanBefore) &&
+          lit(4L) * col("max_scanned") <= lit(3L) * lit(nTotal))
+          .as("scan_budget_ok"))
   }
 
   /** E3n ✱: IVF-PQ INDEX INGEST — the append-without-retrain gate for
@@ -1939,6 +2125,7 @@ object Similarity {
     "e3_ivf_recall" -> e3IvfRecall,
     "e3_ivf_indexed" -> e3IvfIndexed,
     "e3_ivf_incremental" -> e3IvfIncremental,
+    "e3_ivf_rebalance" -> e3IvfRebalance,
     "e3_ivf_delete" -> e3IvfDelete,
     "e3_ivfpq_delete" -> e3IvfPqDelete,
     "e3_ivfpq_incremental" -> e3IvfPqIncremental,
@@ -2230,6 +2417,10 @@ object Similarity {
     "e3_ivf_incremental" ->
       """SELECT true AS ingest_equals_memory, true AS recall_ok,
         |  true AS scan_budget_ok""".stripMargin,
+    "e3_ivf_rebalance" ->
+      """SELECT true AS untouched_intact, true AS table_ok,
+        |  true AS no_loss_no_dup, true AS split_shrunk,
+        |  true AS recall_ok, true AS scan_budget_ok""".stripMargin,
     "e3_ivf_delete" ->
       """SELECT true AS mor_equals_fresh, true AS deleted_never_surface,
         |  true AS compact_preserves_search, true AS compact_rows_ok,

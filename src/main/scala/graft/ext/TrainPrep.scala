@@ -300,6 +300,67 @@ object TrainPrep {
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
       .orderBy(col("lang"))
 
+  // ------------------------------------------------- priority sample
+
+  /** Weight-proportional sample WITHOUT replacement + unbiased
+    * subset-sum estimator — PRIORITY SAMPLING (Duffield, Lund, Thorup,
+    * "Priority sampling for estimation of arbitrary subset sums",
+    * JACM'07): each row gets priority q = w/u with u uniform in (0,1];
+    * the k highest-priority rows per group are the sample, the
+    * (k+1)-th priority is the threshold τ, and ŵ = max(w, τ) per
+    * sampled row is unbiased for any subset sum — the scheme training
+    * pipelines use to downsample a corpus stratum by token mass while
+    * keeping sums estimable. Near-optimal variance among all k-sample
+    * schemes (Szegedy'06 proved within a factor of the optimum).
+    *
+    * Determinism and engine parity, the hard part: u derives from the
+    * [[splitBucket]] Knuth hash (+1 so u > 0 — pure integers, no RNG),
+    * and the sort key w·2³²/u is ONE correctly-rounded IEEE division
+    * of two exactly-representable integers (w capped at 2²⁰ keeps
+    * w·2³² ≤ 2⁵² < 2⁵³), so Spark and DuckDB compute bit-identical
+    * doubles — unlike pow/ln keys, which are not correctly rounded and
+    * flip near-ties across engines. Ties break on id. τ and the
+    * estimator are emitted in integer MICRO-UNITS via exact
+    * DECIMAL(38,0)/HUGEINT arithmetic ((w·2³²·10⁶) div u) — integers
+    * never round (the w8/e9 half-boundary rule).
+    *
+    * Scale shape: one map to key, one per-group top-(k+1) — the
+    * row_number ≤ const filter plans as WindowGroupLimit (partial
+    * per-partition limit before the shuffle, like l3_topk), then a
+    * 1-row-per-group broadcast τ join. No global sort, no all-pairs. */
+  private def prioritySampleRows(docs: DataFrame, k: Int): DataFrame = {
+    val keyed = docs.select(col("lang"), col("doc_id"),
+      least(col("n_chars").cast("long"), lit(1048576L)).as("w"),
+      (pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
+        lit(4294967296L)) + lit(1L)).as("u"))
+    val key = (col("w") * lit(4294967296L)).cast("double") /
+      col("u").cast("double")
+    val ranked = keyed
+      .withColumn("rn", row_number().over(
+        Window.partitionBy(col("lang")).orderBy(key.desc, col("doc_id"))))
+      .filter(col("rn") <= k + 1)
+    // τ rides a second lang-partitioned window over the ≤ k+1 survivors
+    // (re-using the first window's partitioning — no new shuffle, no
+    // lineage break that would hide the WindowGroupLimit from the plan
+    // pin, no second pass over the corpus).
+    ranked
+      .withColumn("tau_micro", max(when(col("rn") === k + 1,
+          expr("(CAST(w AS DECIMAL(38,0)) * 4294967296 * 1000000) DIV u")))
+        .over(Window.partitionBy(col("lang"))))
+      .filter(col("rn") <= k)
+      .select(col("lang"), col("rn"), col("doc_id"),
+        (col("w") * lit(1000000L)).as("w_micro"),
+        greatest(col("w") * lit(1000000L),
+          coalesce(col("tau_micro"), lit(0L))).as("est_micro"))
+  }
+
+  /** E8n: per-lang 32-row priority sample — membership, rank order,
+    * and the max(w, τ) estimator all value-checked (the oracle
+    * re-derives the identical integer/double arithmetic). */
+  private val e8PrioritySample: Q = (s, dir) =>
+    prioritySampleRows(t(s, dir, "documents"), k = 32)
+      .orderBy(col("lang"), col("rn"))
+
   /** E8e: rebalance the uniform 20-source corpus to a 2:1 target
     * (sources 0-4 weighted double) — rates, kept counts, and an id
     * checksum all value-checked. */
@@ -762,6 +823,7 @@ object TrainPrep {
     "e8_pack" -> e8Pack,
     "e8_contamination" -> e8Contamination,
     "e8_stratified" -> e8Stratified,
+    "e8_priority_sample" -> e8PrioritySample,
     "e8_mixture" -> e8Mixture,
     "e8_chunk" -> e8Chunk,
   )
@@ -1095,6 +1157,27 @@ object TrainPrep {
         |SELECT lang, ((cum - toks) // 2048)::BIGINT AS bin,
         |  count(*)::BIGINT AS n_docs, sum(toks)::BIGINT AS bin_tokens
         |FROM c GROUP BY lang, bin ORDER BY lang, bin""".stripMargin,
+    "e8_priority_sample" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id,
+        |    least(n_chars, 1048576)::BIGINT AS w,
+        |    ((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1)::BIGINT AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, w, u,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (w * 4294967296)::DOUBLE / u::DOUBLE DESC, doc_id) AS rn
+        |  FROM w),
+        |tau AS (
+        |  SELECT lang,
+        |    ((w::HUGEINT * 4294967296 * 1000000) // u::HUGEINT)::BIGINT AS tau_micro
+        |  FROM r WHERE rn = 33)
+        |SELECT r.lang, r.rn, r.doc_id,
+        |  (r.w * 1000000)::BIGINT AS w_micro,
+        |  greatest(r.w * 1000000, coalesce(t.tau_micro, 0))::BIGINT AS est_micro
+        |FROM r LEFT JOIN tau t ON r.lang = t.lang
+        |WHERE r.rn <= 32
+        |ORDER BY r.lang, r.rn""".stripMargin,
     "e8_stratified" ->
       """WITH b AS (
         |  SELECT lang, doc_id,

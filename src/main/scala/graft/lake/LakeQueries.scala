@@ -857,6 +857,192 @@ object LakeQueries {
       .orderBy(col("doc_id"))
   }
 
+  /** S28: WARC ingest — Common Crawl's container, i.e. the raw-zone
+    * format of LLM pretraining corpora, parsed WITHOUT any external
+    * WARC library (absent from /opt/spark/jars): documents render as
+    * real ISO-28500 response records (WARC headers + declared
+    * Content-Length + an HTTP response payload), land as eight files —
+    * four plain, four whole-file gzip (the parser inflates by magic,
+    * and multi-member per-record gzip inflates identically through
+    * `GZIPInputStream`) — then [[graft.sources.Warc.parseRecords]]
+    * walks records by DECLARED length (a body containing the literal
+    * "WARC/1.0" cannot desynchronize it) as per-file map work over a
+    * `binaryFile` scan. The oracle re-derives every parsed field from
+    * the source table, Content-Length in UTF-8 BYTES (octet_length ↔
+    * DuckDB strlen) — a one-byte drift anywhere in the header
+    * arithmetic or payload slicing hash-fails. */
+  private val s28WarcScan: Q = (s, dir) => {
+    val root = Lake.scratchDir("s28")
+    import s.implicits._
+    val http = concat(
+      lit("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n<html><body>"),
+      col("text"), lit("</body></html>"))
+    val rec = concat(
+      lit("WARC/1.0\r\nWARC-Type: response\r\nWARC-Record-ID: <urn:uuid:doc-"),
+      col("doc_id"),
+      lit(">\r\nWARC-Target-URI: https://example.org/doc/"), col("doc_id"),
+      lit("\r\nContent-Length: "), octet_length(http),
+      lit("\r\n\r\n"), http, lit("\r\n\r\n"))
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    docs.filter(col("doc_id") % 8 < 4).select(rec.as("value"))
+      .repartition(4).write.text(s"$root/plain")
+    docs.filter(col("doc_id") % 8 >= 4).select(rec.as("value"))
+      .repartition(4).write.option("compression", "gzip")
+      .text(s"$root/gz")
+    s.read.format("binaryFile").option("pathGlobFilter", "*.txt*")
+      .option("recursiveFileLookup", "true").load(root)
+      .select(col("path"), col("content"))
+      .as[(String, Array[Byte])]
+      .flatMap { case (path, bytes) =>
+        graft.sources.Warc.parseRecords(bytes).map(r =>
+          (r.targetUri, path.endsWith(".gz"), r.contentLength,
+            r.httpStatus, r.body))
+      }
+      .toDF("uri", "compressed", "content_length", "http_status", "body")
+      .select(
+        regexp_extract(col("uri"), "doc/(\\d+)$", 1).cast("long")
+          .as("doc_id"),
+        col("uri"), col("compressed"), col("content_length"),
+        col("http_status"),
+        // strip the fixture's <html><body> wrapper back off (12- and
+        // 14-CHAR ASCII affixes — substr counts chars, not bytes)
+        col("body").substr(lit(13),
+          length(col("body")) - 26).as("text"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Avro record schema shared by the s26/s27 gates (and, verbatim
+    * modulo the reader-side extras, their oracle comments). */
+  private val AvroDocSchema: String =
+    """{"type":"record","name":"Doc","fields":[
+      |{"name":"doc_id","type":"long"},
+      |{"name":"lang","type":"string"},
+      |{"name":"text","type":"string"}]}""".stripMargin
+
+  /** Write `documents` as REAL Avro object-container files, one per
+    * partition, from the EXECUTORS (deflate codec, explicit schema,
+    * GenericRecord) — no driver collect; returns the container dir. */
+  private def writeAvroContainers(s: SparkSession, dir: String,
+      tag: String): String = {
+    import s.implicits._
+    val root = Lake.scratchDir(tag)
+    val schemaJson = AvroDocSchema
+    t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("text"))
+      .repartition(4).as[(Long, String, String)]
+      .foreachPartition { it: Iterator[(Long, String, String)] =>
+        if (it.hasNext) {
+          val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+          val w = new org.apache.avro.file.DataFileWriter(
+            new org.apache.avro.generic.GenericDatumWriter[
+              org.apache.avro.generic.GenericRecord](schema))
+          w.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+          val pid = org.apache.spark.TaskContext.getPartitionId()
+          w.create(schema, new java.io.File(root, s"part-$pid.avro"))
+          try it.foreach { case (id, lang, txt) =>
+            val r = new org.apache.avro.generic.GenericData.Record(schema)
+            r.put("doc_id", id); r.put("lang", lang); r.put("text", txt)
+            w.append(r)
+          } finally w.close()
+        }
+      }
+    root
+  }
+
+  /** The file-count-sized path manifest, parallelized one container
+    * per task for the read side (the driver only ever holds paths). */
+  private def avroPaths(root: String): Seq[String] = {
+    val paths = new java.io.File(root).listFiles()
+      .filter(_.getName.endsWith(".avro"))
+      .map(_.getAbsolutePath).toSeq.sorted
+    require(paths.lengthCompare(2) >= 0,
+      s"expected multiple avro containers under $root, got $paths")
+    paths
+  }
+
+  /** S26: Avro object-container ROUND-TRIP without the spark-avro
+    * datasource module (absent from the Spark 4 jar dir, and coursier
+    * is offline — the r13 adjudication). The Avro CORE library DOES
+    * ship with Spark, and the container format is self-describing
+    * (header schema + deflate blocks), so the lake can still land and
+    * read `.avro` files: executors serialize their partitions through
+    * `DataFileWriter` (one container per partition, no driver
+    * collect), and the read side parallelizes the path manifest and
+    * streams every container back through `DataFileStream` —
+    * schema-checked, codec-decompressed, value-exact. The oracle
+    * restates the FULL rows from the source table, so a lost block, a
+    * codec bug, or a string-encoding mismatch hash-fails. Mirrors the
+    * reference's Glue raw-zone jobs, which land exactly this container
+    * format (`format = "avro"`, `glue_scripts/scripts/csv_to_parquet
+    * .py`'s sibling surface). */
+  private val s26AvroRt: Q = (s, dir) => {
+    import s.implicits._
+    val root = writeAvroContainers(s, dir, "s26")
+    val paths = avroPaths(root)
+    s.createDataset(paths).repartition(paths.size)
+      .mapPartitions { ps =>
+        ps.flatMap { p =>
+          val rd = new org.apache.avro.file.DataFileStream(
+            new java.io.BufferedInputStream(
+              new java.io.FileInputStream(p)),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord]())
+          // container-sized buffer (one write partition's rows) — the
+          // stream must be closed after exhaustion, so drain eagerly
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, String)]
+          try while (rd.hasNext) {
+            val r = rd.next()
+            out += ((r.get("doc_id").asInstanceOf[Long],
+              r.get("lang").toString, r.get("text").toString))
+          } finally rd.close()
+          out.iterator
+        }
+      }.toDF("doc_id", "lang", "text")
+      .orderBy(col("doc_id"))
+  }
+
+  /** S27: Avro READER-SCHEMA evolution over the same containers — the
+    * consumer upgrades its schema without rewriting a byte: the reader
+    * schema DROPS `text` (projection: the codec still skips through
+    * the blocks, but no string materializes) and ADDS a defaulted
+    * `src` field the writers never knew (`"default":"avro"`), and
+    * every record resolves through Avro's schema-resolution rules.
+    * Per-lang rollup with id checksum; the oracle restates counts and
+    * the default from the source table. */
+  private val s27AvroEvolution: Q = (s, dir) => {
+    import s.implicits._
+    val root = writeAvroContainers(s, dir, "s27")
+    val paths = avroPaths(root)
+    val readerJson =
+      """{"type":"record","name":"Doc","fields":[
+        |{"name":"doc_id","type":"long"},
+        |{"name":"lang","type":"string"},
+        |{"name":"src","type":"string","default":"avro"}]}""".stripMargin
+    s.createDataset(paths).repartition(paths.size)
+      .mapPartitions { ps =>
+        ps.flatMap { p =>
+          val reader = new org.apache.avro.Schema.Parser().parse(readerJson)
+          val rd = new org.apache.avro.file.DataFileStream(
+            new java.io.BufferedInputStream(
+              new java.io.FileInputStream(p)),
+            new org.apache.avro.generic.GenericDatumReader[
+              org.apache.avro.generic.GenericRecord](reader))
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, String)]
+          try while (rd.hasNext) {
+            val r = rd.next()
+            out += ((r.get("doc_id").asInstanceOf[Long],
+              r.get("lang").toString, r.get("src").toString))
+          } finally rd.close()
+          out.iterator
+        }
+      }.toDF("doc_id", "lang", "src")
+      .groupBy(col("lang"), col("src"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
+      .orderBy(col("lang"))
+  }
+
   /** Manifest-consult guard shared by the k19/k22 skipping gates: the
     * gate demands REAL pruning, and each degenerate branch must fail
     * INFORMATIVELY rather than crash a downstream read or silently
@@ -1087,6 +1273,9 @@ object LakeQueries {
     "k19_minmax_skip" -> k19MinmaxSkip,
     "k22_bloom_skip" -> k22BloomSkip,
     "s20_binaryfile" -> s20BinaryFile,
+    "s26_avro_rt" -> s26AvroRt,
+    "s27_avro_evolution" -> s27AvroEvolution,
+    "s28_warc_scan" -> s28WarcScan,
     "s17_corrupt_records" -> s17CorruptRecords,
     "k12_bookmark" -> k12Bookmark,
     "s1_tsv_scan" -> s1TsvScan,
@@ -1163,6 +1352,24 @@ object LakeQueries {
         |  sha256(text) AS digest
         |FROM documents WHERE doc_id < 64
         |ORDER BY doc_id""".stripMargin,
+    // Full-row restatement: the avro containers must reproduce the
+    // source table exactly after the deflate round-trip.
+    "s26_avro_rt" ->
+      "SELECT doc_id, lang, text FROM documents ORDER BY doc_id",
+    "s27_avro_evolution" ->
+      """SELECT lang, 'avro' AS src, count(*)::BIGINT AS n_docs,
+        |  sum(doc_id)::BIGINT AS sum_ids
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    // Every parsed WARC field re-derived from the source table;
+    // Content-Length = 44 (HTTP status line + header + separator)
+    // + 12 + 14 (html wrapper) + strlen(text) UTF-8 bytes.
+    "s28_warc_scan" ->
+      """SELECT doc_id,
+        |  'https://example.org/doc/' || doc_id AS uri,
+        |  (doc_id % 8) >= 4 AS compressed,
+        |  (70 + strlen(text))::BIGINT AS content_length,
+        |  200::INT AS http_status, text
+        |FROM documents ORDER BY doc_id""".stripMargin,
     "k19_minmax_skip" ->
       """SELECT o_orderpriority, count(*)::BIGINT AS n_orders,
         |  round(sum(o_totalprice), 2) AS sum_price

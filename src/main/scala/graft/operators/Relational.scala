@@ -597,9 +597,124 @@ object Relational {
         (count(lit(1)) >= 28).as("month_covered"))
   }
 
+  /** A23 ✱: distinct-set ALGEBRA from mergeable bottom-k (KMV/theta)
+    * sketches — the capability HLL lacks: |A∩B| and |A∖B| of distinct
+    * key sets estimated from two tiny sketches with NO fact rescan and
+    * NO key join (Beyer et al. SIGMOD'07; the DataSketches theta
+    * family). A = distinct 1995 buyers, B = 1996 buyers. The EXACT
+    * set-algebra values ride the result and are restated by the oracle
+    * from `orders`; the sketch estimates are asserted in-plan within
+    * 6% of |A∪B| (k=1024 ⇒ σ ≈ 3.1% of the union for the
+    * intersection estimator; the deterministic splitmix hashes measure
+    * ≤ 1.5% on this corpus at every gate SF — see KmvSpec). At 100 TB
+    * the two sides aggregate to ≤ k longs each (partial buffers merge
+    * losslessly map-side), and every later set question is sketch-
+    * local — the same reason a11 persists HLL sketches, with
+    * intersection unlocked. */
+  private val a23SketchSetops: Q = (s, dir) => {
+    import s.implicits._
+    val k = 1024
+    val sketchOf = udaf(graft.functions.KmvAgg(k))
+    val flags = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .select(col("o_custkey"),
+        (year(col("o_orderdate")) === 1995).as("in_a"))
+      .groupBy(col("o_custkey"))
+      .agg(max(when(col("in_a"), 1).otherwise(0)).as("a"),
+        max(when(!col("in_a"), 1).otherwise(0)).as("b"))
+    val exact = flags.agg(
+      sum(col("a")).as("exact_a"), sum(col("b")).as("exact_b"),
+      count(lit(1)).as("exact_union"),
+      sum(col("a") * col("b")).as("exact_inter"),
+      sum(col("a") * (lit(1) - col("b"))).as("exact_diff"))
+    val sketches = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .groupBy(year(col("o_orderdate")).as("y"))
+      .agg(sketchOf(col("o_custkey")).as("sk"))
+    val paired = sketches.agg(
+      max(when(col("y") === 1995, col("sk"))).as("ska"),
+      max(when(col("y") === 1996, col("sk"))).as("skb"))
+    val ests = paired.as[(Array[Long], Array[Long])].map { case (a, b) =>
+      val (eu, ei, ed) = graft.functions.Kmv.setOps(a, b, k)
+      (graft.functions.Kmv.estimate(a, k),
+        graft.functions.Kmv.estimate(b, k), eu, ei, ed)
+    }.toDF("est_a", "est_b", "est_union", "est_inter", "est_diff")
+    exact.crossJoin(ests).select(
+      col("exact_a"), col("exact_b"), col("exact_union"),
+      col("exact_inter"), col("exact_diff"),
+      (abs(col("est_a") - col("exact_a")) <=
+        lit(0.06) * col("exact_union")).as("a_within"),
+      (abs(col("est_b") - col("exact_b")) <=
+        lit(0.06) * col("exact_union")).as("b_within"),
+      (abs(col("est_union") - col("exact_union")) <=
+        lit(0.06) * col("exact_union")).as("union_within"),
+      (abs(col("est_inter") - col("exact_inter")) <=
+        lit(0.06) * col("exact_union")).as("inter_within"),
+      (abs(col("est_diff") - col("exact_diff")) <=
+        lit(0.06) * col("exact_union")).as("diff_within"))
+  }
+
+  /** A24 ✱: the PERSISTED, GROUPED form of a23 — a KMV sketch TABLE
+    * (one row per (region, year), ≤ k longs each, the a11 lifecycle)
+    * written to parquet and read back; per-region buyer-set
+    * intersection/difference between 1995 and 1996 then computes from
+    * the tiny table alone, no fact rescan and no custkey join. Exact
+    * per-region values ride the result (oracle restates them from the
+    * facts); estimates asserted in-plan within 15% of each region's
+    * union (k=512 ⇒ σ ≈ 4.4%; deterministic hashes measure ≤ 8.3%
+    * at sf0.1, exact below k at smaller SFs — the exactness floor).
+    * Dims broadcast onto the fact scan; the sketch agg is the only
+    * fact-sized shuffle, partials ≤ k longs per group. */
+  private val a24SketchGroups: Q = (s, dir) => {
+    import s.implicits._
+    val k = 512
+    val sketchOf = udaf(graft.functions.KmvAgg(k))
+    val facts = t(s, dir, "orders")
+      .filter(year(col("o_orderdate")).isin(1995, 1996))
+      .join(broadcast(t(s, dir, "customer")),
+        col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")),
+        col("c_nationkey") === col("n_nationkey"))
+      .select(col("n_regionkey").as("region"),
+        year(col("o_orderdate")).as("y"), col("o_custkey"))
+    val out = graft.lake.Lake.scratchDir("a24")
+    facts.groupBy(col("region"), col("y"))
+      .agg(sketchOf(col("o_custkey")).as("sk"))
+      .write.mode("overwrite").parquet(out)
+    val ests = s.read.parquet(out)
+      .groupBy(col("region"))
+      .agg(max(when(col("y") === 1995, col("sk"))).as("ska"),
+        max(when(col("y") === 1996, col("sk"))).as("skb"))
+      .as[(Int, Array[Long], Array[Long])]
+      .map { case (r, a, b) =>
+        val (eu, ei, ed) = graft.functions.Kmv.setOps(a, b, k)
+        (r, eu, ei, ed)
+      }.toDF("region", "est_union", "est_inter", "est_diff")
+    val exact = facts.distinct()
+      .groupBy(col("region"), col("o_custkey"))
+      .agg(max(when(col("y") === 1995, 1).otherwise(0)).as("a"),
+        max(when(col("y") === 1996, 1).otherwise(0)).as("b"))
+      .groupBy(col("region"))
+      .agg(count(lit(1)).as("exact_union"),
+        sum(col("a") * col("b")).as("exact_inter"),
+        sum(col("a") * (lit(1) - col("b"))).as("exact_diff"))
+    exact.join(ests, Seq("region"))
+      .select(col("region"), col("exact_union"), col("exact_inter"),
+        col("exact_diff"),
+        (abs(col("est_union") - col("exact_union")) <=
+          lit(0.15) * col("exact_union")).as("union_within"),
+        (abs(col("est_inter") - col("exact_inter")) <=
+          lit(0.15) * col("exact_union")).as("inter_within"),
+        (abs(col("est_diff") - col("exact_diff")) <=
+          lit(0.15) * col("exact_union")).as("diff_within"))
+      .orderBy(col("region"))
+  }
+
   val queries: Map[String, Q] = Map(
     "a11_sketch_table" -> a11SketchTable,
     "a12_rolling_uniques" -> a12RollingUniques,
+    "a23_sketch_setops" -> a23SketchSetops,
+    "a24_sketch_groups" -> a24SketchGroups,
     "a13_argmax" -> a13ArgMax,
     "a14_regr" -> a14Regr,
     "x6_approx_rewrite" -> x6ApproxRewrite,
@@ -643,6 +758,43 @@ object Relational {
         |  true AS global_within_bound""".stripMargin,
     "a12_rolling_uniques" ->
       "SELECT true AS rolling_within_bound, true AS month_covered",
+    // Exact set algebra restated from orders; the sketch estimates are
+    // engine-specific and self-check in-plan (the ✱ convention).
+    "a23_sketch_setops" ->
+      """WITH m AS (
+        |  SELECT o_custkey,
+        |    max(CASE WHEN year(o_orderdate) = 1995 THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN year(o_orderdate) = 1996 THEN 1 ELSE 0 END) AS b
+        |  FROM orders
+        |  WHERE year(o_orderdate) IN (1995, 1996)
+        |  GROUP BY o_custkey)
+        |SELECT sum(a)::BIGINT AS exact_a, sum(b)::BIGINT AS exact_b,
+        |  count(*)::BIGINT AS exact_union,
+        |  sum(a * b)::BIGINT AS exact_inter,
+        |  sum(a * (1 - b))::BIGINT AS exact_diff,
+        |  true AS a_within, true AS b_within, true AS union_within,
+        |  true AS inter_within, true AS diff_within
+        |FROM m""".stripMargin,
+    // Per-region exact set algebra restated from the facts; estimates
+    // self-check in-plan against the persisted sketch table (✱).
+    "a24_sketch_groups" ->
+      """WITH f AS (
+        |  SELECT DISTINCT n.n_regionkey AS region,
+        |    year(o.o_orderdate) AS y, o.o_custkey
+        |  FROM orders o
+        |  JOIN customer c ON o.o_custkey = c.c_custkey
+        |  JOIN nation n ON c.c_nationkey = n.n_nationkey
+        |  WHERE year(o.o_orderdate) IN (1995, 1996)),
+        |m AS (
+        |  SELECT region, o_custkey,
+        |    max(CASE WHEN y = 1995 THEN 1 ELSE 0 END) AS a,
+        |    max(CASE WHEN y = 1996 THEN 1 ELSE 0 END) AS b
+        |  FROM f GROUP BY region, o_custkey)
+        |SELECT region, count(*)::BIGINT AS exact_union,
+        |  sum(a * b)::BIGINT AS exact_inter,
+        |  sum(a * (1 - b))::BIGINT AS exact_diff,
+        |  true AS union_within, true AS inter_within, true AS diff_within
+        |FROM m GROUP BY region ORDER BY region""".stripMargin,
     "x6_approx_rewrite" ->
       "SELECT true AS approx_within_bound, true AS all_groups",
     "a13_argmax" ->

@@ -945,6 +945,126 @@ object EventWindows {
         .as("mix_exercised"))
   }
 
+  /** EV33 ✱: STREAMING CLUSTER-LABEL MAINTENANCE — the last e2
+    * lifecycle edge: near-dup CLUSTER labels (not just the signature
+    * table) stay current while documents arrive as a stream. Resident
+    * corpus labels are computed once ([[graft.ext.Dedup
+    * .connectedComponents]] over the exact trigram-Jaccard pairs);
+    * each foreachBatch then (1) computes only the DELTA pairs — batch
+    * docs vs the current persisted corpus plus batch-internal pairs,
+    * via the asymmetric prefix-filter join — and (2) re-roots only the
+    * touched components with [[graft.ext.Dedup
+    * .connectedComponentsIncremental]], writing a new labels version
+    * and appending the batch to the persisted corpus. No batch ever
+    * re-pairs corpus×corpus — per-batch work scales with the batch's
+    * true-duplicate mass, which is the 100 TB shape (a full CC rerun
+    * per micro-batch is the non-starter).
+    *
+    * The arriving mix is engineered to exercise every maintenance
+    * path, including the one e2_cluster_incremental cannot see in a
+    * single batch: a planted BRIDGE doc merges two clusters that were
+    * DISTINCT in the resident labels. For each planted source doc d
+    * (≥16 words): resident gains {d+1 token} (cluster A with d) and
+    * {d+half-junk, d+half-junk+1 token} (cluster B — J(d, d+n/2 junk)
+    * = (n−2)/(1.5n) < 0.7 keeps A and B apart; the junk tokens embed
+    * the doc id, so B joins nothing else). The streamed bridge
+    * d+n/8-junk sits at J ≥ 0.72 to BOTH (its shingles are a prefix
+    * subset of B-core's), so its batch must merge A∪B. Other batches
+    * carry novel texts and exact copies (join-existing / first-pair
+    * paths).
+    *
+    * Gates (✱, constant-true oracle): the final streamed labels EQUAL
+    * a full [[graft.ext.Dedup.connectedComponents]] recompute over
+    * corpus+all-batches BIT-FOR-BIT (any label the contraction gets
+    * wrong, any delta pair a batch drops, any stale labels version
+    * breaks equality); ≥ 3 micro-batches; and ≥ 1 final component
+    * contains ≥ 2 distinct RESIDENT components (the merge really
+    * happened through the stream). */
+  private val ev33StreamClusterMaintain: Q = (s, dir) => {
+    import graft.ext.Dedup
+    val theta = 0.7
+    val docs = t(s, dir, "documents").select(col("doc_id"), col("text"))
+    val nw = size(split(col("text"), " "))
+    // Planted slice: sources for the A/B/bridge construction.
+    val planted = docs.filter(col("doc_id") % 16 === 3 && nw >= 16)
+    // NB: junk text FIRST, id offset in a second select — aliasing
+    // doc_id and referencing it in the same projection would resolve
+    // the lambda's col("doc_id") to the lateral alias (the OFFSET id,
+    // Spark 4 implicit lateral-column-alias resolution), silently
+    // breaking the bCore/bridge junk-prefix identity.
+    def junked(idOff: Long, m: org.apache.spark.sql.Column) =
+      planted.select(col("doc_id"),
+        concat(col("text"), lit(" "), array_join(
+          transform(sequence(lit(1), m),
+            i => concat(lit("qj"), col("doc_id"), lit("x"), i)),
+          " ")).as("text"))
+        .select((col("doc_id") + idOff).as("doc_id"), col("text"))
+    val aTwin = planted.select((col("doc_id") + 400000L).as("doc_id"),
+      concat(col("text"), lit(" zzqa")).as("text"))
+    val bCore = junked(500000L, (nw / 2).cast("int"))
+    val bTwin = bCore.select((col("doc_id") + 100000L).as("doc_id"),
+      concat(col("text"), lit(" zzqb")).as("text"))
+    val resident = docs.filter(col("doc_id") % 4 =!= 0)
+      .unionByName(aTwin).unionByName(bCore).unionByName(bTwin)
+      .localCheckpoint(eager = false)
+    // Arriving stream: bridges, novel texts, exact copies — monotone
+    // id groups, each split in two (≥ 6 micro-batches at every SF).
+    val bridge = junked(700000L, greatest(lit(1), (nw / 8).cast("int")))
+    val arriving = bridge
+      .unionByName(docs.filter(col("doc_id") % 4 === 0)
+        .select((col("doc_id") + 800000L).as("doc_id"), col("text")))
+      .unionByName(docs.filter(col("doc_id") % 8 === 1)
+        .select((col("doc_id") + 900000L).as("doc_id"), col("text")))
+    val bExpr = (expr("doc_id div 100000") * 2 +
+      when(pmod(col("doc_id"), lit(100000)) >= 250, 1).otherwise(0))
+      .cast("long")
+    val root = graft.lake.Lake.scratchDir("ev33_cc")
+    val docsPath = s"$root/docs"
+    resident.write.parquet(docsPath)
+    val oldLabels = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(resident, "doc_id", "text",
+        shingleN = 3, threshold = theta))
+      .localCheckpoint(eager = true) // read per batch + by the gate
+    oldLabels.write.parquet(s"$root/labels_0")
+    val (files, landing) = stageReplay(s, arriving.withColumn("b", bExpr))
+    val schema = s.read.parquet(files.head.toString).schema
+    var batches = 0
+    val q = s.readStream.schema(schema).parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val base = s.read.parquet(docsPath)
+        val delta = Dedup.ngramJaccardPairsAgainst(base,
+          batch.select(col("doc_id"), col("text")), "doc_id", "text",
+          shingleN = 3, threshold = theta)
+        val labels = Dedup.connectedComponentsIncremental(
+          s.read.parquet(s"$root/labels_$batches"), delta)
+        batches += 1
+        labels.write.parquet(s"$root/labels_$batches")
+        batch.select(col("doc_id"), col("text"))
+          .write.mode("append").parquet(docsPath)
+      }
+      .start()
+    try replay(files, landing, q) finally q.stop()
+    require(batches >= 3,
+      s"ingest drained in $batches micro-batches — replay not exercised")
+    val streamed = s.read.parquet(s"$root/labels_$batches")
+    val full = Dedup.connectedComponents(
+      Dedup.ngramJaccardPairs(resident.unionByName(arriving),
+        "doc_id", "text", shingleN = 3, threshold = theta))
+    val extra = streamed.exceptAll(full).agg(count(lit(1)).as("x"))
+    val miss = full.exceptAll(streamed).agg(count(lit(1)).as("y"))
+    val mergedAgg = streamed
+      .join(oldLabels.select(col("id"), col("comp").as("old_comp")),
+        Seq("id"))
+      .groupBy(col("comp"))
+      .agg(countDistinct(col("old_comp")).as("n_old"))
+      .agg(max(col("n_old")).as("max_old"))
+    extra.crossJoin(miss).crossJoin(mergedAgg).select(
+      (col("x") === 0 && col("y") === 0).as("stream_equals_full"),
+      lit(batches >= 3).as("multi_batch"),
+      (col("max_old") >= 2).as("merged_across_clusters"))
+  }
+
   /** EV19: bounded-batch BACKFILL with Trigger.AvailableNow — the
     * catch-up surface: a backlog of landed files is drained in
     * rate-limited micro-batches (`maxFilesPerTrigger`) and the query
@@ -1281,6 +1401,7 @@ object EventWindows {
     "ev30_stream_hll" -> ev30StreamHll,
     "ev31_stream_ivf_ingest" -> ev31StreamIvfIngest,
     "ev32_stream_lsh_ingest" -> ev32StreamLshIngest,
+    "ev33_stream_cluster_maintain" -> ev33StreamClusterMaintain,
     "ev27_rocksdb_dropdup" -> ev27RocksdbDropdup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
@@ -1304,6 +1425,9 @@ object EventWindows {
     "ev32_stream_lsh_ingest" ->
       """SELECT true AS stream_equals_sequential, true AS multi_batch,
         |  true AS mix_exercised""".stripMargin,
+    "ev33_stream_cluster_maintain" ->
+      """SELECT true AS stream_equals_full, true AS multi_batch,
+        |  true AS merged_across_clusters""".stripMargin,
     // Each committed version = one 5-day event bucket, in bucket
     // order: dense_rank over the SAME bucket expression restates the
     // version ↦ rows mapping from the raw table.

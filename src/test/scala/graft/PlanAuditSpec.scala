@@ -64,6 +64,13 @@ class PlanAuditSpec extends SparkSpec {
     // seven one-row gate scalars crossJoined — the delete path is a
     // broadcast ANTI-join sidecar apply + partition-local compaction
     "e3_ivf_delete" -> Set("BroadcastNestedLoop"),
+    // one-row gate scalars crossJoined (+ the exact broadcast-query
+    // recall scan) — the split itself is a cell-local 2-means +
+    // directory swap, no nested loop
+    "e3_ivf_rebalance" -> Set("BroadcastNestedLoop"),
+    // three one-row gate scalars crossJoined (label equality, merge
+    // witness) — the maintenance path itself is contraction equi-joins
+    "ev33_stream_cluster_maintain" -> Set("BroadcastNestedLoop"),
     // same: one-row gate scalars crossJoined over the coded layout
     "e3_ivfpq_delete" -> Set("BroadcastNestedLoop"),
     // four one-row gate scalars crossJoined (+ the exact broadcast-
@@ -153,6 +160,13 @@ class PlanAuditSpec extends SparkSpec {
     "k17_scd2" -> Set("SortAggregate"),
     // 1-row totals (order count) crossJoined onto the rule table
     "a15_assoc_rules" -> Set("BroadcastNestedLoop"),
+    // one-row exact×estimate crossJoin assembling the gate scalars;
+    // max(when(...)) over the ARRAY sketch column pivots two rows with
+    // an immutable agg buffer — same zero-grouping-key rule as s16
+    "a23_sketch_setops" -> Set("BroadcastNestedLoop", "SortAggregate"),
+    // same array-pivot immutable buffer, keyed by region — the sort is
+    // over the 5-per-year sketch-table rows, not the facts
+    "a24_sketch_groups" -> Set("SortAggregate"),
     // 1-row unigram/bigram totals crossJoined onto the pair table
     "e4_pmi" -> Set("BroadcastNestedLoop"),
     // broadcast-query non-equi scan — the designed map-side kNN shape

@@ -61,7 +61,11 @@ class ScalingSpec extends SparkSpec {
     "e5_jpeg_phash", "e4_unigram_apply",
     // round-14: the WordPiece corpus encode (greedy map-only
     // segmentation of distinct words + occurrence join — linear)
-    "e4_wordpiece_apply")
+    "e4_wordpiece_apply",
+    // round-14: Aho–Corasick dictionary scan (automaton as a plan
+    // reference object, map-only + one per-term rollup — linear and
+    // dictionary-size independent by construction)
+    "e9_dict_scan")
 
   test(s"measured sf0.01→sf0.1 exponent stays ≤ $maxExponent for every " +
       "bucketed family head in the committed bench artifact") {

@@ -425,4 +425,95 @@ class SimilaritySpec extends SparkSpec {
       math.abs(v1(0) - v1(1)) < 1e-6, s"v1 ${v1.toSeq}")
     assert(math.abs(v1(0) * v2(0) + v1(1) * v2(1)) < 1e-6, "axes orthogonal")
   }
+
+  test("ivfRebalance splits exactly the oversized cell along its planted " +
+      "subclusters; untouched cells keep their files byte-for-byte") {
+    import java.nio.file.{Files, Paths}
+    // Three planted clusters; cluster 0 is DOUBLE-sized and itself
+    // made of two separable subclusters (axes 0 and 3) — the shape a
+    // skewed ingest leaves behind. c=3 training files both subclusters
+    // under one hot cell; rebalance must split that cell in two along
+    // the planted subclusters and touch nothing else.
+    // A and B lean 0.3 toward each other (cos(A,B) ≈ 0.55) while both
+    // are orthogonal to clusters 1 and 2 — so c=3 training MUST file
+    // A∪B together, and 2-means still separates them cleanly.
+    val vecs = (0L until 200L).map { id =>
+      val v = Array.fill(8)(0f)
+      val jitter = 0.05f * ((id % 5).toInt - 2)
+      if (id < 50) { v(0) = 1f; v(3) = 0.3f; v(4) = jitter }  // sub A
+      else if (id < 100) { v(3) = 1f; v(0) = 0.3f; v(5) = jitter } // sub B
+      else if (id < 150) { v(1) = 1f; v(6) = jitter }         // cluster 1
+      else { v(2) = 1f; v(7) = jitter }                       // cluster 2
+      (id, v.toSeq)
+    }.toDF("vec_id", "embedding")
+    val cents = Similarity.ivfTrain(vecs, c = 3, iters = 3)
+    val path = graft.lake.Lake.scratchDir("ivfreb_spec") + "/index"
+    Similarity.ivfWriteIndex(vecs, cents, path)
+    val hotIds = spark.read.parquet(path)
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+      .groupBy(_._2).maxBy(_._2.length)
+    val hot = hotIds._1
+    assert(hotIds._2.map(_._1).toSet == (0L until 100L).toSet,
+      s"A∪B should share one cell; cell $hot holds ${hotIds._2.length}")
+    def listingExcept(ex: Set[Int]): Map[String, Long] = {
+      val root = Paths.get(path)
+      val st = Files.walk(root)
+      try {
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala.filter(Files.isRegularFile(_))
+          .map(p => (root.relativize(p).toString, Files.size(p)))
+          .filterNot { case (rel, _) =>
+            ex.exists(e => rel.startsWith(s"cell=$e/")) }
+          .toMap
+      } finally st.close()
+    }
+    val before = listingExcept(Set(hot))
+    val cents2 = Similarity.ivfRebalance(spark, path, cents,
+      maxCellRows = 60)
+    val newIds = cents2.map(_._1).toSet -- cents.map(_._1).toSet
+    assert(newIds.size == 2 && !cents2.exists(_._1 == hot),
+      "hot id retired, two sub-cells added")
+    assert(listingExcept(Set(hot) ++ newIds) == before,
+      "untouched cell files changed")
+    // the two sub-cells partition the planted subclusters exactly
+    val filed = spark.read.parquet(path)
+      .filter($"cell".isin(newIds.toSeq: _*))
+      .select($"vec_id", $"cell").as[(Long, Int)].collect()
+    assert(filed.length == 100)
+    val bySub = filed.groupBy(_._1 < 50).view.mapValues(_.map(_._2).toSet)
+    assert(bySub(true).size == 1 && bySub(false).size == 1 &&
+      bySub(true) != bySub(false),
+      s"subclusters not separated: $bySub")
+    // idempotence: nothing oversized remains, table unchanged
+    assert(Similarity.ivfRebalance(spark, path, cents2, 60) == cents2)
+  }
+
+  test("ivfRebalance recovery rolls back a split that died mid-swap " +
+      "and rolls forward one that only missed cleanup") {
+    import java.nio.file.{Files, Paths}
+    val emb = Tables.load(spark, sf, "embeddings")
+    val cents = Similarity.ivfTrain(emb, c = 8, iters = 1)
+    val path = graft.lake.Lake.scratchDir("ivfreb_crash") + "/index"
+    Similarity.ivfWriteIndex(emb, cents, path)
+    val before = spark.read.parquet(path).select("vec_id").as[Long]
+      .collect().toSet
+    val cell = spark.read.parquet(path).select("cell").distinct()
+      .as[Int].collect().min
+    // Crash window 1 (mid-swap): old cell moved aside, marker present,
+    // sub-cells never landed — recovery must restore the old cell.
+    val aside = Paths.get(path + "_rebalance_old")
+    Files.createDirectories(aside)
+    Files.move(Paths.get(path, s"cell=$cell"), aside.resolve(s"cell=$cell"))
+    Files.writeString(Paths.get(path + "_rebalance_inprogress"),
+      s"$cell:900,901")
+    intercept[IllegalArgumentException](
+      Similarity.ivfReadIndex(spark, path)) // serving must refuse
+    val healed = Similarity.ivfRebalance(spark, path, cents,
+      maxCellRows = Long.MaxValue) // no split work: pure recovery
+    assert(healed == cents)
+    assert(spark.read.parquet(path).select("vec_id").as[Long]
+      .collect().toSet == before, "rollback lost rows")
+    assert(!Files.exists(Paths.get(path + "_rebalance_inprogress")))
+    assert(!Files.isDirectory(aside))
+  }
 }

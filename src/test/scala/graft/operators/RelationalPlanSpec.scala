@@ -238,4 +238,13 @@ class RelationalPlanSpec extends SparkSpec {
     assert(p.contains("WindowGroupLimit"),
       s"e8_domain_cap lost its WindowGroupLimit:\n$p")
   }
+
+  test("priority sample keeps its WindowGroupLimit (per-lang top-k+1)") {
+    // e8_priority_sample's row_number ≤ k+1 over the priority key must
+    // stay a bounded per-partition heap — the whole point of priority
+    // sampling at corpus scale is NOT sorting each stratum.
+    val p = plan("e8_priority_sample")
+    assert(p.contains("WindowGroupLimit"),
+      s"e8_priority_sample lost its WindowGroupLimit:\n$p")
+  }
 }
