@@ -89,7 +89,8 @@ object Bench {
     * (e2_simhash_neardup graduated to the bench in r3 — its banding is
     * now budget-bounded, so its cost is representative.) */
   private val harnessOnly = Set(
-    "a4_approx", "e3_ann_recall", "e3_ivf_recall", "e3_ivf_indexed",
+    "a4_approx", "e3_ann_recall", "e3_hnsw_recall", "e3_ivf_recall",
+    "e3_ivf_indexed",
     "e3_ann_neardup", "e3_cosine_neardup", "e6_cms_heavyhitters",
     "e3_semdedup", "e3_pq_recall", "e3_ivfpq_recall", "e3_pq_indexed",
     // verify ingest by running the grown index AND the in-memory

@@ -1872,6 +1872,121 @@ object Similarity {
     * output invariants (absolute pair budget, canonical a < b
     * orientation, refined sims inside [τ, 1]) against a constant-true
     * oracle. Correctness of the search stays `e3_ann_neardup`'s job. */
+  /** Sharded-HNSW top-k: each shard builds its partition-local
+    * [[HnswIndex]] (insertion in ascending vec_id — the determinism
+    * contract), the bounded query set broadcasts, every shard answers
+    * top-k from its graph, and a per-query window merges shard answers
+    * into the global top-k. This is the standard production layout for
+    * graph ANN (construction is inherently sequential per shard, so
+    * the graph lives where the vectors live); state is bounded by the
+    * shard, never the corpus, and the only driver data is |Q| query
+    * vectors (the bounded-collect convention shared with the IVF probe
+    * lists). Emits per-shard degree-audit columns so the gate can
+    * assert the M_max invariants over every shard in-plan. */
+  def hnswTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, efConstruction: Int = 64, efSearch: Int = 64,
+      shards: Int = 4): DataFrame = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val qArr = queries
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .as[(Long, Array[Double])].collect().sortBy(_._1) // bounded |Q|
+    val bc = spark.sparkContext.broadcast(qArr)
+    val perShard = corpus
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .repartition(shards, col("vec_id"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val idx = new HnswIndex(m, efConstruction)
+          rows.foreach { case (id, v) => idx.insert(id, v) }
+          val deg0 = idx.maxDegree0
+          val degU = idx.maxDegreeUpper
+          // routing probe: every node must find ITSELF at rank 1 —
+          // an unreachable or mis-linked region fails this, which a
+          // recall spot-check over 50 queries could miss. ef=16: at
+          // ef=8 the greedy level-0 entry leaves ~1-2 nodes per 500
+          // behind a narrow-beam horizon (inherent approximate
+          // routing, measured at sf0.1), while a DISCONNECTED region
+          // stays unreachable at any ef — the probe targets the
+          // latter.
+          var selfFound = 0
+          rows.foreach { case (id, v) =>
+            if (idx.search(v, ef = 16, k = 1).headOption.exists(_._1 == id))
+              selfFound += 1
+          }
+          bc.value.iterator.flatMap { case (qid, qv) =>
+            idx.search(qv, efSearch, k + 1).map { case (cid, sim) =>
+              (qid, cid, sim, rows.length, selfFound, deg0, degU)
+            }
+          }
+        }
+      }
+      .toDF("q_id", "c_id", "sim", "shard_n", "shard_self_found",
+        "deg0", "deg_upper")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    perShard.filter(col("c_id") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("sim"), 6).as("sim"),
+        col("shard_n"), col("shard_self_found"),
+        col("deg0"), col("deg_upper"))
+  }
+
+  /** E3k ✱: HNSW recall + structure gate — brute-force baseline
+    * recall ≥ 0.9, every shard's level-0 degree ≤ 2M and upper-level
+    * degree ≤ M (the paper's M_max invariants, asserted over EVERY
+    * shard), and the per-shard self-routing probe: each inserted node
+    * finds itself at rank 1, so no graph region is unreachable. */
+  private val e3HnswRecall: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val exact = bruteForceTopK(queries, emb, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val via = hnswTopK(emb, queries, k = 5).localCheckpoint(eager = false)
+    val hitsAgg = exact.join(via.select(col("q_id"), col("c_id")),
+        Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val structAgg = via.agg(
+      max(col("deg0")).as("max_deg0"),
+      max(col("deg_upper")).as("max_deg_upper"),
+      sum(when(col("shard_self_found") === col("shard_n"), 0L)
+        .otherwise(1L)).as("bad_shards"))
+    hitsAgg.crossJoin(totalAgg).crossJoin(structAgg).select(
+      (col("hits").cast("double") / col("total") >= 0.9).as("recall_ok"),
+      (col("max_deg0") <= 16 && col("max_deg_upper") <= 8)
+        .as("degree_bounds_ok"),
+      (col("bad_shards") === 0).as("self_routing_ok"))
+  }
+
+  /** E3l ✱: the bench-visible HNSW search (build + fan-out + merge)
+    * without the brute-force baseline subtree. Cheap invariants only:
+    * every query answered, ≤ k per query, ranks in [1, k], sims in
+    * [−1, 1]. */
+  private val e3HnswSearch: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val res = hnswTopK(emb, queries, k = 5)
+    val qAgg = queries.agg(count(lit(1)).as("nq"))
+    res.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("per_q"), max(col("rnk")).as("mr"),
+        min(col("sim")).as("mns"), max(col("sim")).as("mxs"))
+      .agg(count(lit(1)).as("answered"), max(col("per_q")).as("max_per_q"),
+        max(col("mr")).as("max_rank"), min(col("mns")).as("min_sim"),
+        max(col("mxs")).as("max_sim"))
+      .crossJoin(qAgg)
+      .select(
+        (col("answered") === col("nq")).as("all_queries_answered"),
+        (col("max_per_q") <= 5 && col("max_rank") <= 5).as("k_bounded"),
+        (col("min_sim") >= -1.000001 && col("max_sim") <= 1.000001)
+          .as("sims_in_range_ok"))
+  }
+
   private val e3AnnSearch: Q = (s, dir) => {
     val emb = t(s, dir, "embeddings")
     val found = cosineNearDupViaAnn(emb, threshold = 0.45)
@@ -2113,6 +2228,8 @@ object Similarity {
     "e3_ivfpq_search" -> e3IvfPqSearch,
     "e3_pq_indexed" -> e3PqIndexed,
     "e3_ann_search" -> e3AnnSearch,
+    "e3_hnsw_recall" -> e3HnswRecall,
+    "e3_hnsw_search" -> e3HnswSearch,
     "e3_ivf_search" -> e3IvfSearch,
     "e3_semdedup_run" -> e3SemDedupRun,
     "e3_label_coherence" -> e3LabelCoherence,
@@ -2305,6 +2422,12 @@ object Similarity {
         |  true AS rank_bounded, true AS sims_in_range_ok""".stripMargin,
     "e3_ann_search" ->
       """SELECT true AS pair_budget_ok, true AS orientation_ok,
+        |  true AS sims_in_range_ok""".stripMargin,
+    "e3_hnsw_recall" ->
+      """SELECT true AS recall_ok, true AS degree_bounds_ok,
+        |  true AS self_routing_ok""".stripMargin,
+    "e3_hnsw_search" ->
+      """SELECT true AS all_queries_answered, true AS k_bounded,
         |  true AS sims_in_range_ok""".stripMargin,
     "e3_ivf_search" ->
       """SELECT true AS all_queries_answered, true AS k_bounded,

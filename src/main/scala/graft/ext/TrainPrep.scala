@@ -328,21 +328,31 @@ object TrainPrep {
     * row_number ≤ const filter plans as WindowGroupLimit (partial
     * per-partition limit before the shuffle, like l3_topk), then a
     * 1-row-per-group broadcast τ join. No global sort, no all-pairs. */
-  private def prioritySampleRows(docs: DataFrame, k: Int): DataFrame = {
-    val keyed = docs.select(col("lang"), col("doc_id"),
+  /** (lang, doc_id, w, u) priority-keyed rows — the mergeable unit:
+    * any union of keyed row sets re-ranks to the same top-k, so a
+    * stream can maintain just the per-group top-(k+1) as state. */
+  private[graft] def priorityKeyed(docs: DataFrame): DataFrame =
+    docs.select(col("lang"), col("doc_id"),
       least(col("n_chars").cast("long"), lit(1048576L)).as("w"),
       (pmod(pmod(col("doc_id"), lit(2147483648L)) * lit(2654435761L),
         lit(4294967296L)) + lit(1L)).as("u"))
+
+  /** Per-lang top-(k+1) of keyed rows by priority (w·2³²/u, id ties). */
+  private[graft] def priorityTop(keyed: DataFrame, k: Int): DataFrame = {
     val key = (col("w") * lit(4294967296L)).cast("double") /
       col("u").cast("double")
-    val ranked = keyed
+    keyed
       .withColumn("rn", row_number().over(
         Window.partitionBy(col("lang")).orderBy(key.desc, col("doc_id"))))
       .filter(col("rn") <= k + 1)
-    // τ rides a second lang-partitioned window over the ≤ k+1 survivors
-    // (re-using the first window's partitioning — no new shuffle, no
-    // lineage break that would hide the WindowGroupLimit from the plan
-    // pin, no second pass over the corpus).
+  }
+
+  /** Sample + estimator from the ranked survivors. τ rides a second
+    * lang-partitioned window over the ≤ k+1 rows (re-using the first
+    * window's partitioning — no new shuffle, no lineage break that
+    * would hide the WindowGroupLimit from the plan pin, no second pass
+    * over the corpus). */
+  private[graft] def priorityFinish(ranked: DataFrame, k: Int): DataFrame =
     ranked
       .withColumn("tau_micro", max(when(col("rn") === k + 1,
           expr("(CAST(w AS DECIMAL(38,0)) * 4294967296 * 1000000) DIV u")))
@@ -352,7 +362,9 @@ object TrainPrep {
         (col("w") * lit(1000000L)).as("w_micro"),
         greatest(col("w") * lit(1000000L),
           coalesce(col("tau_micro"), lit(0L))).as("est_micro"))
-  }
+
+  private def prioritySampleRows(docs: DataFrame, k: Int): DataFrame =
+    priorityFinish(priorityTop(priorityKeyed(docs), k), k)
 
   /** E8n: per-lang 32-row priority sample — membership, rank order,
     * and the max(w, τ) estimator all value-checked (the oracle

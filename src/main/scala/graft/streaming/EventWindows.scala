@@ -1065,6 +1065,58 @@ object EventWindows {
       (col("max_old") >= 2).as("merged_across_clusters"))
   }
 
+  /** EV34: STREAMING PRIORITY SAMPLE — the bounded-state form of
+    * [[graft.ext.TrainPrep]]'s e8_priority_sample, and the shape a
+    * 100 TB sampler actually runs: because priority order is a pure
+    * per-row function of (id, weight), the per-lang top-(k+1) set is
+    * MERGEABLE — top(A ∪ B) = top(top(A) ∪ B) — so each micro-batch
+    * folds into ≤ (k+1) keyed rows per group and the state never
+    * grows with the corpus (contrast ev32's LSH table, which must
+    * retain every admitted signature). The whole corpus streams in
+    * ≥ 3 micro-batches; each foreachBatch unions the persisted state
+    * with the batch's keyed rows, re-ranks, and writes the new
+    * top-(k+1) version. Arrival order is irrelevant by construction —
+    * no monotone-id contract needed, ties break on id identically in
+    * any batch split.
+    *
+    * Gate: the FULL e8_priority_sample value oracle verbatim — the
+    * final state must finish into exactly the batch query's sample,
+    * rank order, τ, and estimator values over the whole corpus. A
+    * dropped batch, a lost state version, or a non-mergeable
+    * tie-break all hash-fail against DuckDB. */
+  private val ev34StreamPrioritySample: Q = (s, dir) => {
+    import graft.ext.TrainPrep
+    val k = 32
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+    val bExpr = pmod(col("doc_id"), lit(6L))
+    val root = graft.lake.Lake.scratchDir("ev34_psample")
+    val (files, landing) = stageReplay(s, docs.withColumn("b", bExpr))
+    val schema = s.read.parquet(files.head.toString).schema
+    var batches = 0
+    val q = s.readStream.schema(schema).parquet(landing)
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keyedBatch = TrainPrep.priorityKeyed(
+          batch.select(col("doc_id"), col("lang"), col("n_chars")))
+        val state =
+          if (batches == 0) keyedBatch
+          else s.read.parquet(s"$root/state_$batches")
+            .unionByName(keyedBatch)
+        batches += 1
+        TrainPrep.priorityTop(state, k)
+          .select(col("lang"), col("doc_id"), col("w"), col("u"))
+          .write.parquet(s"$root/state_$batches")
+      }
+      .start()
+    try replay(files, landing, q) finally q.stop()
+    require(batches >= 3,
+      s"ingest drained in $batches micro-batches — replay not exercised")
+    TrainPrep.priorityFinish(
+      TrainPrep.priorityTop(s.read.parquet(s"$root/state_$batches"), k), k)
+      .orderBy(col("lang"), col("rn"))
+  }
+
   /** EV19: bounded-batch BACKFILL with Trigger.AvailableNow — the
     * catch-up surface: a backlog of landed files is drained in
     * rate-limited micro-batches (`maxFilesPerTrigger`) and the query
@@ -1402,6 +1454,7 @@ object EventWindows {
     "ev31_stream_ivf_ingest" -> ev31StreamIvfIngest,
     "ev32_stream_lsh_ingest" -> ev32StreamLshIngest,
     "ev33_stream_cluster_maintain" -> ev33StreamClusterMaintain,
+    "ev34_stream_priority_sample" -> ev34StreamPrioritySample,
     "ev27_rocksdb_dropdup" -> ev27RocksdbDropdup,
     "ev10_burstiness" -> ev10Burstiness,
     "ev9_attribution" -> ev9Attribution,
@@ -1428,6 +1481,29 @@ object EventWindows {
     "ev33_stream_cluster_maintain" ->
       """SELECT true AS stream_equals_full, true AS multi_batch,
         |  true AS merged_across_clusters""".stripMargin,
+    // The FULL batch priority-sample oracle verbatim: the streamed
+    // bounded state must finish into the identical sample/τ/estimator.
+    "ev34_stream_priority_sample" ->
+      """WITH w AS (
+        |  SELECT lang, doc_id,
+        |    least(n_chars, 1048576)::BIGINT AS w,
+        |    ((((doc_id % 2147483648) * 2654435761) % 4294967296) + 1)::BIGINT AS u
+        |  FROM documents),
+        |r AS (
+        |  SELECT lang, doc_id, w, u,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY (w * 4294967296)::DOUBLE / u::DOUBLE DESC, doc_id) AS rn
+        |  FROM w),
+        |tau AS (
+        |  SELECT lang,
+        |    ((w::HUGEINT * 4294967296 * 1000000) // u::HUGEINT)::BIGINT AS tau_micro
+        |  FROM r WHERE rn = 33)
+        |SELECT r.lang, r.rn, r.doc_id,
+        |  (r.w * 1000000)::BIGINT AS w_micro,
+        |  greatest(r.w * 1000000, coalesce(t.tau_micro, 0))::BIGINT AS est_micro
+        |FROM r LEFT JOIN tau t ON r.lang = t.lang
+        |WHERE r.rn <= 32
+        |ORDER BY r.lang, r.rn""".stripMargin,
     // Each committed version = one 5-day event bucket, in bucket
     // order: dense_rank over the SAME bucket expression restates the
     // version ↦ rows mapping from the raw table.

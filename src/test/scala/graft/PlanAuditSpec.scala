@@ -48,6 +48,11 @@ class PlanAuditSpec extends SparkSpec {
     // broadcast-query non-equi scan (designed map-side ANN shape) plus
     // one-row crossJoins assembling their cheap invariant scalars
     "e3_ann_search" -> Set("BroadcastNestedLoop"),
+    // one-row gate scalars crossJoined (recall × structure audits /
+    // the query-count scalar) — the search itself is per-shard beam
+    // work over mapPartitions plus one per-query window merge
+    "e3_hnsw_recall" -> Set("BroadcastNestedLoop"),
+    "e3_hnsw_search" -> Set("BroadcastNestedLoop"),
     "e3_ivf_search" -> Set("BroadcastNestedLoop"),
     "e3_pq_recall" -> Set("BroadcastNestedLoop"),
     "e3_pq_search" -> Set("BroadcastNestedLoop"),
