@@ -91,6 +91,10 @@ object Bench {
   private val harnessOnly = Set(
     "a4_approx", "e3_ann_recall", "e3_hnsw_recall", "e3_ivf_recall",
     "e3_ivf_indexed",
+    // HNSW lifecycle gates: equality vs a second full in-memory
+    // build (indexed), and brute-force baselines (incremental,
+    // delete) — harness cost, not the search path's
+    "e3_hnsw_indexed", "e3_hnsw_incremental", "e3_hnsw_delete",
     "e3_ann_neardup", "e3_cosine_neardup", "e6_cms_heavyhitters",
     "e3_semdedup", "e3_pq_recall", "e3_ivfpq_recall", "e3_pq_indexed",
     // verify ingest by running the grown index AND the in-memory

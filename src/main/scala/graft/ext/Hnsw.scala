@@ -240,4 +240,52 @@ final class HnswIndex(m: Int, efConstruction: Int) extends Serializable {
     }
     mx
   }
+
+  /** Export one row per node: (id, level, NORMALIZED vector,
+    * per-level neighbor IDS) — the persisted-index record. Neighbor
+    * ids (not internal indices) make the rows order-independent on
+    * disk; [[HnswIndex.fromRows]] rebuilds the identical graph. */
+  def exportRows: Iterator[(Long, Int, Array[Double], Array[Array[Long]])] =
+    (0 until size).iterator.map { n =>
+      (ids(n), levels(n), vecs(n),
+        links(n).map(_.map(ids(_)).toArray))
+    }
+}
+
+object HnswIndex {
+
+  /** Rebuild a graph from persisted rows — the EXACT graph
+    * [[HnswIndex.exportRows]] wrote, bit-for-bit: nodes re-enter in
+    * ascending id (the insertion-order contract), adjacency is copied
+    * (not re-derived), and the entry point is the FIRST node (lowest
+    * internal index) at the maximum level — which is exactly the node
+    * that raised `maxLevel` last during the original build, since
+    * levels only ratchet upward. */
+  def fromRows(m: Int, efConstruction: Int,
+      rows: Seq[(Long, Int, Array[Double], Array[Array[Long]])])
+      : HnswIndex = {
+    val idx = new HnswIndex(m, efConstruction)
+    val sorted = rows.sortBy(_._1)
+    val pos = sorted.iterator.map(_._1).zipWithIndex.toMap
+    sorted.foreach { case (id, lvl, vec, nbrs) =>
+      require(nbrs.length == lvl + 1,
+        s"corrupt HNSW row $id: ${nbrs.length} levels vs ${lvl + 1}")
+      idx.ids += id
+      idx.vecs += vec // already normalized at export
+      idx.levels += lvl
+      idx.links += nbrs.map { ns =>
+        val b = scala.collection.mutable.ArrayBuffer.empty[Int]
+        ns.foreach { nid =>
+          b += pos.getOrElse(nid,
+            sys.error(s"corrupt HNSW row $id: dangling neighbor $nid"))
+        }
+        b
+      }
+    }
+    if (idx.ids.nonEmpty) {
+      idx.maxLevel = idx.levels.max
+      idx.entry = idx.levels.indexOf(idx.maxLevel)
+    }
+    idx
+  }
 }

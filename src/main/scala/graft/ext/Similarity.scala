@@ -1937,6 +1937,208 @@ object Similarity {
         col("deg0"), col("deg_upper"))
   }
 
+  /** One persisted-HNSW state row: (shard, id, level, normalized
+    * vector, per-level neighbor ids). */
+  private type HnswRow = (Int, Long, Int, Array[Double], Array[Array[Long]])
+
+  /** Build per-shard graphs and persist them — one row per node, the
+    * adjacency inline (id-keyed, so rows are order-independent on
+    * disk). Shard = Spark's own hash-partition index for vec_id, which
+    * `pmod(hash(vec_id), shards)` reproduces exactly — the routing
+    * contract incremental ingest relies on. */
+  def hnswWriteIndex(corpus: DataFrame, path: String, m: Int = 8,
+      efConstruction: Int = 64, shards: Int = 4): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    corpus.select(col("vec_id"), asDouble(col("embedding")))
+      .repartition(shards, col("vec_id"))
+      .as[(Long, Array[Double])]
+      .mapPartitions { it =>
+        val rows = it.toArray.sortBy(_._1)
+        if (rows.isEmpty) Iterator.empty
+        else {
+          val shard = org.apache.spark.TaskContext.getPartitionId()
+          val idx = new HnswIndex(m, efConstruction)
+          rows.foreach { case (id, v) => idx.insert(id, v) }
+          idx.exportRows.map { case (id, lvl, vec, nbrs) =>
+            (shard, id, lvl, vec, nbrs)
+          }
+        }
+      }
+      .toDF("shard", "id", "level", "vec", "nbrs")
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Ingest a batch into the persisted graphs WITHOUT a rebuild —
+    * HNSW insertion is incremental by construction, so each shard
+    * rebuilds its graph object from the stored rows, inserts its
+    * arriving slice (ascending id — deterministic), and exports the
+    * grown graph to a NEW version directory (never read-overwrite).
+    * Arrivals route by the same `pmod(hash(vec_id), shards)` the
+    * writer used, so every vector lands in its home shard. */
+  def hnswIngest(s: SparkSession, path: String, arriving: DataFrame,
+      outPath: String, m: Int = 8, efConstruction: Int = 64,
+      shards: Int = 4): Unit = {
+    import s.implicits._
+    val state = s.read.parquet(path).as[HnswRow]
+    val arr = arriving
+      .select(pmod(hash(col("vec_id")), lit(shards)).as("shard"),
+        col("vec_id"), asDouble(col("embedding")))
+      .as[(Int, Long, Array[Double])]
+    state.groupByKey(_._1)
+      .cogroup(arr.groupByKey(_._1)) { (shard, stateIt, arrIt) =>
+        val rows = stateIt.map(r => (r._2, r._3, r._4, r._5)).toSeq
+        val idx = HnswIndex.fromRows(m, efConstruction, rows)
+        arrIt.toArray.sortBy(_._2).foreach { case (_, id, v) =>
+          idx.insert(id, v)
+        }
+        idx.exportRows.map { case (id, lvl, vec, nbrs) =>
+          (shard, id, lvl, vec, nbrs)
+        }
+      }
+      .toDF("shard", "id", "level", "vec", "nbrs")
+      .write.mode("overwrite").parquet(outPath)
+  }
+
+  /** Search the persisted graphs: per-shard rebuild + beam answer +
+    * global top-k merge — [[hnswTopK]]'s exact dataflow with the build
+    * step replaced by the stored rows. `deleted` is the tombstone
+    * sidecar (soft deletes, the hnswlib/FAISS convention: tombstoned
+    * nodes keep ROUTING but never surface as results — graph repair is
+    * a compaction-time rebuild); each shard over-fetches by the
+    * tombstone count so k survivors remain after the filter. */
+  def hnswSearchIndex(s: SparkSession, path: String, queries: DataFrame,
+      k: Int, m: Int = 8, efConstruction: Int = 64, efSearch: Int = 64,
+      deleted: Set[Long] = Set.empty): DataFrame = {
+    import s.implicits._
+    val qArr = queries
+      .select(col("vec_id"), asDouble(col("embedding")))
+      .as[(Long, Array[Double])].collect().sortBy(_._1) // bounded |Q|
+    val bc = s.sparkContext.broadcast(qArr)
+    val bcDel = s.sparkContext.broadcast(deleted)
+    val fetch = k + 1 + deleted.size // self + tombstone over-fetch
+    val perShard = s.read.parquet(path).as[HnswRow]
+      .groupByKey(_._1)
+      .flatMapGroups { (_, it) =>
+        val rows = it.map(r => (r._2, r._3, r._4, r._5)).toSeq
+        val idx = HnswIndex.fromRows(m, efConstruction, rows)
+        val del = bcDel.value
+        bc.value.iterator.flatMap { case (qid, qv) =>
+          idx.search(qv, math.max(efSearch, fetch), fetch)
+            .filterNot { case (cid, _) => del.contains(cid) }
+            .map { case (cid, sim) => (qid, cid, sim) }
+        }
+      }
+      .toDF("q_id", "c_id", "sim")
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("sim").desc, col("c_id"))
+    perShard.filter(col("c_id") =!= col("q_id"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= k)
+      .select(col("q_id"), col("rnk"), col("c_id"),
+        round(col("sim"), 6).as("sim"))
+  }
+
+  /** E3k2 ✱: persisted-HNSW search must EQUAL the in-memory path —
+    * same shards, same graphs, same beam, so the round-trip through
+    * parquet (nested adjacency included) is exact row equality, not a
+    * recall bound. */
+  private val e3HnswIndexed: Q = (s, dir) => {
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val path = graft.lake.Lake.scratchDir("e3_hnsw") + "/index"
+    hnswWriteIndex(emb, path)
+    val viaIndex = hnswSearchIndex(s, path, queries, k = 5)
+      .localCheckpoint(eager = false)
+    val inMemory = hnswTopK(emb, queries, k = 5)
+      .select(col("q_id"), col("rnk"), col("c_id"), col("sim"))
+    val extra = viaIndex.exceptAll(inMemory).agg(count(lit(1)).as("x"))
+    val miss = inMemory.exceptAll(viaIndex).agg(count(lit(1)).as("y"))
+    val nAgg = viaIndex.agg(count(lit(1)).as("n"))
+    extra.crossJoin(miss).crossJoin(nAgg).select(
+      (col("x") === 0 && col("y") === 0).as("index_equals_memory"),
+      (col("n") > 0).as("nonempty"))
+  }
+
+  /** E3k3 ✱: incremental ingest into the persisted graphs — the
+    * held-out quarter inserts into the loaded shard graphs (no
+    * rebuild, new version dir), and the grown index must hold every
+    * vector exactly once, keep the M_max degree invariants, and reach
+    * brute-force recall ≥ 0.8 over the FULL corpus (the grown graph's
+    * insertion order differs from a fresh build's, so equality is not
+    * the contract — recall is). */
+  private val e3HnswIncremental: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val resident = emb.filter(col("vec_id") % 4 =!= 0)
+    val arriving = emb.filter(col("vec_id") % 4 === 0)
+    val queries = emb.filter(col("vec_id") < 50)
+    val root = graft.lake.Lake.scratchDir("e3_hnsw_inc")
+    hnswWriteIndex(resident, s"$root/v1")
+    hnswIngest(s, s"$root/v1", arriving, s"$root/v2")
+    val grown = s.read.parquet(s"$root/v2")
+    val viaIndex = hnswSearchIndex(s, s"$root/v2", queries, k = 5)
+      .localCheckpoint(eager = false)
+    val exact = bruteForceTopK(queries, emb, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val hitsAgg = exact.join(viaIndex.select(col("q_id"), col("c_id")),
+        Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val nodeAgg = grown.agg(count(lit(1)).as("n_nodes"),
+      countDistinct(col("id")).as("n_ids"))
+    val degAgg = grown.select(
+        size(element_at(col("nbrs"), 1)).as("d0"),
+        greatest(lit(0), array_max(transform(
+          slice(col("nbrs"), lit(2), lit(100)), a => size(a))))
+          .as("du"))
+      .agg(max(col("d0")).as("max_d0"), max(col("du")).as("max_du"))
+    val cAgg = emb.agg(count(lit(1)).as("n_corpus"))
+    hitsAgg.crossJoin(totalAgg).crossJoin(nodeAgg).crossJoin(degAgg)
+      .crossJoin(cAgg).select(
+        (col("hits").cast("double") / col("total") >= 0.8)
+          .as("recall_ok"),
+        (col("n_nodes") === col("n_corpus") &&
+          col("n_ids") === col("n_corpus")).as("all_vectors_present"),
+        (col("max_d0") <= 16 && col("max_du") <= 8)
+          .as("degree_bounds_ok"))
+  }
+
+  /** E3k4 ✱: tombstone deletes on the persisted graphs — soft
+    * deletes: tombstoned ids keep routing, never surface; every
+    * query still gets k results (over-fetch covers the tombstones)
+    * and recall holds ≥ 0.8 against brute force over SURVIVORS. */
+  private val e3HnswDelete: Q = (s, dir) => {
+    import s.implicits._
+    val emb = t(s, dir, "embeddings")
+    val queries = emb.filter(col("vec_id") < 50)
+    val path = graft.lake.Lake.scratchDir("e3_hnsw_del") + "/index"
+    hnswWriteIndex(emb, path)
+    val delIds = emb.filter(col("vec_id") % 10 === 7)
+      .select(col("vec_id")).as[Long].collect().toSet // bounded batch
+    val survivors = emb.filter(col("vec_id") % 10 =!= 7)
+    val viaIndex = hnswSearchIndex(s, path, queries, k = 5,
+      deleted = delIds).localCheckpoint(eager = false)
+    val exact = bruteForceTopK(queries, survivors, k = 5)
+      .select(col("q_id"), col("c_id"))
+    val hitsAgg = exact.join(viaIndex.select(col("q_id"), col("c_id")),
+        Seq("q_id", "c_id"), "left_semi")
+      .agg(count(lit(1)).as("hits"))
+    val totalAgg = exact.agg(count(lit(1)).as("total"))
+    val badAgg = viaIndex
+      .filter(col("c_id") % 10 === 7)
+      .agg(count(lit(1)).as("n_deleted_surfaced"))
+    val perQAgg = viaIndex.groupBy(col("q_id"))
+      .agg(count(lit(1)).as("per_q"))
+      .agg(min(col("per_q")).as("min_per_q"))
+    hitsAgg.crossJoin(totalAgg).crossJoin(badAgg).crossJoin(perQAgg)
+      .select(
+        (col("n_deleted_surfaced") === 0).as("no_deleted_results"),
+        (col("min_per_q") === 5).as("k_results_ok"),
+        (col("hits").cast("double") / col("total") >= 0.8)
+          .as("recall_ok"))
+  }
+
   /** E3k ✱: HNSW recall + structure gate — brute-force baseline
     * recall ≥ 0.9, every shard's level-0 degree ≤ 2M and upper-level
     * degree ≤ M (the paper's M_max invariants, asserted over EVERY
@@ -2230,6 +2432,9 @@ object Similarity {
     "e3_ann_search" -> e3AnnSearch,
     "e3_hnsw_recall" -> e3HnswRecall,
     "e3_hnsw_search" -> e3HnswSearch,
+    "e3_hnsw_indexed" -> e3HnswIndexed,
+    "e3_hnsw_incremental" -> e3HnswIncremental,
+    "e3_hnsw_delete" -> e3HnswDelete,
     "e3_ivf_search" -> e3IvfSearch,
     "e3_semdedup_run" -> e3SemDedupRun,
     "e3_label_coherence" -> e3LabelCoherence,
@@ -2426,6 +2631,14 @@ object Similarity {
     "e3_hnsw_recall" ->
       """SELECT true AS recall_ok, true AS degree_bounds_ok,
         |  true AS self_routing_ok""".stripMargin,
+    "e3_hnsw_indexed" ->
+      """SELECT true AS index_equals_memory, true AS nonempty""".stripMargin,
+    "e3_hnsw_incremental" ->
+      """SELECT true AS recall_ok, true AS all_vectors_present,
+        |  true AS degree_bounds_ok""".stripMargin,
+    "e3_hnsw_delete" ->
+      """SELECT true AS no_deleted_results, true AS k_results_ok,
+        |  true AS recall_ok""".stripMargin,
     "e3_hnsw_search" ->
       """SELECT true AS all_queries_answered, true AS k_bounded,
         |  true AS sims_in_range_ok""".stripMargin,

@@ -53,6 +53,9 @@ class PlanAuditSpec extends SparkSpec {
     // work over mapPartitions plus one per-query window merge
     "e3_hnsw_recall" -> Set("BroadcastNestedLoop"),
     "e3_hnsw_search" -> Set("BroadcastNestedLoop"),
+    "e3_hnsw_indexed" -> Set("BroadcastNestedLoop"),
+    "e3_hnsw_incremental" -> Set("BroadcastNestedLoop"),
+    "e3_hnsw_delete" -> Set("BroadcastNestedLoop"),
     "e3_ivf_search" -> Set("BroadcastNestedLoop"),
     "e3_pq_recall" -> Set("BroadcastNestedLoop"),
     "e3_pq_search" -> Set("BroadcastNestedLoop"),

@@ -124,6 +124,40 @@ class HnswSpec extends SparkSpec {
     }
   }
 
+  test("export → fromRows round-trips to a bit-identical graph") {
+    val pts = fixture(200)
+    val a = new HnswIndex(m = 6, efConstruction = 32)
+    pts.foreach { case (id, v) => a.insert(id, v) }
+    // shuffle the rows (disk order is arbitrary) — fromRows re-sorts
+    val rows = a.exportRows.toSeq.sortBy(r => (r._1 * 31) % 97)
+    val b = HnswIndex.fromRows(6, 32, rows)
+    for ((qid, qv) <- pts.take(50))
+      assert(a.search(qv, 32, 5) === b.search(qv, 32, 5),
+        s"persisted graph diverges for query $qid")
+    // and the reloaded graph keeps accepting inserts
+    b.insert(10000L, pts.head._2.map(_ * 1.5))
+    assert(b.search(pts.head._2, 32, 1).nonEmpty)
+  }
+
+  test("corrupt persisted rows fail loudly") {
+    val pts = fixture(50)
+    val a = new HnswIndex(m = 4, efConstruction = 16)
+    pts.foreach { case (id, v) => a.insert(id, v) }
+    val rows = a.exportRows.toSeq
+    intercept[RuntimeException] { // dangling neighbor id
+      HnswIndex.fromRows(4, 16, rows.map { case (id, l, v, nb) =>
+        if (id == rows.head._1)
+          (id, l, v, nb.map(_.map(x => x + 100000L)))
+        else (id, l, v, nb)
+      })
+    }
+    intercept[IllegalArgumentException] { // level/adjacency mismatch
+      HnswIndex.fromRows(4, 16, rows.map { case (id, l, v, nb) =>
+        (id, l + 1, v, nb)
+      })
+    }
+  }
+
   test("single-node index answers; empty index fails loudly") {
     val idx = new HnswIndex(m = 4, efConstruction = 8)
     idx.insert(7L, Array(1.0, 0.0))
