@@ -218,7 +218,15 @@ object Bench {
       // accumulated cache/checkpoint blocks from earlier queries
       // otherwise pressure later ones' execution memory — an in-run
       // inflation the isolated phase re-times don't reproduce.
+      // clearCache only drops catalog-cached relations; localCheckpoint
+      // RDDs (the iterative operators' lineage cuts) are persisted
+      // OUTSIDE the catalog and otherwise pile up across ~350 queries
+      // until driver GC triggers the ContextCleaner — unpersist them
+      // explicitly (r14 measurement fix, guide §5: cached data competes
+      // with execution memory; unpersist when done).
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
       (name, sec, r)
     }
     runCanary() // closing sample
@@ -262,6 +270,8 @@ object Bench {
         }
       val sec = (System.nanoTime() - t0) / 1e9
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false)) // see the in-run note
       if (ok) Some(sec) else None
     }
     val smallDir = sfDir.replaceAll("sf0\\.1/?$", "sf0.01")

@@ -40,6 +40,27 @@ object Tables {
     } else spark.read.parquet(path(dir, name))
   }
 
+  /** Scale-adaptive first-stage parallelism guard (optimization guide
+    * §2.5 "input skew" / §6 input split size). The testdata parquet
+    * ships ONE row group per table, so a scan yields ONE input
+    * partition and every expensive per-row map stage (image/audio
+    * codecs, regex scans, shingling, hashing) runs on a single core
+    * until the first exchange — a 32-core session executes its map
+    * work serially. Repartition ONLY when the scan yields fewer
+    * partitions than the session's default parallelism: at cluster
+    * scale (many files / row groups) the guard is the identity, so no
+    * payload shuffle is ever added where the input is already
+    * parallel, and locally the narrow rows it does move are trivial
+    * next to the map work they unlock. Streaming frames pass through
+    * untouched (micro-batch partitioning is the replay harness's
+    * contract, and `.rdd` is illegal on them). */
+  def spread(df: DataFrame): DataFrame =
+    if (df.isStreaming) df
+    else {
+      val target = df.sparkSession.sparkContext.defaultParallelism
+      if (df.rdd.getNumPartitions < target) df.repartition(target) else df
+    }
+
   /** Register every testdata table as a temp view, optionally name-prefixed
     * (the reference prefixes crawler output, demo_stack.py:144/:186). */
   def register(spark: SparkSession, dir: String, prefix: String = ""): Unit =

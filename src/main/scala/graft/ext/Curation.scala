@@ -89,10 +89,10 @@ object Curation {
   }
 
   private val e7Curation: Q = (s, dir) =>
-    curate(withPlantedLang(Tables.load(s, dir, "documents")))
+    curate(Tables.spread(withPlantedLang(Tables.load(s, dir, "documents"))))
 
   private val e7CurationExact: Q = (s, dir) =>
-    curate(withPlantedLang(Tables.load(s, dir, "documents")),
+    curate(Tables.spread(withPlantedLang(Tables.load(s, dir, "documents"))),
       exactNearDup = true)
 
   /** E11: dataset card — the one-page corpus profile a data team
@@ -104,7 +104,7 @@ object Curation {
   private val e11DatasetCard: Q = (s, dir) => {
     def kv(m: String, v: org.apache.spark.sql.Column) =
       struct(lit(m).as("metric"), v.cast("double").as("value"))
-    val docs = Tables.load(s, dir, "documents").agg(
+    val docs = Tables.spread(Tables.load(s, dir, "documents")).agg(
       kv("docs.n", count(lit(1))).as("a"),
       kv("docs.n_langs", countDistinct(col("lang"))).as("b"),
       kv("docs.n_sources", countDistinct(col("source"))).as("c"),

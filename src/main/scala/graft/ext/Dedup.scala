@@ -107,9 +107,11 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, k: Int = 32, bands: Int = 8,
       threshold: Double = 0.8): DataFrame = {
-    val sets = df.select(
-      col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh")).localCheckpoint(eager = false)
+    val sets = Tables.spread(df.select(col(idCol), col(textCol)))
+      .select(
+        col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
+      .localCheckpoint(eager = false)
     minhashNearDupPairsFromSets(sets, k, bands, threshold)
   }
 
@@ -383,8 +385,9 @@ object Dedup {
   def ngramJaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.75): DataFrame = {
-    val sets = df.select(col(idCol).as("id"),
-      shingles(col(textCol), shingleN).as("sh"))
+    val sets = Tables.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        shingles(col(textCol), shingleN).as("sh"))
       .filter(size(col("sh")) > 0).localCheckpoint(eager = false)
     val tokens = sets.select(col("id"), explode(col("sh")).as("tok"))
     val freq = tokens.groupBy(col("tok")).agg(count(lit(1)).as("f"))
@@ -440,9 +443,11 @@ object Dedup {
   def ngramJaccardPairsAgainst(
       base: DataFrame, probe: DataFrame, idCol: String, textCol: String,
       shingleN: Int = 3, threshold: Double = 0.75): DataFrame = {
-    def setsOf(df: DataFrame) = df.select(col(idCol).as("id"),
-        shingles(col(textCol), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0).localCheckpoint(eager = false)
+    def setsOf(df: DataFrame) =
+      Tables.spread(df.select(col(idCol), col(textCol)))
+        .select(col(idCol).as("id"),
+          shingles(col(textCol), shingleN).as("sh"))
+        .filter(size(col("sh")) > 0).localCheckpoint(eager = false)
     val baseSets = setsOf(base)
     val probeSets = setsOf(probe)
     val allSets = baseSets.unionByName(probeSets)
@@ -500,8 +505,9 @@ object Dedup {
     * candidates. Nothing all-pairs, nothing unpartitioned. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       p: Int, q: Int, shingleN: Int = 3): DataFrame = {
-    val toksRaw = df.select(col(idCol).as("id"),
-      explode(shingles(col(textCol), shingleN)).as("tok"))
+    val toksRaw = Tables.spread(df.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("id"),
+        explode(shingles(col(textCol), shingleN)).as("tok"))
     val dfc = toksRaw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val toks = toksRaw.join(dfc, Seq("tok"))
       .localCheckpoint(eager = false)
@@ -565,8 +571,9 @@ object Dedup {
     // would multiply pairs).
     require(maxDist == 1 || maxDist == 2,
       "deletion neighborhoods enumerated for maxDist in {1, 2}")
-    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(strCol).as("s")).filter(col("s").isNotNull)
+    val base = Tables.spread(
+        df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+          col(strCol).as("s"))).filter(col("s").isNotNull)
     // One-deletion variants; guarded so sequence() never runs backwards
     // (Spark's sequence(1, 0) DESCENDS instead of yielding empty).
     val del1 = "transform(sequence(1, length(s)), i -> " +
@@ -643,8 +650,9 @@ object Dedup {
   def jaroWinklerPairs(df: DataFrame, idCol: String, strCol: String,
       blockCol: String, threshold: Double): DataFrame = {
     val bagBound = 5.0 * threshold - 3.0
-    val base = df.select(col(idCol).as("id"), col(blockCol).as("blk"),
-      col(strCol).as("s")).filter(col("s").isNotNull)
+    val base = Tables.spread(
+        df.select(col(idCol).as("id"), col(blockCol).as("blk"),
+          col(strCol).as("s"))).filter(col("s").isNotNull)
       .localCheckpoint(eager = false)
     // Identical-name pairs: JW = 1.0 exactly (both engines), no scoring.
     // Empty strings are the one exception (JW('','') = 0) — excluded.
@@ -1149,8 +1157,9 @@ object Dedup {
     // ONE materialized text→shingles pass feeds every subtree below
     // (simhash fingerprints, minhash ground truth, exact-Jaccard
     // refinement); at cluster scale this is the signature table.
-    val sets = docs.select(col("doc_id").as("id"),
-      shingles(col("text"), 3).as("sh")).localCheckpoint(eager = false)
+    val sets = Tables.spread(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id").as("id"),
+        shingles(col("text"), 3).as("sh")).localCheckpoint(eager = false)
     val fps = sets.select(col("id"), simhash64(col("sh")).as("fp"))
       .localCheckpoint(eager = false)
     // The candidate set is tiny after banding; checkpointing runs the
@@ -1298,7 +1307,8 @@ object Dedup {
   def repeatedNgramSpans(docs: DataFrame, idCol: String, textCol: String,
       n: Int, minDocs: Int, k: Int): DataFrame = {
     val ws = split(col(textCol), " ")
-    def grams = docs.select(col(idCol).as("doc_id"), ws.as("ws"))
+    def grams = Tables.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), ws.as("ws"))
       .filter(size(col("ws")) >= n)
       .select(col("doc_id"),
         explode(sequence(lit(1), size(col("ws")) - (n - 1))).as("i"),
@@ -1365,7 +1375,8 @@ object Dedup {
     * front of the substring-dedup family. */
   private def tokenized(docs: DataFrame, idCol: String,
       textCol: String): DataFrame =
-    docs.select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
+    Tables.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).as("nt"), col("ws"))
 
   /** Distinct duplicated word-`n`-gram spans (doc_id, s, e) — windows
@@ -1639,7 +1650,8 @@ object Dedup {
     * chunk text. Returns (doc_id, cb, chunk_text, digest). */
   def cdcChunks(docs: DataFrame, idCol: String,
       textCol: String): DataFrame = {
-    val words = docs.select(col(idCol).as("doc_id"),
+    val words = Tables.spread(docs.select(col(idCol), col(textCol)))
+      .select(col(idCol).as("doc_id"),
         posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
       .filter(col("w") =!= "")
     val isB = substring(sha2(col("w"), 256), 1, 1)
@@ -1883,7 +1895,9 @@ object Dedup {
     * touched, and the surviving character mass, all per language. */
   def lineDedupStats(docs: DataFrame, idCol: String, langCol: String,
       textCol: String): DataFrame = {
-    val lines = docs.select(col(idCol).as("doc_id"), col(langCol).as("lang"),
+    val lines = Tables.spread(
+        docs.select(col(idCol), col(langCol), col(textCol)))
+      .select(col(idCol).as("doc_id"), col(langCol).as("lang"),
         posexplode(split(col(textCol), "\n")).as(Seq("line_no", "line")))
       .filter(col("line") =!= "")
     val w = Window.partitionBy(sha2(col("line"), 256))

@@ -172,10 +172,10 @@ object Hygiene {
     * Table A1): the fraction of the document occupied by its single
     * most frequent {2,3,4}-gram — templated/spun text concentrates
     * mass in one repeated phrase, which unique-word and dup-bigram
-    * ratios can miss. Per n: explode word n-grams as sha-256 digests
-    * (the repeatedNgramSpans shuffle discipline — fixed-width keys,
-    * and counts never leave their (doc, digest) key), count per
-    * (doc, gram), keep the per-doc max, report the occupied fraction
+    * ratios can miss. Per n: explode word n-grams as 64-bit xxhash64
+    * keys (fixed-width keys, and counts never leave their
+    * (doc, n, key) grouping), count per (doc, gram), keep the per-doc
+    * max, report the occupied fraction
     * in integer BASIS POINTS (cnt·n·10⁴ div n_tokens): token ratios
     * like 1/2⁵ land EXACTLY on 4th-decimal half-boundaries where the
     * engines' double rounding modes legitimately disagree — integer
@@ -187,22 +187,36 @@ object Hygiene {
     * (spec-pinned deliberately). */
   def topNgramFractions(docs: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(2, 3, 4)): DataFrame = {
-    val base = docs
+    // r14 restructure (guide §2.3/§2.4): ONE tokenize pass (checkpointed
+    // — the old shape re-split the text once per n), ONE (doc, n, gram)
+    // shuffle + ONE per-doc pivot aggregation + ONE join (was 2 shuffles
+    // and a join PER n), and 8-byte xxhash64 gram keys instead of
+    // 64-hex-char sha2 digests — the key only buckets within
+    // (doc_id, n), so it needs uniqueness, not cryptographic width;
+    // narrow keys shuffle ~9× fewer bytes and skip a SHA-256 per gram.
+    // Counts (and therefore the emitted maxima/basis points) are
+    // identical — the oracle re-derives them from gram VALUES.
+    val base = Tables.spread(docs.select(col(idCol), col(textCol)))
       .select(col(idCol).as("doc_id"), split(col(textCol), " ").as("ws"))
       .select(col("doc_id"), size(col("ws")).cast("long").as("nt"),
         col("ws"))
-    val joined = ns.foldLeft(base.select(col("doc_id"), col("nt"))) {
-      (acc, n) =>
-        val top = base.filter(col("nt") >= n)
-          .select(col("doc_id"),
-            explode(expr(
-              s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
-                s"sha2(array_join(slice(ws, i, $n), ' '), 256))"))
-              .as("g"))
-          .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
-          .groupBy(col("doc_id")).agg(max(col("c")).as(s"top$n"))
-        acc.join(top, Seq("doc_id"), "left")
-    }
+      .localCheckpoint(eager = false) // gram pass ×|ns| + the final join
+    val grams = ns.map(n => base.filter(col("nt") >= n)
+        .select(col("doc_id"), lit(n).as("n"),
+          explode(expr(
+            s"transform(sequence(1, size(ws) - ${n - 1}), i -> " +
+              s"xxhash64(array_join(slice(ws, i, $n), ' ')))"))
+            .as("g")))
+      .reduce(_ unionByName _)
+    val topCols = ns.map(n =>
+      max(when(col("n") === n, col("c"))).as(s"top$n"))
+    val tops = grams
+      .groupBy(col("doc_id"), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(topCols.head, topCols.tail: _*)
+    val joined = base.select(col("doc_id"), col("nt"))
+      .join(tops, Seq("doc_id"), "left")
     val out = ns.foldLeft(joined) { (acc, n) =>
       acc.withColumn(s"top$n", coalesce(col(s"top$n"), lit(0L)))
         .withColumn(s"dup${n}_bp", expr(
@@ -218,7 +232,7 @@ object Hygiene {
     * full value-level oracle (DuckDB regenerates every gram, the
     * per-doc maxima, and the integer basis-point arithmetic). */
   private val e9TopNgram: Q = (s, dir) =>
-    topNgramFractions(t(s, dir, "documents"), "doc_id", "text")
+    topNgramFractions(Tables.spread(t(s, dir, "documents")), "doc_id", "text")
 
   // ------------------------------------------- boilerplate profiling
 
@@ -331,7 +345,7 @@ object Hygiene {
     * on ITS redacted text, not a constant 0), so a redaction bug that
     * leaves matches behind fails the hash even if detection agrees. */
   private val e9PiiRedact: Q = (s, dir) => {
-    val planted = withPlantedPii(t(s, dir, "documents"))
+    val planted = withPlantedPii(Tables.spread(t(s, dir, "documents")))
     val (em, ph, ip) = piiCounts(col("text"))
     val (rem, rph, rip) = piiCounts(col("redacted"))
     planted.withColumn("redacted", piiRedact(col("text")))
@@ -352,7 +366,7 @@ object Hygiene {
     * the ORACLE'S redacted text too, so a scrub that leaves matches
     * fails the hash even when detection agrees). */
   private val e9Secrets: Q = (s, dir) => {
-    val planted = withPlantedSecrets(t(s, dir, "documents"))
+    val planted = withPlantedSecrets(Tables.spread(t(s, dir, "documents")))
     val (aws, hex, jwt) = secretsCounts(col("text"))
     val (raws, rhex, rjwt) = secretsCounts(col("redacted"))
     planted.withColumn("redacted", secretsRedact(col("text")))
@@ -370,15 +384,15 @@ object Hygiene {
 
   /** E9b: per-document repetition profile over the whole corpus. */
   private val e9Repetition: Q = (s, dir) =>
-    repetitionProfile(t(s, dir, "documents"), "doc_id", "text")
+    repetitionProfile(Tables.spread(t(s, dir, "documents")), "doc_id", "text")
 
   /** E9c: per-document boilerplate fraction at df > 2. */
   private val e9Boilerplate: Q = (s, dir) =>
-    boilerplateProfile(t(s, dir, "documents"), "doc_id", "text")
+    boilerplateProfile(Tables.spread(t(s, dir, "documents")), "doc_id", "text")
 
   /** E9d: source+term blocklist audit over the planted corpus. */
   private val e9Blocklist: Q = (s, dir) =>
-    blocklistAudit(withPlantedSpam(t(s, dir, "documents")),
+    blocklistAudit(withPlantedSpam(Tables.spread(t(s, dir, "documents"))),
       "doc_id", "text", "source", BlockedSources, BannedTermRe)
 
   /** Gopher-family rule filter (Rae et al. 2021 §A1.1, the C4/Gopher
@@ -415,7 +429,7 @@ object Hygiene {
     * checksum. Word bounds tightened to [20, 200] so the synthetic
     * corpus actually exercises both sides of the cut. */
   private val e9Gopher: Q = (s, dir) =>
-    gopherRules(t(s, dir, "documents"), "text", 20, 200)
+    gopherRules(Tables.spread(t(s, dir, "documents")), "text", 20, 200)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(!col("ok_words"), 1L).otherwise(0L)).as("n_fail_words"),
@@ -449,7 +463,7 @@ object Hygiene {
 
   /** E9g: the k-anonymity audit at k=5, full value oracle. */
   private val e9Kanon: Q = (s, dir) =>
-    kAnonymityAudit(t(s, dir, "documents"), k = 5)
+    kAnonymityAudit(Tables.spread(t(s, dir, "documents")), k = 5)
 
   /** Differentially-private histogram release (Dwork et al., TCC'06:
     * the Laplace mechanism, sensitivity 1, ε = 0.5 → scale b = 2):
@@ -468,7 +482,7 @@ object Hygiene {
     * tables, never document-sized. */
   private val e9DpRelease: Q = (s, dir) => {
     val b = 2.0 // 1/epsilon, epsilon = 0.5, sensitivity 1
-    val cells = t(s, dir, "documents")
+    val cells = Tables.spread(t(s, dir, "documents"))
       .groupBy(col("lang"), col("source")).agg(count(lit(1)).as("n"))
     val w = org.apache.spark.sql.expressions.Window
       .orderBy(col("lang"), col("source"))
@@ -508,7 +522,7 @@ object Hygiene {
     * gates are the length laws. */
   private val e9CompressRatio: Q = (s, dir) => {
     import s.implicits._
-    val stats = t(s, dir, "documents")
+    val stats = Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id").cast("long"), col("text"))
       .as[(Long, String)]
       .mapPartitions { rows =>
@@ -601,7 +615,7 @@ object Hygiene {
     * normalizer that skips composition, a strip that eats the wrong
     * class, or a collapse that misses an edge hash-fails. */
   private val e9NfcClean: Q = (s, dir) => {
-    val planted = withPlantedMojibake(t(s, dir, "documents"))
+    val planted = withPlantedMojibake(Tables.spread(t(s, dir, "documents")))
     planted.withColumn("cleaned", nfcClean(col("text")))
       .groupBy(col("lang"))
       .agg(
@@ -680,7 +694,7 @@ object Hygiene {
     * restatement: the oracle replants the same URLs and applies the
     * same regex chain in the same order. */
   private val e9UrlCanon: Q = (s, dir) => {
-    withPlantedUrls(t(s, dir, "documents"))
+    withPlantedUrls(Tables.spread(t(s, dir, "documents")))
       .withColumn("canon", urlCanon(col("url")))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_urls"),
@@ -730,7 +744,7 @@ object Hygiene {
     * cleaned string itself is hash-compared per document, so a missed
     * tag, a wrong decode order, or an extra space all fail. */
   private val e9HtmlStrip: Q = (s, dir) => {
-    withPlantedHtml(t(s, dir, "documents"))
+    withPlantedHtml(Tables.spread(t(s, dir, "documents")))
       .select(col("doc_id"),
         regexp_count(col("html"), lit(HtmlTagRe)).cast("long").as("n_tags"),
         regexp_count(col("html"), lit(HtmlEntityRe)).cast("long")
@@ -753,7 +767,7 @@ object Hygiene {
     * O(text + hits) per row independent of dictionary size. */
   private val e9DictScan: Q = (s, dir) => {
     import graft.functions.AhoCorasickScan.dictScan
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     val perTerm = docs
       .select(col("doc_id"),
         explode(dictScan(col("text"), DictTerms ++ DictDecoys)).as("term"))

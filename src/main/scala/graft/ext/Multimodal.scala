@@ -52,7 +52,8 @@ object Multimodal {
   def decodePartitioned(df: DataFrame, idCol: String, binCol: String,
       dim: Int): Dataset[MediaFeatures] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    Tables.spread(
+        df.select(col(idCol).cast("long"), col(binCol).cast("binary")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // per-partition init happens HERE in a real decoder (once, not per row)
@@ -125,7 +126,8 @@ object Multimodal {
     * initializes once per partition and rows stream through. */
   def decodePpm(df: DataFrame, idCol: String, binCol: String): Dataset[PpmStats] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    Tables.spread(
+        df.select(col(idCol).cast("long"), col(binCol).cast("binary")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         def round4(x: Double): Double =
@@ -163,7 +165,8 @@ object Multimodal {
   def decodePpmRowFeatures(df: DataFrame, idCol: String,
       binCol: String): Dataset[PpmRowFeatures] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    Tables.spread(
+        df.select(col(idCol).cast("long"), col(binCol).cast("binary")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
@@ -201,7 +204,8 @@ object Multimodal {
   def ppmAHash(df: DataFrame, idCol: String,
       binCol: String): Dataset[PhashRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    Tables.spread(
+        df.select(col(idCol).cast("long"), col(binCol).cast("binary")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
@@ -247,8 +251,9 @@ object Multimodal {
   def dctPhash(df: DataFrame, idCol: String,
       textCol: String): Dataset[DctHashRow] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"),
-        coalesce(col(textCol), lit("")))
+    Tables.spread(
+        df.select(col(idCol).cast("long"),
+          coalesce(col(textCol), lit(""))))
       .as[(Long, String)]
       .mapPartitions { rows =>
         val n = 32
@@ -345,7 +350,8 @@ object Multimodal {
   def frameSample(df: DataFrame, idCol: String, binCol: String,
       frameBytes: Int, nFrames: Int, stride: Int): Dataset[FrameStats] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(binCol).cast("binary"))
+    Tables.spread(
+        df.select(col(idCol).cast("long"), col(binCol).cast("binary")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         // a real decoder opens its codec context HERE, once per partition
@@ -482,7 +488,8 @@ object Multimodal {
     * bytes here; the byte-column plumbing is identical). */
   def synthPcm(df: DataFrame, idCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    Tables.spread(df.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { ids =>
       ids.map { id =>
         val k = (id % 100 + 3).toInt
         val bb = java.nio.ByteBuffer.allocate(AudioN * 8)
@@ -503,7 +510,8 @@ object Multimodal {
   def spectralFeatures(df: DataFrame, idCol: String,
       wavCol: String): Dataset[AudioFeatures] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(wavCol).cast("binary"))
+    Tables.spread(
+        df.select(col(idCol).cast("long"), col(wavCol).cast("binary")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
@@ -768,7 +776,8 @@ object Multimodal {
     import s.implicits._
     val (w, h) = (16, 12)
     val decoded = t(s, dir, "documents")
-      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+      .select(col("doc_id")).transform(Tables.spread)
+      .as[Long].mapPartitions { ids =>
         ids.map(id => (id, PngCodec.encode(w, h, synthRgb(id, w, h))))
       }.toDF("doc_id", "png")
       .as[(Long, Array[Byte])].mapPartitions { rows =>
@@ -807,7 +816,8 @@ object Multimodal {
     import s.implicits._
     val (w, h) = (16, 12)
     t(s, dir, "documents")
-      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+      .select(col("doc_id")).transform(Tables.spread)
+      .as[Long].mapPartitions { ids =>
         ids.map { id =>
           val png = PngCodec.encode(w, h, synthRgb(id, w, h))
           val metas = Seq(
@@ -866,7 +876,8 @@ object Multimodal {
     import s.implicits._
     val (w, h) = (16, 12)
     t(s, dir, "documents")
-      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+      .select(col("doc_id")).transform(Tables.spread)
+      .as[Long].mapPartitions { ids =>
         ids.map { id =>
           val (dw, dh, px) =
             PngCodec.decode(PngCodec.encode(w, h, synthRgb(id, w, h)))
@@ -1123,7 +1134,8 @@ object Multimodal {
     import s.implicits._
     val (w, h) = (16, 12)
     t(s, dir, "documents")
-      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+      .select(col("doc_id")).transform(Tables.spread)
+      .as[Long].mapPartitions { ids =>
         val pal = synthPalette
         ids.map { id =>
           val gif = GifCodec.encode(w, h, synthIndices(id, w, h), pal)
@@ -1600,7 +1612,8 @@ object Multimodal {
     import s.implicits._
     val (w, h) = (24, 16)
     val stats = t(s, dir, "documents")
-      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+      .select(col("doc_id")).transform(Tables.spread)
+      .as[Long].mapPartitions { ids =>
         ids.map { id =>
           val rgb = Array.tabulate(w * h * 3) { i =>
             val px = i / 3; val x = px % w; val y = px / w
@@ -1969,7 +1982,8 @@ object Multimodal {
     import s.implicits._
     val (w, h) = (24, 16)
     val stats = t(s, dir, "documents")
-      .select(col("doc_id")).as[Long].mapPartitions { ids =>
+      .select(col("doc_id")).transform(Tables.spread)
+      .as[Long].mapPartitions { ids =>
         ids.map { id =>
           // Real 24×16 crop of the 32×32 full-spectrum image: copy
           // w-wide row slices at the source's 32-px stride. (A plain
@@ -2049,7 +2063,7 @@ object Multimodal {
     import s.implicits._
     val n = 32
     val docs = t(s, dir, "documents").select(col("doc_id"))
-    val hashes = docs.as[Long]
+    val hashes = Tables.spread(docs).as[Long]
       .mapPartitions { ids =>
         val cosT = Array.tabulate(8, n)((u, x) =>
           math.cos(math.Pi * (2 * x + 1) * u / (2.0 * n)))
@@ -2568,6 +2582,7 @@ object Multimodal {
     t(s, dir, "documents")
       .select(col("doc_id").cast("long"),
         asciiOnly(coalesce(col("text"), lit(""))).cast("binary").as("bin"))
+      .transform(Tables.spread)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
@@ -2618,6 +2633,7 @@ object Multimodal {
     t(s, dir, "documents")
       .select(col("doc_id").cast("long"),
         asciiOnly(coalesce(col("text"), lit(""))).cast("binary").as("bin"))
+      .transform(Tables.spread)
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.flatMap { case (id, bytes) =>
@@ -2665,7 +2681,8 @@ object Multimodal {
     * rounding boundaries). */
   def synthWav(df: DataFrame, idCol: String): DataFrame = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
+    Tables.spread(df.select(col(idCol).cast("long")))
+      .as[Long].mapPartitions { ids =>
       ids.map { id =>
         val m = (id % 7 + 1).toInt
         val samples = Array.tabulate(AudioN)(t =>
@@ -2682,7 +2699,8 @@ object Multimodal {
   def wavStats(df: DataFrame, idCol: String, wavCol: String)
       : Dataset[WavStats] = {
     import df.sparkSession.implicits._
-    df.select(col(idCol).cast("long"), col(wavCol).cast("binary"))
+    Tables.spread(
+        df.select(col(idCol).cast("long"), col(wavCol).cast("binary")))
       .as[(Long, Array[Byte])]
       .mapPartitions { rows =>
         rows.map { case (id, bytes) =>
@@ -2716,7 +2734,8 @@ object Multimodal {
   private val e5WavSpectral: Q = (s, dir) => {
     import s.implicits._
     val wav = t(s, dir, "embeddings")
-      .select(col("vec_id").cast("long")).as[Long].mapPartitions { ids =>
+      .select(col("vec_id").cast("long")).transform(Tables.spread)
+      .as[Long].mapPartitions { ids =>
         ids.map { id =>
           val k = (id % 100 + 3).toInt
           val samples = Array.tabulate(AudioN) { tt =>

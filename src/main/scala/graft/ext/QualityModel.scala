@@ -303,23 +303,31 @@ object QualityModel {
     def zy = ks.map(k =>
       when(col("y") === k, col(s"z$k")).otherwise(lit(0.0))).reduce(_ + _)
     def llCol = log(sumExp) - (zy - m) // −log p_y
-    def lossAt(wc: Array[Array[Double]]): Double =
-      marginsOf(wc).agg((sum(llCol) / n).as("loss")).head().getDouble(0)
-    val losses = (0 until iters).map { _ =>
-      val errCols = ks.map(k =>
-        (exp(col(s"z$k") - m) / sumExp -
-          when(col("y") === k, 1.0).otherwise(0.0)).as(s"e$k"))
-      val err = marginsOf(w)
+    val errCols = ks.map(k =>
+      (exp(col(s"z$k") - m) / sumExp -
+        when(col("y") === k, 1.0).otherwise(0.0)).as(s"e$k"))
+    // Full per-doc error frame for a candidate weight set. r14 fusion
+    // (guide §1.2 per-task work / §2.4 do fewer passes): the OLD loop
+    // computed each weight set's margins TWICE — once as the line
+    // search's loss-only aggregation, and again at the next
+    // iteration's gradient step. Materializing the error frame AT THE
+    // LINE-SEARCH TRIAL (lazy checkpoint; the loss scalar's action
+    // forces it) lets the accepted candidate's margins carry straight
+    // into the next gradient join — one margins aggregation per
+    // evaluated weight set instead of two. Same expressions, same
+    // checkpointed feats input, so the trained weights are unchanged.
+    def errFrameOf(wc: Array[Array[Double]]): DataFrame =
+      marginsOf(wc)
         .select(col("doc_id") +: (errCols :+ llCol.as("ll")): _*)
-        // lazy: the single collect below materializes it once for the
-        // gradient and loss branches
         .localCheckpoint(eager = false)
+    var errW = errFrameOf(w)
+    val losses = (0 until iters).map { _ =>
       val gradAgg = ks.map(k => (sum(col(s"e$k") * col("v")) / n)
         .as(s"g$k"))
-      val lossRow = err.agg((sum(col("ll")) / n).as("g0"),
+      val lossRow = errW.agg((sum(col("ll")) / n).as("g0"),
           ks.tail.map(k => lit(0.0).as(s"g$k")): _*)
         .select(lit(-1).as("idx") +: ks.map(k => col(s"g$k")): _*)
-      val rows = feats.join(err, Seq("doc_id"))
+      val rows = feats.join(errW, Seq("doc_id"))
         .groupBy(col("idx"))
         .agg(gradAgg.head, gradAgg.tail: _*)
         .unionByName(lossRow)
@@ -335,9 +343,10 @@ object QualityModel {
       // common bucket, so a fixed-lr batch step OVERSHOOTS and the
       // loss oscillates (measured: diverges at lr 1/5/20 on the
       // planted-langid corpus). Halve the step until the loss
-      // decreases — each trial is ONE margins aggregation; the
-      // common case accepts within a couple of trials and every
-      // iterate is monotone in loss.
+      // decreases — each trial is ONE margins aggregation (whose error
+      // frame the next iteration reuses on acceptance); the common
+      // case accepts within a couple of trials and every iterate is
+      // monotone in loss.
       var step = lr
       var accepted = false
       var trials = 0
@@ -346,7 +355,10 @@ object QualityModel {
         grad.foreach { case (idx, g) =>
           ks.foreach(k => cand(k)(idx) -= step * g(k))
         }
-        if (lossAt(cand) <= cur) { w = cand; accepted = true }
+        val candErr = errFrameOf(cand)
+        val candLoss =
+          candErr.agg((sum(col("ll")) / n).as("loss")).head().getDouble(0)
+        if (candLoss <= cur) { w = cand; errW = candErr; accepted = true }
         else { step /= 2; trials += 1 }
       }
       cur
@@ -381,7 +393,7 @@ object QualityModel {
     * oracle. A broken gradient, a wrong sigmoid, or a feature/label
     * leak all fail the gate. */
   private val e10QualityLr: Q = (s, dir) => {
-    val docs = Hygiene.withPlantedSpam(Tables.load(s, dir, "documents"))
+    val docs = Tables.spread(Hygiene.withPlantedSpam(Tables.load(s, dir, "documents")))
     val labeled = docs.select(
       features(col("text")).as("x"),
       when(col("doc_id") % 9 === 0 || col("doc_id") % 17 === 0, 1.0)
@@ -412,7 +424,7 @@ object QualityModel {
     * makes 0.9 non-vacuous), training log-loss dropped ≥ 30%, scores
     * proper probabilities, and a non-empty held-out split. */
   private val e10bQualityHashed: Q = (s, dir) => {
-    val docs = Hygiene.withPlantedSpam(Tables.load(s, dir, "documents"))
+    val docs = Tables.spread(Hygiene.withPlantedSpam(Tables.load(s, dir, "documents")))
     val labels = docs.select(col("doc_id").cast("long").as("doc_id"),
       when(col("doc_id") % 9 === 0 || col("doc_id") % 17 === 0, 1.0)
         .otherwise(0.0).as("y"))
@@ -453,7 +465,7 @@ object QualityModel {
     * Engine-specific floats → self-check gates, constant-true
     * oracle. */
   private val e10cCalibration: Q = (s, dir) => {
-    val docs = Hygiene.withPlantedSpam(Tables.load(s, dir, "documents"))
+    val docs = Tables.spread(Hygiene.withPlantedSpam(Tables.load(s, dir, "documents")))
     val labeled = docs.select(col("doc_id"),
       features(col("text")).as("x"),
       when(col("doc_id") % 9 === 0 || col("doc_id") % 17 === 0, 1.0)

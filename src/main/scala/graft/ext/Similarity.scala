@@ -166,14 +166,20 @@ object Similarity {
         array_max(centroidScores(col("uv"), seeds.zipWithIndex.map(_.swap))
           .getField("d"))
       val withCost = uv.withColumn("cost", cost)
-        .localCheckpoint(eager = false) // total + the filter below
-      val total = withCost.agg(round(sum(col("cost")), 8)).head().getDouble(0)
-      if (total > 0) {
-        val picked = withCost
-          .filter(unif(r) * total < lit(oversample.toDouble) * col("cost"))
-          .select(col("uv")).collect().map(_.getSeq[Double](0)).toSeq
-        seeds = (seeds ++ picked).distinct
-      }
+        .localCheckpoint(eager = false) // total agg + the probe side
+      // ONE action per seeding round instead of two (r14, guide §1/§5:
+      // the driver loop's job count IS the cost on small inputs): the
+      // round's total cost rides the plan as a broadcast one-row agg —
+      // same round(·,8) value, same `total > 0` guard, same row order
+      // (the broadcast join preserves streamed-side order) — so the
+      // picked seed set is bit-identical to the two-action version.
+      val total = withCost.agg(round(sum(col("cost")), 8).as("total"))
+      val picked = withCost
+        .crossJoin(broadcast(total))
+        .filter(col("total") > 0 &&
+          unif(r) * col("total") < lit(oversample.toDouble) * col("cost"))
+        .select(col("uv")).collect().map(_.getSeq[Double](0)).toSeq
+      seeds = (seeds ++ picked).distinct
     }
     // weight candidates by attracted mass, then reduce to c seeds by
     // weighted farthest-first (pure driver arithmetic on ≤ ~8c+1 rows)

@@ -593,7 +593,7 @@ object TextStats {
     * identical score/tie order), the pruning, and the ppm division. */
   private val e4UnigramLm: Q = (s, dir) => {
     import s.implicits._
-    val pieces = unigramLmPieces(t(s, dir, "documents"), "text")
+    val pieces = unigramLmPieces(Tables.spread(t(s, dir, "documents")), "text")
     val total = pieces.map(_._2).sum
     pieces.toDF("piece", "cnt")
       .withColumn("prob_ppm", expr(s"cnt * 1000000 div $total"))
@@ -609,7 +609,7 @@ object TextStats {
     * for out-of-model input), so no word is dropped from the rollup
     * and the exponential-enumeration guard costs nothing semantic. */
   private val e4UnigramApply: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     unigramEncodeRollup(docs, "text", "lang",
       unigramLmPieces(docs, "text"))
   }
@@ -660,7 +660,7 @@ object TextStats {
     * (their letters may be absent from the length-capped trainer's
     * alphabet, which is how a real `[UNK]` arises). */
   private val e4WordpieceApply: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     val vocab = graft.functions.WordPieceSeg.vocabFromPieces(
       unigramLmPieces(docs, "text").map(_._1))
     val words = docs.select(col("lang"),
@@ -685,7 +685,7 @@ object TextStats {
   /** E4: corpus distributions per language — counts, length/word stats,
     * source fanout, short-doc and stopword ratios, BPE-ish tokens. */
   private val e4TextStats: Q = (s, dir) =>
-    t(s, dir, "documents")
+    Tables.spread(t(s, dir, "documents"))
       .groupBy(col("lang"))
       .agg(
         count(lit(1)).as("n_docs"),
@@ -703,7 +703,7 @@ object TextStats {
     * only the verification side). Asserts the CMS guarantees in-plan:
     * estimates never undercount, and overcount is bounded by ε·N. */
   private val e6CmsHeavyHitters: Q = (s, dir) => {
-    val words = t(s, dir, "documents")
+    val words = Tables.spread(t(s, dir, "documents"))
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
     val top = words.groupBy(col("word")).agg(count(lit(1)).as("n"))
@@ -725,22 +725,22 @@ object TextStats {
 
   /** E4b: top-3 TF-IDF keywords per document, full value-level oracle. */
   private val e4Tfidf: Q = (s, dir) =>
-    tfidfTopTerms(t(s, dir, "documents"), "doc_id", "text", k = 3)
+    tfidfTopTerms(Tables.spread(t(s, dir, "documents")), "doc_id", "text", k = 3)
 
   /** E4c: per-document unigram-LM score, full value-level oracle. */
   private val e4Logprob: Q = (s, dir) =>
-    unigramLogprob(t(s, dir, "documents"), "doc_id", "text")
+    unigramLogprob(Tables.spread(t(s, dir, "documents")), "doc_id", "text")
 
   /** E4j: bigram-LM quality scoring (add-0.5 smoothing). */
   private val e4BigramLm: Q = (s, dir) =>
-    bigramLogprob(t(s, dir, "documents"), "doc_id", "text")
+    bigramLogprob(Tables.spread(t(s, dir, "documents")), "doc_id", "text")
 
   /** E4v: stupid-backoff trigram LM — train on doc_id % 3 ≠ 0, score
     * the held-out third so the backoff chain actually fires; full
     * value-level oracle re-deriving every count table, the per-type
     * backoff cascade, and the per-doc rollup. */
   private val e4BackoffLm: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     backoffTrigramScore(docs.filter(col("doc_id") % 3 =!= 0),
       docs.filter(col("doc_id") % 3 === 0), "doc_id", "text")
   }
@@ -748,29 +748,29 @@ object TextStats {
   /** E4k: winnowing fingerprints (k=8 char grams, w=6 windows),
     * full value-level oracle on the exact fingerprint set. */
   private val e4Winnow: Q = (s, dir) =>
-    winnowFingerprints(t(s, dir, "documents"), "doc_id", "text")
+    winnowFingerprints(Tables.spread(t(s, dir, "documents")), "doc_id", "text")
 
   /** E4d: top-300 vocabulary, per-source OOV rates, value-level oracle. */
   private val e4VocabOov: Q = (s, dir) =>
-    vocabOovCoverage(t(s, dir, "documents"), "text", "source", 300)
+    vocabOovCoverage(Tables.spread(t(s, dir, "documents")), "text", "source", 300)
 
   /** E4e: BM25 top-10 for a stopword query ('lottery' exercises the
     * df=0 missing-term path), full value-level oracle. */
   private val e4Bm25: Q = (s, dir) =>
-    bm25TopK(t(s, dir, "documents"), "doc_id", "text",
+    bm25TopK(Tables.spread(t(s, dir, "documents")), "doc_id", "text",
       Seq("the", "and", "of", "lottery"), k = 10)
 
   /** E4f: lang×source independence probe. */
   private val e4Chi2: Q = (s, dir) =>
-    chiSquare(t(s, dir, "documents"), "lang", "source")
+    chiSquare(Tables.spread(t(s, dir, "documents")), "lang", "source")
 
   /** E4g: Zipf slope of the corpus token distribution. */
   private val e4Zipf: Q = (s, dir) =>
-    zipfFit(t(s, dir, "documents"), "text")
+    zipfFit(Tables.spread(t(s, dir, "documents")), "text")
 
   /** E4h: top-40 PMI collocations with pair count ≥ 5. */
   private val e4Pmi: Q = (s, dir) =>
-    pmiCollocations(t(s, dir, "documents"), "text", minCount = 5, k = 40)
+    pmiCollocations(Tables.spread(t(s, dir, "documents")), "text", minCount = 5, k = 40)
 
   /** E4i: per-document word-level Shannon entropy, rolled up per
     * language. Low-entropy docs are boilerplate/spam (a handful of
@@ -780,7 +780,7 @@ object TextStats {
     * Per CLAUDE.md rounding-parity: the per-DOC entropy rounds to 4
     * first, then the per-language avg/min/max round the rounded rows. */
   private val e4Entropy: Q = (s, dir) => {
-    val words = t(s, dir, "documents")
+    val words = Tables.spread(t(s, dir, "documents"))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
@@ -808,7 +808,7 @@ object TextStats {
     * re-applies it word-by-word, so the native encoder's token counts
     * are value-checked end to end. */
   private val e4BpeApply: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     val merges = bpeMerges(docs, "text", rounds = 5)
       .orderBy(col("round"))
       .select(col("pair")).collect()
@@ -825,7 +825,7 @@ object TextStats {
   }
 
   private val e4Bpe: Q = (s, dir) =>
-    bpeMerges(t(s, dir, "documents"), "text", rounds = 5)
+    bpeMerges(Tables.spread(t(s, dir, "documents")), "text", rounds = 5)
 
   /** E4l: language-ID confusion matrix — the heuristic's prediction vs
     * the table's `lang` label, with per-cell counts and the per-truth
@@ -834,7 +834,7 @@ object TextStats {
     * (including the struct tie-break: larger language tag wins) by
     * comparing zero-padded score strings with the tag appended. */
   private val e4Langid: Q = (s, dir) =>
-    t(s, dir, "documents")
+    Tables.spread(t(s, dir, "documents"))
       .select(col("lang"), languageIdHeuristic(col("text")).as("pred"))
       .groupBy(col("lang"), col("pred"))
       .agg(count(lit(1)).as("n"))
@@ -902,7 +902,7 @@ object TextStats {
   private val e4LangidTrained: Q = (s, dir) => {
     val tags = plantedLangMarkers.map(_._1)
     val docs = withPlantedLangMarkers(
-      t(s, dir, "documents").select(col("doc_id"), col("lang"),
+      Tables.spread(t(s, dir, "documents")).select(col("doc_id"), col("lang"),
         col("text")))
       .localCheckpoint(eager = false) // features + heuristic + labels
     val labels = docs.select(col("doc_id").cast("long").as("doc_id"),
@@ -961,7 +961,7 @@ object TextStats {
     * must resolve them identically in both engines) and rolls up per
     * (lang, script) with per-script char masses, all value-checked. */
   private val e4ScriptId: Q = (s, dir) => {
-    val planted = t(s, dir, "documents").select(col("doc_id"), col("lang"),
+    val planted = Tables.spread(t(s, dir, "documents")).select(col("doc_id"), col("lang"),
       concat(col("text"),
         when(col("doc_id") % 5 === 0, lit(" " + CyrSnippet))
           .otherwise(lit("")),
@@ -1008,7 +1008,7 @@ object TextStats {
     // DuckDB's integral `//`. (w+14)/15 is exact in double for any
     // plausible word count, so the floor boundary is safe.
     val sents = floor((words + lit(14L)) / lit(15L)).cast("long")
-    t(s, dir, "documents").select(
+    Tables.spread(t(s, dir, "documents")).select(
       col("doc_id"),
       words.as("n_words"),
       syl.as("n_syllables"),
@@ -1068,7 +1068,7 @@ object TextStats {
   }
 
   private val e4RakeKeywords: Q = (s, dir) =>
-    rakeTopK(t(s, dir, "documents"), k = 3)
+    rakeTopK(Tables.spread(t(s, dir, "documents")), k = 3)
 
   // -------------------------------------------- ROUGE overlap scoring
 
@@ -1129,7 +1129,7 @@ object TextStats {
   }
 
   private val e4Rouge: Q = (s, dir) =>
-    rougeScores(t(s, dir, "documents").filter(col("doc_id") % 4 === 0))
+    rougeScores(Tables.spread(t(s, dir, "documents")).filter(col("doc_id") % 4 === 0))
 
   // --------------------------------------- distribution drift (JSD)
 
@@ -1185,7 +1185,7 @@ object TextStats {
       .orderBy(col("src_a"), col("src_b"))
   }
 
-  private val e4Jsd: Q = (s, dir) => jsdPairs(t(s, dir, "documents"))
+  private val e4Jsd: Q = (s, dir) => jsdPairs(Tables.spread(t(s, dir, "documents")))
 
   val queries: Map[String, Q] = Map(
     "e4_script_id" -> e4ScriptId,

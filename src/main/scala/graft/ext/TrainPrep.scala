@@ -275,7 +275,7 @@ object TrainPrep {
   /** E8: deterministic 80/10/10 split — per-split counts plus an id
     * checksum so the oracle pins the exact membership, not just sizes. */
   private val e8HashSplit: Q = (s, dir) =>
-    hashSplit(t(s, dir, "documents"), "doc_id",
+    hashSplit(Tables.spread(t(s, dir, "documents")), "doc_id",
       Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
       .groupBy(col("split"))
       .agg(count(lit(1)).as("n_docs"), sum(col("doc_id")).as("sum_ids"))
@@ -283,19 +283,19 @@ object TrainPrep {
 
   /** E8b: per-language 2048-token packing — bin-level stats. */
   private val e8Pack: Q = (s, dir) =>
-    packByTokenBudget(t(s, dir, "documents"), "lang", "doc_id", "text", 2048)
+    packByTokenBudget(Tables.spread(t(s, dir, "documents")), "lang", "doc_id", "text", 2048)
       .groupBy(col("lang"), col("bin"))
       .agg(count(lit(1)).as("n_docs"), sum(col("toks")).as("bin_tokens"))
       .orderBy(col("lang"), col("bin"))
 
   /** E8c: contamination of the deterministic holdout vs the rest. */
   private val e8Contamination: Q = (s, dir) =>
-    contamination(t(s, dir, "documents"), "doc_id", "text")
+    contamination(Tables.spread(t(s, dir, "documents")), "doc_id", "text")
 
   /** E8d: 20% per-language sample — exact quotas plus an id checksum so
     * the oracle pins the exact membership, not just the sizes. */
   private val e8Stratified: Q = (s, dir) =>
-    stratifiedSample(t(s, dir, "documents"), "lang", "doc_id", 0.2)
+    stratifiedSample(Tables.spread(t(s, dir, "documents")), "lang", "doc_id", 0.2)
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_ids"))
       .orderBy(col("lang"))
@@ -370,14 +370,14 @@ object TrainPrep {
     * and the max(w, τ) estimator all value-checked (the oracle
     * re-derives the identical integer/double arithmetic). */
   private val e8PrioritySample: Q = (s, dir) =>
-    prioritySampleRows(t(s, dir, "documents"), k = 32)
+    prioritySampleRows(Tables.spread(t(s, dir, "documents")), k = 32)
       .orderBy(col("lang"), col("rn"))
 
   /** E8e: rebalance the uniform 20-source corpus to a 2:1 target
     * (sources 0-4 weighted double) — rates, kept counts, and an id
     * checksum all value-checked. */
   private val e8Mixture: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     def weight = when(
       col("source").substr(lit(4), lit(10)).cast("int") < 5, 2.0)
       .otherwise(1.0)
@@ -401,7 +401,7 @@ object TrainPrep {
     val weight = when(
       col("source").substr(lit(4), lit(10)).cast("int") < 5, 4.0)
       .otherwise(1.0)
-    weightedSample(t(s, dir, "documents"), "doc_id", weight, k = 200)
+    weightedSample(Tables.spread(t(s, dir, "documents")), "doc_id", weight, k = 200)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_sampled"), sum(col("doc_id")).as("sum_ids"))
       .orderBy(col("source"))
@@ -409,7 +409,7 @@ object TrainPrep {
 
   /** E8f: 32-word chunks every 24 words over the corpus. */
   private val e8Chunk: Q = (s, dir) =>
-    chunkByWords(t(s, dir, "documents"), "doc_id", "text",
+    chunkByWords(Tables.spread(t(s, dir, "documents")), "doc_id", "text",
       chunkSize = 32, stride = 24)
 
   /** E8g: rebalance WITH replacement to the same corpus size — sources
@@ -418,7 +418,7 @@ object TrainPrep {
     * replication-weighted id checksum all value-gated against the
     * oracle's closed-form copy arithmetic. */
   private val e8Upsample: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     def weight = when(
       col("source").substr(lit(4), lit(10)).cast("int") < 5, 4.0)
       .otherwise(1.0)
@@ -460,7 +460,7 @@ object TrainPrep {
     * a shard swap places, and the head/tail doc ids pin the endpoints.
     * Oracle recomputes the identical integer-hash order. */
   private val e8Shuffle: Q = (s, dir) =>
-    shuffleShards(t(s, dir, "documents"), "doc_id", nShards = 16)
+    shuffleShards(Tables.spread(t(s, dir, "documents")), "doc_id", nShards = 16)
       .groupBy(col("shard"))
       .agg(count(lit(1)).as("n_docs"),
         sum(col("pos") * col("doc_id")).as("order_digest"),
@@ -486,7 +486,7 @@ object TrainPrep {
     * reported per source — kept set AND what the cap cost are both
     * pinned (a silent-cap audit, per the no-silent-caps convention). */
   private val e8DomainCap: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     val kept = domainCap(docs, cap = 3)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("sum_kept_ids"))
@@ -571,14 +571,14 @@ object TrainPrep {
     * top-200, so a wrong smoothing denominator, a lost token, or an
     * unstable tie-break all hash-fail. */
   private val e14Dsir: Q = (s, dir) =>
-    dsirSelect(t(s, dir, "documents"), col("lang") === "en", 200)
+    dsirSelect(Tables.spread(t(s, dir, "documents")), col("lang") === "en", 200)
 
   /** E14b: the hashed-bucket DSIR variant under the same gate — the
     * scale path e14's doc promises, proven: same target slice, same
     * top-200, key space capped at 10⁴ buckets; the oracle re-derives
     * the bucketing from md5 hex and both LMs over it. */
   private val e14bDsirHashed: Q = (s, dir) =>
-    dsirSelectHashed(t(s, dir, "documents"), col("lang") === "en", 200,
+    dsirSelectHashed(Tables.spread(t(s, dir, "documents")), col("lang") === "en", 200,
       buckets = 10000)
 
   /** Temperature-sampled mixture + epoch planning — the two published
@@ -618,7 +618,7 @@ object TrainPrep {
   }
 
   private val e17MixturePlan: Q = (s, dir) =>
-    temperatureMixturePlan(t(s, dir, "documents"), "source", "text",
+    temperatureMixturePlan(Tables.spread(t(s, dir, "documents")), "source", "text",
       alpha = 0.3, budgetX = 8.0)
       .orderBy(col("source"))
 
@@ -653,7 +653,7 @@ object TrainPrep {
     * assignment are both right; a lost pair or a split cluster also
     * shifts the checksums. */
   private val e16LeakSplit: Q = (s, dir) => {
-    val docs = t(s, dir, "documents")
+    val docs = Tables.spread(t(s, dir, "documents"))
     // The PPJoin subtree is the expensive part — run it once; the CC
     // operator and the leak audit both read the checkpoint.
     val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text",
@@ -712,7 +712,7 @@ object TrainPrep {
   }
 
   private val e15CcnetBuckets: Q = (s, dir) =>
-    ccnetBuckets(t(s, dir, "documents"))
+    ccnetBuckets(Tables.spread(t(s, dir, "documents")))
 
   /** E8: curriculum schedule — difficulty = chars per whitespace token
     * (rounded to 4 so no raw float crosses the rank boundary), quartile
@@ -743,7 +743,7 @@ object TrainPrep {
   }
 
   private val e8Curriculum: Q = (s, dir) =>
-    curriculumSchedule(t(s, dir, "documents"), nBuckets = 4, limit = 40)
+    curriculumSchedule(Tables.spread(t(s, dir, "documents")), nBuckets = 4, limit = 40)
 
   /** E8: length-bucketed batching — sort docs by token length before
     * cutting fixed-size batches so padding-to-max inside each batch is
@@ -776,7 +776,7 @@ object TrainPrep {
   }
 
   private val e8LengthBatching: Q = (s, dir) =>
-    lengthBatchingRollup(t(s, dir, "documents"), batchSize = 32)
+    lengthBatchingRollup(Tables.spread(t(s, dir, "documents")), batchSize = 32)
 
   /** E8: span-corruption plan (the T5 masking step, made
     * REPRODUCIBLE): token i of doc d STARTS a 3-token span iff the
@@ -816,7 +816,7 @@ object TrainPrep {
   }
 
   private val e8SpanMask: Q = (s, dir) =>
-    spanMaskStats(t(s, dir, "documents"))
+    spanMaskStats(Tables.spread(t(s, dir, "documents")))
 
   val queries: Map[String, Q] = Map(
     "e8_curriculum" -> e8Curriculum,

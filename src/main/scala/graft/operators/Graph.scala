@@ -122,8 +122,16 @@ object Graph {
       .filter(col("db") < col("dc") ||
         (col("db") === col("dc") && col("b") < col("c")))
       .select(col("src").as("a"), col("b"), col("c"))
+    // Close with a SHUFFLED-HASH join, edge side as build (guide §3.1):
+    // the wedge side is the giant one (Σ outdeg² rows ≫ |E|) and
+    // sort-merge would SORT it after the exchange — the single largest
+    // cost in the measured plan. Hash-building the |E|-sized side per
+    // partition skips that sort entirely; per-partition build is |E|/P
+    // rows (narrow), which scales with the cluster.
     val tri = wedges.join(
-      oriented.select(col("src").as("b"), col("dst").as("c")), Seq("b", "c"))
+      oriented.select(col("src").as("b"), col("dst").as("c"))
+        .hint("shuffle_hash"),
+      Seq("b", "c"))
     tri.select(explode(array(col("a"), col("b"), col("c"))).as("node"))
       .groupBy(col("node")).agg(count(lit(1)).as("n_tri"))
       .orderBy(col("node"))
@@ -250,12 +258,18 @@ object Graph {
     * shrink; rounds is a CONSTANT so the plan is a fixed tree (the
     * [[bfsDistances]] convention — no driver-side convergence loop),
     * with a lazy checkpoint every `checkpointEvery` rounds to keep
-    * lineage flat. Convergence is certified IN-PLAN: the emitted
+    * lineage flat. checkpointEvery defaults to 1 (r14 measurement:
+    * each un-checkpointed round references the previous round's tree
+    * THREE times — the degree agg plus two semi-joins — so trees grow
+    * 3^rounds between cuts and the DRIVER's analyze/plan time, not the
+    * executors, dominated g5_kcore at 8–19 s of a ~9 s query; per-round
+    * cuts hold planning flat, guide §7.3). Convergence is certified
+    * IN-PLAN: the emitted
     * `converged` column is "no surviving node has degree < k", and the
     * oracle pins it `true`, so an unconverged round budget hash-fails
     * loudly instead of shipping a half-peeled core. */
   def kCore(edges: DataFrame, k: Int, rounds: Int,
-      checkpointEvery: Int = 3): DataFrame = {
+      checkpointEvery: Int = 1): DataFrame = {
     def degrees(e: DataFrame): DataFrame =
       e.select(col("u").as("n")).unionAll(e.select(col("v").as("n")))
         .groupBy(col("n")).agg(count(lit(1)).as("c"))
