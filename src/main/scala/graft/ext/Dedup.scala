@@ -505,29 +505,41 @@ object Dedup {
     * candidates. Nothing all-pairs, nothing unpartitioned. */
   def containmentPairs(df: DataFrame, idCol: String, textCol: String,
       p: Int, q: Int, shingleN: Int = 3): DataFrame = {
-    val toksRaw = Tables.spread(df.select(col(idCol), col(textCol)))
+    // One checkpointed shingle-SET table feeds everything (r14
+    // restructure, guide §2.3/§2.4): the token stream (prefix build +
+    // candidate join) explodes FROM it, and verification intersects
+    // the sorted set arrays per candidate pair — two id-keyed joins +
+    // a codegen'd size(array_intersect(...)) instead of the old
+    // double token-explode join + (a, b)-keyed count aggregation
+    // (three shuffles of every candidate's full token stream). Sets
+    // are distinct by construction (shingles array_distinct), so
+    // |intersect| IS the exact shared count.
+    val sets = Tables.spread(df.select(col(idCol), col(textCol)))
       .select(col(idCol).as("id"),
-        explode(shingles(col(textCol), shingleN)).as("tok"))
+        array_sort(shingles(col(textCol), shingleN)).as("sh"))
+      .select(col("id"), col("sh"), size(col("sh")).cast("long").as("na"))
+      .filter(col("na") > 0)
+      .localCheckpoint(eager = false)
+    val toksRaw = sets.select(col("id"), explode(col("sh")).as("tok"))
     val dfc = toksRaw.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val toks = toksRaw.join(dfc, Seq("tok"))
       .localCheckpoint(eager = false)
-    val sizes = toks.groupBy(col("id")).agg(count(lit(1)).as("na"))
     val prefix = toks
       .withColumn("pos", row_number().over(
         Window.partitionBy(col("id")).orderBy(col("df"), col("tok"))))
-      .join(sizes, Seq("id"))
+      .join(sets.select(col("id"), col("na")), Seq("id"))
       .filter(col("pos") <=
         col("na") - expr(s"($p * na + $q - 1) div $q") + 1)
     val cands = prefix.select(col("id").as("a"), col("tok"))
       .join(toks.select(col("id").as("b"), col("tok")), Seq("tok"))
       .filter(col("a") =!= col("b"))
       .select(col("a"), col("b")).distinct()
-    val shared = cands
-      .join(toks.select(col("id").as("a"), col("tok")), Seq("a"))
-      .join(toks.select(col("id").as("b"), col("tok")), Seq("b", "tok"))
-      .groupBy(col("a"), col("b")).agg(count(lit(1)).as("shared"))
-    shared
-      .join(sizes.select(col("id").as("a"), col("na")), Seq("a"))
+    cands
+      .join(sets.select(col("id").as("a"), col("sh").as("sha"),
+        col("na")), Seq("a"))
+      .join(sets.select(col("id").as("b"), col("sh").as("shb")), Seq("b"))
+      .withColumn("shared",
+        size(array_intersect(col("sha"), col("shb"))).cast("long"))
       .filter(col("shared") * q >= col("na") * p)
       .select(col("a").as("contained_id"), col("b").as("container_id"),
         col("na").as("n_shingles"),

@@ -290,12 +290,20 @@ object QualityModel {
     var w = Array.fill(nClasses)(new Array[Double](dim + 1))
     val n = labels.count().toDouble
     val ks = 0 until nClasses
+    // Labels ride INSIDE the feature rows (one join, done once, lazily
+    // checkpointed) instead of a labels broadcast join in EVERY margins
+    // job — ~2 margin jobs per iteration each paid a broadcast build
+    // for the same 4-row-per-doc constant (r14, guide §2.4 share one
+    // exchange). y is constant per doc, so min(y) in the doc rollup
+    // recovers it exactly.
+    val fl = feats.join(labels, Seq("doc_id"))
+      .localCheckpoint(eager = false)
     def marginsOf(wc: Array[Array[Double]]): DataFrame = {
       val zCols = ks.map(k =>
         sum(element_at(typedlit(wc(k).toIndexedSeq), col("idx") + 1) *
           col("v")).as(s"z$k"))
-      feats.groupBy(col("doc_id")).agg(zCols.head, zCols.tail: _*)
-        .join(labels, Seq("doc_id"))
+      fl.groupBy(col("doc_id"))
+        .agg(zCols.head, (zCols.tail :+ min(col("y")).as("y")): _*)
     }
     // max-shifted softmax pieces: exp never overflows, loss is exact
     def m = greatest(ks.map(k => col(s"z$k")): _*)
@@ -321,6 +329,14 @@ object QualityModel {
         .select(col("doc_id") +: (errCols :+ llCol.as("ll")): _*)
         .localCheckpoint(eager = false)
     var errW = errFrameOf(w)
+    // Warm-started backtracking: each iteration opens at twice the
+    // previously ACCEPTED step (capped at lr) instead of at lr — once
+    // the first iteration has found the right scale, later iterations
+    // accept in ~1 trial instead of re-paying the same halvings (each
+    // rejected trial is a full margins job). Monotonicity is untouched
+    // (a trial still must not increase the loss), and the gates are
+    // re-verified against the oracle at both SFs.
+    var warmStep = lr
     val losses = (0 until iters).map { _ =>
       val gradAgg = ks.map(k => (sum(col(s"e$k") * col("v")) / n)
         .as(s"g$k"))
@@ -347,7 +363,7 @@ object QualityModel {
       // frame the next iteration reuses on acceptance); the common
       // case accepts within a couple of trials and every iterate is
       // monotone in loss.
-      var step = lr
+      var step = warmStep
       var accepted = false
       var trials = 0
       while (!accepted && trials < 12) {
@@ -358,8 +374,10 @@ object QualityModel {
         val candErr = errFrameOf(cand)
         val candLoss =
           candErr.agg((sum(col("ll")) / n).as("loss")).head().getDouble(0)
-        if (candLoss <= cur) { w = cand; errW = candErr; accepted = true }
-        else { step /= 2; trials += 1 }
+        if (candLoss <= cur) {
+          w = cand; errW = candErr; accepted = true
+          warmStep = math.min(lr, step * 2.0)
+        } else { step /= 2; trials += 1 }
       }
       cur
     }

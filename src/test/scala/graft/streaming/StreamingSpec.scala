@@ -21,8 +21,8 @@ class StreamingSpec extends SparkSpec {
 
   test("session replay coarsening (the bench knob) leaves the append " +
       "output unchanged for both the custom-state and native gates") {
-    // graft.Bench sets graft.replay.coarsen=5 so the four session
-    // gates replay in ~5-day buckets instead of ~30 daily ones — the
+    // graft.Bench sets graft.replay.coarsen=10 so the four session
+    // gates replay in ~10-day buckets instead of ~30 daily ones — the
     // claim that this is pure latency trimming (same rows, same
     // event-time order, same final sessions) is pinned here for the
     // boundary-sensitive native MergingSessionsExec path (ev23) and
@@ -38,7 +38,7 @@ class StreamingSpec extends SparkSpec {
         EventWindows.queries(q)(spark, sf)
           .collect().toSeq.map(_.toSeq)
       val daily = run()
-      System.setProperty("graft.replay.coarsen", "5")
+      System.setProperty("graft.replay.coarsen", "10")
       val coarse = try run()
         finally System.clearProperty("graft.replay.coarsen")
       assert(coarse == daily,
