@@ -31,9 +31,18 @@ class StreamingSpec extends SparkSpec {
     // replays — inner, left-outer (tail flush via watermark expiry),
     // and full-outer (both unmatched sides) — whose buckets coarsen
     // the same way.
+    // ...and (round-14 optimization) for the three fixed-width replay
+    // gates whose semantics are slicing-invariant by construction:
+    // append-on-window-finalize (ev14 — coarser buckets finalize
+    // windows in groups), update-mode upsert (ev18 — every batch
+    // emits the complete new aggregate per touched key), and
+    // keep-latest CDC (ev24 — state depends on event-time order, not
+    // batch slicing).
     for (q <- Seq("ev12_stream_sessions", "ev22_tws_sessions",
         "ev23_session_window", "ev13_stream_join",
-        "ev17_stream_left_join", "ev25_stream_full_join")) {
+        "ev17_stream_left_join", "ev25_stream_full_join",
+        "ev14_stream_windows", "ev18_stream_upsert",
+        "ev24_stream_cdc")) {
       def run(): Seq[Seq[Any]] =
         EventWindows.queries(q)(spark, sf)
           .collect().toSeq.map(_.toSeq)
