@@ -194,39 +194,54 @@ object QualityModel {
       lit(dim).as("idx"), lit(1.0).as("v")))
   }
 
+  /** Pack sparse (doc_id, idx, v) features into ONE row per doc with
+    * an idx-SORTED `array<struct<idx,v>>`. Built once per training run
+    * (a single doc_id shuffle), it turns every margins pass into a
+    * map-side array fold — and the fold runs in a FIXED idx order, so
+    * the per-doc margin is independent of partitioning where the old
+    * partial-agg sum order was not (idx is unique per doc:
+    * [[hashedNgramFeatures]] dedups buckets and emits one bias row). */
+  def packFeatures(feats: DataFrame): DataFrame =
+    feats.groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(struct(col("idx"), col("v"))))
+        .as("fx"))
+
   /** SPARSE batch-gradient logistic regression over (doc_id, idx, v)
-    * features and (doc_id, y) labels — the same one-job-per-step
-    * dataflow as [[trainLogistic]] at hashed-vocabulary width: dense
+    * features and (doc_id, y) labels at hashed-vocabulary width: dense
     * weights ride the plan as ONE literal array (D+1 doubles — ~¼ MB
-    * at 2^15, still plan-shippable at 2^18), a step shuffles once on
-    * doc_id (margins) and once on idx (gradient partial sums), and the
-    * driver receives only the NONZERO gradient buckets plus one loss
-    * row — never a dense D-vector of mostly zeros, and never rows.
-    * Returns (weights, per-step mean log-loss). */
+    * at 2^15, still plan-shippable at 2^18) and the driver receives
+    * only the NONZERO gradient buckets plus one loss row — never a
+    * dense D-vector of mostly zeros, and never rows.
+    *
+    * r15 restructure (guide §2.4 remove shuffles): features pack into
+    * [[packFeatures]] rows with the label joined in, ONCE, lazily
+    * checkpointed. Every iteration is then ONE job whose only exchange
+    * is the per-idx gradient rollup — margins are map-side array folds
+    * over the packed rows (the old shape re-shuffled every feature row
+    * on doc_id + paid an err join, EVERY step). Returns (weights,
+    * per-step mean log-loss). */
   def trainLogisticSparse(feats: DataFrame, labels: DataFrame, dim: Int,
       iters: Int, lr: Double): (Array[Double], Seq[Double]) = {
     val w = new Array[Double](dim + 1)
     val n = labels.count().toDouble
     val eps = 1e-12
+    val pf = packFeatures(feats).join(labels, Seq("doc_id"))
+      .localCheckpoint(eager = false)
     val losses = (0 until iters).map { _ =>
-      val wLit = typedlit(w.toIndexedSeq)
-      val err = feats
-        .withColumn("wv", element_at(wLit, col("idx") + 1) * col("v"))
-        .groupBy(col("doc_id")).agg(sum(col("wv")).as("z"))
-        .join(labels, Seq("doc_id"))
-        .select(col("doc_id"), (sigmoid(col("z")) - col("y")).as("e"),
+      val z = element_at(
+        graft.functions.SparseMargins.sparseMargins(col("fx"), Array(w)), 1)
+      val base = pf.select(col("fx"), col("y"), z.as("z"))
+        .select(col("fx"), (sigmoid(col("z")) - col("y")).as("e"),
           (-(col("y") * log(greatest(sigmoid(col("z")), lit(eps))) +
             (lit(1.0) - col("y")) *
               log(greatest(lit(1.0) - sigmoid(col("z")), lit(eps)))))
             .as("ll"))
-        // lazy: the single collect below materializes it once; the
-        // gradient and loss branches then share it instead of
-        // re-running the margin aggregation
-        .localCheckpoint(eager = false)
-      val rows = feats.join(err, Seq("doc_id"))
+      val rows = base
+        .select(col("e"), explode(col("fx")).as("t"))
+        .select(col("e"), col("t.idx").as("idx"), col("t.v").as("v"))
         .groupBy(col("idx"))
         .agg((sum(col("e") * col("v")) / n).as("g"))
-        .unionByName(err.agg((sum(col("ll")) / n).as("g"))
+        .unionByName(base.agg((sum(col("ll")) / n).as("g"))
           .select(lit(-1).as("idx"), col("g")))
         .collect()
       var loss = 0.0
@@ -276,35 +291,29 @@ object QualityModel {
     * multi-class trainer a fastText-style language-ID filter needs.
     * ONE aggregation job per step covers ALL classes (a one-vs-rest
     * loop would pay K× the scans): the K weight vectors ride the plan
-    * as K literal arrays, a step shuffles once on doc_id (per-doc
-    * margins z_0..z_{K-1}), computes the max-shifted softmax and
-    * per-class errors p_k − 1{y=k} row-locally, then shuffles once on
-    * idx for the per-bucket gradient partial sums of all K classes at
-    * once. The driver receives only the nonzero buckets × K doubles
-    * plus one loss row. `labels` is (doc_id, y) with y an int class
-    * index in [0, nClasses). Returns (per-class weights, per-step mean
-    * cross-entropy). */
+    * as K literal arrays and the driver receives only the nonzero
+    * buckets × K doubles plus one loss row. `labels` is (doc_id, y)
+    * with y an int class index in [0, nClasses). Returns (per-class
+    * weights, per-step mean cross-entropy).
+    *
+    * r15 restructure (guide §2.4 remove shuffles): features pack into
+    * [[packFeatures]] rows with the label joined in, ONCE, lazily
+    * checkpointed. A line-search trial is then a map-only fold + a
+    * one-row loss agg (NO shuffle at all), and the gradient job's only
+    * exchange is the per-idx rollup — the old shape re-shuffled every
+    * feature row on doc_id per margins pass and paid an err join per
+    * gradient. The r14 "reuse the accepted trial's error frame"
+    * checkpoint is gone with the shuffle it amortized: recomputing the
+    * fold inside the gradient job is map-side work, cheaper than
+    * materializing + re-reading a checkpoint. */
   def trainSoftmaxSparse(feats: DataFrame, labels: DataFrame, dim: Int,
       nClasses: Int, iters: Int, lr: Double)
       : (Array[Array[Double]], Seq[Double]) = {
     var w = Array.fill(nClasses)(new Array[Double](dim + 1))
     val n = labels.count().toDouble
     val ks = 0 until nClasses
-    // Labels ride INSIDE the feature rows (one join, done once, lazily
-    // checkpointed) instead of a labels broadcast join in EVERY margins
-    // job — ~2 margin jobs per iteration each paid a broadcast build
-    // for the same 4-row-per-doc constant (r14, guide §2.4 share one
-    // exchange). y is constant per doc, so min(y) in the doc rollup
-    // recovers it exactly.
-    val fl = feats.join(labels, Seq("doc_id"))
+    val pf = packFeatures(feats).join(labels, Seq("doc_id"))
       .localCheckpoint(eager = false)
-    def marginsOf(wc: Array[Array[Double]]): DataFrame = {
-      val zCols = ks.map(k =>
-        sum(element_at(typedlit(wc(k).toIndexedSeq), col("idx") + 1) *
-          col("v")).as(s"z$k"))
-      fl.groupBy(col("doc_id"))
-        .agg(zCols.head, (zCols.tail :+ min(col("y")).as("y")): _*)
-    }
     // max-shifted softmax pieces: exp never overflows, loss is exact
     def m = greatest(ks.map(k => col(s"z$k")): _*)
     def sumExp = ks.map(k => exp(col(s"z$k") - m)).reduce(_ + _)
@@ -314,20 +323,16 @@ object QualityModel {
     val errCols = ks.map(k =>
       (exp(col(s"z$k") - m) / sumExp -
         when(col("y") === k, 1.0).otherwise(0.0)).as(s"e$k"))
-    // Full per-doc error frame for a candidate weight set. r14 fusion
-    // (guide §1.2 per-task work / §2.4 do fewer passes): the OLD loop
-    // computed each weight set's margins TWICE — once as the line
-    // search's loss-only aggregation, and again at the next
-    // iteration's gradient step. Materializing the error frame AT THE
-    // LINE-SEARCH TRIAL (lazy checkpoint; the loss scalar's action
-    // forces it) lets the accepted candidate's margins carry straight
-    // into the next gradient join — one margins aggregation per
-    // evaluated weight set instead of two. Same expressions, same
-    // checkpointed feats input, so the trained weights are unchanged.
+    // Per-doc error frame for a candidate weight set — map-only over
+    // the packed rows (ONE native margins kernel per row covering all
+    // K classes), never checkpointed.
     def errFrameOf(wc: Array[Array[Double]]): DataFrame =
-      marginsOf(wc)
-        .select(col("doc_id") +: (errCols :+ llCol.as("ll")): _*)
-        .localCheckpoint(eager = false)
+      pf.select(col("fx"), col("y"),
+          graft.functions.SparseMargins.sparseMargins(col("fx"), wc)
+            .as("zs"))
+        .select(col("fx") +: col("y") +:
+          ks.map(k => element_at(col("zs"), k + 1).as(s"z$k")): _*)
+        .select(col("fx") +: (errCols :+ llCol.as("ll")): _*)
     var errW = errFrameOf(w)
     // Warm-started backtracking: each iteration opens at twice the
     // previously ACCEPTED step (capped at lr) instead of at lr — once
@@ -343,7 +348,10 @@ object QualityModel {
       val lossRow = errW.agg((sum(col("ll")) / n).as("g0"),
           ks.tail.map(k => lit(0.0).as(s"g$k")): _*)
         .select(lit(-1).as("idx") +: ks.map(k => col(s"g$k")): _*)
-      val rows = feats.join(errW, Seq("doc_id"))
+      val rows = errW
+        .select(ks.map(k => col(s"e$k")) :+ explode(col("fx")).as("t"): _*)
+        .select(ks.map(k => col(s"e$k")) :+ col("t.idx").as("idx") :+
+          col("t.v").as("v"): _*)
         .groupBy(col("idx"))
         .agg(gradAgg.head, gradAgg.tail: _*)
         .unionByName(lossRow)
