@@ -115,13 +115,11 @@ object Similarity {
     when(nrm > 0, transform(v, x => x / nrm)).otherwise(v)
   }
 
-  /** Dot products of a unit vector column against the (tiny, literal)
-    * centroid table, as an array of (d, cell) structs — evaluated
-    * map-side: no join, no shuffle, the corpus never moves. */
-  private def centroidScores(uv: Column, cents: Seq[(Int, Seq[Double])]): Column =
-    array(cents.map { case (cellId, cv) =>
-      struct(dot(uv, typedlit(cv)).as("d"), lit(cellId).as("cell"))
-    }: _*)
+  // Centroid-table scoring is native since r15 — see
+  // graft.functions.Centroids (one reference object + one compiled
+  // loop; the old array(struct(vec_dot(uv, lit(c)), id)...) spelling
+  // planned C dot nodes + C literal arrays per job and its codegen
+  // dominated every training action at C ≈ 257 seeding candidates).
 
   /** IVF coarse-quantizer training: k-means||-style SEEDING (Bahmani
     * et al., VLDB'12) refined by `iters` Lloyd iterations. The old
@@ -163,8 +161,8 @@ object Similarity {
     val oversample = 2 * c
     for (r <- 1 to 4) {
       val cost = lit(1.0) -
-        array_max(centroidScores(col("uv"), seeds.zipWithIndex.map(_.swap))
-          .getField("d"))
+        graft.functions.Centroids.centroidBest(col("uv"),
+          seeds.zipWithIndex.map(_.swap)).getField("d")
       val withCost = uv.withColumn("cost", cost)
         .localCheckpoint(eager = false) // total agg + the probe side
       // ONE action per seeding round instead of two (r14, guide §1/§5:
@@ -185,7 +183,8 @@ object Similarity {
     // weighted farthest-first (pure driver arithmetic on ≤ ~8c+1 rows)
     val cand = seeds.zipWithIndex.map(_.swap)
     val weights = uv.select(
-        array_max(centroidScores(col("uv"), cand)).getField("cell").as("s"))
+        graft.functions.Centroids.centroidBest(col("uv"), cand)
+          .getField("cell").as("s"))
       .groupBy(col("s")).agg(count(lit(1)).as("n"))
       .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
     def d2(a: Seq[Double], b: Seq[Double]): Double =
@@ -206,7 +205,8 @@ object Similarity {
       chosen.toSeq.zipWithIndex.map(_.swap)
     for (_ <- 0 until iters) {
       val assigned = uv.select(
-        array_max(centroidScores(col("uv"), cents)).getField("cell").as("cell"),
+        graft.functions.Centroids.centroidBest(col("uv"), cents)
+          .getField("cell").as("cell"),
         col("uv"))
       val means = assigned
         .select(col("cell"), posexplode(col("uv")))
@@ -230,7 +230,8 @@ object Similarity {
     vecs.select(col("vec_id"),
       unitNorm(asDouble(col("embedding"))).as("uv"))
       .withColumn("cell",
-        array_max(centroidScores(col("uv"), cents)).getField("cell"))
+        graft.functions.Centroids.centroidBest(col("uv"), cents)
+          .getField("cell"))
 
   /** Query-side probe list: each query's `nprobe` nearest cells by
     * centroid dot product, exploded to (q_id, qv, cell). */
@@ -238,9 +239,9 @@ object Similarity {
       nprobe: Int): DataFrame =
     queries.select(col("vec_id").as("q_id"),
       unitNorm(asDouble(col("embedding"))).as("qv"))
-      .withColumn("cell", explode(transform(
-        slice(reverse(array_sort(centroidScores(col("qv"), cents))), 1, nprobe),
-        s => s.getField("cell"))))
+      .withColumn("cell", explode(
+        graft.functions.Centroids.centroidTopCells(col("qv"), cents,
+          nprobe)))
 
   /** E3d: IVF top-k — the second ANN scale path (cell-bucketed rather
     * than compressed-scan). The corpus is assigned to cells map-side

@@ -275,10 +275,20 @@ object Graph {
         .groupBy(col("n")).agg(count(lit(1)).as("c"))
     var e = edges.localCheckpoint(eager = false)
     for (i <- 1 to rounds) {
-      val good = degrees(e).filter(col("c") >= k).select(col("n"))
+      // r15 (guide §3.1/§2.4): filter by ANTI-joining the peeled
+      // frontier (degree < k — SMALL, and empty once converged) instead
+      // of semi-joining the survivor set (≈ all nodes). Every edge
+      // endpoint appears in degrees(e), so anti(bad) ≡ semi(good)
+      // row-for-row; but AQE broadcasts the small frontier, so the edge
+      // set is no longer shuffled twice per round — the degree rollup
+      // is the round's only |E|-sized exchange (was 3).
+      // join on n directly (no per-side alias) so the two broadcast
+      // exchanges canonicalize identically and ReuseExchange computes
+      // the degree rollup once per round, not twice
+      val bad = degrees(e).filter(col("c") < k).select(col("n"))
       e = e
-        .join(good.select(col("n").as("u")), Seq("u"), "left_semi")
-        .join(good.select(col("n").as("v")), Seq("v"), "left_semi")
+        .join(bad, col("u") === col("n"), "left_anti")
+        .join(bad, col("v") === col("n"), "left_anti")
       if (i % checkpointEvery == 0) e = e.localCheckpoint(eager = false)
     }
     val degF = degrees(e).localCheckpoint(eager = false)
