@@ -8,7 +8,7 @@ object BenchOne {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     // mirror Bench's replay coarsening so phase re-times are comparable
     System.setProperty("graft.replay.coarsen",
-      sys.env.getOrElse("SPARK_GRAFT_REPLAY_COARSEN", "10"))
+      Bench.clampCoarsen(sys.env.get("SPARK_GRAFT_REPLAY_COARSEN")))
     val spark = SparkSession.builder().master("local[32]")
       .config("spark.sql.shuffle.partitions", "32")
       .config("spark.ui.enabled", "false")

@@ -19,7 +19,7 @@ object PlanDump {
     val names = args(2).split(',').toSeq
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     System.setProperty("graft.replay.coarsen",
-      sys.env.getOrElse("SPARK_GRAFT_REPLAY_COARSEN", "10"))
+      Bench.clampCoarsen(sys.env.get("SPARK_GRAFT_REPLAY_COARSEN")))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val spark = SparkSession.builder().master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)

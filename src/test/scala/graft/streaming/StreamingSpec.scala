@@ -21,8 +21,10 @@ class StreamingSpec extends SparkSpec {
 
   test("session replay coarsening (the bench knob) leaves the append " +
       "output unchanged for both the custom-state and native gates") {
-    // graft.Bench sets graft.replay.coarsen=10 so the four session
-    // gates replay in ~10-day buckets instead of ~30 daily ones — the
+    // graft.Bench sets graft.replay.coarsen=40 (clamped: env overrides
+    // other than 1/40 fall back — r14 ADVICE, so the bench can never
+    // run a coarsening this spec does not pin) so every replay
+    // collapses to ~1 bucket + flush instead of ~30 daily ones — the
     // claim that this is pure latency trimming (same rows, same
     // event-time order, same final sessions) is pinned here for the
     // boundary-sensitive native MergingSessionsExec path (ev23) and
@@ -47,7 +49,7 @@ class StreamingSpec extends SparkSpec {
         EventWindows.queries(q)(spark, sf)
           .collect().toSeq.map(_.toSeq)
       val daily = run()
-      System.setProperty("graft.replay.coarsen", "10")
+      System.setProperty("graft.replay.coarsen", "40")
       val coarse = try run()
         finally System.clearProperty("graft.replay.coarsen")
       assert(coarse == daily,
